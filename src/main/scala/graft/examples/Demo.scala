@@ -1,0 +1,53 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.tdf.TDF
+
+/** Runnable example of the facade over the driver testdata — the reference's
+  * canonical chain (README.md:10-16 / TDFGuide.md:124-131) transliterated:
+  * Define z → Filter → many booked actions → ONE shared Spark job.
+  *
+  * sbt "runMain graft.examples.Demo /root/testdata/sf0.001"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = TDF(Tables.lineitem(spark, sfDir))
+      .Define("z", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val loose = d.Filter("z_cut", col("z") > 1000.0)
+    val tight = loose.Filter("qty_cut", col("l_quantity") >= 25.0)
+
+    // book everything, nothing runs yet
+    val n = loose.Count()
+    val mz = loose.Mean("z")
+    val mn = tight.Min("z")
+    val mx = tight.Max("z")
+    val h = tight.Histo("z", 8, 0.0, 80000.0)
+    val rep = tight.Report()
+    println(s"booked; ready? ${n.isReady} ${h.isReady}")
+
+    val t0 = System.nanoTime()
+    val count = n() // first deref triggers the single shared run
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"shared run took $dt%.2fs")
+    println(s"count(z>1000) = $count (ready after one trigger: " +
+      s"${mz.isReady} ${mn.isReady} ${mx.isReady} ${h.isReady} ${rep.isReady})")
+    println(f"mean(z)=${mz()}%.4f min=${mn()}%.4f max=${mx()}%.4f")
+    println(s"histo: entries=${h().entries} bins=${h().counts.mkString(",")} " +
+      s"under=${h().underflow} over=${h().overflow}")
+    rep().foreach(c => println(f"cut ${c.name}%-8s pass=${c.pass}%6d / ${c.all}%6d " +
+      f"(${100 * c.efficiency}%.1f%%)"))
+    spark.stop()
+  }
+}

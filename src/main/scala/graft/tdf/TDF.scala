@@ -1,0 +1,362 @@
+package graft.tdf
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Histogram, HistogramAggregator}
+
+/** Lazy result proxy — the Spark analog of the reference's
+  * `TActionResultProxy<T>` (reference: TDataFrame.hxx:170-236): first access
+  * triggers the shared run of every action booked on the same context; results
+  * stay valid afterwards, and further bookings start a fresh batch
+  * (reference re-booking semantics, TDataFrame.hxx test_misc TEST 11).
+  */
+final class Result[T] private[tdf] (ctx: BookingContext) {
+  @volatile private[tdf] var v: Option[T] = None
+  def isReady: Boolean = v.isDefined
+  def apply(): T = {
+    if (v.isEmpty) ctx.run()
+    v.getOrElse(throw new IllegalStateException("booked action was not filled by the run"))
+  }
+  /** alias mirroring the reference's dereference */
+  def value: T = apply()
+}
+
+private[tdf] sealed trait Step
+private[tdf] final case class FilterStep(name: Option[String], pred: Column) extends Step
+private[tdf] final case class DefineStep(name: String, expr: Column) extends Step
+
+private[tdf] sealed trait ActionSpec
+private[tdf] case object CountSpec extends ActionSpec
+private[tdf] final case class SumSpec(col: String) extends ActionSpec
+private[tdf] final case class MinSpec(col: String) extends ActionSpec
+private[tdf] final case class MaxSpec(col: String) extends ActionSpec
+private[tdf] final case class MeanSpec(col: String) extends ActionSpec
+private[tdf] final case class TakeSpec(col: String) extends ActionSpec
+private[tdf] final case class HistoSpec(col: String, nbins: Int, range: Option[(Double, Double)])
+    extends ActionSpec
+private[tdf] case object ReportSpec extends ActionSpec
+
+private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, result: Result[Any])
+
+/** Shared root registry of booked (plan, action) pairs — the analog of the
+  * reference's `TDataFrameImpl` (TDataFrame.hxx:1336-1351, run loop
+  * :1362-1421). On first result access it compiles every booked aggregating
+  * action into ONE Spark job over ONE scan, using conditional aggregation
+  * (`agg(f(when(pred_i, x_i)))` over the common root with all derived columns
+  * attached). Auto-ranged histograms need a range pre-pass: their min/max ride
+  * along in the first job, then all of them share a single second job. This is
+  * the piece Spark does not provide across actions (one job per action is the
+  * default); everything inside the fused plan — pushdown, pruning, partial
+  * aggregation, codegen — is Catalyst's.
+  */
+final class BookingContext private[tdf] (val base: DataFrame) {
+  private val pending = mutable.ArrayBuffer.empty[Booked]
+  private[tdf] var compat: Boolean = false
+
+  private[tdf] def book[T](steps: Vector[Step], spec: ActionSpec): Result[T] = {
+    val r = new Result[T](this)
+    pending += Booked(steps, spec, r.asInstanceOf[Result[Any]])
+    r
+  }
+
+  private def fill[T](r: Result[Any], value: T): Unit = r.v = Some(value)
+
+  /** Predicate for a node = conjunction of its filter chain (true if none). */
+  private def predOf(steps: Vector[Step]): Column =
+    steps.collect { case FilterStep(_, p) => p }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** All defines across booked nodes, in first-occurrence order. Returns None
+    * on a name conflict (same name, semantically different expressions on
+    * sibling branches) — callers then fall back to per-action jobs.
+    */
+  private def mergedDefines(booked: Seq[Booked]): Option[Vector[DefineStep]] = {
+    val out = mutable.LinkedHashMap.empty[String, DefineStep]
+    booked.foreach { b =>
+      b.steps.foreach {
+        case d @ DefineStep(n, e) =>
+          out.get(n) match {
+            case None => out(n) = d
+            case Some(prev) =>
+              // conservative textual comparison (different → per-action fallback)
+              if (prev.expr.toString != e.toString) return None
+          }
+        case _ => ()
+      }
+    }
+    Some(out.values.toVector)
+  }
+
+  private def withDefines(defines: Seq[DefineStep]): DataFrame =
+    defines.foldLeft(base) { case (df, DefineStep(n, e)) => df.withColumn(n, e) }
+
+  /** Double-valued view of a column for Min/Max/Mean/Sum; arrays are handled
+    * elementwise (the reference's container overloads, TDataFrame.hxx:451-459).
+    */
+  private def isArray(wide: DataFrame, c: String): Boolean =
+    wide.schema(c).dataType.isInstanceOf[ArrayType]
+
+  private sealed trait Fill { def apply(row: Row, get: String => Any): Unit }
+
+  /** Compile one booked action into (aggregate columns, result filler). */
+  private def compile(
+      b: Booked, wide: DataFrame, id: Int): (Seq[Column], Row => Unit) = {
+    val pred = predOf(b.steps)
+    def a(i: Int) = s"__a${id}_$i"
+    def dcol(c: String): Column =
+      if (isArray(wide, c)) col(c).cast(ArrayType(DoubleType)) else col(c).cast(DoubleType)
+    b.spec match {
+      case CountSpec =>
+        (Seq(count(when(pred, lit(1))).as(a(0))),
+          row => fill(b.result, row.getAs[Long](a(0))))
+      case SumSpec(c) =>
+        val v = if (isArray(wide, c))
+          sum(when(pred, aggregate(dcol(c), lit(0.0), _ + _)))
+        else sum(when(pred, dcol(c)))
+        (Seq(coalesce(v, lit(0.0)).as(a(0))),
+          row => fill(b.result, row.getAs[Double](a(0))))
+      case MinSpec(c) =>
+        val v = if (isArray(wide, c)) min(when(pred, array_min(dcol(c)))) else min(when(pred, dcol(c)))
+        val dflt = if (compat) Double.MaxValue else Double.NaN
+        (Seq(coalesce(v, lit(dflt)).as(a(0))),
+          row => fill(b.result, row.getAs[Double](a(0))))
+      case MaxSpec(c) =>
+        val v = if (isArray(wide, c)) max(when(pred, array_max(dcol(c)))) else max(when(pred, dcol(c)))
+        // reference quirk: empty Max → numeric_limits<double>::min() (tiniest
+        // positive double), tests/regression_zeroentries.cxx:36
+        val dflt = if (compat) java.lang.Double.MIN_NORMAL else Double.NaN
+        (Seq(coalesce(v, lit(dflt)).as(a(0))),
+          row => fill(b.result, row.getAs[Double](a(0))))
+      case MeanSpec(c) =>
+        val (s, n) =
+          if (isArray(wide, c))
+            (sum(when(pred, aggregate(dcol(c), lit(0.0), _ + _))),
+              sum(when(pred, size(col(c)).cast(LongType))))
+          else (sum(when(pred, dcol(c))), count(when(pred, dcol(c))))
+        (Seq(s.as(a(0)), n.as(a(1))), { row =>
+          val cnt = Option(row.getAs[Any](a(1))).map(_.toString.toLong).getOrElse(0L)
+          val mean =
+            if (cnt == 0L) { if (compat) 0.0 else Double.NaN }
+            else row.getAs[Double](a(0)) / cnt
+          fill(b.result, mean)
+        })
+      case TakeSpec(c) =>
+        (Seq(collect_list(when(pred, col(c))).as(a(0))),
+          row => fill(b.result, row.getSeq[Any](row.fieldIndex(a(0)))))
+      case HistoSpec(c, nbins, Some((lo, hi))) =>
+        val in = if (isArray(wide, c)) when(pred, dcol(c)) else when(pred, array(dcol(c)))
+        (Seq(HistogramAggregator.histo(in, nbins, lo, hi).as(a(0))), { row =>
+          val r = row.getStruct(row.fieldIndex(a(0)))
+          fill(b.result, structToHistogram(r))
+        })
+      case HistoSpec(_, _, None) =>
+        throw new IllegalStateException("auto-range histo must be range-resolved before compile")
+      case ReportSpec =>
+        val filters = b.steps.collect { case f: FilterStep => f }
+        val cols = filters.zipWithIndex.flatMap { case (_, i) =>
+          val upTo = filters.take(i + 1).map(_.pred).reduce(_ && _)
+          val before = filters.take(i).map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
+          Seq(count(when(upTo, lit(1))).as(a(2 * i)), count(when(before, lit(1))).as(a(2 * i + 1)))
+        }
+        (cols, { row =>
+          val rep = filters.zipWithIndex.map { case (f, i) =>
+            CutInfo(f.name.getOrElse(s"filter_$i"),
+              row.getAs[Long](a(2 * i)), row.getAs[Long](a(2 * i + 1)))
+          }
+          fill(b.result, rep)
+        })
+    }
+  }
+
+  private def structToHistogram(r: Row): Histogram =
+    Histogram(
+      r.getAs[Int]("nbins"), r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+      r.getSeq[Long](r.fieldIndex("counts")).toArray,
+      r.getAs[Long]("underflow"), r.getAs[Long]("overflow"),
+      r.getAs[Long]("entries"), r.getAs[Double]("sumx"), r.getAs[Double]("sumx2"))
+
+  /** Execute every pending action; ideally one job (plus one shared job for
+    * auto-ranged histograms). Clears the pending list afterwards.
+    */
+  private[tdf] def run(): Unit = synchronized {
+    if (pending.isEmpty) return
+    val batch = pending.toVector
+    pending.clear()
+    mergedDefines(batch) match {
+      case Some(defines) => runFused(batch, defines)
+      case None => batch.foreach(b => runFused(Vector(b), mergedDefines(Seq(b)).get))
+    }
+  }
+
+  private def runFused(batch: Vector[Booked], defines: Vector[DefineStep]): Unit = {
+    val wide = withDefines(defines)
+
+    // Pass-1 aggregates: every fixed action, plus (min,max) probes for
+    // auto-ranged histos (mirrors the reference's deferred-axis FillOperation,
+    // TDataFrame.hxx:410-480, as a two-pass plan).
+    val fixed = mutable.ArrayBuffer.empty[(Seq[Column], Row => Unit)]
+    val autos = mutable.ArrayBuffer.empty[(Booked, String, String)] // (action, minAlias, maxAlias)
+    batch.zipWithIndex.foreach {
+      case (b @ Booked(steps, HistoSpec(c, _, None), _), i) =>
+        val pred = predOf(steps)
+        val (mn, mx) = (s"__hmin$i", s"__hmax$i")
+        val base =
+          if (isArray(wide, c)) (array_min(col(c)).cast(DoubleType), array_max(col(c)).cast(DoubleType))
+          else (col(c).cast(DoubleType), col(c).cast(DoubleType))
+        fixed += ((Seq(min(when(pred, base._1)).as(mn), max(when(pred, base._2)).as(mx)), _ => ()))
+        autos += ((b, mn, mx))
+      case (b, i) => fixed += compile(b, wide, i)
+    }
+    val aggCols = fixed.flatMap(_._1).toSeq
+    val row = wide.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    fixed.foreach { case (_, f) => f(row) }
+
+    if (autos.nonEmpty) {
+      // Resolve ranges (TH1-style padding for the degenerate lo==hi case),
+      // then one more fused job for all auto histos.
+      val resolved = autos.toVector.map { case (b, mnA, mxA) =>
+        val mn = Option(row.getAs[Any](mnA)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val mx = Option(row.getAs[Any](mxA)).map(_.asInstanceOf[Double]).getOrElse(1.0)
+        val (lo, hi) = if (mn == mx) (mn - 0.5, mx + 0.5) else (mn, mx + (mx - mn) * 1e-9)
+        val HistoSpec(c, nbins, _) = b.spec: @unchecked
+        Booked(b.steps, HistoSpec(c, nbins, Some((lo, hi))), b.result)
+      }
+      val compiled = resolved.zipWithIndex.map { case (b, i) => compile(b, wide, i) }
+      val cols2 = compiled.flatMap(_._1)
+      val row2 = wide.agg(cols2.head, cols2.tail: _*).collect()(0)
+      compiled.foreach { case (_, f) => f(row2) }
+    }
+  }
+}
+
+/** One line of a cut-flow report (reference planned op, TDFGuide.md:269-270). */
+final case class CutInfo(name: String, pass: Long, all: Long) {
+  def efficiency: Double = if (all == 0) 0.0 else pass.toDouble / all
+}
+
+/** The facade — Spark analog of `TDataFrameInterface` (TDataFrame.hxx:706-1100).
+  * Immutable: every transformation returns a new TDF sharing the same
+  * BookingContext, so call-graph forking (reference TDFGuide.md:235-261) is the
+  * natural usage. Transformations are recorded as lineage steps; actions book
+  * onto the shared context and return lazy [[Result]]s; the first dereference
+  * compiles every booked action into one shared scan.
+  */
+final class TDF private (
+    private[tdf] val ctx: BookingContext,
+    private[tdf] val steps: Vector[Step],
+    val defaultColumns: Seq[String]) {
+
+  private def spark: SparkSession = ctx.base.sparkSession
+
+  /** Columns visible at this node: physical + path defines. */
+  def columns: Seq[String] =
+    ctx.base.columns.toSeq ++ steps.collect { case DefineStep(n, _) => n }
+
+  // ---- transformations ------------------------------------------------------
+
+  def Filter(pred: Column): TDF = new TDF(ctx, steps :+ FilterStep(None, pred), defaultColumns)
+  def Filter(name: String, pred: Column): TDF =
+    new TDF(ctx, steps :+ FilterStep(Some(name), pred), defaultColumns)
+
+  /** Reference `AddBranch` (later `Define`): lazy derived column; throws on
+    * collision with an existing column (TDataFrame.hxx:290-297).
+    */
+  def Define(name: String, expr: Column): TDF = {
+    if (columns.contains(name))
+      throw new IllegalArgumentException(s"branch '$name' already present")
+    new TDF(ctx, steps :+ DefineStep(name, expr), defaultColumns)
+  }
+  def AddBranch(name: String, expr: Column): TDF = Define(name, expr)
+
+  def WithDefaultColumns(cols: Seq[String]): TDF = new TDF(ctx, steps, cols)
+
+  // ---- column resolution (reference PickBranchNames, TDataFrame.hxx:299-314)
+
+  private def pick(c: String, op: String): String =
+    if (c.nonEmpty) c
+    else defaultColumns match {
+      case Seq(one) => one
+      case Nil => throw new IllegalArgumentException(s"$op: no column given and no default set")
+      case many => throw new IllegalArgumentException(
+        s"$op: no column given and ${many.size} defaults — need exactly 1")
+    }
+
+  // ---- lazy actions ---------------------------------------------------------
+
+  def Count(): Result[Long] = ctx.book(steps, CountSpec)
+  def Sum(column: String = ""): Result[Double] = ctx.book(steps, SumSpec(pick(column, "Sum")))
+  def Min(column: String = ""): Result[Double] = ctx.book(steps, MinSpec(pick(column, "Min")))
+  def Max(column: String = ""): Result[Double] = ctx.book(steps, MaxSpec(pick(column, "Max")))
+  def Mean(column: String = ""): Result[Double] = ctx.book(steps, MeanSpec(pick(column, "Mean")))
+  def Take(column: String = ""): Result[Seq[Any]] =
+    ctx.book(steps, TakeSpec(pick(column, "Take")))
+  def Histo(column: String, nbins: Int, lo: Double, hi: Double): Result[Histogram] =
+    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi))))
+  /** auto-ranged: axis from data min/max, two-pass (reference FillOperation). */
+  def Histo(column: String, nbins: Int): Result[Histogram] =
+    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, None))
+  def Report(): Result[Seq[CutInfo]] = ctx.book(steps, ReportSpec)
+
+  // ---- instant actions ------------------------------------------------------
+
+  /** Materialized DataFrame view of this node (defines + filters applied). */
+  def toDF: DataFrame = {
+    val defines = steps.collect { case d: DefineStep => d }
+    val wide = defines.foldLeft(ctx.base) { case (df, DefineStep(n, e)) => df.withColumn(n, e) }
+    steps.collect { case FilterStep(_, p) => p }.foldLeft(wide)(_ where _)
+  }
+
+  /** Reference `Foreach` (TDataFrame.hxx:805-813): instant — flushes every
+    * pending booked action (they share the trigger, TDFGuide.md:288-291), then
+    * runs the side effect distributed. User owns thread-safety.
+    */
+  def Foreach(cols: Seq[String])(f: Row => Unit): Unit = {
+    ctx.run()
+    toDF.select(cols.map(col): _*).foreach(f)
+  }
+
+  /** Reference `ForeachSlot`: slot = partition id (TDFGuide.md:220-233). */
+  def ForeachSlot(cols: Seq[String])(f: (Int, Row) => Unit): Unit = {
+    ctx.run()
+    toDF.select(cols.map(col): _*).foreachPartition { it: Iterator[Row] =>
+      val slot = org.apache.spark.TaskContext.getPartitionId()
+      it.foreach(r => f(slot, r))
+    }
+  }
+
+  /** Reference planned `Snapshot` (TDFGuide.md:383): persist the skim and
+    * return a new frame over it.
+    */
+  def Snapshot(path: String, cols: Seq[String] = Nil): TDF = {
+    val df = if (cols.isEmpty) toDF else toDF.select(cols.map(col): _*)
+    df.write.mode("overwrite").parquet(path)
+    TDF.read(spark, path)
+  }
+
+  /** Driver-side reduce over a double column (reference planned op,
+    * TDFGuide.md:379-381). Runs as its own job (it carries a closure).
+    */
+  def Reduce(column: String)(f: (Double, Double) => Double): Double = {
+    val ds = toDF.select(col(pick(column, "Reduce")).cast(DoubleType))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+    ds.reduce(f)
+  }
+}
+
+object TDF {
+  /** Adopt an existing DataFrame (reference ctor TDataFrame.hxx:725). */
+  def apply(df: DataFrame, defaultColumns: Seq[String] = Nil, compat: Boolean = false): TDF = {
+    val ctx = new BookingContext(df)
+    ctx.compat = compat
+    new TDF(ctx, Vector.empty, defaultColumns)
+  }
+  /** Open a dataset from storage (reference ctor TDataFrame.hxx:716); parquet
+    * path or glob — multi-file is the TChain analog.
+    */
+  def read(spark: SparkSession, path: String, defaultColumns: Seq[String] = Nil): TDF =
+    apply(spark.read.parquet(path), defaultColumns)
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tdf.TDF
+
+/** Port of the reference's core e2e suite (tests/test_misc.cxx TESTs 1-13) and
+  * regression files onto Spark fixtures (FIXTURES.md F1/F2/F4).
+  */
+class TDFSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  // F2-analog fixture: b1 = 0..19 double, b2 = i*i int, dv growing array
+  def fixture = {
+    val rows = (0 until 20).map { i =>
+      (i.toDouble, i * i, Seq(-1.0, 2.0, 3.0, 4.0) ++ (0 to i).map(_.toDouble))
+    }
+    rows.toDF("b1", "b2", "dv")
+  }
+
+  test("TEST 1: no-op filter does not change count") {
+    val d = TDF(fixture)
+    assert(d.Filter(lit(true)).Count()() == 20L)
+  }
+
+  test("TEST 2: forked actions on a shared filter, one trigger") {
+    val d = TDF(fixture)
+    val f = d.Filter($"b1" % 2 === 0)
+    val c1 = f.Count()
+    val c2 = f.Filter($"b2" > 25).Count()
+    assert(c1() == 10L)
+    assert(c2.isReady, "sibling action must be filled by the same shared run")
+    assert(c2() == 7L) // b1 even and b1*b1>25 → b1 in {6,8,10,12,14,16,18}
+  }
+
+  test("TEST 3: default columns") {
+    val d = TDF(fixture, defaultColumns = Seq("b1"))
+    assert(d.Min()() == 0.0 && d.Max()() == 19.0)
+    intercept[IllegalArgumentException] { TDF(fixture).Min()() }
+  }
+
+  test("TEST 4: laziness — nothing runs until first deref, then all run") {
+    val d = TDF(fixture)
+    val c = d.Count()
+    val m = d.Mean("b1")
+    assert(!c.isReady && !m.isReady)
+    assert(c() == 20L)
+    assert(m.isReady)
+  }
+
+  test("TEST 7/8: Define, filter on derived column, Define after Filter") {
+    val d = TDF(fixture)
+    val z = d.Define("z", $"b1" * 2).Filter($"z" >= 20)
+    assert(z.Count()() == 10L)
+    val zz = z.Define("z2", $"z" * $"z")
+    assert(zz.Min("z2")() == 400.0)
+  }
+
+  test("TEST 9: Min/Max/Mean on scalar and array columns (golden values)") {
+    val d = TDF(fixture)
+    assert(d.Min("b2")() == 0.0)
+    assert(d.Max("b2")() == 361.0)
+    assert(d.Mean("b2")() == 123.5)
+    // array golden values from FIXTURES.md F2
+    assert(d.Min("dv")() == -1.0)
+    assert(d.Max("dv")() == 19.0)
+    assert(math.abs(d.Mean("dv")() - 5.1379310344827589) < 1e-12)
+  }
+
+  test("TEST 10: Take") {
+    val d = TDF(fixture)
+    val t = d.Filter($"b1" < 3).Take("b2")
+    assert(t().map(_.toString.toInt).sorted == Seq(0, 1, 4))
+  }
+
+  test("TEST 11: re-booking after a run starts a fresh batch") {
+    val d = TDF(fixture)
+    assert(d.Count()() == 20L)
+    val again = d.Filter($"b1" > 15).Count()
+    assert(!again.isReady)
+    assert(again() == 4L)
+  }
+
+  test("Define name collision throws (test_branchoverwrite)") {
+    intercept[IllegalArgumentException] { TDF(fixture).Define("b1", lit(1)) }
+    intercept[IllegalArgumentException] {
+      TDF(fixture).Define("x", lit(1)).Define("x", lit(2))
+    }
+  }
+
+  test("empty-input identities (regression_zeroentries), compat sentinels") {
+    val d = TDF(fixture, compat = true).Filter(lit(false))
+    assert(d.Count()() == 0L)
+    assert(d.Min("b1")() == Double.MaxValue)
+    assert(d.Max("b1")() == java.lang.Double.MIN_NORMAL)
+    assert(d.Mean("b1")() == 0.0)
+    assert(d.Take("b1")().isEmpty)
+    val h = d.Histo("b1", 10, 0.0, 10.0)()
+    assert(h.entries == 0L && h.counts.forall(_ == 0L))
+  }
+
+  test("histogram fixed-range: bins, under/overflow, stats") {
+    val d = TDF(fixture)
+    val h = d.Histo("b1", 4, 0.0, 20.0)()
+    assert(h.counts.toSeq == Seq(5L, 5L, 5L, 5L))
+    assert(h.underflow == 0L && h.overflow == 0L && h.entries == 20L)
+    assert(h.mean == 9.5)
+    val h2 = d.Histo("b1", 2, 5.0, 15.0)()
+    assert(h2.underflow == 5L && h2.overflow == 5L)
+    assert(h2.counts.toSeq == Seq(5L, 5L))
+  }
+
+  test("histogram auto-range covers min..max; array fill is elementwise") {
+    val d = TDF(fixture)
+    val h = d.Histo("b1", 10)()
+    assert(h.lo == 0.0 && h.entries == 20L)
+    assert(h.underflow == 0L && h.overflow == 0L)
+    assert(h.counts.sum == 20L)
+    val ha = d.Histo("dv", 5)()
+    assert(ha.entries == fixture.select(sum(size($"dv"))).as[Long].head)
+  }
+
+  test("Report cut-flow with named filters") {
+    val d = TDF(fixture)
+    val rep = d.Filter("even", $"b2" % 2 === 0)
+      .Filter("big", $"b2" > 25).Report()()
+    assert(rep.map(c => (c.name, c.pass, c.all)) ==
+      Seq(("even", 10L, 20L), ("big", 7L, 10L)))
+  }
+
+  test("Foreach via accumulator; ForeachSlot slot ids") {
+    val d = TDF(fixture)
+    val acc = spark.sparkContext.longAccumulator("n")
+    d.Filter($"b1" > 9).Foreach(Seq("b2"))(r => acc.add(r.getInt(0)))
+    assert(acc.value == (10 until 20).map(i => i * i).sum)
+  }
+
+  test("Sum and Reduce") {
+    val d = TDF(fixture)
+    assert(d.Sum("b1")() == 190.0)
+    assert(d.Reduce("b1")(_ + _) == 190.0)
+    assert(d.Filter(lit(false)).Sum("b1")() == 0.0)
+  }
+
+  test("partition invariance: 1 vs 8 partitions give identical results") {
+    val one = TDF(fixture.repartition(1))
+    val eight = TDF(fixture.repartition(8))
+    assert(one.Mean("b2")() == eight.Mean("b2")())
+    val h1 = one.Histo("b1", 7, 0.0, 20.0)()
+    val h8 = eight.Histo("b1", 7, 0.0, 20.0)()
+    assert(h1.counts.toSeq == h8.counts.toSeq && h1.sumx == h8.sumx)
+  }
+
+  test("Snapshot writes a skim and reopens it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/skim"
+    val d = TDF(fixture).Filter($"b1" < 5).Snapshot(dir, Seq("b1", "b2"))
+    assert(d.Count()() == 5L)
+    assert(d.columns == Seq("b1", "b2"))
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs graft.Verify at the given scale factor, then executes each entry of
+oracle_sql.json in DuckDB against the same parquet tables and compares with
+the Spark-written parquet output: schema (column names), row count, and
+values (columns sorted by name, rows sorted by all columns).
+
+Usage: python3 tools/check.py [sf0.01] [--skip-verify] [query ...]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SF = next((a for a in sys.argv[1:] if a.startswith("sf")), "sf0.01")
+ONLY = [a for a in sys.argv[1:] if not a.startswith("sf") and a != "--skip-verify"]
+SFDIR = f"/root/testdata/{SF}"
+OUT = Path(f"/tmp/graft_verify_{SF}")
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}"],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write("\n".join(
+        l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error]" in l.lower()
+        and "INFO" not in l) + "\n")
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED"); sys.exit(1)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+
+oracle = json.loads((OUT / "oracle_sql.json").read_text())
+queries = sorted(d.name for d in OUT.iterdir() if d.is_dir())
+if ONLY:
+    queries = [q for q in queries if q in ONLY]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def eq(a, b) -> bool:
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        return (a is None or (isinstance(a, float) and math.isnan(a))) and \
+               (b is None or (isinstance(b, float) and math.isnan(b)))
+    if isinstance(a, float) or isinstance(b, float):
+        try: fa, fb = float(a), float(b)
+        except (TypeError, ValueError): return str(a) == str(b)
+        if fa == fb: return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+fails = 0
+for name in queries:
+    if name not in oracle:
+        print(f"{name:28s} NO-ORACLE (rows-only check)")
+        continue
+    try:
+        spark_df = canon(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df())
+        duck_df = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"{name:28s} ERROR: {str(e)[:160]}"); fails += 1; continue
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        print(f"{name:28s} SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        fails += 1; continue
+    if len(spark_df) != len(duck_df):
+        print(f"{name:28s} ROWCOUNT spark={len(spark_df)} duck={len(duck_df)}")
+        fails += 1; continue
+    bad = None
+    for col in spark_df.columns:
+        sv, dv = spark_df[col].tolist(), duck_df[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, dv)):
+            if not eq(x, y):
+                bad = (col, i, x, y); break
+        if bad: break
+    if bad:
+        print(f"{name:28s} VALUE MISMATCH col={bad[0]} row={bad[1]} spark={bad[2]!r} duck={bad[3]!r}")
+        fails += 1
+    else:
+        print(f"{name:28s} OK ({len(spark_df)} rows)")
+
+print(f"\n{len(queries)-fails}/{len(queries)} green")
+sys.exit(1 if fails else 0)
