@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Histogram
+import graft.tdf.TDF
+
+/** Reference-parity operator queries (SURVEY.md §2), each exercised through
+  * the graft.tdf facade and paired with an exact DuckDB oracle. Numeric design
+  * rule: every aggregate is either integral-valued (counts, sums of integral
+  * doubles — exact in IEEE double regardless of order) or derived from
+  * identical per-row double expressions in both engines, so results hash-match
+  * bit-for-bit.
+  */
+object CoreQueries {
+
+  /** the reference benchmark's derived column, on lineitem */
+  private def zCol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val zSql = "l_extendedprice*(1.0-l_discount)"
+
+  private def oneRow(spark: SparkSession, schema: StructType, values: Any*): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(values: _*)), schema)
+
+  private def histToDF(spark: SparkSession, h: Histogram): DataFrame = {
+    // non-empty bins only (SQL GROUP BY has no empty groups); underflow = -1,
+    // overflow = nbins
+    val rows = (Seq((-1, h.underflow), (h.nbins, h.overflow)) ++
+      h.counts.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .filter(_._2 > 0L).sortBy(_._1)
+      .map { case (b, c) => Row(b, c) }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(Seq(StructField("bin", IntegerType, false), StructField("n", LongType, false))))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count" -> { (s, dir) =>
+      val n = TDF(Tables.lineitem(s, dir)).Filter(col("l_quantity") > 25.0).Count()()
+      oneRow(s, StructType(Seq(StructField("n", LongType, false))), n)
+    },
+
+    "q_sum" -> { (s, dir) =>
+      val v = TDF(Tables.lineitem(s, dir)).Filter(col("l_returnflag") === "A").Sum("l_quantity")()
+      oneRow(s, StructType(Seq(StructField("sum_qty", DoubleType, false))), v)
+    },
+
+    // fused multi-action batch: one shared run serves five results
+    "q_stats_fused" -> { (s, dir) =>
+      val d = TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+      val f = d.Filter(col("z") > 1000.0)
+      val (n, sq, mn, mx, mq) =
+        (f.Count(), f.Sum("l_quantity"), f.Min("z"), f.Max("z"), f.Mean("l_quantity"))
+      oneRow(s, StructType(Seq(
+        StructField("n", LongType, false), StructField("sum_qty", DoubleType, false),
+        StructField("min_z", DoubleType, false), StructField("max_z", DoubleType, false),
+        StructField("mean_qty", DoubleType, false))),
+        n(), sq(), mn(), mx(), mq())
+    },
+
+    "q_min_max" -> { (s, dir) =>
+      val d = TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+      oneRow(s, StructType(Seq(
+        StructField("min_z", DoubleType, false), StructField("max_z", DoubleType, false))),
+        d.Min("z")(), d.Max("z")())
+    },
+
+    "q_mean" -> { (s, dir) =>
+      val m = TDF(Tables.lineitem(s, dir))
+        .Filter(col("l_linestatus") === "F").Mean("l_quantity")()
+      oneRow(s, StructType(Seq(StructField("mean_qty", DoubleType, false))), m)
+    },
+
+    // Take: ordered deterministic collect, returned as a real column
+    "q_take" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 50.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // Head (reference planned op): ordered limit
+    "q_head" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(20)
+    },
+
+    "q_histo_fixed" -> { (s, dir) =>
+      val h = TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .Histo("z", 11, 0.0, 110000.0)()
+      histToDF(s, h)
+    },
+
+    "q_histo_auto" -> { (s, dir) =>
+      val h = TDF(Tables.lineitem(s, dir)).Define("z", zCol).Histo("z", 10)()
+      histToDF(s, h)
+    },
+
+    // Foreach: distributed side effect via accumulator, proving the rows were
+    // visited; result = visited count + sum
+    "q_foreach" -> { (s, dir) =>
+      val acc = s.sparkContext.longAccumulator("rows")
+      val qty = s.sparkContext.doubleAccumulator("qty")
+      TDF(Tables.lineitem(s, dir)).Filter(col("l_quantity") > 45.0)
+        .Foreach(Seq("l_quantity")) { r => acc.add(1); qty.add(r.getDouble(0)) }
+      oneRow(s, StructType(Seq(
+        StructField("n", LongType, false), StructField("sum_qty", DoubleType, false))),
+        acc.value.longValue, qty.value.doubleValue)
+    },
+
+    "q_reduce" -> { (s, dir) =>
+      val v = TDF(Tables.lineitem(s, dir)).Filter(col("l_quantity") <= 10.0)
+        .Reduce("l_quantity")(_ + _)
+      oneRow(s, StructType(Seq(StructField("sum_qty", DoubleType, false))), v)
+    },
+
+    "q_report" -> { (s, dir) =>
+      val rep = TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .Filter("z_cut", col("z") > 1000.0)
+        .Filter("qty_cut", col("l_quantity") >= 25.0)
+        .Filter("flag_cut", col("l_returnflag") =!= "A")
+        .Report()()
+      val rows = rep.map(c => Row(c.name, c.pass, c.all))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        StructType(Seq(StructField("cut", StringType, false),
+          StructField("pass", LongType, false), StructField("entering", LongType, false))))
+    },
+
+    "q_snapshot" -> { (s, dir) =>
+      val tmp = s"/tmp/graft_snapshot_skim"
+      TDF(Tables.lineitem(s, dir)).Filter(col("l_returnflag") === "R")
+        .Snapshot(tmp, Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // elementwise actions over an array column (reference container overloads)
+    "q_array_stats" -> { (s, dir) =>
+      val d = TDF(Tables.embeddings(s, dir))
+      oneRow(s, StructType(Seq(
+        StructField("min_e", DoubleType, false), StructField("max_e", DoubleType, false),
+        StructField("mean_e", DoubleType, false))),
+        d.Min("embedding")(), d.Max("embedding")(),
+        // rounded: elementwise mean accumulates 32k floats whose sum order
+        // differs between engines; 6 decimals is far above the 1e-12 noise
+        math.rint(d.Mean("embedding")() * 1e6) / 1e6)
+    },
+
+    // union-of-chains: the TChain analog — multi-path read of the same table
+    "q_union_chain" -> { (s, dir) =>
+      val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
+      val b = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      oneRow(s, StructType(Seq(StructField("n", LongType, false))),
+        TDF(a.union(b)).Count()())
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_count" -> "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 25",
+    "q_sum" -> "SELECT sum(l_quantity) AS sum_qty FROM lineitem WHERE l_returnflag = 'A'",
+    "q_stats_fused" -> s"""
+      SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+             min(z) AS min_z, max(z) AS max_z, avg(l_quantity) AS mean_qty
+      FROM (SELECT l_quantity, $zSql AS z FROM lineitem) WHERE z > 1000.0""",
+    "q_min_max" -> s"SELECT min(z) AS min_z, max(z) AS max_z FROM (SELECT $zSql AS z FROM lineitem)",
+    "q_mean" -> "SELECT avg(l_quantity) AS mean_qty FROM lineitem WHERE l_linestatus = 'F'",
+    "q_take" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_quantity = 50.0 ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q_head" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_orderkey LIMIT 20""",
+    "q_histo_fixed" -> s"""
+      SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
+                  ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,
+             count(*) AS n
+      FROM (SELECT $zSql AS z FROM lineitem) GROUP BY 1 ORDER BY 1""",
+    "q_histo_auto" -> s"""
+      WITH src AS (SELECT $zSql AS z FROM lineitem),
+      rng AS (SELECT min(z) AS mn, max(z) + (max(z) - min(z)) * 1e-9 AS hi, min(z) AS lo FROM src)
+      SELECT CASE WHEN z < lo THEN -1 WHEN z >= hi THEN 10
+                  ELSE CAST(floor((z - lo) / ((hi - lo) / 10)) AS INT) END AS bin,
+             count(*) AS n
+      FROM src, rng GROUP BY 1 ORDER BY 1""",
+    "q_foreach" -> """
+      SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem WHERE l_quantity > 45.0""",
+    "q_reduce" -> "SELECT sum(l_quantity) AS sum_qty FROM lineitem WHERE l_quantity <= 10.0",
+    "q_report" -> s"""
+      WITH src AS (SELECT *, $zSql AS z FROM lineitem)
+      SELECT 'z_cut' AS cut, count(*) FILTER (z > 1000.0) AS pass, count(*) AS entering FROM src
+      UNION ALL
+      SELECT 'qty_cut', count(*) FILTER (z > 1000.0 AND l_quantity >= 25.0),
+             count(*) FILTER (z > 1000.0) FROM src
+      UNION ALL
+      SELECT 'flag_cut',
+             count(*) FILTER (z > 1000.0 AND l_quantity >= 25.0 AND l_returnflag <> 'A'),
+             count(*) FILTER (z > 1000.0 AND l_quantity >= 25.0) FROM src""",
+    "q_snapshot" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""",
+    "q_array_stats" -> """
+      SELECT min(e) AS min_e, max(e) AS max_e, round(avg(e), 6) AS mean_e
+      FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)""",
+    "q_union_chain" -> """
+      SELECT count(*) AS n FROM (
+        SELECT * FROM lineitem WHERE l_returnflag = 'A'
+        UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')"""
+  )
+}

@@ -8,7 +8,7 @@ values (columns sorted by name, rows sorted by all columns).
 
 Usage: python3 tools/check.py [sf0.01] [--skip-verify] [query ...]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -52,6 +52,7 @@ def eq(a, b) -> bool:
         try: fa, fb = float(a), float(b)
         except (TypeError, ValueError): return str(a) == str(b)
         if fa == fb: return True
+        if os.environ.get("GRAFT_EXACT"): return False
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     if hasattr(a, "__len__") and not isinstance(a, str):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
