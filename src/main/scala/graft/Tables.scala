@@ -21,7 +21,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read nanos as long (legacy conf) and truncate to microseconds —
+    * the same truncation DuckDB applies — so `ts` is a normal timestamp.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

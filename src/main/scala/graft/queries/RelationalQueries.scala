@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational extensions beyond the reference surface (SURVEY.md §2.5):
+  * joins, grouped aggregation, windows, rollup, set ops, as-of join.
+  *
+  * Scale notes (100 TB design intent, verified on .explain):
+  * - dimension joins (nation/region/customer at TPC-H ratios) are broadcast —
+  *   no shuffle of the fact table;
+  * - fact-fact joins shuffle on the join key once, with AQE left on;
+  * - decimal(18,4) casts make revenue sums order-independent (exact), so
+  *   results are stable under any partitioning/merge order — a correctness
+  *   property that also removes the need for any single-threaded reduce.
+  */
+object RelationalQueries {
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast("decimal(18,4)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single shuffle on 6-ish groups, partial aggregation
+    // map-side; all sums exact (integral doubles or decimal).
+    "q_groupby_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .withColumn("disc_price",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).as("sum_base_price"),
+          sum(col("disc_price")).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // star join: nation/region broadcast (dimension side), orders⋈lineitem
+    // shuffles once on orderkey; revenue per nation
+    "q_join_bcast" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .withColumn("rev", (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
+    // semi + anti join in one result row
+    "q_semi_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((withOrders, withoutOrders)).toDF("n_with_orders", "n_without_orders")
+    },
+
+    // window: top-3 orders per customer by totalprice (deterministic tiebreak)
+    "q_window_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+
+    // running window aggregation: cumulative quantity per supplier by shipdate
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // rollup with sentinel labels (no NULLs in output — sort-stable everywhere)
+    "q_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // set operations over distinct key sets
+    "q_setops" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey")).distinct()
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey")).distinct()
+      import s.implicits._
+      Seq((a.intersect(r).count(), a.except(r).count())).toDF("n_intersect", "n_except")
+    },
+
+    "q_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+    },
+
+    // as-of join: for each click, the most recent strictly-earlier view by the
+    // same user. Implemented shuffle-once: tag + union + prefix-max window —
+    // the sort-merge as-of pattern that scales (no per-row probe, no range
+    // cross join). Clicks sort before views at equal ts → strict inequality.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("k"),
+          col("event_id"), lit(null).cast("timestamp").as("view_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(1).as("k"),
+          lit(null).cast("long").as("event_id"), col("ts").as("view_ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("prev_view_ts", max(col("view_ts")).over(w))
+        .filter(col("k") === 0 && col("prev_view_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_groupby_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+             sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             avg(l_quantity) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_join_bcast" -> """
+      SELECT n_name,
+             sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_semi_anti" -> """
+      SELECT (SELECT count(*) FROM customer WHERE EXISTS
+               (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+             (SELECT count(*) FROM customer WHERE NOT EXISTS
+               (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""",
+    "q_window_topk" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_window_running" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem WHERE l_suppkey <= 10
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus""",
+    "q_setops" -> """
+      WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+           r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS n_intersect,
+             (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM r)) AS n_except""",
+    "q_distinct" -> """
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+      FROM lineitem""",
+    "q_asof_join" -> """
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts > v.ts
+      ORDER BY c.event_id"""
+  )
+}
