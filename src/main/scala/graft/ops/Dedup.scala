@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.{hash32, shingles, tokens}
+
+/** Deduplication operators for training-data pipelines, designed shuffle-
+  * conscious for the 100 TB case:
+  *
+  * - exact: one hash-shuffle on the digest, map-side partial agg;
+  * - MinHash+LSH: shingle explosion → per-doc k-wide signature (map-side
+  *   min-combine keeps the shuffle at k longs/doc) → band self-join (shuffle
+  *   keyed on short band keys, never a cross join) → jaccard verify on the
+  *   candidate pairs only;
+  * - SimHash: one explode + one grouped sum per doc, pairs by hamming
+  *   distance over candidates.
+  *
+  * Everything is md5-derived and integer-exact, so a SQL oracle reproduces
+  * results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: digest → keeper id + multiplicity. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature: columns mh_0..mh_{k-1}.
+    * h_i(s) = hash32(i || '#' || s); signature_i = min over distinct shingles.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame = {
+    val sh = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shingles("__toks", shingleN)).as("sh"))
+    val aggs = (0 until k).map { i =>
+      min(hash32(concat(lit(i.toString), lit("#"), col("sh")))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: k/bandSize bands, join docs
+    * sharing any band key (id_a < id_b), distinct. Scales as a keyed
+    * self-join on short band keys — no cross join anywhere.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    val nBands = k / bandSize
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws("_",
+        (0 until bandSize).map(j => col(s"mh_${b * bandSize + j}")): _*)
+      sig.select(col(idCol).as("id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("id").as("id_a"), col("band"), col("bkey"))
+    val r = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact jaccard over word-shingle sets for given candidate pairs. */
+  def jaccardVerify(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val sets = df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"), shingles("__toks", shingleN).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over distinct whitespace tokens: bit j of the result is
+    * set iff Σ_words (±1 by bit j of hash32(word)) >= 0.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.withColumn("__toks", array_distinct(tokens(col(textCol))))
+      .select(col(idCol), explode(col("__toks")).as("w"))
+      .withColumn("h", hash32(col("w")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val summed = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map { j =>
+      when(col(s"b_$j") >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    summed.withColumn("simhash", sim)
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Hamming-distance pairs over simhash values; candidates restricted by a
+    * 16-bit prefix band (both halves tried) so no full cross join at scale.
+    */
+  def simhashPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val banded = Seq(
+      sim.select(col(idCol).as("id"), lit(0).as("band"),
+        shiftright(col("simhash"), 16).as("bkey"), col("simhash")),
+      sim.select(col(idCol).as("id"), lit(1).as("band"),
+        col("simhash").bitwiseAND(0xFFFFL).as("bkey"), col("simhash")))
+      .reduce(_ unionByName _)
+    val l = banded.select(col("id").as("id_a"), col("band"), col("bkey"),
+      col("simhash").as("sim_a"))
+    val r = banded.select(col("id").as("id_b"), col("band"), col("bkey"),
+      col("simhash").as("sim_b"))
+    l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure native
+  * `Column` expressions (whole-stage-codegen'd, no UDFs) so they run at scan
+  * speed and push through Catalyst untouched. Deterministic and engine-
+  * portable: the 32-bit hash is the first 8 hex chars of md5, so a SQL oracle
+  * can replicate every result exactly.
+  */
+object TextOps {
+
+  /** 32-bit unsigned hash as long: first 8 hex chars of md5. Portable across
+    * engines (DuckDB: CAST('0x' || substr(md5(s),1,8) AS BIGINT)).
+    */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** whitespace tokens of trimmed text */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single symbols */
+  def bpeishTokens(c: Column): Column =
+    expr(s"regexp_extract_all(${c.toString}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+
+  /** word n-gram shingles (distinct), joined with single spaces. The CASE
+    * guards Spark's descending `sequence(1, 0)` when the doc is shorter than n.
+    */
+  def shingles(toksCol: String, n: Int): Column =
+    array_distinct(expr(
+      s"CASE WHEN size($toksCol) >= $n THEN " +
+        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($toksCol, i, $n))) " +
+        s"ELSE array() END"))
+
+  /** char n-gram substrings (distinct) — rolling-window fingerprint source */
+  def charShingles(c: String, n: Int): Column =
+    array_distinct(expr(
+      s"CASE WHEN length($c) >= $n THEN " +
+        s"transform(sequence(1, length($c) - ${n - 1}), i -> substring($c, i, $n)) " +
+        s"ELSE array() END"))
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  /** Quality-scoring columns over a text column; all ratios are exact double
+    * quotients of integer counts, so they hash-match any engine.
+    */
+  def withQuality(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("long"))
+      .withColumn("mean_word_len",
+        (length(regexp_replace(trim(col(text)), " ", "")).cast("double") /
+          greatest(size(toks), lit(1)).cast("double")))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("uniq_ratio", col("n_unique").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("quality_score",
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("stop_ratio") +
+          lit(0.3) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)))
+  }
+
+  /** language markers for the n-gram-heuristic language ID */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3"))
+
+  /** Heuristic language ID: argmax over per-language stopword-hit counts,
+    * alphabetical tiebreak (deterministic). Pure expressions → one scan.
+    */
+  def withLangId(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    val scored = langMarkers.foldLeft(df.withColumn("__toks", toks)) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"__s_$lang",
+          size(filter(col("__toks"), t => t.isin(markers: _*))))
+    }
+    val best = langMarkers.map { case (lang, _) => col(s"__s_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // first language (alphabetical) achieving the max score
+    val pred = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"__s_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+      .drop("__toks" +: langMarkers.map { case (l, _) => s"__s_$l" }: _*)
+  }
+
+  /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
+    * degenerate winnowing window = whole doc), plus the distinct-gram count.
+    */
+  def withFingerprint(df: DataFrame, text: String, n: Int = 8): DataFrame = {
+    df.withColumn("__grams", charShingles(text, n))
+      .withColumn("fingerprint", array_min(transform(col("__grams"), g => hash32(g))))
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .drop("__grams")
+  }
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, TextOps}
+
+/** Training-data pipeline queries over `documents`: text analysis and the
+  * dedup family. Oracles replicate each deterministic computation (md5-based
+  * hashing, integer-exact shingle math) in DuckDB SQL, generated from the same
+  * (k, bands, n) parameters so the two sides cannot drift.
+  */
+object PipelineQueries {
+
+  private val K = 16          // minhash functions
+  private val BAND = 4        // rows per LSH band → 4 bands
+  private val NGRAM = 3       // word-shingle width
+  private val CGRAM = 8       // char-gram width for fingerprints
+  private val HAMMING = 10    // simhash near-dup threshold
+
+  // ---- shared SQL fragments (DuckDB dialect) --------------------------------
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private def hash32Sql(x: String) = s"CAST(('0x' || substring(md5($x),1,8)) AS BIGINT)"
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),
+        i -> array_to_string(toks[i:i+${NGRAM - 1}], ' ')))"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_unique"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
+          length(col("text")).cast("long").as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_text_quality" -> { (s, dir) =>
+      TextOps.withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("n_stop"),
+          col("mean_word_len"), col("stop_ratio"), col("uniq_ratio"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_text_langid" -> { (s, dir) =>
+      TextOps.withLangId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_text_fingerprint" -> { (s, dir) =>
+      TextOps.withFingerprint(Tables.documents(s, dir), "text", CGRAM)
+        .select(col("doc_id"), col("fingerprint"), col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("digest"))
+    },
+
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", K, NGRAM)
+      val cands = Dedup.lshCandidates(sig, "doc_id", K, BAND)
+        .withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
+      Dedup.jaccardVerify(
+        cands.select(col("id_a"), col("id_b")), docs, "doc_id", "text", NGRAM)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q_dedup_simhash" -> { (s, dir) =>
+      val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashPairs(sim, "doc_id", HAMMING)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // brute-force n-gram jaccard on a fixed 150-doc slice (bounded work at
+    // any scale factor; the LSH query above is the scale path)
+    "q_dedup_jaccard_brute" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val sets = docs.withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles("__toks", NGRAM).as("sh"))
+      val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .filter(col("jaccard") >= 0.02)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val mhCols = (0 until K).map(i => s"min(${hash32Sql(s"'$i#' || sh")}) AS mh_$i").mkString(", ")
+    val bandSelects = (0 until K / BAND).map { b =>
+      val key = (0 until BAND).map(j => s"mh_${b * BAND + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+    val simExpr = (0 until 32).map(j =>
+      s"(CASE WHEN b_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+    Map(
+      "q_text_stats" -> s"""
+        SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_unique,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpeish,
+               length(text)::BIGINT AS n_chars_computed
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+        ORDER BY doc_id""",
+      "q_text_quality" -> s"""
+        WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        c AS (SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_unique,
+               len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','for','on','with')))::BIGINT AS n_stop,
+               length(replace(trim(text), ' ', ''))::DOUBLE / greatest(len(toks),1)::DOUBLE AS mean_word_len
+              FROM t)
+        SELECT doc_id, n_tokens, n_unique, n_stop, mean_word_len,
+               n_stop::DOUBLE / greatest(n_tokens,1) AS stop_ratio,
+               n_unique::DOUBLE / greatest(n_tokens,1) AS uniq_ratio,
+               0.4 * (n_unique::DOUBLE / greatest(n_tokens,1))
+                 + 0.3 * (n_stop::DOUBLE / greatest(n_tokens,1))
+                 + 0.3 * least(n_tokens::DOUBLE / 100.0, 1.0) AS quality_score
+        FROM c ORDER BY doc_id""",
+      "q_text_langid" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sc AS (SELECT doc_id,
+          len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('el','la','que','los','una'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('le','la','et','les','une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','wo3'))) AS s_zh
+          FROM t),
+        m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM sc)
+        SELECT doc_id, CASE
+          WHEN best > 0 AND s_de = best THEN 'de'
+          WHEN best > 0 AND s_en = best THEN 'en'
+          WHEN best > 0 AND s_es = best THEN 'es'
+          WHEN best > 0 AND s_fr = best THEN 'fr'
+          WHEN best > 0 AND s_zh = best THEN 'zh'
+          ELSE 'und' END AS lang_pred
+        FROM m ORDER BY doc_id""",
+      "q_text_fingerprint" -> s"""
+        WITH g AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(length(text)-${CGRAM - 1},0)+1),
+            i -> substring(text, i, $CGRAM))) AS grams FROM documents)
+        SELECT doc_id,
+               list_min(list_transform(grams, x -> ${hash32Sql("x")})) AS fingerprint,
+               len(grams)::BIGINT AS n_grams
+        FROM g ORDER BY doc_id""",
+      "q_dedup_exact" -> """
+        SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_dedup_minhash_lsh" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS sh FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band, bkey)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_inter,
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::BIGINT AS n_union,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b""",
+      "q_dedup_simhash" -> s"""
+        WITH w AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents),
+        h AS (SELECT doc_id, ${hash32Sql("w")} AS h FROM w),
+        bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bs),
+        banded AS (
+          SELECT doc_id AS id, 0 AS band, simhash >> 16 AS bkey, simhash FROM sim
+          UNION ALL
+          SELECT doc_id, 1, simhash & 65535, simhash FROM sim),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+          FROM banded a JOIN banded b USING (band, bkey) WHERE a.id < b.id
+          GROUP BY 1, 2, 3)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $HAMMING
+        ORDER BY id_a, id_b""",
+      "q_dedup_jaccard_brute" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 150),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
+               len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+        ORDER BY id_a, id_b"""
+    )
+  }
+}
