@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.ExtQueries.oracles
 }

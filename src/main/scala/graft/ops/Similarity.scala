@@ -1,0 +1,111 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the (small) query side broadcast —
+  * the corpus streams through one scan, no shuffle of the corpus, final top-k
+  * is a per-query window over candidate rows.
+  *
+  * Scale path: deterministic random-hyperplane LSH — vectors bucket by the
+  * sign pattern of `nBits` pseudo-random hyperplane dots; candidate pairs come
+  * from a keyed self-join on the bucket, never a cross join. Hyperplanes are
+  * md5-derived, so a SQL oracle regenerates them exactly.
+  *
+  * All dot products fold left-to-right over doubles; ranking keys are rounded
+  * to 6 decimals with id tiebreaks, so cross-engine float noise (~1e-15)
+  * cannot reorder results.
+  */
+object Similarity {
+
+  /** elementwise-double view of a float-array column */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** cosine rounded to 6 decimals (comparison-stable across engines) */
+  def cosineR6(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** hash32-compatible 32-bit value of a string, driver-side (same construction
+    * as [[TextOps.hash32]]: first 8 hex chars of md5).
+    */
+  private def hash32Local(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** deterministic hyperplane j over `dim` dims: values in [-1, 1] */
+  def plane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => (hash32Local(s"${j}_$d") % 2001 - 1000) / 1000.0)
+
+  /** LSH bucket id: sign bits of `nBits` hyperplane dots. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val p = array(plane(j, dim).map(lit): _*)
+      when(dot(vec, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query vector (small side, broadcast),
+    * the k nearest corpus vectors by rounded cosine, id tiebreak, self
+    * excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineR6(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Bucketed ANN top-k: candidates restricted to the query's LSH bucket
+    * (approximate recall — the documented LSH tradeoff); same ranking rules.
+    */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int,
+      dim: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
+    val l = b.select(col("id").as("query_id"), col("__v").as("__qv"), col("bucket"))
+    val r = b.select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    l.join(r, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineR6(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, candidates from
+    * the LSH bucket join (scale path; exact-over-bucket semantics).
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double, nBits: Int,
+      dim: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
+    val l = b.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
+    val r = b.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineR6(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Multimodal, Similarity}
+import graft.streaming.Streams
+
+/** Similarity search, streaming, sessionization, multimodal plumbing —
+  * the remaining extension families. Oracles are generated from the same
+  * constants (LSH bits, dims, thresholds) as the Spark pipelines.
+  */
+object ExtQueries {
+
+  private val DIM = 64
+  private val BITS = 6       // hyperplane LSH bits → 64 buckets
+  private val TOPK = 5
+  private val LSH_TOPK = 3
+  private val NEARDUP_COS = 0.35
+  private val GAP_MIN = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", TOPK)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q_ann_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding", LSH_TOPK, BITS, DIM)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q_embed_neardup" -> { (s, dir) =>
+      Similarity.nearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", NEARDUP_COS, BITS, DIM)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q_multimodal" -> { (s, dir) =>
+      val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(withMedia, "doc_id").toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    "q_stream_tumbling" -> { (s, dir) =>
+      Streams.tumblingAgg(s, dir, "5 minutes")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    "q_sessionize" -> { (s, dir) =>
+      Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    // hyperplane j, dim d: (hash32(j||'_'||d) % 2001 - 1000)/1000.0
+    def planeSql(j: Int) =
+      s"""list_transform(range(0, $DIM), d ->
+          (CAST(('0x' || substring(md5($j || '_' || d),1,8)) AS BIGINT) % 2001 - 1000)/1000.0)"""
+    val bucketSql = (0 until BITS).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
+           i -> v[i] * (${planeSql(j)})[i])) >= 0 THEN ${1L << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    val embBase = s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
+    def cosSql(a: String, b: String) =
+      s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
+
+    Map(
+      "q_ann_bruteforce" -> s"""
+        $embBase,
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $TOPK ORDER BY query_id, rank""",
+      "q_ann_lsh" -> s"""
+        $embBase,
+        b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      "q_embed_neardup" -> s"""
+        $embBase,
+        b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+               ${cosSql("a", "b")} AS cos_sim
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a", "b")} >= $NEARDUP_COS
+        ORDER BY id_a, id_b""",
+      "q_multimodal" -> """
+        WITH b AS (SELECT doc_id, text,
+          list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1))) AS codes
+          FROM documents)
+        SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
+               list_sum(codes)::BIGINT AS sum_bytes,
+               list_sum(codes)::DOUBLE / length(text) AS mean_byte
+        FROM b ORDER BY doc_id""",
+      "q_stream_tumbling" -> """
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+               count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+      "q_sessionize" -> s"""
+        WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        f AS (SELECT *, CASE WHEN prev IS NULL
+                     OR ts - prev > INTERVAL '$GAP_MIN minutes' THEN 1 ELSE 0 END AS brk
+              FROM l),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, sum(cents) AS sum_cents
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+    )
+  }
+}

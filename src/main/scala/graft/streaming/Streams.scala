@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table (SURVEY.md §2.5:
+  * streaming is an extension — the reference is batch-only).
+  *
+  * The parquet is replayed through a real `readStream` with watermarked
+  * event-time windows, so the full streaming machinery (watermark tracking,
+  * state store, window assignment) is exercised; `processAllAvailable` drains
+  * it deterministically for tests/oracles.
+  */
+object Streams {
+
+  /** events schema with ts as nanos-long (what the NANOS parquet yields under
+    * the legacy read conf).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet, ts truncated to micros.
+    * FileStreamSource requires a directory; the table is a single file, so a
+    * symlinked staging dir stands in (read-only testdata stays untouched).
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream.schema(rawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with watermark; drained to an
+    * in-memory table and returned as a finished DataFrame.
+    */
+  def tumblingAgg(spark: SparkSession, sfDir: String, windowLen: String): DataFrame = {
+    val name = s"graft_tumbling_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_cents: Long)
+
+  /** full-microsecond epoch value (Timestamp.getTime alone drops micros) */
+  private def epochMicros(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** Gap-based sessionization (gap of inactivity closes a session): per-user
+    * imperative fold via `groupByKey.flatMapGroups` — the batch twin of
+    * `flatMapGroupsWithState`, one shuffle on user_id, state = one open
+    * session per user. Monetary values sum as integer cents (exact, order-
+    * independent); event order is (ts µs, event_id) — fully deterministic.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val src = events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[(Long, Timestamp, Double, Long)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble, Encoders.scalaLong))
+    src.groupByKey(_._1)(Encoders.scalaLong).flatMapGroups { (uid, it) =>
+      val evs = it.toArray.sortBy(e => (epochMicros(e._2), e._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var start: Timestamp = null
+      var last: Timestamp = null
+      var n = 0L
+      var cents = 0L
+      evs.foreach { case (_, ts, v, _) =>
+        val c = math.round(v * 100)
+        if (start == null) { start = ts; last = ts; n = 1; cents = c }
+        else if (epochMicros(ts) - epochMicros(last) > gapUs) {
+          out += Session(uid, start, last, n, cents)
+          start = ts; last = ts; n = 1; cents = c
+        } else { last = ts; n += 1; cents += c }
+      }
+      if (start != null) out += Session(uid, start, last, n, cents)
+      out.iterator
+    }(Encoders.product[Session])
+  }
+}
