@@ -1,24 +1,69 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tdf.TDF
+
+/** Benchmark main — one JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Mirrors the reference protocol (benchmarks/benchmark.cxx:24-35,159-189):
+  * warm-up pass then one measured pass per workload. The flagship workload is
+  * the reference benchmark chain (Define → Filter → Define → Histo,
+  * benchmarks/benchmark.cxx:113-122) through the facade, measured both
+  * single-partition (the "1-thread TDF" row) and fully parallel; the rest are
+  * headline queries covering joins, grouped agg, windows, dedup, ANN and
+  * sessionization at the round's scale factor.
+  */
 object Bench {
+
+  private def flagship(s: SparkSession, dir: String, partitions: Int): Unit = {
+    val base = Tables.lineitem(s, dir)
+    val src = if (partitions > 0) base.repartition(partitions) else base
+    val d = TDF(src)
+      .Define("z", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .Filter(col("z") > 1000.0)
+      .Define("z2", col("z") * col("l_quantity"))
+    val h = d.Histo("z2", 128, 0.0, 6000000.0)
+    val c = d.Count()
+    h(); c() // one fused job
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val headline: Seq[(String, () => Unit)] = Seq(
+      "flagship_histo_chain_p1" -> (() => flagship(spark, sfDir, 1)),
+      "flagship_histo_chain" -> (() => flagship(spark, sfDir, 0)),
+      "q_groupby_agg" -> (() => { SparkEntry.queries("q_groupby_agg")(spark, sfDir).count(): Unit }),
+      "q_join_bcast" -> (() => { SparkEntry.queries("q_join_bcast")(spark, sfDir).count(): Unit }),
+      "q_window_topk" -> (() => { SparkEntry.queries("q_window_topk")(spark, sfDir).count(): Unit }),
+      "q_dedup_minhash_lsh" -> (() => { SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir).count(): Unit }),
+      "q_dedup_exact" -> (() => { SparkEntry.queries("q_dedup_exact")(spark, sfDir).count(): Unit }),
+      "q_ann_bruteforce" -> (() => { SparkEntry.queries("q_ann_bruteforce")(spark, sfDir).count(): Unit }),
+      "q_text_quality" -> (() => { SparkEntry.queries("q_text_quality")(spark, sfDir).count(): Unit }),
+      "q_sessionize" -> (() => { SparkEntry.queries("q_sessionize")(spark, sfDir).count(): Unit }))
+
+    val results = headline.map { case (name, run) =>
+      run() // warm-up (I/O cache, codegen, broadcast reuse)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run() catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
