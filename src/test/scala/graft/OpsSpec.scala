@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.Streams
+
+/** Edge-case and invariance tests for the pipeline operator library. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  test("TextOps.hash32 matches the documented md5 construction") {
+    val got = Seq("abc").toDF("s").select(TextOps.hash32($"s")).as[Long].head
+    // first 8 hex chars of md5("abc") = "90015098" = 2416005272
+    assert(got == 2416005272L)
+  }
+
+  test("shingles: short docs yield empty arrays, not garbage") {
+    val df = Seq("one two", "a", "", "one two three four").toDF("text")
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select(TextOps.shingles("toks", 3).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).isEmpty)
+    assert(got(3) == Seq("one two three", "two three four"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "dup text"), (2L, "dup text"), (3L, "unique")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy($"keeper").select($"keeper", $"n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs share full signature; jaccard 1.0 via LSH") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 8, 3)
+    val cands = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+    val verified = Dedup.jaccardVerify(cands, df, "doc_id", "text", 3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(verified == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs get distance 0; pairs found via banding") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sim = Dedup.simhash32(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select($"neighbor_id", $"cos_sim").as[(Long, Double)].collect().toSeq
+    assert(top == Seq((3L, 1.0), (2L, 0.0)))
+  }
+
+  test("hyperplane bucket is deterministic across sessions/partitions") {
+    val df = Seq((1L, (0 until 64).map(_.toFloat)), (2L, (0 until 64).map(i => (63 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b1 = df.repartition(1).select(Similarity.hyperplaneBucket(
+      Similarity.asDouble($"embedding"), 6, 64)).as[Long].collect().toSeq
+    val b8 = df.repartition(8).select(Similarity.hyperplaneBucket(
+      Similarity.asDouble($"embedding"), 6, 64)).as[Long].collect().toSeq
+    assert(b1.sorted == b8.sorted)
+  }
+
+  test("sessionize splits on gap and sums cents exactly") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val df = Seq(
+      (7L, ts(0), 1.10, 1L), (7L, ts(10), 2.20, 2L), // session 1
+      (7L, ts(41), 0.70, 3L),                        // > 30 min gap → session 2
+      (8L, ts(5), 5.00, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Streams.sessionize(df, 30)
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"n_events", $"sum_cents").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 330L), (7L, 1L, 70L), (8L, 1L, 500L)))
+  }
+
+  test("sessionize boundary: exactly-gap is same session, gap+1µs splits") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val exact = new java.sql.Timestamp(t0.getTime + 30 * 60000L)
+    val over = new java.sql.Timestamp(t0.getTime + 30 * 60000L)
+    over.setNanos(1000) // +1µs
+    val same = Seq((1L, t0, 1.0, 1L), (1L, exact, 1.0, 2L)).toDF("user_id", "ts", "value", "event_id")
+    val split = Seq((1L, t0, 1.0, 1L), (1L, over, 1.0, 2L)).toDF("user_id", "ts", "value", "event_id")
+    assert(Streams.sessionize(same, 30).count() == 1)
+    assert(Streams.sessionize(split, 30).count() == 2)
+  }
+
+  test("multimodal feature extraction: bytes, sha256, mean") {
+    val df = Seq((5L, "ab", 2L)).toDF("doc_id", "text", "n_chars")
+    val f = Multimodal.extractFeatures(
+      Multimodal.attachBinary(df, "doc_id", "text"), "doc_id").collect()(0)
+    assert(f.n_bytes == 2L && f.sum_bytes == ('a'.toInt + 'b'.toInt))
+    assert(f.sha256 == "fb8e20fc2e4c3f248c60c39bd652f3c1347298bb977b8b4d5903b85055620603")
+    assert(f.mean_byte == (97 + 98) / 2.0)
+  }
+
+  test("partition invariance: minhash signatures identical at 1 vs 8 partitions") {
+    val docs = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok$i"))
+      .toDF("doc_id", "text")
+    def sig(p: Int) = Dedup.minhashSignatures(docs.repartition(p), "doc_id", "text", 8, 2)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(sig(1) == sig(8))
+  }
+}
