@@ -27,11 +27,9 @@ object Similarity {
   /** elementwise-double view of a float-array column */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine rounded to 6 decimals (comparison-stable across engines) */
   def cosineR6(a: Column, b: Column): Column =

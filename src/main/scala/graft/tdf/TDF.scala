@@ -148,8 +148,9 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         (Seq(collect_list(when(pred, col(c))).as(a(0))),
           row => fill(b.result, row.getSeq[Any](row.fieldIndex(a(0)))))
       case HistoSpec(c, nbins, Some((lo, hi))) =>
-        val in = if (isArray(wide, c)) when(pred, dcol(c)) else when(pred, array(dcol(c)))
-        (Seq(HistogramAggregator.histo(in, nbins, lo, hi).as(a(0))), { row =>
+        // native TypedImperativeAggregate (handles double and array<double>)
+        val in = when(pred, dcol(c))
+        (Seq(graft.functions.HistogramAggExpr.histo(in, nbins, lo, hi).as(a(0))), { row =>
           val r = row.getStruct(row.fieldIndex(a(0)))
           fill(b.result, structToHistogram(r))
         })
