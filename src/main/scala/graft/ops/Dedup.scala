@@ -26,16 +26,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** universal-hash modulus and per-function seeds, derived from hash32 so a
+    * SQL oracle can inline the same literal constants
+    */
+  val MINHASH_P = 2147483647L // 2^31 - 1, prime
+  def minhashSeeds(i: Int): (Long, Long) =
+    (TextOps.hash32Local(s"a$i") % (MINHASH_P - 1) + 1, TextOps.hash32Local(s"b$i") % MINHASH_P)
+
   /** Per-doc MinHash signature: columns mh_0..mh_{k-1}.
-    * h_i(s) = hash32(i || '#' || s); signature_i = min over distinct shingles.
+    * One md5-derived base hash per shingle, then k universal-hash mixes
+    * h_i(x) = (a_i*x + b_i) mod P — 16× fewer md5 evaluations than hashing
+    * per (i, shingle), with identical exact-integer portability. Signature_i
+    * = min over distinct shingles; map-side partial min keeps the shuffle at
+    * k longs per doc.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame = {
     val sh = df
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(shingles("__toks", shingleN)).as("sh"))
+      .withColumn("h0", hash32(col("sh")))
     val aggs = (0 until k).map { i =>
-      min(hash32(concat(lit(i.toString), lit("#"), col("sh")))).as(s"mh_$i")
+      val (a, b) = minhashSeeds(i)
+      min((lit(a) * col("h0") + lit(b)) % lit(MINHASH_P)).as(s"mh_$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -17,6 +17,13 @@ object TextOps {
     */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** driver-side twin of [[hash32]] (same md5 construction) */
+  def hash32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
   /** whitespace tokens of trimmed text */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

@@ -98,7 +98,10 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = {
-    val mhCols = (0 until K).map(i => s"min(${hash32Sql(s"'$i#' || sh")}) AS mh_$i").mkString(", ")
+    val mhCols = (0 until K).map { i =>
+      val (a, b) = graft.ops.Dedup.minhashSeeds(i)
+      s"min(($a * h0 + $b) % ${graft.ops.Dedup.MINHASH_P}) AS mh_$i"
+    }.mkString(", ")
     val bandSelects = (0 until K / BAND).map { b =>
       val key = (0 until BAND).map(j => s"mh_${b * BAND + j}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS bkey FROM mh"
@@ -163,7 +166,7 @@ object PipelineQueries {
       "q_dedup_minhash_lsh" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
-        ex AS (SELECT doc_id, unnest(sh) AS sh FROM sets),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
         bands AS ($bandSelects),
         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
