@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtQueries.queries
+      graft.queries.ExtQueries.queries ++
+      graft.queries.SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ExtQueries.oracles
+      graft.queries.ExtQueries.oracles ++
+      graft.queries.SqlSurfaceQueries.oracles
 }

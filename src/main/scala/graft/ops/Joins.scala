@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join helpers for skewed data at scale.
+  *
+  * `salted` spreads a skewed build-side key over `salt` sub-keys: the probe
+  * (large, skewed) side gets a deterministic salt from a row hash, the build
+  * side is replicated `salt` times. One shuffle either way, but the hot key's
+  * rows now land on `salt` reducers instead of one. AQE's skew-join split
+  * handles moderate skew on its own; explicit salting is for the pathological
+  * key that exceeds a single executor even after AQE splits.
+  */
+object Joins {
+
+  /** Inner-join `big` (skew-prone) with `small` on `key`, salting `salt`
+    * ways. Result columns = big.* ++ small.* (minus the duplicate key).
+    */
+  def salted(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    // deterministic salt: stable under retries, uniform over rows
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

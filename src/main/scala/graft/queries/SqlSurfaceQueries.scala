@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Joins
+import graft.streaming.Streams
+
+/** The scalar-function / SQL surface (SURVEY.md §2.5: the reference's only
+  * expression language is user callables — Spark's `functions` library is the
+  * superior native path and is part of "same capabilities, Spark-idiomatic"),
+  * plus grouping sets, pivot, subqueries through `spark.sql`, entry ranges,
+  * sliding windows and the salted-join skew utility.
+  */
+object SqlSurfaceQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // math/string/date scalar functions; transcendentals rounded to 9 digits
+    // (JVM intrinsics vs libm may differ in the last ulp)
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("f_abs"),
+          sqrt(col("l_quantity")).as("f_sqrt"),
+          round(log(col("l_extendedprice")), 9).as("f_ln"),
+          round(pow(col("l_discount") + 1.0, 3), 9).as("f_pow"),
+          floor(col("l_extendedprice") / 100.0).as("f_floor"),
+          upper(col("l_returnflag")).as("f_upper"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("f_concat"),
+          lpad(col("l_linenumber").cast("string"), 3, "0").as("f_lpad"),
+          substring(col("l_returnflag"), 1, 1).as("f_substr"),
+          year(col("l_shipdate")).as("f_year"),
+          month(col("l_shipdate")).as("f_month"),
+          dayofmonth(col("l_shipdate")).as("f_day"),
+          date_trunc("month", col("l_shipdate")).as("f_trunc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rflag, lstatus""")
+    },
+
+    "q_pivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("A", "qty_a").withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .na.fill(0.0, Seq("qty_a", "qty_n", "qty_r"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // correlated + IN subqueries through the engine's SQL surface
+    "q_subqueries" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("cust_sq")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_sq")
+      s.sql("""
+        SELECT c_custkey, c_acctbal FROM cust_sq c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_sq
+                           WHERE c_nationkey = c.c_nationkey)
+          AND c_custkey IN (SELECT o_custkey FROM ord_sq WHERE o_totalprice > 200000)
+        ORDER BY c_custkey""")
+    },
+
+    // exact interpolated percentiles (integral data → exact doubles)
+    "q_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+    },
+
+    // reference planned op `Ranges` (TDFGuide.md:293-295): entry slices —
+    // deterministic via total order + offset/limit
+    "q_range" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .offset(500).limit(250)
+    },
+
+    // sliding event-time windows (10 min length, 5 min slide) via the real
+    // streaming path
+    "q_stream_sliding" -> { (s, dir) =>
+      val name = s"graft_sliding_${System.nanoTime()}"
+      val q = Streams.eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("window_start"), col("event_type"))
+    },
+
+    // salted join equals plain join (skew-mitigation correctness)
+    "q_salted_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      Joins.salted(li, sup.select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey", 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scalar_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             abs(l_quantity - 25.0) AS f_abs,
+             sqrt(l_quantity) AS f_sqrt,
+             round(ln(l_extendedprice), 9) AS f_ln,
+             round(pow(l_discount + 1.0, 3), 9) AS f_pow,
+             floor(l_extendedprice / 100.0) AS f_floor,
+             upper(l_returnflag) AS f_upper,
+             l_returnflag || '/' || l_linestatus AS f_concat,
+             lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS f_lpad,
+             substring(l_returnflag, 1, 1) AS f_substr,
+             year(l_shipdate) AS f_year,
+             month(l_shipdate) AS f_month,
+             day(l_shipdate) AS f_day,
+             date_trunc('month', l_shipdate) AS f_trunc
+      FROM lineitem WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber""",
+    "q_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rflag, lstatus""",
+    "q_pivot" -> """
+      SELECT l_linestatus,
+             coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS qty_a,
+             coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS qty_n,
+             coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_subqueries" -> """
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_nationkey = c.c_nationkey)
+        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      ORDER BY c_custkey""",
+    "q_percentile" -> """
+      SELECT quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.75) AS p75,
+             quantile_cont(l_quantity, 0.9) AS p90
+      FROM lineitem""",
+    "q_range" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      ORDER BY l_orderkey, l_linenumber LIMIT 250 OFFSET 500""",
+    "q_stream_sliding" -> """
+      WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)
+                   - to_microseconds(o * 300000000) AS window_start, event_type
+                 FROM events, (SELECT unnest([0, 1]) AS o))
+      SELECT window_start, event_type, count(*) AS n
+      FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_salted_join" -> """
+      SELECT s_name, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""
+  )
+}
