@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.tdf.TDF
+
+/** ScalaCheck laws replacing the reference's compile-time property tests
+  * (SURVEY §5): partition invariance, fork-equivalence, histogram mass
+  * conservation, salted-join equivalence.
+  */
+object LawsSpec extends Properties("graft") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def fixture(n: Int) =
+    (0 until n).map(i => (i.toDouble, (i * 31 % 97).toDouble)).toDF("a", "b")
+
+  val smallN = Gen.choose(1, 200)
+  val parts = Gen.choose(1, 9)
+  val cut = Gen.choose(0.0, 100.0)
+
+  property("partition invariance of fused actions") =
+    Prop.forAll(smallN, parts, cut) { (n, p, c) =>
+      val d1 = TDF(fixture(n).repartition(1)).Filter(col("b") <= c)
+      val dp = TDF(fixture(n).repartition(p)).Filter(col("b") <= c)
+      val (c1, s1, m1) = (d1.Count()(), d1.Sum("a")(), d1.Mean("b")())
+      val (cp, sp, mp) = (dp.Count()(), dp.Sum("a")(), dp.Mean("b")())
+      c1 == cp && s1 == sp && (m1 == mp || (m1.isNaN && mp.isNaN))
+    }
+
+  property("forked actions equal independent runs") =
+    Prop.forAll(smallN, cut) { (n, c) =>
+      val shared = TDF(fixture(n))
+      val f = shared.Filter(col("b") > c)
+      val forkCount = f.Count()
+      val forkSum = f.Sum("a")
+      forkCount() // one fused trigger fills both
+      val soloCount = TDF(fixture(n)).Filter(col("b") > c).Count()()
+      val soloSum = TDF(fixture(n)).Filter(col("b") > c).Sum("a")()
+      forkCount() == soloCount && forkSum() == soloSum
+    }
+
+  property("histogram conserves mass: bins + under + over == entries") =
+    Prop.forAll(smallN, Gen.choose(1, 64), Gen.choose(10.0, 90.0)) { (n, bins, hi) =>
+      val h = TDF(fixture(n)).Histo("b", bins, 5.0, hi)()
+      h.counts.sum + h.underflow + h.overflow == h.entries && h.entries == n.toLong
+    }
+
+  property("auto-ranged histogram has no under/overflow") =
+    Prop.forAll(smallN, Gen.choose(1, 32)) { (n, bins) =>
+      val h = TDF(fixture(n)).Histo("b", bins)()
+      h.underflow == 0L && h.overflow == 0L && h.counts.sum == n.toLong
+    }
+
+  property("salted join equals plain join") =
+    Prop.forAll(Gen.choose(2, 12), Gen.choose(1, 50)) { (salt, keys) =>
+      val big = (0 until 300).map(i => (i % keys, i.toDouble)).toDF("k", "v")
+      val small = (0 until keys).map(i => (i, s"name_$i")).toDF("k", "name")
+      val plain = big.join(small, Seq("k")).groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .orderBy("name").collect().map(_.toSeq).toSeq
+      val salted = graft.ops.Joins.salted(big, small, "k", salt).groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .orderBy("name").collect().map(_.toSeq).toSeq
+      plain == salted
+    }
+}
