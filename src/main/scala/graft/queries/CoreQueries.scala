@@ -151,6 +151,13 @@ object CoreQueries {
         math.rint(d.Mean("embedding")() * 1e6) / 1e6)
     },
 
+    // 2-D histogram over (z, quantity) — distributed grid, non-empty cells
+    "q_histo2d" -> { (s, dir) =>
+      TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .Histo2D("z", "l_quantity", 10, 0.0, 100000.0, 5, 0.0, 50.0)
+        .orderBy(col("bx"), col("by"))
+    },
+
     // union-of-chains: the TChain analog — multi-path read of the same table
     "q_union_chain" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
@@ -209,6 +216,14 @@ object CoreQueries {
     "q_union_chain" -> """
       SELECT count(*) AS n FROM (
         SELECT * FROM lineitem WHERE l_returnflag = 'A'
-        UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')"""
+        UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')""",
+    "q_histo2d" -> s"""
+      WITH src AS (SELECT $zSql AS z, l_quantity AS q FROM lineitem)
+      SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 100000.0 THEN 10
+                  ELSE LEAST(CAST(floor((z - 0.0) / ((100000.0 - 0.0) / 10)) AS INT), 9) END AS bx,
+             CASE WHEN q < 0.0 THEN -1 WHEN q >= 50.0 THEN 5
+                  ELSE LEAST(CAST(floor((q - 0.0) / ((50.0 - 0.0) / 5)) AS INT), 4) END AS by,
+             count(*) AS n
+      FROM src GROUP BY 1, 2 ORDER BY bx, by"""
   )
 }

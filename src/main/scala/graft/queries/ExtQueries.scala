@@ -52,6 +52,11 @@ object ExtQueries {
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // stateful streaming: GroupState-backed running per-user totals
+    "q_stream_stateful" -> { (s, dir) =>
+      Streams.statefulUserStats(s, dir).orderBy(col("user_id"))
     }
   )
 
@@ -122,7 +127,11 @@ object ExtQueries {
                      ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, sum(cents) AS sum_cents
-        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+      "q_stream_stateful" -> """
+        SELECT user_id, count(*) AS n_events,
+               sum(round(value*100)::BIGINT) AS sum_cents
+        FROM events GROUP BY user_id ORDER BY user_id"""
     )
   }
 }

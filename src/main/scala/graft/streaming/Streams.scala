@@ -61,6 +61,35 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running
+    * (event count, cents) kept in `GroupState`, emitted in Update mode each
+    * batch — exercises the real streaming state store. Commutative state
+    * transition → deterministic result for any batch/partition split.
+    */
+  def statefulUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stateful_${System.nanoTime()}"
+    val src = eventStream(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val q = src.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          (uid, n, cents)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("user_id", "n_events", "sum_cents")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)

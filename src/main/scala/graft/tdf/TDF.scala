@@ -302,6 +302,15 @@ final class TDF private (
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, None))
   def Report(): Result[Seq[CutInfo]] = ctx.book(steps, ReportSpec)
 
+  /** 2-D histogram (TH2 analog) as a distributed bucket aggregation — grids
+    * can be large, so the result stays a DataFrame rather than a driver proxy.
+    */
+  def Histo2D(
+      xCol: String, yCol: String,
+      nx: Int, lox: Double, hix: Double,
+      ny: Int, loy: Double, hiy: Double): DataFrame =
+    graft.functions.Histo2D(toDF, col(xCol), col(yCol), nx, lox, hix, ny, loy, hiy)
+
   // ---- instant actions ------------------------------------------------------
 
   /** Materialized DataFrame view of this node (defines + filters applied). */
