@@ -71,6 +71,42 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** (id, sh) shingle-set frame — the shared input of signature building and
+    * jaccard verification.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"), shingles("__toks", shingleN).as("sh"))
+
+  /** Full MinHash+LSH near-duplicate pipeline computing the shingle sets ONCE
+    * (tokenize+shingle is the dominant map-side cost; the naive composition
+    * recomputes it for signatures and again for verification). `persistSets`
+    * caches the set frame across the two consumers — at cluster scale prefer
+    * MEMORY_AND_DISK or recompute, depending on corpus size vs cluster RAM.
+    */
+  def nearDuplicatesLsh(
+      df: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
+      shingleN: Int, persistSets: Boolean = true): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    if (persistSets) sets.persist()
+    val sh = sets.select(col("id"), explode(col("sh")).as("sh"))
+      .withColumn("h0", hash32(col("sh")))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = minhashSeeds(i)
+      min((lit(a) * col("h0") + lit(b)) % lit(MINHASH_P)).as(s"mh_$i")
+    }
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val cands = lshCandidates(sig, "id", k, bandSize)
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,

@@ -64,12 +64,7 @@ object PipelineQueries {
     },
 
     "q_dedup_minhash_lsh" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", K, NGRAM)
-      val cands = Dedup.lshCandidates(sig, "doc_id", K, BAND)
-        .withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
-      Dedup.jaccardVerify(
-        cands.select(col("id_a"), col("id_b")), docs, "doc_id", "text", NGRAM)
+      Dedup.nearDuplicatesLsh(Tables.documents(s, dir), "doc_id", "text", K, BAND, NGRAM)
         .orderBy(col("id_a"), col("id_b"))
     },
 
