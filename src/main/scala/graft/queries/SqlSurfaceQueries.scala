@@ -106,6 +106,16 @@ object SqlSurfaceQueries {
       s.table(name).orderBy(col("window_start"), col("event_type"))
     },
 
+    // approximate aggregates — the 100 TB scale path (sketch-based, fixed
+    // memory). No exact oracle possible: declared without oracleSql → the
+    // driver's weaker rows-only check applies; exact twins live in
+    // q_distinct / q_percentile.
+    "q_approx_sketch" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+    },
+
     // salted join equals plain join (skew-mitigation correctness)
     "q_salted_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
