@@ -57,6 +57,44 @@ object ExtQueries {
     // stateful streaming: GroupState-backed running per-user totals
     "q_stream_stateful" -> { (s, dir) =>
       Streams.statefulUserStats(s, dir).orderBy(col("user_id"))
+    },
+
+    // funnel: users who did view -> click -> purchase in strict ts order;
+    // one shuffle on user_id, min-ts per stage then ordering predicate
+    "q_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stages = ev.filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stages
+        .withColumn("reached_click",
+          (col("t_view").isNotNull && col("t_click") > col("t_view")).cast("int"))
+        .withColumn("reached_purchase",
+          (col("reached_click") === 1 && col("t_purchase") > col("t_click")).cast("int"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0)).cast("long").as("n_view"),
+          sum(col("reached_click")).cast("long").as("n_view_click"),
+          sum(col("reached_purchase")).cast("long").as("n_full_funnel"))
+    },
+
+    // per-label embedding centroids: elementwise mean over the label group
+    "q_embed_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
+        .orderBy(col("label"), col("dim"))
+    },
+
+    // reference planned Tail: last 20 by total order
+    "q_tail" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey").desc).limit(20)
     }
   )
 
@@ -131,7 +169,34 @@ object ExtQueries {
       "q_stream_stateful" -> """
         SELECT user_id, count(*) AS n_events,
                sum(round(value*100)::BIGINT) AS sum_cents
-        FROM events GROUP BY user_id ORDER BY user_id"""
+        FROM events GROUP BY user_id ORDER BY user_id""",
+      "q_funnel" -> """
+        WITH stages AS (
+          SELECT user_id,
+                 min(ts) FILTER (event_type = 'view') AS t_view,
+                 min(ts) FILTER (event_type = 'click') AS t_click,
+                 min(ts) FILTER (event_type = 'purchase') AS t_purchase
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')
+          GROUP BY user_id),
+        r AS (SELECT *,
+                CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS rc,
+                CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click THEN 1 ELSE 0 END AS rp
+              FROM stages)
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+               sum(rc)::BIGINT AS n_view_click,
+               sum(rp)::BIGINT AS n_full_funnel
+        FROM r""",
+      "q_embed_centroids" -> """
+        SELECT label, dim, round(avg(v), 6) AS mean_v FROM (
+          SELECT label, unnest(range(1, len(embedding)+1)) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+        GROUP BY label, dim ORDER BY label, dim""",
+      "q_tail" -> """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey DESC LIMIT 20"""
     )
   }
 }
