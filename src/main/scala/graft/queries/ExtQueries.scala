@@ -90,6 +90,11 @@ object ExtQueries {
         .orderBy(col("label"), col("dim"))
     },
 
+    // stream-stream interval join (watermark-bounded state)
+    "q_stream_join" -> { (s, dir) =>
+      Streams.clickViewJoin(s, dir).orderBy(col("click_id"), col("view_id"))
+    },
+
     // reference planned Tail: last 20 by total order
     "q_tail" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -194,6 +199,13 @@ object ExtQueries {
                  CAST(unnest(embedding) AS DOUBLE) AS v
           FROM embeddings)
         GROUP BY label, dim ORDER BY label, dim""",
+      "q_stream_join" -> """
+        SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts < c.ts
+         AND v.ts >= c.ts - INTERVAL '10 minutes'
+        ORDER BY click_id, view_id""",
       "q_tail" -> """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_orderkey DESC LIMIT 20"""

@@ -90,6 +90,29 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: each click joins the same user's views from
+    * the preceding 10 minutes. Both sides watermarked (bounds the join state),
+    * append-mode — the canonical watermark-bounded stream-stream join.
+    */
+  def clickViewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_ssjoin_${System.nanoTime()}"
+    val clicks = eventStream(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val views = eventStream(spark, sfDir).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val q = clicks.join(views, expr(
+      "c_user = v_user AND v_ts < c_ts AND v_ts >= c_ts - interval 10 minutes"))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)

@@ -154,6 +154,15 @@ class TDFSpec extends AnyFunSuite {
     assert(h1.counts.toSeq == h8.counts.toSeq && h1.sumx == h8.sumx)
   }
 
+  test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
+    val d = TDF(fixture)
+    val r = d.Min("no_such_column")
+    intercept[Exception] { r() } // surfaces at the shared run, like the reference trigger
+    intercept[IllegalArgumentException] {
+      TDF(fixture, defaultColumns = Seq("b1", "b2")).Min()
+    }
+  }
+
   test("Snapshot writes a skim and reopens it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/skim"
     val d = TDF(fixture).Filter($"b1" < 5).Snapshot(dir, Seq("b1", "b2"))
