@@ -41,6 +41,10 @@ object Perf {
     time("histo via native TypedImpAgg")(
       zdf.agg(graft.functions.HistogramAggExpr.histo(col("z2"), 128, 0.0, 6000000.0))
         .collect(): Unit)
+    time("histo native, pre-projected input")(
+      zdf.select(col("z2").as("__hin"))
+        .agg(graft.functions.HistogramAggExpr.histo(col("__hin"), 128, 0.0, 6000000.0))
+        .collect(): Unit)
     time("histo via bucket groupBy")(
       zdf.select(least(floor(col("z2") / lit(6000000.0 / 128)), lit(127)).as("b"))
         .groupBy("b").count().collect(): Unit)

@@ -100,15 +100,21 @@ final class BookingContext private[tdf] (val base: DataFrame) {
   private def isArray(wide: DataFrame, c: String): Boolean =
     wide.schema(c).dataType.isInstanceOf[ArrayType]
 
-  private sealed trait Fill { def apply(row: Row, get: String => Any): Unit }
+  private def dvalOf(wide: DataFrame, c: String): Column =
+    if (isArray(wide, c)) col(c).cast(ArrayType(DoubleType)) else col(c).cast(DoubleType)
 
-  /** Compile one booked action into (aggregate columns, result filler). */
+  /** Compile one booked action into (aggregate columns, result filler).
+    * `histoInput`: name of the pre-projected input column for fixed-range
+    * histograms — the imperative aggregate then reads a plain attribute while
+    * whole-stage codegen computes the conditional value (measurably faster
+    * than interpreting the `when` tree per row inside the aggregate).
+    */
   private def compile(
-      b: Booked, wide: DataFrame, id: Int): (Seq[Column], Row => Unit) = {
+      b: Booked, wide: DataFrame, id: Int,
+      histoInput: Option[String] = None): (Seq[Column], Row => Unit) = {
     val pred = predOf(b.steps)
     def a(i: Int) = s"__a${id}_$i"
-    def dcol(c: String): Column =
-      if (isArray(wide, c)) col(c).cast(ArrayType(DoubleType)) else col(c).cast(DoubleType)
+    def dcol(c: String): Column = dvalOf(wide, c)
     b.spec match {
       case CountSpec =>
         (Seq(count(when(pred, lit(1))).as(a(0))),
@@ -149,7 +155,7 @@ final class BookingContext private[tdf] (val base: DataFrame) {
           row => fill(b.result, row.getSeq[Any](row.fieldIndex(a(0)))))
       case HistoSpec(c, nbins, Some((lo, hi))) =>
         // native TypedImperativeAggregate (handles double and array<double>)
-        val in = when(pred, dcol(c))
+        val in = histoInput.map(col).getOrElse(when(pred, dcol(c)))
         (Seq(graft.functions.HistogramAggExpr.histo(in, nbins, lo, hi).as(a(0))), { row =>
           val r = row.getStruct(row.fieldIndex(a(0)))
           fill(b.result, structToHistogram(r))
@@ -194,7 +200,18 @@ final class BookingContext private[tdf] (val base: DataFrame) {
   }
 
   private def runFused(batch: Vector[Booked], defines: Vector[DefineStep]): Unit = {
-    val wide = withDefines(defines)
+    val base = withDefines(defines)
+
+    // Pre-project fixed-range histogram inputs (conditional value computed in
+    // whole-stage codegen; the imperative aggregate reads a plain attribute).
+    val histoInputs = mutable.Map.empty[Int, String]
+    val wide = batch.zipWithIndex.foldLeft(base) {
+      case (df, (Booked(steps, HistoSpec(c, _, Some(_)), _), i)) =>
+        val name = s"__hin$i"
+        histoInputs(i) = name
+        df.withColumn(name, when(predOf(steps), dvalOf(base, c)))
+      case (df, _) => df
+    }
 
     // Pass-1 aggregates: every fixed action, plus (min,max) probes for
     // auto-ranged histos (mirrors the reference's deferred-axis FillOperation,
@@ -205,12 +222,12 @@ final class BookingContext private[tdf] (val base: DataFrame) {
       case (b @ Booked(steps, HistoSpec(c, _, None), _), i) =>
         val pred = predOf(steps)
         val (mn, mx) = (s"__hmin$i", s"__hmax$i")
-        val base =
+        val base2 =
           if (isArray(wide, c)) (array_min(col(c)).cast(DoubleType), array_max(col(c)).cast(DoubleType))
           else (col(c).cast(DoubleType), col(c).cast(DoubleType))
-        fixed += ((Seq(min(when(pred, base._1)).as(mn), max(when(pred, base._2)).as(mx)), _ => ()))
+        fixed += ((Seq(min(when(pred, base2._1)).as(mn), max(when(pred, base2._2)).as(mx)), _ => ()))
         autos += ((b, mn, mx))
-      case (b, i) => fixed += compile(b, wide, i)
+      case (b, i) => fixed += compile(b, wide, i, histoInputs.get(i))
     }
     val aggCols = fixed.flatMap(_._1).toSeq
     val row = wide.agg(aggCols.head, aggCols.tail: _*).collect()(0)
@@ -226,9 +243,15 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         val HistoSpec(c, nbins, _) = b.spec: @unchecked
         Booked(b.steps, HistoSpec(c, nbins, Some((lo, hi))), b.result)
       }
-      val compiled = resolved.zipWithIndex.map { case (b, i) => compile(b, wide, i) }
+      val wide2 = resolved.zipWithIndex.foldLeft(wide) { case (df, (b, i)) =>
+        val HistoSpec(c, _, _) = b.spec: @unchecked
+        df.withColumn(s"__ain$i", when(predOf(b.steps), dvalOf(wide, c)))
+      }
+      val compiled = resolved.zipWithIndex.map { case (b, i) =>
+        compile(b, wide2, i, Some(s"__ain$i"))
+      }
       val cols2 = compiled.flatMap(_._1)
-      val row2 = wide.agg(cols2.head, cols2.tail: _*).collect()(0)
+      val row2 = wide2.agg(cols2.head, cols2.tail: _*).collect()(0)
       compiled.foreach { case (_, f) => f(row2) }
     }
   }
