@@ -74,6 +74,25 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // END-TO-END training-data pipeline: quality gate -> exact dedup ->
+    // minhash near-dup removal (greedy keep-lowest-id) -> language filter.
+    // The composition every 100TB curation job runs, as one lazy DAG.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val quality = TextOps.withQuality(docs, "text")
+        .filter(col("n_tokens") >= 40 && col("uniq_ratio") >= 0.3)
+      val keepers = Dedup.exact(quality, "doc_id", "text").select(col("keeper"))
+      val afterExact = quality.join(keepers, col("doc_id") === col("keeper"), "left_semi")
+      val dupIds = Dedup.nearDuplicatesLsh(afterExact, "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("jaccard") >= 0.4)
+        .select(col("id_b").as("dup_id")).distinct()
+      val afterNear = afterExact.join(dupIds, col("doc_id") === col("dup_id"), "left_anti")
+      TextOps.withLangId(afterNear, "text")
+        .filter(col("lang_pred") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // brute-force n-gram jaccard on a fixed 150-doc slice (bounded work at
     // any scale factor; the LSH query above is the scale path)
     "q_dedup_jaccard_brute" -> { (s, dir) =>
@@ -158,6 +177,54 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_pipeline_e2e" -> s"""
+        WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        q0 AS (SELECT doc_id, text, toks,
+                 len(toks)::BIGINT AS n_tokens,
+                 len(list_distinct(toks))::BIGINT AS n_unique,
+                 len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','for','on','with')))::BIGINT AS n_stop
+               FROM t),
+        q AS (SELECT *,
+                n_unique::DOUBLE / greatest(n_tokens,1) AS uniq_ratio,
+                n_stop::DOUBLE / greatest(n_tokens,1) AS stop_ratio
+              FROM q0
+              WHERE n_tokens >= 40 AND n_unique::DOUBLE / greatest(n_tokens,1) >= 0.3),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        qk AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM qk),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band, bkey)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b,
+                    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+                  FROM cands JOIN sets sa ON sa.doc_id = id_a
+                  JOIN sets sb ON sb.doc_id = id_b),
+        dups AS (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.4),
+        kept AS (SELECT * FROM qk WHERE doc_id NOT IN (SELECT id_b FROM dups)),
+        sc AS (SELECT *,
+                len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+                len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+                len(list_filter(toks, x -> x IN ('el','la','que','los','una'))) AS s_es,
+                len(list_filter(toks, x -> x IN ('le','la','et','les','une'))) AS s_fr,
+                len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','wo3'))) AS s_zh
+               FROM kept),
+        m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM sc)
+        SELECT doc_id, n_tokens,
+               0.4 * uniq_ratio + 0.3 * stop_ratio
+                 + 0.3 * least(n_tokens::DOUBLE / 100.0, 1.0) AS quality_score
+        FROM m
+        WHERE CASE
+          WHEN best > 0 AND s_de = best THEN 'de'
+          WHEN best > 0 AND s_en = best THEN 'en'
+          WHEN best > 0 AND s_es = best THEN 'es'
+          WHEN best > 0 AND s_fr = best THEN 'fr'
+          WHEN best > 0 AND s_zh = best THEN 'zh'
+          ELSE 'und' END = 'en'
+        ORDER BY doc_id""",
       "q_dedup_minhash_lsh" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),

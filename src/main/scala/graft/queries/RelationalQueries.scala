@@ -119,6 +119,36 @@ object RelationalQueries {
         count_distinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
     },
 
+    // window-function breadth: lag/lead/ntile/percent_rank/first/last
+    "q_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)).as("prev_price"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          last(col("o_orderkey")).over(wf).as("last_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // outer-join family with sentinel-filled nulls
+    "q_join_outer" -> { (s, dir) =>
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      n.join(c, col("n_nationkey") === col("c_nationkey"), "full_outer")
+        .select(
+          coalesce(col("n_name"), lit("NO_NATION")).as("nation"),
+          coalesce(col("n_cust"), lit(0L)).as("n_customers"))
+        .orderBy(col("nation"))
+    },
+
     // as-of join: for each click, the most recent strictly-earlier view by the
     // same user. Implemented shuffle-once: tag + union + prefix-max window —
     // the sort-merge as-of pattern that scales (no per-row probe, no range
@@ -193,6 +223,26 @@ object RelationalQueries {
              count(DISTINCT l_suppkey) AS n_supps,
              count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
       FROM lineitem""",
+    "q_window_funcs" -> """
+      SELECT o_custkey, o_orderkey,
+             coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+             coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 9) AS pct_rank,
+             first_value(o_orderkey) OVER wf AS first_key,
+             last_value(o_orderkey) OVER wf AS last_key
+      FROM orders WHERE o_custkey <= 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
+    "q_join_outer" -> """
+      SELECT coalesce(n_name, 'NO_NATION') AS nation,
+             coalesce(n_cust, 0) AS n_customers
+      FROM nation FULL OUTER JOIN
+           (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        ON n_nationkey = c_nationkey
+      ORDER BY nation""",
     "q_asof_join" -> """
       SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
       FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -39,6 +39,21 @@ object SqlSurfaceQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    "q_string_funcs" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          regexp_replace(col("text"), "table", "TBL").as("f_regexp_replace"),
+          reverse(substring(col("text"), 1, 20)).as("f_reverse"),
+          repeat(col("lang"), 3).as("f_repeat"),
+          instr(col("text"), "spark").as("f_instr"),
+          translate(col("lang"), "en", "EN").as("f_translate"),
+          ltrim(rtrim(col("text"))).as("f_trim"),
+          length(col("source")).as("f_len"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_grouping_sets" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
       s.sql("""
@@ -146,6 +161,16 @@ object SqlSurfaceQueries {
              date_trunc('month', l_shipdate) AS f_trunc
       FROM lineitem WHERE l_orderkey <= 100
       ORDER BY l_orderkey, l_linenumber""",
+    "q_string_funcs" -> """
+      SELECT doc_id,
+             regexp_replace(text, 'table', 'TBL', 'g') AS f_regexp_replace,
+             reverse(substring(text, 1, 20)) AS f_reverse,
+             repeat(lang, 3) AS f_repeat,
+             strpos(text, 'spark') AS f_instr,
+             translate(lang, 'en', 'EN') AS f_translate,
+             ltrim(rtrim(text)) AS f_trim,
+             length(source) AS f_len
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q_grouping_sets" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rflag,
              coalesce(l_linestatus, 'ALL') AS lstatus,
