@@ -131,6 +131,16 @@ object SqlSurfaceQueries {
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
     },
 
+    // deterministic hash sampling — the reproducible 100 TB sampling pattern
+    // (same rows selected on any engine/cluster/run, unlike rand()-based)
+    "q_sample_hash" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // salted join equals plain join (skew-mitigation correctness)
     "q_salted_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -204,6 +214,10 @@ object SqlSurfaceQueries {
                  FROM events, (SELECT unnest([0, 1]) AS o))
       SELECT window_start, event_type, count(*) AS n
       FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_sample_hash" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
+      ORDER BY o_orderkey""",
     "q_salted_join" -> """
       SELECT s_name, count(*) AS n, sum(l_quantity) AS sum_qty
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -154,6 +154,34 @@ class TDFSpec extends AnyFunSuite {
     assert(h1.counts.toSeq == h8.counts.toSeq && h1.sumx == h8.sumx)
   }
 
+  test("one fused Spark job per batch; cached results re-deref without new jobs") {
+    // count distinct SQL executions (AQE legitimately splits one query into a
+    // job per stage, so job count is the wrong fidelity metric)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        val id = s.properties.getProperty("spark.sql.execution.id")
+        if (id != null) { execs.add(id); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = TDF(fixture).Define("z", $"b1" * 3)
+      val f = d.Filter($"z" > 10)
+      val actions = Seq(f.Count(), f.Sum("z"), d.Mean("b2"), f.Min("z"), d.Max("b1"))
+      actions.head() // trigger
+      Thread.sleep(600) // let listener events drain
+      val afterRun = execs.size()
+      assert(afterRun == 1,
+        s"5 fused aggregating actions must run as ONE SQL execution, got $afterRun")
+      actions.foreach(_.apply()) // all cached — no new executions
+      Thread.sleep(600)
+      assert(execs.size() == afterRun,
+        "re-dereferencing filled results must not launch executions")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
     val d = TDF(fixture)
     val r = d.Min("no_such_column")
