@@ -149,6 +149,21 @@ object RelationalQueries {
         .orderBy(col("nation"))
     },
 
+    // as-of join via the CUSTOM OPERATOR (LogicalPlan + Strategy + SparkPlan,
+    // graft.plans.AsOfJoin): co-partitioned streaming merge, O(1) task state
+    "q_asof_custom" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOfJoin.join(clicks, views, "c_user", "v_user", "c_ts", "v_ts")
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"), col("v_ts").as("prev_view_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // as-of join: for each click, the most recent strictly-earlier view by the
     // same user. Implemented shuffle-once: tag + union + prefix-max window —
     // the sort-merge as-of pattern that scales (no per-row probe, no range
@@ -244,6 +259,12 @@ object RelationalQueries {
         ON n_nationkey = c_nationkey
       ORDER BY nation""",
     "q_asof_join" -> """
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts > v.ts
+      ORDER BY c.event_id""",
+    "q_asof_custom" -> """
       SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v

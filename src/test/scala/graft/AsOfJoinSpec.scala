@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+
+/** The custom as-of operator: semantics + plan shape. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks the latest strictly-earlier right row per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // no earlier right row → dropped
+      (3L, ts("2024-01-01 09:00:00"), "l4")  // key with no right rows → dropped
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "r1"),
+      (1L, ts("2024-01-01 11:00:00"), "r2"),
+      (1L, ts("2024-01-01 12:00:00"), "r3"), // equal ts — strict, must NOT match l2
+      (2L, ts("2024-01-01 09:30:00"), "r4")
+    ).toDF("rk", "rt", "rtag")
+
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"rtag").as[(String, String)].collect().toSet
+    assert(got == Set(("l1", "r1"), ("l2", "r2")))
+  }
+
+  test("plan: custom exec node, one exchange per side, partition-count invariant") {
+    val left = (0L until 400L).map(i =>
+      (i % 7, new Timestamp(1700000000000L + i * 60000), i)).toDF("k", "t", "v")
+    val right = (0L until 900L).map(i =>
+      (i % 7, new Timestamp(1700000000000L + i * 27000), i)).toDF("rk", "rt", "rv")
+
+    val joined = AsOfJoin.join(left.repartition(5), right.repartition(3), "k", "rk", "t", "rt")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
+
+    // equivalence with the window-based composition, any partitioning
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val c = left.select($"k".as("u"), $"t", lit(0).as("o"), $"v",
+        lit(null).cast("timestamp").as("vt"))
+      val vv = right.select($"rk".as("u"), $"rt".as("t"), lit(1).as("o"),
+        lit(null).cast("long").as("v"), $"rt".as("vt"))
+      val w = Window.partitionBy($"u").orderBy($"t", $"o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.unionByName(vv).withColumn("pv", max($"vt").over(w))
+        .filter($"o" === 0 && $"pv".isNotNull)
+        .select($"v", $"pv").as[(Long, Timestamp)].collect().toSet
+    }
+    val viaCustom = joined.select($"v", $"rt").as[(Long, Timestamp)].collect().toSet
+    assert(viaCustom == viaWindow)
+  }
+}
