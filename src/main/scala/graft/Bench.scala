@@ -29,6 +29,19 @@ object Bench {
     h(); c() // one fused job
   }
 
+  /** The reference benchmark histograms a per-event COLLECTION
+    * (tracks_pts: vector<double>, benchmarks/benchmark.cxx:120-122); lineitem
+    * has no array column, so a 3-element derived array stands in — elementwise
+    * fill through the same native aggregate.
+    */
+  private def flagshipArray(s: SparkSession, dir: String): Unit = {
+    val d = TDF(Tables.lineitem(s, dir))
+      .Define("z", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .Filter(col("z") > 1000.0)
+      .Define("zs", array(col("z"), col("z") * 0.5, col("z") * col("l_quantity")))
+    d.Histo("zs", 128, 0.0, 6000000.0)()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,6 +58,7 @@ object Bench {
     val headline: Seq[(String, () => Unit)] = Seq(
       "flagship_histo_chain_p1" -> (() => flagship(spark, sfDir, 1)),
       "flagship_histo_chain" -> (() => flagship(spark, sfDir, 0)),
+      "flagship_histo_array" -> (() => flagshipArray(spark, sfDir)),
       "q_groupby_agg" -> (() => { SparkEntry.queries("q_groupby_agg")(spark, sfDir).count(): Unit }),
       "q_join_bcast" -> (() => { SparkEntry.queries("q_join_bcast")(spark, sfDir).count(): Unit }),
       "q_window_topk" -> (() => { SparkEntry.queries("q_window_topk")(spark, sfDir).count(): Unit }),
