@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -46,29 +47,30 @@ final case class AsOfJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = leftKey
-    val lTs = leftTs
-    val rKey = rightKey
-    val rTs = rightTs
     val lAttrs = left.output
     val rAttrs = right.output
+    val lKeyB = BindReferences.bindReference(leftKey, lAttrs)
+    val lTsB = BindReferences.bindReference(leftTs, lAttrs)
+    val rKeyB = BindReferences.bindReference(rightKey, rAttrs)
+    val rTsB = BindReferences.bindReference(rightTs, rAttrs)
+    // interpreted orderings → any orderable key/ts type (long, string,
+    // timestamp, ...), matching the sort order EnsureRequirements installed
+    val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyL = UnsafeProjection.create(lKey :: Nil, lAttrs)
-      val tsL = UnsafeProjection.create(lTs :: Nil, lAttrs)
-      val keyR = UnsafeProjection.create(rKey :: Nil, rAttrs)
-      val tsR = UnsafeProjection.create(rTs :: Nil, rAttrs)
       val out = UnsafeProjection.create(lAttrs ++ rAttrs, lAttrs ++ rAttrs)
       val joined = new JoinedRow
 
       // both sides sorted by (key, ts); stream the right side keeping, for the
       // current left row, the latest right row with rk == lk && rts < lts
       var rHead: InternalRow = null          // next unconsumed right row
+      var rHeadKey: Any = null
+      var rHeadTs: Any = null
       var candidate: InternalRow = null      // best match for current left key
-      var candidateKey: Long = 0L
+      var candidateKey: Any = null
       var candidateValid = false
-
-      def rk(row: InternalRow): Long = keyR(row).getLong(0)
-      def rts(row: InternalRow): Long = tsR(row).getLong(0)
 
       new Iterator[InternalRow] {
         // lazy advance: the output projection reuses its buffer, so the next
@@ -80,25 +82,35 @@ final case class AsOfJoinExec(
           nextRow = null
           while (nextRow == null && lIter.hasNext) {
             val l = lIter.next()
-            val lk = keyL(l).getLong(0)
-            val lt = tsL(l).getLong(0)
-            // drop candidate from a previous key
-            if (candidateValid && candidateKey != lk) candidateValid = false
-            // consume right rows up to (lk, lt)
-            var continue = true
-            while (continue) {
-              if (rHead == null && rIter.hasNext) rHead = rIter.next().copy()
-              if (rHead == null) continue = false
-              else {
-                val k = rk(rHead)
-                if (k < lk || (k == lk && rts(rHead) < lt)) {
-                  if (k == lk) { candidate = rHead; candidateKey = k; candidateValid = true }
-                  rHead = null // consumed
-                } else continue = false
+            val lk = lKeyB.eval(l)
+            val lt = lTsB.eval(l)
+            if (lk != null && lt != null) {
+              // drop candidate from a previous key
+              if (candidateValid && keyOrd.compare(candidateKey, lk) != 0)
+                candidateValid = false
+              // consume right rows up to (lk, lt)
+              var continue = true
+              while (continue) {
+                while (rHead == null && rIter.hasNext) {
+                  val r = rIter.next()
+                  val k = rKeyB.eval(r)
+                  val t = rTsB.eval(r)
+                  if (k != null && t != null) { rHead = r.copy(); rHeadKey = k; rHeadTs = t }
+                }
+                if (rHead == null) continue = false
+                else {
+                  val kc = keyOrd.compare(rHeadKey, lk)
+                  if (kc < 0 || (kc == 0 && tsOrd.compare(rHeadTs, lt) < 0)) {
+                    if (kc == 0) {
+                      candidate = rHead; candidateKey = rHeadKey; candidateValid = true
+                    }
+                    rHead = null // consumed
+                  } else continue = false
+                }
               }
+              if (candidateValid && keyOrd.compare(candidateKey, lk) == 0)
+                nextRow = out(joined(l, candidate))
             }
-            if (candidateValid && candidateKey == lk)
-              nextRow = out(joined(l, candidate))
           }
         }
 

@@ -54,6 +54,20 @@ object SqlSurfaceQueries {
         .orderBy(col("doc_id"))
     },
 
+    // JSON function family over the events.props JSON column
+    "q_json_funcs" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"),
+          to_json(struct(col("event_id").as("id"))).as("j_out"))
+        .orderBy(col("event_id"))
+    },
+
     "q_grouping_sets" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
       s.sql("""
@@ -181,6 +195,12 @@ object SqlSurfaceQueries {
              ltrim(rtrim(text)) AS f_trim,
              length(source) AS f_len
       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_json_funcs" -> """
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
+             '{"id":' || event_id || '}' AS j_out
+      FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "q_grouping_sets" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rflag,
              coalesce(l_linestatus, 'ALL') AS lstatus,

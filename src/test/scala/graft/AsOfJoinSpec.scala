@@ -33,6 +33,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set(("l1", "r1"), ("l2", "r2")))
   }
 
+  test("generalized types: string keys, long ts, null keys skipped") {
+    val left = Seq(("a", 10L, 1), ("a", 20L, 2), ("b", 10L, 3), (null, 10L, 4))
+      .toDF("k", "t", "id")
+    val right = Seq(("a", 5L, 100), ("a", 15L, 101), ("b", 20L, 102), (null.asInstanceOf[String], 1L, 103))
+      .toDF("rk", "rt", "rid")
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt")
+      .select($"id", $"rid").as[(Int, Int)].collect().toSet
+    // a@10 → a@5; a@20 → a@15; b@10 has no earlier b row; nulls drop entirely
+    assert(got == Set((1, 100), (2, 101)))
+  }
+
   test("plan: custom exec node, one exchange per side, partition-count invariant") {
     val left = (0L until 400L).map(i =>
       (i % 7, new Timestamp(1700000000000L + i * 60000), i)).toDF("k", "t", "v")
