@@ -6,7 +6,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{GraftSql => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -25,8 +24,16 @@ import org.apache.spark.sql.types._
   */
 case class HistogramAggExpr(
     child: Expression, nbins: Int, lo: Double, hi: Double,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HistBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[HistBuffer] {
+
+  // weight must be a real child so analysis/binding reach it
+  override def children: Seq[Expression] = child +: weight.toSeq
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HistogramAggExpr =
+    copy(child = newChildren(0),
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 
   private val w = (hi - lo) / nbins
   // lazy: child may still be unresolved while rules copy this node around
@@ -35,30 +42,47 @@ case class HistogramAggExpr(
   override def createAggregationBuffer(): HistBuffer =
     HistBuffer(Array.fill[Long](nbins)(0L), 0L, 0L, 0L, 0.0, 0.0)
 
-  @inline private def fill(b: HistBuffer, x: Double): Unit = {
-    if (x < lo) b.underflow += 1
-    else if (x >= hi) b.overflow += 1
+  /** weighted fill: counts accumulate integer weights (TH1-style Fill(x, w);
+    * the unweighted path is wt = 1)
+    */
+  @inline private def fill(b: HistBuffer, x: Double, wt: Long): Unit = {
+    if (x < lo) b.underflow += wt
+    else if (x >= hi) b.overflow += wt
     else {
       val bin = math.floor((x - lo) / w).toInt
-      b.counts(math.min(bin, nbins - 1)) += 1
+      b.counts(math.min(bin, nbins - 1)) += wt
     }
-    b.entries += 1
-    b.sumx += x
-    b.sumx2 += x * x
+    b.entries += wt
+    b.sumx += x * wt
+    b.sumx2 += x * x * wt
   }
 
   override def update(b: HistBuffer, input: InternalRow): HistBuffer = {
     val v = child.eval(input)
     if (v != null) {
-      if (isArrayInput) {
-        val a = v.asInstanceOf[ArrayData]
-        var i = 0
-        val n = a.numElements()
-        while (i < n) {
-          if (!a.isNullAt(i)) fill(b, a.getDouble(i))
-          i += 1
-        }
-      } else fill(b, v.asInstanceOf[Double])
+      val wt: Long = weight match {
+        case Some(we) =>
+          val wv = we.eval(input)
+          if (wv == null) 0L
+          else wv match {
+            case l: java.lang.Long => l.longValue()
+            case d: java.lang.Double => math.round(d.doubleValue())
+            case i: java.lang.Integer => i.longValue()
+            case other => other.toString.toLong
+          }
+        case None => 1L
+      }
+      if (wt != 0L) {
+        if (isArrayInput) {
+          val a = v.asInstanceOf[ArrayData]
+          var i = 0
+          val n = a.numElements()
+          while (i < n) {
+            if (!a.isNullAt(i)) fill(b, a.getDouble(i), wt)
+            i += 1
+          }
+        } else fill(b, v.asInstanceOf[Double], wt)
+      }
     }
     b
   }
@@ -98,7 +122,6 @@ case class HistogramAggExpr(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HistogramAggExpr =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): HistogramAggExpr = copy(child = c)
   override def prettyName: String = "graft_histogram"
 }
 
@@ -116,5 +139,12 @@ object HistogramAggExpr {
   def histo(in: Column, nbins: Int, lo: Double, hi: Double): Column =
     ExpressionUtils.column(
       HistogramAggExpr(ExpressionUtils.expression(in), nbins, lo, hi)
+        .toAggregateExpression())
+
+  /** weighted variant: integer-valued weight column (TH1 Fill(x, w)) */
+  def histoWeighted(in: Column, weight: Column, nbins: Int, lo: Double, hi: Double): Column =
+    ExpressionUtils.column(
+      HistogramAggExpr(ExpressionUtils.expression(in), nbins, lo, hi,
+        Some(ExpressionUtils.expression(weight)))
         .toAggregateExpression())
 }

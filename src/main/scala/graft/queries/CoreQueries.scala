@@ -151,6 +151,13 @@ object CoreQueries {
         math.rint(d.Mean("embedding")() * 1e6) / 1e6)
     },
 
+    // weighted histogram: Fill(z, w=l_quantity) — TH1-style weighted fills
+    "q_histo_weighted" -> { (s, dir) =>
+      val h = TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .HistoWeighted("z", "l_quantity", 11, 0.0, 110000.0)()
+      histToDF(s, h)
+    },
+
     // 2-D histogram over (z, quantity) — distributed grid, non-empty cells
     "q_histo2d" -> { (s, dir) =>
       TDF(Tables.lineitem(s, dir)).Define("z", zCol)
@@ -217,6 +224,11 @@ object CoreQueries {
       SELECT count(*) AS n FROM (
         SELECT * FROM lineitem WHERE l_returnflag = 'A'
         UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')""",
+    "q_histo_weighted" -> s"""
+      SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
+                  ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,
+             sum(CAST(l_quantity AS BIGINT)) AS n
+      FROM (SELECT $zSql AS z, l_quantity FROM lineitem) GROUP BY 1 ORDER BY 1""",
     "q_histo2d" -> s"""
       WITH src AS (SELECT $zSql AS z, l_quantity AS q FROM lineitem)
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 100000.0 THEN 10

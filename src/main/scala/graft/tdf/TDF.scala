@@ -36,8 +36,9 @@ private[tdf] final case class MinSpec(col: String) extends ActionSpec
 private[tdf] final case class MaxSpec(col: String) extends ActionSpec
 private[tdf] final case class MeanSpec(col: String) extends ActionSpec
 private[tdf] final case class TakeSpec(col: String) extends ActionSpec
-private[tdf] final case class HistoSpec(col: String, nbins: Int, range: Option[(Double, Double)])
-    extends ActionSpec
+private[tdf] final case class HistoSpec(
+    col: String, nbins: Int, range: Option[(Double, Double)],
+    weight: Option[String] = None) extends ActionSpec
 private[tdf] case object ReportSpec extends ActionSpec
 
 private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, result: Result[Any])
@@ -153,14 +154,19 @@ final class BookingContext private[tdf] (val base: DataFrame) {
       case TakeSpec(c) =>
         (Seq(collect_list(when(pred, col(c))).as(a(0))),
           row => fill(b.result, row.getSeq[Any](row.fieldIndex(a(0)))))
-      case HistoSpec(c, nbins, Some((lo, hi))) =>
+      case HistoSpec(c, nbins, Some((lo, hi)), weightCol) =>
         // native TypedImperativeAggregate (handles double and array<double>)
         val in = histoInput.map(col).getOrElse(when(pred, dcol(c)))
-        (Seq(graft.functions.HistogramAggExpr.histo(in, nbins, lo, hi).as(a(0))), { row =>
+        val agg = weightCol match {
+          case Some(wc) => graft.functions.HistogramAggExpr.histoWeighted(
+            in, when(pred, col(wc)).cast("long"), nbins, lo, hi)
+          case None => graft.functions.HistogramAggExpr.histo(in, nbins, lo, hi)
+        }
+        (Seq(agg.as(a(0))), { row =>
           val r = row.getStruct(row.fieldIndex(a(0)))
           fill(b.result, structToHistogram(r))
         })
-      case HistoSpec(_, _, None) =>
+      case HistoSpec(_, _, None, _) =>
         throw new IllegalStateException("auto-range histo must be range-resolved before compile")
       case ReportSpec =>
         val filters = b.steps.collect { case f: FilterStep => f }
@@ -206,7 +212,7 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     // whole-stage codegen; the imperative aggregate reads a plain attribute).
     val histoInputs = mutable.Map.empty[Int, String]
     val wide = batch.zipWithIndex.foldLeft(base) {
-      case (df, (Booked(steps, HistoSpec(c, _, Some(_)), _), i)) =>
+      case (df, (Booked(steps, HistoSpec(c, _, Some(_), _), _), i)) =>
         val name = s"__hin$i"
         histoInputs(i) = name
         df.withColumn(name, when(predOf(steps), dvalOf(base, c)))
@@ -219,7 +225,7 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     val fixed = mutable.ArrayBuffer.empty[(Seq[Column], Row => Unit)]
     val autos = mutable.ArrayBuffer.empty[(Booked, String, String)] // (action, minAlias, maxAlias)
     batch.zipWithIndex.foreach {
-      case (b @ Booked(steps, HistoSpec(c, _, None), _), i) =>
+      case (b @ Booked(steps, HistoSpec(c, _, None, _), _), i) =>
         val pred = predOf(steps)
         val (mn, mx) = (s"__hmin$i", s"__hmax$i")
         val base2 =
@@ -240,11 +246,11 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         val mn = Option(row.getAs[Any](mnA)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         val mx = Option(row.getAs[Any](mxA)).map(_.asInstanceOf[Double]).getOrElse(1.0)
         val (lo, hi) = if (mn == mx) (mn - 0.5, mx + 0.5) else (mn, mx + (mx - mn) * 1e-9)
-        val HistoSpec(c, nbins, _) = b.spec: @unchecked
-        Booked(b.steps, HistoSpec(c, nbins, Some((lo, hi))), b.result)
+        val HistoSpec(c, nbins, _, wc) = b.spec: @unchecked
+        Booked(b.steps, HistoSpec(c, nbins, Some((lo, hi)), wc), b.result)
       }
       val wide2 = resolved.zipWithIndex.foldLeft(wide) { case (df, (b, i)) =>
-        val HistoSpec(c, _, _) = b.spec: @unchecked
+        val HistoSpec(c, _, _, _) = b.spec: @unchecked
         df.withColumn(s"__ain$i", when(predOf(b.steps), dvalOf(wide, c)))
       }
       val compiled = resolved.zipWithIndex.map { case (b, i) =>
@@ -283,6 +289,8 @@ final class TDF private (
   // ---- transformations ------------------------------------------------------
 
   def Filter(pred: Column): TDF = new TDF(ctx, steps :+ FilterStep(None, pred), defaultColumns)
+  /** SQL-string predicate convenience: `d.Filter("z > 1000")` */
+  def Filter(predSql: String): TDF = Filter(expr(predSql))
   def Filter(name: String, pred: Column): TDF =
     new TDF(ctx, steps :+ FilterStep(Some(name), pred), defaultColumns)
 
@@ -295,6 +303,8 @@ final class TDF private (
     new TDF(ctx, steps :+ DefineStep(name, expr), defaultColumns)
   }
   def AddBranch(name: String, expr: Column): TDF = Define(name, expr)
+  /** SQL-string expression convenience: `d.Define("z", "price * (1-disc)")` */
+  def Define(name: String, exprSql: String): TDF = Define(name, expr(exprSql))
 
   def WithDefaultColumns(cols: Seq[String]): TDF = new TDF(ctx, steps, cols)
 
@@ -323,6 +333,10 @@ final class TDF private (
   /** auto-ranged: axis from data min/max, two-pass (reference FillOperation). */
   def Histo(column: String, nbins: Int): Result[Histogram] =
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, None))
+  /** weighted fill: Fill(x, w) with an integer-valued weight column. */
+  def HistoWeighted(column: String, weightCol: String, nbins: Int, lo: Double,
+      hi: Double): Result[Histogram] =
+    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi)), Some(weightCol)))
   def Report(): Result[Seq[CutInfo]] = ctx.book(steps, ReportSpec)
 
   /** 2-D histogram (TH2 analog) as a distributed bucket aggregation — grids
