@@ -97,6 +97,23 @@ object TextOps {
       .drop("__toks" +: langMarkers.map { case (l, _) => s"__s_$l" }: _*)
   }
 
+  /** TF-IDF scores: one row per (doc, term) with tf (term count in doc),
+    * df (docs containing term), and tf·idf where idf = ln(N/df). Two shuffles
+    * (per-doc term counts, per-term doc frequencies) + a broadcast-size join
+    * of the df table — the textbook scalable shape. The ln is rounded to 9
+    * digits so cross-engine libm noise cannot flip comparisons.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = words.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */

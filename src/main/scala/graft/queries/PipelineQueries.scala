@@ -58,6 +58,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
+    "q_text_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      TextOps.tfidf(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // stratified deterministic sample: ~20% per language via hash bucket
+    "q_sample_stratified" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(TextOps.hash32(concat(col("lang"), lit("#"), col("doc_id").cast("string")))
+          % 100 < 20)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("digest"))
@@ -177,6 +199,22 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_text_tfidf" -> s"""
+        WITH words AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (SELECT doc_id, term, tf, df,
+                     round(tf * ln(n::DOUBLE / df), 9) AS tfidf
+                   FROM tf JOIN dfreq USING (term), n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
+        WHERE rk <= 3 ORDER BY doc_id, rk""",
+      "q_sample_stratified" -> s"""
+        SELECT lang, count(*) AS n_sampled FROM documents
+        WHERE ${hash32Sql("lang || '#' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+        GROUP BY lang ORDER BY lang""",
       "q_pipeline_e2e" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         q0 AS (SELECT doc_id, text, toks,
