@@ -48,6 +48,14 @@ object TextOps {
         s"transform(sequence(1, length($c) - ${n - 1}), i -> substring($c, i, $n)) " +
         s"ELSE array() END"))
 
+  /** word n-gram shingles WITHOUT dedup — for repetition statistics */
+  def shinglesAll(toksCol: String, n: Int): Column =
+    expr(
+      s"CASE WHEN size($toksCol) >= $n THEN " +
+        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($toksCol, i, $n))) " +
+        s"ELSE array() END")
+
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 
   /** Quality-scoring columns over a text column; all ratios are exact double

@@ -80,6 +80,55 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // repetition detection: how dominant is the most-repeated word 3-gram —
+    // a standard LLM-data quality signal (boilerplate / spam detector)
+    "q_text_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), explode(TextOps.shinglesAll("__toks", NGRAM)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_repeat"))
+        .withColumn("rep_ratio", col("max_repeat").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multi-modal near-dup: candidates from EITHER text MinHash bands OR
+    // embedding LSH buckets (union of generators), each pair then verified on
+    // both modalities. The docs↔embeddings 1:1 linkage (doc_id = vec_id)
+    // makes this the full cross-modal dedup pattern.
+    "q_dedup_multimodal" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", K, NGRAM)
+      val textCands = Dedup.lshCandidates(sig, "doc_id", K, BAND)
+        .select(col("id_a"), col("id_b"), lit(1).as("src_text"), lit(0).as("src_embed"))
+      val b = emb.select(col("vec_id").as("id"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", graft.ops.Similarity.hyperplaneBucket(col("v"), 6, 64))
+      val embCands = b.select(col("id").as("id_a"), col("bucket"))
+        .join(b.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("src_text"), lit(1).as("src_embed"))
+        .distinct()
+      val cands = textCands.unionByName(embCands)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("src_text")).as("src_text"), max(col("src_embed")).as("src_embed"))
+      val withJacc = Dedup.jaccardVerify(
+        cands.select(col("id_a"), col("id_b")), docs, "doc_id", "text", NGRAM)
+      val ev = emb.select(col("vec_id").as("id_a"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("va"))
+      val ev2 = emb.select(col("vec_id").as("id_b"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("vb"))
+      cands.join(withJacc, Seq("id_a", "id_b"))
+        .join(ev, Seq("id_a")).join(ev2, Seq("id_b"))
+        .withColumn("cos_sim", graft.ops.Similarity.cosineR6(col("va"), col("vb")))
+        .filter(col("jaccard") >= 0.3 || col("cos_sim") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("src_text"), col("src_embed"),
+          col("jaccard"), col("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("digest"))
@@ -199,6 +248,49 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_text_repetition" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),
+                i -> array_to_string(toks[i:i+${NGRAM - 1}], ' '))) AS g FROM t),
+        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS max_repeat,
+               max(c)::DOUBLE / sum(c) AS rep_ratio
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
+      "q_dedup_multimodal" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        bands AS ($bandSelects),
+        tc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS src_text, 0 AS src_embed
+               FROM bands a JOIN bands b USING (band, bkey)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        -- embedding hyperplane buckets (6 bits over 64 dims, same planes as
+        -- graft.ops.Similarity.hyperplaneBucket)
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        eb AS (SELECT vec_id, v, ${(0 until 6).map { j =>
+          s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] *
+              (list_transform(range(0, 64), d ->
+                (CAST(('0x' || substring(md5($j || '_' || d),1,8)) AS BIGINT) % 2001 - 1000)/1000.0))[i])) >= 0
+              THEN ${1L << j} ELSE 0 END)"""
+        }.mkString(" + ")} AS bucket FROM e),
+        ec AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 0 AS src_text, 1 AS src_embed
+               FROM eb a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+        cands AS (SELECT id_a, id_b, max(src_text) AS src_text, max(src_embed) AS src_embed
+                  FROM (SELECT * FROM tc UNION ALL SELECT * FROM ec) GROUP BY 1, 2),
+        nrm AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        verified AS (
+          SELECT c.id_a, c.id_b, c.src_text, c.src_embed,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard,
+                 round(list_sum(list_transform(range(1, 65), i -> qa.v[i]*qb.v[i]))/(qa.nrm*qb.nrm), 6) AS cos_sim
+          FROM cands c
+          JOIN sets sa ON sa.doc_id = c.id_a JOIN sets sb ON sb.doc_id = c.id_b
+          JOIN nrm qa ON qa.vec_id = c.id_a JOIN nrm qb ON qb.vec_id = c.id_b)
+        SELECT id_a, id_b, src_text, src_embed, jaccard, cos_sim FROM verified
+        WHERE jaccard >= 0.3 OR cos_sim >= 0.3
+        ORDER BY id_a, id_b""",
       "q_text_tfidf" -> s"""
         WITH words AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
