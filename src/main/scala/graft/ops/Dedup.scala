@@ -123,6 +123,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every doc labeled with the
+    * smallest id reachable through the pair graph — the final step of a dedup
+    * pipeline (keep one representative per duplicate cluster). Iterative
+    * min-label propagation: each round joins labels across edges and keeps the
+    * min; converges in O(graph diameter) rounds. Each round is one shuffle on
+    * id; label frames are tiny relative to the corpus (pairs only), so this
+    * scales to the 100 TB corpus as long as the duplicate graph fits the
+    * cluster — the standard large-scale CC trade.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).limit(1).count()
+      labels = updated.localCheckpoint(true) // truncate lineage each round
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the result is
     * set iff Σ_words (±1 by bit j of hash32(word)) >= 0.
     */

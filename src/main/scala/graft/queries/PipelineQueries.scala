@@ -129,6 +129,16 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // duplicate clusters: connected components over LSH near-dup pairs
+    // (jaccard >= 0.2), labeled by smallest member id
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.nearDuplicatesLsh(
+        Tables.documents(s, dir), "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("jaccard") >= 0.2)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    },
+
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("digest"))
@@ -248,6 +258,26 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_dedup_clusters" -> s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band, bkey)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM cands
+                  JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+                  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        SELECT id, min(label) AS label FROM reach GROUP BY id ORDER BY id""",
       "q_text_repetition" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),

@@ -105,6 +105,14 @@ class OpsSpec extends AnyFunSuite {
     assert(f.mean_byte == (97 + 98) / 2.0)
   }
 
+  test("connected components: chain collapses to one label, isolates keep own") {
+    // chain 1-2-3-4 plus pair 10-11: components {1,2,3,4} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("partition invariance: minhash signatures identical at 1 vs 8 partitions") {
     val docs = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok$i"))
       .toDF("doc_id", "text")
