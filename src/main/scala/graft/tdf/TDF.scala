@@ -40,6 +40,8 @@ private[tdf] final case class HistoSpec(
     col: String, nbins: Int, range: Option[(Double, Double)],
     weight: Option[String] = None) extends ActionSpec
 private[tdf] case object ReportSpec extends ActionSpec
+private[tdf] final case class ForeachSpec(cols: Seq[String], f: (Int, Row) => Unit)
+    extends ActionSpec
 
 private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, result: Result[Any])
 
@@ -168,6 +170,8 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         })
       case HistoSpec(_, _, None, _) =>
         throw new IllegalStateException("auto-range histo must be range-resolved before compile")
+      case _: ForeachSpec =>
+        throw new IllegalStateException("Foreach actions are executed by runFused, not compiled")
       case ReportSpec =>
         val filters = b.steps.collect { case f: FilterStep => f }
         val cols = filters.zipWithIndex.flatMap { case (_, i) =>
@@ -205,8 +209,9 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     }
   }
 
-  private def runFused(batch: Vector[Booked], defines: Vector[DefineStep]): Unit = {
+  private def runFused(allBatch: Vector[Booked], defines: Vector[DefineStep]): Unit = {
     val base = withDefines(defines)
+    val (foreaches, batch) = allBatch.partition(_.spec.isInstanceOf[ForeachSpec])
 
     // Pre-project fixed-range histogram inputs (conditional value computed in
     // whole-stage codegen; the imperative aggregate reads a plain attribute).
@@ -235,6 +240,29 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         autos += ((b, mn, mx))
       case (b, i) => fixed += compile(b, wide, i, histoInputs.get(i))
     }
+    // If side-effecting Foreach actions share the batch with aggregates,
+    // persist the common frame so the scan is shared across the jobs
+    // (reference: every booked action runs in the same loop as the Foreach
+    // trigger, TDFGuide.md:288-291).
+    val shareScan = foreaches.nonEmpty && batch.nonEmpty
+    if (shareScan) { wide.persist(); () }
+    try {
+      if (batch.nonEmpty) runAggregates(batch, wide, fixed, autos)
+      foreaches.foreach { case Booked(steps, ForeachSpec(cols, f), result) =>
+        wide.where(predOf(steps)).select(cols.map(col): _*)
+          .foreachPartition { it: Iterator[Row] =>
+            val slot = org.apache.spark.TaskContext.getPartitionId()
+            it.foreach(r => f(slot, r))
+          }
+        fill(result, ())
+      }
+    } finally if (shareScan) { wide.unpersist(); () }
+  }
+
+  private def runAggregates(
+      batch: Vector[Booked], wide: DataFrame,
+      fixed: mutable.ArrayBuffer[(Seq[Column], Row => Unit)],
+      autos: mutable.ArrayBuffer[(Booked, String, String)]): Unit = {
     val aggCols = fixed.flatMap(_._1).toSeq
     val row = wide.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     fixed.foreach { case (_, f) => f(row) }
@@ -357,22 +385,20 @@ final class TDF private (
     steps.collect { case FilterStep(_, p) => p }.foldLeft(wide)(_ where _)
   }
 
-  /** Reference `Foreach` (TDataFrame.hxx:805-813): instant — flushes every
-    * pending booked action (they share the trigger, TDFGuide.md:288-291), then
-    * runs the side effect distributed. User owns thread-safety.
+  /** Reference `Foreach` (TDataFrame.hxx:805-813): instant — booked into the
+    * shared batch and triggered immediately, so every pending action runs in
+    * the same pass (TDFGuide.md:288-291; the common frame is persisted across
+    * the aggregate and side-effect jobs). User owns thread-safety.
     */
   def Foreach(cols: Seq[String])(f: Row => Unit): Unit = {
+    ctx.book[Unit](steps, ForeachSpec(cols, (_, r) => f(r)))
     ctx.run()
-    toDF.select(cols.map(col): _*).foreach(f)
   }
 
   /** Reference `ForeachSlot`: slot = partition id (TDFGuide.md:220-233). */
   def ForeachSlot(cols: Seq[String])(f: (Int, Row) => Unit): Unit = {
+    ctx.book[Unit](steps, ForeachSpec(cols, f))
     ctx.run()
-    toDF.select(cols.map(col): _*).foreachPartition { it: Iterator[Row] =>
-      val slot = org.apache.spark.TaskContext.getPartitionId()
-      it.foreach(r => f(slot, r))
-    }
   }
 
   /** Reference planned `Snapshot` (TDFGuide.md:383): persist the skim and

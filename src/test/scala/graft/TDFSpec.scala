@@ -138,6 +138,16 @@ class TDFSpec extends AnyFunSuite {
     assert(acc.value == (10 until 20).map(i => i * i).sum)
   }
 
+  test("Foreach shares the batch: pending aggregates fill in the same trigger") {
+    val d = TDF(fixture)
+    val c = d.Count()
+    val m = d.Mean("b1")
+    val acc = spark.sparkContext.longAccumulator("x")
+    d.Filter($"b1" < 5).Foreach(Seq("b1"))(_ => acc.add(1))
+    assert(c.isReady && m.isReady, "pending aggregates must fill with the Foreach trigger")
+    assert(c() == 20L && m() == 9.5 && acc.value == 5L)
+  }
+
   test("Sum and Reduce") {
     val d = TDF(fixture)
     assert(d.Sum("b1")() == 190.0)
