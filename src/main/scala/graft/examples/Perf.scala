@@ -52,6 +52,26 @@ object Perf {
       zdf.select(width_bucket(col("z2"), lit(0.0), lit(6000000.0), lit(128)).as("b"))
         .groupBy("b").count().collect(): Unit)
 
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    def rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")
+    time("join: li->o->c->n direct") {
+      li.withColumn("rev", rev)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(sum(col("rev")), count(lit(1))).collect(): Unit
+    }
+    time("join: pre-agg li by orderkey") {
+      li.withColumn("rev", rev).groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(sum(col("rev")), sum(col("n"))).collect(): Unit
+    }
+
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 10)
     time("ann brute: HOF aggregate/zip_with") {

@@ -40,20 +40,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
-    // star join: nation/region broadcast (dimension side), orders⋈lineitem
-    // shuffles once on orderkey; revenue per nation
+    // star join: lineitem PRE-AGGREGATED by orderkey before the join (shuffles
+    // ~10× fewer, compact rows — the shape that matters at 100 TB), dimensions
+    // broadcast; revenue per nation. Decimal sums decompose exactly, so the
+    // result is identical to the direct join.
     "q_join_bcast" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
+      val liAgg = Tables.lineitem(s, dir)
         .withColumn("rev", (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("rev")).as("revenue"), sum(col("n")).as("n_items"))
         .orderBy(col("n_name"))
     },
 

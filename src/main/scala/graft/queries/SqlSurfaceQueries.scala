@@ -90,6 +90,37 @@ object SqlSurfaceQueries {
         .orderBy(col("l_linestatus"))
     },
 
+    // unpivot (melt) via stack — wide metrics to long form
+    "q_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("price"),
+          count(lit(1)).cast("double").as("rows"))
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'qty', qty, 'price', CAST(price AS DOUBLE), 'rows', rows) AS (metric, value)"))
+        .withColumn("value", round(col("value"), 2))
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // struct/map/array construction + access
+    "q_struct_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 100)
+        .select(
+          col("o_orderkey"),
+          struct(col("o_custkey").as("c"), col("o_totalprice").as("p")).as("st"),
+          map(lit("status"), col("o_orderstatus"), lit("prio"), col("o_orderpriority")).as("m"),
+          array(col("o_orderkey"), col("o_custkey")).as("arr"))
+        .select(
+          col("o_orderkey"),
+          col("st.c").as("st_cust"), col("st.p").as("st_price"),
+          col("m")("status").as("m_status"), col("m")("prio").as("m_prio"),
+          element_at(col("arr"), 2).as("arr_second"),
+          size(col("arr")).as("arr_len"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // correlated + IN subqueries through the engine's SQL surface
     "q_subqueries" -> { (s, dir) =>
       Tables.customer(s, dir).createOrReplaceTempView("cust_sq")
@@ -213,6 +244,20 @@ object SqlSurfaceQueries {
              coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS qty_n,
              coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS qty_r
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_unpivot" -> """
+      WITH a AS (SELECT l_returnflag, sum(l_quantity) AS qty,
+                        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
+                        count(*)::DOUBLE AS rows FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, metric, round(value, 2) AS value FROM (
+        SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        UNION ALL SELECT l_returnflag, 'price', price FROM a
+        UNION ALL SELECT l_returnflag, 'rows', rows FROM a)
+      ORDER BY l_returnflag, metric""",
+    "q_struct_funcs" -> """
+      SELECT o_orderkey, o_custkey AS st_cust, o_totalprice AS st_price,
+             o_orderstatus AS m_status, o_orderpriority AS m_prio,
+             o_custkey AS arr_second, 2 AS arr_len
+      FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
     "q_subqueries" -> """
       SELECT c_custkey, c_acctbal FROM customer c
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
