@@ -28,8 +28,27 @@ case class HistogramAggExpr(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[HistBuffer] {
 
+  require(nbins >= 1, s"graft_histogram: nbins must be >= 1, got $nbins")
+  require(hi > lo, s"graft_histogram: hi ($hi) must be > lo ($lo)")
+
   // weight must be a real child so analysis/binding reach it
   override def children: Seq[Expression] = child +: weight.toSeq
+
+  // analysis-time type errors instead of executor ClassCastExceptions
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val valueOk = child.dataType match {
+      case DoubleType | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!valueOk)
+      TypeCheckFailure(s"graft_histogram value must be double or array<double>, got ${child.dataType}")
+    else weight match {
+      case Some(w) if w.dataType != LongType =>
+        TypeCheckFailure(s"graft_histogram weight must be bigint, got ${w.dataType}")
+      case _ => TypeCheckSuccess
+    }
+  }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HistogramAggExpr =
     copy(child = newChildren(0),

@@ -163,9 +163,14 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"as-of: no column '$n' in ${p.output.map(_.name)}"))
-    GraftSql.ofRows(spark, AsOfJoinPlan(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // the merge orderings come from the LEFT types — mismatched sides would
+    // fail with executor ClassCastExceptions; reject on the driver instead
+    require(lk.dataType == rk.dataType,
+      s"as-of: key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of: ts types differ: ${lt.dataType} vs ${rt.dataType}")
+    GraftSql.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

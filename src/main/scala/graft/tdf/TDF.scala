@@ -60,7 +60,9 @@ final class BookingContext private[tdf] (val base: DataFrame) {
   private val pending = mutable.ArrayBuffer.empty[Booked]
   private[tdf] var compat: Boolean = false
 
-  private[tdf] def book[T](steps: Vector[Step], spec: ActionSpec): Result[T] = {
+  private[tdf] def book[T](steps: Vector[Step], spec: ActionSpec): Result[T] = synchronized {
+    // same lock as run(): a booking raced against a concurrent trigger must
+    // not be cleared unfilled
     val r = new Result[T](this)
     pending += Booked(steps, spec, r.asInstanceOf[Result[Any]])
     r
@@ -174,6 +176,9 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         throw new IllegalStateException("Foreach actions are executed by runFused, not compiled")
       case ReportSpec =>
         val filters = b.steps.collect { case f: FilterStep => f }
+        if (filters.isEmpty)
+          // no cuts → empty report; a dummy count keeps the fused agg non-empty
+          return (Seq(count(lit(1)).as(a(0))), _ => fill(b.result, Seq.empty[CutInfo]))
         val cols = filters.zipWithIndex.flatMap { case (_, i) =>
           val upTo = filters.take(i + 1).map(_.pred).reduce(_ && _)
           val before = filters.take(i).map(_.pred).reduceOption(_ && _).getOrElse(lit(true))
@@ -356,15 +361,26 @@ final class TDF private (
   def Mean(column: String = ""): Result[Double] = ctx.book(steps, MeanSpec(pick(column, "Mean")))
   def Take(column: String = ""): Result[Seq[Any]] =
     ctx.book(steps, TakeSpec(pick(column, "Take")))
-  def Histo(column: String, nbins: Int, lo: Double, hi: Double): Result[Histogram] =
+  private def checkAxis(nbins: Int, lo: Double, hi: Double): Unit = {
+    require(nbins >= 1, s"Histo: nbins must be >= 1, got $nbins")
+    require(hi > lo, s"Histo: hi ($hi) must be > lo ($lo)")
+  }
+
+  def Histo(column: String, nbins: Int, lo: Double, hi: Double): Result[Histogram] = {
+    checkAxis(nbins, lo, hi)
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi))))
+  }
   /** auto-ranged: axis from data min/max, two-pass (reference FillOperation). */
-  def Histo(column: String, nbins: Int): Result[Histogram] =
+  def Histo(column: String, nbins: Int): Result[Histogram] = {
+    require(nbins >= 1, s"Histo: nbins must be >= 1, got $nbins")
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, None))
+  }
   /** weighted fill: Fill(x, w) with an integer-valued weight column. */
   def HistoWeighted(column: String, weightCol: String, nbins: Int, lo: Double,
-      hi: Double): Result[Histogram] =
+      hi: Double): Result[Histogram] = {
+    checkAxis(nbins, lo, hi)
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi)), Some(weightCol)))
+  }
   def Report(): Result[Seq[CutInfo]] = ctx.book(steps, ReportSpec)
 
   /** 2-D histogram (TH2 analog) as a distributed bucket aggregation — grids

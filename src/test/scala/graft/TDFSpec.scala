@@ -192,6 +192,27 @@ class TDFSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("review fixes: filterless Report, invalid histo axis, type mismatches") {
+    // Report with zero filters → empty cut-flow, not empty.head crash
+    assert(TDF(fixture).Report()().isEmpty)
+    // invalid histogram axes rejected at booking
+    intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 0, 0.0, 1.0) }
+    intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 10, 5.0, 5.0) }
+    intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 0) }
+    // as-of key-type mismatch rejected on the driver
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val r = Seq((1, 1L)).toDF("rk", "rt") // Int key vs Long key
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.join(l, r, "k", "rk", "t", "rt")
+    }
+    // non-double histogram input → analysis error, not executor crash
+    val ex = intercept[Exception] {
+      fixture.agg(graft.functions.HistogramAggExpr.histo(
+        org.apache.spark.sql.functions.col("b2"), 4, 0.0, 10.0)).collect()
+    }
+    assert(ex.getMessage.contains("graft_histogram"))
+  }
+
   test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
     val d = TDF(fixture)
     val r = d.Min("no_such_column")
