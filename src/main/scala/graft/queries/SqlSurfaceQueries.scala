@@ -90,6 +90,40 @@ object SqlSurfaceQueries {
         .orderBy(col("l_linestatus"))
     },
 
+    // date/interval function breadth
+    "q_date_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("f_plus30d"),
+          (col("o_orderdate") - expr("INTERVAL 6 HOURS")).as("f_minus6h"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("f_days_to_98"),
+          quarter(col("o_orderdate")).as("f_quarter"),
+          dayofmonth(col("o_orderdate")).as("f_dom"),
+          unix_timestamp(col("o_orderdate")).as("f_epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("f_ym"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // array function breadth over the embedding column
+    "q_array_funcs" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .withColumn("d", col("embedding").cast("array<double>"))
+        .select(
+          col("vec_id"),
+          size(col("d")).as("f_size"),
+          round(element_at(col("d"), 1), 6).as("f_first"),
+          round(array_max(col("d")), 6).as("f_max"),
+          round(element_at(sort_array(col("d")), 1), 6).as("f_sorted_min"),
+          round(element_at(slice(col("d"), 1, 3), 2), 6).as("f_slice2"),
+          size(filter(col("d"), x => x > 0.0)).as("f_npos"),
+          round(aggregate(col("d"), lit(0.0), (acc, x) => acc + x), 6).as("f_sum"))
+        .orderBy(col("vec_id"))
+    },
+
     // unpivot (melt) via stack — wide metrics to long form
     "q_unpivot" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -244,6 +278,28 @@ object SqlSurfaceQueries {
              coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS qty_n,
              coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS qty_r
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL '30 days' AS f_plus30d,
+             o_orderdate - INTERVAL '6 hours' AS f_minus6h,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS f_days_to_98,
+             quarter(o_orderdate) AS f_quarter,
+             day(o_orderdate) AS f_dom,
+             epoch(o_orderdate)::BIGINT AS f_epoch_s,
+             strftime(o_orderdate, '%Y-%m') AS f_ym
+      FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "q_array_funcs" -> """
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+                 FROM embeddings WHERE vec_id < 50)
+      SELECT vec_id,
+             len(d)::INT AS f_size,
+             round(d[1], 6) AS f_first,
+             round(list_max(d), 6) AS f_max,
+             round(list_sort(d)[1], 6) AS f_sorted_min,
+             round(d[1:3][2], 6) AS f_slice2,
+             len(list_filter(d, x -> x > 0.0))::INT AS f_npos,
+             round(list_sum(d), 6) AS f_sum
+      FROM e ORDER BY vec_id""",
     "q_unpivot" -> """
       WITH a AS (SELECT l_returnflag, sum(l_quantity) AS qty,
                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
