@@ -52,6 +52,11 @@ object Perf {
       zdf.select(width_bucket(col("z2"), lit(0.0), lit(6000000.0), lit(128)).as("b"))
         .groupBy("b").count().collect(): Unit)
 
+    // NOTE: a repartition(p)-based scaling sweep was tried and removed — the
+    // repartition shuffle dominates at sf0.1 file sizes and masks the agg
+    // scaling; the meaningful local evidence is the p1-vs-parallel flagship
+    // rows in Bench plus the plan-shape assertions in ScaleSpec.
+
     val orders = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)

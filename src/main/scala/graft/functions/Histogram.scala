@@ -29,6 +29,25 @@ final case class Histogram(
   /** (binIndex, lowEdge, count) rows for all non-empty info, driver-side. */
   def bins: Seq[(Int, Double, Long)] =
     counts.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, lo + i * binWidth, c) }
+
+  /** Pearson χ² comparison of two same-axis histograms (the HEP shape-test
+    * workhorse): χ² = Σ (a_i - b_i)² / (a_i + b_i) over bins where either
+    * count is non-zero. Returns (chi2, ndf).
+    */
+  def chi2Test(other: Histogram): (Double, Int) = {
+    require(nbins == other.nbins && lo == other.lo && hi == other.hi,
+      "chi2Test: histograms must share the axis")
+    var chi2 = 0.0
+    var ndf = 0
+    var i = 0
+    while (i < nbins) {
+      val a = counts(i).toDouble
+      val b = other.counts(i).toDouble
+      if (a + b > 0) { chi2 += (a - b) * (a - b) / (a + b); ndf += 1 }
+      i += 1
+    }
+    (chi2, math.max(ndf - 1, 0))
+  }
 }
 
 /** Mutable per-partition buffer — the Spark analog of the reference's per-slot

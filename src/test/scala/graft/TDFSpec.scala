@@ -222,6 +222,27 @@ class TDFSpec extends AnyFunSuite {
     }
   }
 
+  test("TChain analog: multi-path read concatenates files") {
+    val n1 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    val n2 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
+    val chained = spark.read.parquet(
+      "/root/testdata/sf0.001/lineitem.parquet",
+      "/root/testdata/sf0.01/lineitem.parquet")
+    assert(TDF(chained).Count()() == n1 + n2)
+  }
+
+  test("histogram chi2 comparison: identical → 0, shifted → positive") {
+    val d = TDF(fixture)
+    val h1 = d.Histo("b1", 10, 0.0, 20.0)
+    val h2 = d.Histo("b1", 10, 0.0, 20.0)
+    val h3 = d.Define("b1s", $"b1" + 7.0).Histo("b1s", 10, 0.0, 20.0)
+    assert(h1().chi2Test(h2())._1 == 0.0)
+    assert(h1().chi2Test(h3())._1 > 0.0)
+    intercept[IllegalArgumentException] {
+      h1().chi2Test(d.Histo("b1", 5, 0.0, 20.0)())
+    }
+  }
+
   test("Snapshot writes a skim and reopens it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/skim"
     val d = TDF(fixture).Filter($"b1" < 5).Snapshot(dir, Seq("b1", "b2"))
