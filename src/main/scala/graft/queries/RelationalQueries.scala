@@ -153,6 +153,32 @@ object RelationalQueries {
         .orderBy(col("nation"))
     },
 
+    // cogroup: per-key imperative processing of two datasets (typed API) —
+    // customers with their orders, computing stats in one pass per key
+    "q_cogroup" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      val out = c.groupByKey(_._1)(Encoders.scalaLong)
+        .cogroup(o.groupByKey(_._1)(Encoders.scalaLong)) { (key, cs, os) =>
+          val cust = cs.toSeq
+          if (cust.isEmpty) Iterator.empty
+          else {
+            var n = 0L
+            var cents = 0L
+            os.foreach { case (_, p) => n += 1; cents += math.round(p * 100) }
+            Iterator((key, cust.head._2, n, cents))
+          }
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("c_custkey", "acctbal", "n_orders", "total_cents")
+      out.orderBy(col("c_custkey"))
+    },
+
     // as-of join via the CUSTOM OPERATOR (LogicalPlan + Strategy + SparkPlan,
     // graft.plans.AsOfJoin): co-partitioned streaming merge, O(1) task state
     "q_asof_custom" -> { (s, dir) =>
@@ -268,6 +294,12 @@ object RelationalQueries {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts > v.ts
       ORDER BY c.event_id""",
+    "q_cogroup" -> """
+      SELECT c_custkey, c_acctbal AS acctbal,
+             count(o_orderkey)::BIGINT AS n_orders,
+             coalesce(sum(round(o_totalprice*100)::BIGINT), 0) AS total_cents
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_acctbal ORDER BY c_custkey""",
     "q_asof_custom" -> """
       SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
       FROM (SELECT * FROM events WHERE event_type = 'click') c
