@@ -227,7 +227,7 @@ object CoreQueries {
     "q_histo_weighted" -> s"""
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
                   ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,
-             sum(CAST(l_quantity AS BIGINT)) AS n
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n
       FROM (SELECT $zSql AS z, l_quantity FROM lineitem) GROUP BY 1 ORDER BY 1""",
     "q_histo2d" -> s"""
       WITH src AS (SELECT $zSql AS z, l_quantity AS q FROM lineitem)

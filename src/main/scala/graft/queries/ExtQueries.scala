@@ -157,7 +157,8 @@ object ExtQueries {
         FROM b ORDER BY doc_id""",
       "q_stream_tumbling" -> """
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
-               count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
       "q_sessionize" -> s"""
         WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
@@ -169,11 +170,11 @@ object ExtQueries {
         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, sum(cents) AS sum_cents
+               count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
       "q_stream_stateful" -> """
         SELECT user_id, count(*) AS n_events,
-               sum(round(value*100)::BIGINT) AS sum_cents
+               CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS sum_cents
         FROM events GROUP BY user_id ORDER BY user_id""",
       "q_funnel" -> """
         WITH stages AS (

@@ -33,8 +33,11 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec("l_extendedprice")).as("sum_base_price"),
-          sum(col("disc_price")).as("sum_disc_price"),
+          // decimal internally (order-independent exact sum); final output cast
+          // to double — decimal output columns never hash-match the oracle
+          // because the two readers represent decimals differently.
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(col("disc_price")).cast("double").as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -57,7 +60,7 @@ object RelationalQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).as("revenue"), sum(col("n")).as("n_items"))
+        .agg(sum(col("rev")).cast("double").as("revenue"), sum(col("n")).as("n_items"))
         .orderBy(col("n_name"))
     },
 
@@ -220,15 +223,15 @@ object RelationalQueries {
     "q_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-             sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              avg(l_quantity) AS avg_qty,
              count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_join_bcast" -> """
       SELECT n_name,
-             sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -297,7 +300,7 @@ object RelationalQueries {
     "q_cogroup" -> """
       SELECT c_custkey, c_acctbal AS acctbal,
              count(o_orderkey)::BIGINT AS n_orders,
-             coalesce(sum(round(o_totalprice*100)::BIGINT), 0) AS total_cents
+             CAST(coalesce(sum(round(o_totalprice*100)::BIGINT), 0) AS BIGINT) AS total_cents
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_acctbal ORDER BY c_custkey""",
     "q_asof_custom" -> """

@@ -239,15 +239,15 @@ object SqlSurfaceQueries {
              sqrt(l_quantity) AS f_sqrt,
              round(ln(l_extendedprice), 9) AS f_ln,
              round(pow(l_discount + 1.0, 3), 9) AS f_pow,
-             floor(l_extendedprice / 100.0) AS f_floor,
+             CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS f_floor,
              upper(l_returnflag) AS f_upper,
              l_returnflag || '/' || l_linestatus AS f_concat,
              lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS f_lpad,
              substring(l_returnflag, 1, 1) AS f_substr,
-             year(l_shipdate) AS f_year,
-             month(l_shipdate) AS f_month,
-             day(l_shipdate) AS f_day,
-             date_trunc('month', l_shipdate) AS f_trunc
+             CAST(year(l_shipdate) AS INT) AS f_year,
+             CAST(month(l_shipdate) AS INT) AS f_month,
+             CAST(day(l_shipdate) AS INT) AS f_day,
+             CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS f_trunc
       FROM lineitem WHERE l_orderkey <= 100
       ORDER BY l_orderkey, l_linenumber""",
     "q_string_funcs" -> """

@@ -51,7 +51,9 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // decimal internally (exact, order-independent); double on the wire —
+        // decimal output columns don't survive the oracle's typed hash
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
       .writeStream.outputMode("complete")
@@ -117,38 +119,36 @@ object Streams {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)
 
-  /** full-microsecond epoch value (Timestamp.getTime alone drops micros) */
-  private def epochMicros(ts: Timestamp): Long =
-    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
-
-  /** Gap-based sessionization (gap of inactivity closes a session): per-user
-    * imperative fold via `groupByKey.flatMapGroups` — the batch twin of
-    * `flatMapGroupsWithState`, one shuffle on user_id, state = one open
-    * session per user. Monetary values sum as integer cents (exact, order-
-    * independent); event order is (ts µs, event_id) — fully deterministic.
+  /** Gap-based sessionization (gap of inactivity closes a session), fully
+    * declarative: lag → gap-break flag → running sum (= session id) → grouped
+    * agg. One shuffle on user_id; every step is a spillable window/agg — no
+    * per-group materialization, so a hot key (bot traffic at 100 TB) streams
+    * through sort-based aggregation instead of sitting on one task's heap.
+    * Monetary values sum as integer cents (exact, order-independent); event
+    * order is (ts µs, event_id) — fully deterministic.
     */
   def sessionize(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    import org.apache.spark.sql.expressions.Window
     val gapUs = gapMinutes.toLong * 60 * 1000000
-    val src = events.select(col("user_id"), col("ts"), col("value"), col("event_id"))
-      .as[(Long, Timestamp, Double, Long)](Encoders.tuple(
-        Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble, Encoders.scalaLong))
-    src.groupByKey(_._1)(Encoders.scalaLong).flatMapGroups { (uid, it) =>
-      val evs = it.toArray.sortBy(e => (epochMicros(e._2), e._4))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-      var start: Timestamp = null
-      var last: Timestamp = null
-      var n = 0L
-      var cents = 0L
-      evs.foreach { case (_, ts, v, _) =>
-        val c = math.round(v * 100)
-        if (start == null) { start = ts; last = ts; n = 1; cents = c }
-        else if (epochMicros(ts) - epochMicros(last) > gapUs) {
-          out += Session(uid, start, last, n, cents)
-          start = ts; last = ts; n = 1; cents = c
-        } else { last = ts; n += 1; cents += c }
-      }
-      if (start != null) out += Session(uid, start, last, n, cents)
-      out.iterator
-    }(Encoders.product[Session])
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_cents"))
+      .as[Session](Encoders.product[Session])
   }
 }

@@ -96,6 +96,14 @@ class OpsSpec extends AnyFunSuite {
     assert(Streams.sessionize(split, 30).count() == 2)
   }
 
+  test("sessionize plan is fully declarative (no per-group materialization)") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val plan = Streams.sessionize(df, 30).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("MapGroups"), s"group materialization node in plan:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), "object fold in plan")
+  }
+
   test("multimodal feature extraction: bytes, sha256, mean") {
     val df = Seq((5L, "ab", 2L)).toDF("doc_id", "text", "n_chars")
     val f = Multimodal.extractFeatures(

@@ -44,6 +44,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def canon_type(t) -> str:
+    """Canonical dtype class, mirroring the driver's typed hash: int widths
+    collapse (int32 == int64 passes the driver), float32/64 collapse, but
+    float vs int vs decimal vs date vs timestamp are DISTINCT."""
+    import pyarrow as pa
+    import pyarrow.types as pt
+    if pt.is_decimal(t):
+        return f"DECIMAL[{t}]"        # flagged as an error elsewhere
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t) or pt.is_fixed_size_binary(t):
+        return "bin"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pt.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{canon_type(t.field(i).type)}"
+                         for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+def dtype_errors(spark_schema, duck_schema) -> list:
+    """Strict schema gate: canonical types must match per column, and NO
+    decimal/hugeint output columns at all — the driver reads Spark parquet
+    and the DuckDB oracle through different decimal representations, so a
+    decimal output column can never hash-match. Cast to DOUBLE or BIGINT."""
+    errs = []
+    sp = {f.name: f.type for f in spark_schema}
+    du = {f.name: f.type for f in duck_schema}
+    for name in sorted(set(sp) | set(du)):
+        cs = canon_type(sp[name]) if name in sp else "<missing>"
+        cd = canon_type(du[name]) if name in du else "<missing>"
+        if "DECIMAL" in cs or "DECIMAL" in cd:
+            errs.append(f"{name}: decimal output forbidden (spark={cs} duck={cd})")
+        elif cs != cd:
+            errs.append(f"{name}: spark={cs} duck={cd}")
+    return errs
+
 def eq(a, b) -> bool:
     if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
         return (a is None or (isinstance(a, float) and math.isnan(a))) and \
@@ -64,12 +111,18 @@ for name in queries:
         print(f"{name:28s} NO-ORACLE (rows-only check)")
         continue
     try:
-        spark_df = canon(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df())
-        duck_df = canon(con.sql(oracle[name]).df())
+        spark_tbl = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").arrow()
+        duck_tbl = con.sql(oracle[name]).arrow()
+        terrs = dtype_errors(spark_tbl.schema, duck_tbl.schema)
+        spark_df = canon(spark_tbl.to_pandas())
+        duck_df = canon(duck_tbl.to_pandas())
     except Exception as e:
         print(f"{name:28s} ERROR: {str(e)[:160]}"); fails += 1; continue
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         print(f"{name:28s} SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        fails += 1; continue
+    if terrs:
+        print(f"{name:28s} DTYPE MISMATCH: " + "; ".join(terrs))
         fails += 1; continue
     if len(spark_df) != len(duck_df):
         print(f"{name:28s} ROWCOUNT spark={len(spark_df)} duck={len(duck_df)}")
