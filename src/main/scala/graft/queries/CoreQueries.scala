@@ -165,6 +165,22 @@ object CoreQueries {
         .orderBy(col("bx"), col("by"))
     },
 
+    // typed-lambda surface (reference TFunctionTraits): Define and Filter
+    // routed through Scala function values lowered to UDFs — the reference's
+    // primary API shape (`d.Filter(isNeg, {"theta"})`), exact against the
+    // same oracle formula as the native-Column path
+    "q_typed_lambda" -> { (s, dir) =>
+      val d = TDF(Tables.lineitem(s, dir))
+        .Define("z", (p: Double, disc: Double) => p * (1.0 - disc),
+          Seq("l_extendedprice", "l_discount"))
+        .Filter((z: Double) => z > 1000.0, Seq("z"))
+      val (n, sq, mq) = (d.Count(), d.Sum("l_quantity"), d.Mean("l_quantity"))
+      oneRow(s, StructType(Seq(
+        StructField("n", LongType, false), StructField("sum_qty", DoubleType, false),
+        StructField("mean_qty", DoubleType, false))),
+        n(), sq(), mq())
+    },
+
     // union-of-chains: the TChain analog — multi-path read of the same table
     "q_union_chain" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
@@ -220,6 +236,9 @@ object CoreQueries {
     "q_array_stats" -> """
       SELECT min(e) AS min_e, max(e) AS max_e, round(avg(e), 6) AS mean_e
       FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)""",
+    "q_typed_lambda" -> s"""
+      SELECT count(*) AS n, sum(l_quantity) AS sum_qty, avg(l_quantity) AS mean_qty
+      FROM (SELECT l_quantity, $zSql AS z FROM lineitem) WHERE z > 1000.0""",
     "q_union_chain" -> """
       SELECT count(*) AS n FROM (
         SELECT * FROM lineitem WHERE l_returnflag = 'A'

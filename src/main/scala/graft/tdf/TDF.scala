@@ -341,6 +341,78 @@ final class TDF private (
 
   def WithDefaultColumns(cols: Seq[String]): TDF = new TDF(ctx, steps, cols)
 
+  // ---- typed-lambda surface -------------------------------------------------
+  // The reference's primary user API is typed callables + a branch list, with
+  // argument types deduced via TFunctionTraits (TDataFrame.hxx:44-81; usage
+  // README.md:10-16; shapes exercised in tests/test_functiontraits.cxx:24-141).
+  // Scala function values cover every reference callable shape — lambda,
+  // eta-expanded free function/method, and function object (FunctionN
+  // instance) — so one overload set serves all of them. Lambdas are lowered
+  // to Spark UDFs with TypeTag-derived schemas; the column list's arity is
+  // validated against the callable's arity (reference PickBranchNames arity
+  // errors, TDataFrame.hxx:299-314), falling back to the default column list
+  // when omitted.
+  //
+  // Scale note: a UDF is an opaque black box to Catalyst — no predicate
+  // pushdown through a lambda Filter, no constant folding inside a lambda
+  // Define. The native `Column` overloads above are the fast path; the typed
+  // surface exists for API parity and for genuinely imperative row logic.
+
+  private def pickN(cols: Seq[String], n: Int, op: String): Seq[String] = {
+    val cs = if (cols.nonEmpty) cols else defaultColumns
+    if (cs.size != n)
+      throw new IllegalArgumentException(
+        s"$op: callable takes $n column(s) but ${if (cols.nonEmpty) "column list"
+          else "default column list"} has ${cs.size}")
+    cs
+  }
+
+  import scala.reflect.runtime.universe.TypeTag
+
+  def Filter[A: TypeTag](f: A => Boolean, cols: Seq[String] = Nil): TDF = {
+    val cs = pickN(cols, 1, "Filter")
+    Filter(udf(f).apply(col(cs(0))))
+  }
+  def Filter[A: TypeTag, B: TypeTag](f: (A, B) => Boolean, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 2, "Filter")
+    Filter(udf(f).apply(col(cs(0)), col(cs(1))))
+  }
+  def Filter[A: TypeTag, B: TypeTag, C: TypeTag](
+      f: (A, B, C) => Boolean, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 3, "Filter")
+    Filter(udf(f).apply(col(cs(0)), col(cs(1)), col(cs(2))))
+  }
+  def Filter[A: TypeTag, B: TypeTag, C: TypeTag, D: TypeTag](
+      f: (A, B, C, D) => Boolean, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 4, "Filter")
+    Filter(udf(f).apply(col(cs(0)), col(cs(1)), col(cs(2)), col(cs(3))))
+  }
+
+  /** named typed-lambda cut (for cut-flow `Report`) */
+  def Filter[A: TypeTag](name: String, f: A => Boolean, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 1, "Filter")
+    Filter(name, udf(f).apply(col(cs(0))))
+  }
+
+  def Define[R: TypeTag, A: TypeTag](name: String, f: A => R, cols: Seq[String] = Nil): TDF = {
+    val cs = pickN(cols, 1, "Define")
+    Define(name, udf(f).apply(col(cs(0))))
+  }
+  def Define[R: TypeTag, A: TypeTag, B: TypeTag](
+      name: String, f: (A, B) => R, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 2, "Define")
+    Define(name, udf(f).apply(col(cs(0)), col(cs(1))))
+  }
+  def Define[R: TypeTag, A: TypeTag, B: TypeTag, C: TypeTag](
+      name: String, f: (A, B, C) => R, cols: Seq[String]): TDF = {
+    val cs = pickN(cols, 3, "Define")
+    Define(name, udf(f).apply(col(cs(0)), col(cs(1)), col(cs(2))))
+  }
+  def AddBranch[R: TypeTag, A: TypeTag](name: String, f: A => R, cols: Seq[String]): TDF =
+    Define(name, f, cols)
+  def AddBranch[R: TypeTag, A: TypeTag, B: TypeTag](
+      name: String, f: (A, B) => R, cols: Seq[String]): TDF = Define(name, f, cols)
+
   // ---- column resolution (reference PickBranchNames, TDataFrame.hxx:299-314)
 
   private def pick(c: String, op: String): String =
@@ -414,6 +486,26 @@ final class TDF private (
   /** Reference `ForeachSlot`: slot = partition id (TDFGuide.md:220-233). */
   def ForeachSlot(cols: Seq[String])(f: (Int, Row) => Unit): Unit = {
     ctx.book[Unit](steps, ForeachSpec(cols, f))
+    ctx.run()
+  }
+
+  /** Typed-lambda `Foreach` (reference TDataFrame.hxx:805-813 takes a callable
+    * + branch list): values handed to the callable directly, no Row plumbing.
+    */
+  def Foreach[A](f: A => Unit, cols: Seq[String]): Unit = {
+    val cs = pickN(cols, 1, "Foreach")
+    ctx.book[Unit](steps, ForeachSpec(cs, (_, r) => f(r.getAs[A](0))))
+    ctx.run()
+  }
+  def Foreach[A, B](f: (A, B) => Unit, cols: Seq[String]): Unit = {
+    val cs = pickN(cols, 2, "Foreach")
+    ctx.book[Unit](steps, ForeachSpec(cs, (_, r) => f(r.getAs[A](0), r.getAs[B](1))))
+    ctx.run()
+  }
+  def Foreach[A, B, C](f: (A, B, C) => Unit, cols: Seq[String]): Unit = {
+    val cs = pickN(cols, 3, "Foreach")
+    ctx.book[Unit](steps,
+      ForeachSpec(cs, (_, r) => f(r.getAs[A](0), r.getAs[B](1), r.getAs[C](2))))
     ctx.run()
   }
 

@@ -222,6 +222,52 @@ class TDFSpec extends AnyFunSuite {
     }
   }
 
+  test("typed-lambda surface: every reference callable shape (test_functiontraits)") {
+    val d = TDF(fixture)
+    // lambda (reference lambda2 analog)
+    assert(d.Filter((x: Double) => x >= 10.0, Seq("b1")).Count()() == 10L)
+    // eta-expanded free function (reference freeFun1 analog)
+    assert(d.Filter(TDFSpecFns.isBigSquare _, Seq("b2")).Count()() == 10L)
+    // function object / functor class (reference Functor1 analog)
+    assert(d.Filter(TDFSpecFns.LessThan5, Seq("b1")).Count()() == 5L)
+    // function value in a val (reference std::function analog)
+    val stdFun: (Double, Int) => Boolean = (b1, b2) => b2 > b1
+    assert(d.Filter(stdFun, Seq("b1", "b2")).Count()() == 18L) // b1*b1>b1 fails for 0,1
+    // 3-arg shape
+    assert(d.Filter((a: Double, b: Int, dv: Seq[Double]) => dv.length > a + b / 100,
+      Seq("b1", "b2", "dv")).Count()() == 20L)
+  }
+
+  test("typed-lambda Define equals native-Column Define; Foreach typed") {
+    val d = TDF(fixture)
+    val lam = d.Define("y", (a: Double, b: Int) => a * 2 + b, Seq("b1", "b2")).Sum("y")()
+    val nat = TDF(fixture).Define("y", $"b1" * 2 + $"b2").Sum("y")()
+    assert(lam == nat)
+    // named typed cut feeds the cut-flow Report
+    val rep = TDF(fixture).Filter("pos", (x: Double) => x > 0.0, Seq("b1")).Report()()
+    assert(rep.head.name == "pos" && rep.head.pass == 19L && rep.head.all == 20L)
+    // typed Foreach: values arrive unwrapped
+    val acc = spark.sparkContext.doubleAccumulator("tdf_typed_foreach")
+    d.Foreach((x: Double) => acc.add(x), Seq("b1"))
+    assert(acc.value == (0 until 20).sum.toDouble)
+  }
+
+  test("typed-lambda arity errors and default-column fallback (PickBranchNames)") {
+    val d = TDF(fixture, defaultColumns = Seq("b1"))
+    // default list satisfies arity 1
+    assert(d.Filter((x: Double) => x >= 10.0).Count()() == 10L)
+    // wrong explicit arity throws
+    val e1 = intercept[IllegalArgumentException] {
+      d.Filter((x: Double) => x > 0.0, Seq("b1", "b2"))
+    }
+    assert(e1.getMessage.contains("1 column"))
+    // default list can't satisfy arity 2
+    val e2 = intercept[IllegalArgumentException] {
+      d.Filter((a: Double, b: Int) => b > a, Nil)
+    }
+    assert(e2.getMessage.contains("default"))
+  }
+
   test("TChain analog: multi-path read concatenates files") {
     val n1 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     val n2 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
@@ -248,5 +294,19 @@ class TDFSpec extends AnyFunSuite {
     val d = TDF(fixture).Filter($"b1" < 5).Snapshot(dir, Seq("b1", "b2"))
     assert(d.Count()() == 5L)
     assert(d.columns == Seq("b1", "b2"))
+  }
+}
+
+/** top-level free functions for the eta-expansion shape in the
+  * functiontraits tests (reference freeFun1/freeFun2)
+  */
+object TDFSpecFns {
+  def isBigSquare(b2: Int): Boolean = b2 >= 100
+
+  /** standalone function object (reference Functor1): must be serializable on
+    * its own, unlike an anonymous Function1 in a test class (outer capture)
+    */
+  object LessThan5 extends (Double => Boolean) with Serializable {
+    def apply(x: Double): Boolean = x < 5.0
   }
 }
