@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps.{hash32, shingles, tokens}
@@ -53,18 +54,36 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew guard for banded self-joins: the left (smaller-id) side of a pair
+    * must be among the `maxBucket` smallest ids of its bucket. Exactly the
+    * full pair set when a bucket has ≤ maxBucket members; for a pathological
+    * bucket of m near-identical docs (boilerplate cluster, bot traffic) the
+    * blowup drops from O(m²) to O(maxBucket·m) while every member still links
+    * to the bucket's anchors — connected components still unifies the whole
+    * cluster. The cap is deterministic (id order), so a SQL oracle reproduces
+    * the exact same capped semantics. Documented recall tradeoff: anchor-to-
+    * anchor pairs beyond the cap are dropped inside oversized buckets only.
+    */
+  val DEFAULT_MAX_BUCKET = 256
+
   /** LSH candidate pairs from a signature frame: k/bandSize bands, join docs
     * sharing any band key (id_a < id_b), distinct. Scales as a keyed
-    * self-join on short band keys — no cross join anywhere.
+    * self-join on short band keys — no cross join anywhere; oversized buckets
+    * are anchor-capped (see [[DEFAULT_MAX_BUCKET]]).
     */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+  def lshCandidates(
+      sig: DataFrame, idCol: String, k: Int, bandSize: Int,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val nBands = k / bandSize
     val bands = (0 until nBands).map { b =>
       val key = concat_ws("_",
         (0 until bandSize).map(j => col(s"mh_${b * bandSize + j}")): _*)
       sig.select(col(idCol).as("id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionByName _)
-    val l = bands.select(col("id").as("id_a"), col("band"), col("bkey"))
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    val l = bands.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= maxBucket)
+      .select(col("id").as("id_a"), col("band"), col("bkey"))
     val r = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
@@ -86,7 +105,8 @@ object Dedup {
     */
   def nearDuplicatesLsh(
       df: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
-      shingleN: Int, persistSets: Boolean = true): DataFrame = {
+      shingleN: Int, persistSets: Boolean = true,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleN)
     if (persistSets) sets.persist()
     val sh = sets.select(col("id"), explode(col("sh")).as("sh"))
@@ -96,7 +116,7 @@ object Dedup {
       min((lit(a) * col("h0") + lit(b)) % lit(MINHASH_P)).as(s"mh_$i")
     }
     val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val cands = lshCandidates(sig, "id", k, bandSize)
+    val cands = lshCandidates(sig, "id", k, bandSize, maxBucket)
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -176,17 +196,23 @@ object Dedup {
   }
 
   /** Hamming-distance pairs over simhash values; candidates restricted by a
-    * 16-bit prefix band (both halves tried) so no full cross join at scale.
+    * 16-bit prefix band (both halves tried) so no full cross join at scale;
+    * oversized bands anchor-capped like [[lshCandidates]].
     */
-  def simhashPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+  def simhashPairs(
+      sim: DataFrame, idCol: String, maxDist: Int,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val banded = Seq(
       sim.select(col(idCol).as("id"), lit(0).as("band"),
         shiftright(col("simhash"), 16).as("bkey"), col("simhash")),
       sim.select(col(idCol).as("id"), lit(1).as("band"),
         col("simhash").bitwiseAND(0xFFFFL).as("bkey"), col("simhash")))
       .reduce(_ unionByName _)
-    val l = banded.select(col("id").as("id_a"), col("band"), col("bkey"),
-      col("simhash").as("sim_a"))
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    val l = banded.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= maxBucket)
+      .select(col("id").as("id_a"), col("band"), col("bkey"),
+        col("simhash").as("sim_a"))
     val r = banded.select(col("id").as("id_b"), col("band"), col("bkey"),
       col("simhash").as("sim_b"))
     l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

@@ -72,16 +72,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Per-bucket candidate cap (skew guard): a degenerate bucket holding a
+    * large fraction of the corpus (near-constant embeddings) would otherwise
+    * turn the bucket self-join quadratic. Candidates are capped to the
+    * `maxBucket` smallest ids per bucket — deterministic, so oracles encode
+    * the identical semantics; a no-op for healthy bucket sizes.
+    */
+  val DEFAULT_MAX_BUCKET = 1024
+
   /** Bucketed ANN top-k: candidates restricted to the query's LSH bucket
     * (approximate recall — the documented LSH tradeoff); same ranking rules.
+    * Neighbor side anchor-capped per bucket (see [[DEFAULT_MAX_BUCKET]]).
     */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int,
-      dim: Int): DataFrame = {
+      dim: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val l = b.select(col("id").as("query_id"), col("__v").as("__qv"), col("bucket"))
-    val r = b.select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("bucket"))
+    val r = b.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= maxBucket)
+      .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     l.join(r, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
@@ -96,10 +108,13 @@ object Similarity {
     */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double, nBits: Int,
-      dim: Int): DataFrame = {
+      dim: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
-    val l = b.select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val l = b.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= maxBucket)
+      .select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
     val r = b.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosineR6(col("__va"), col("__vb")))

@@ -131,20 +131,26 @@ object ExtQueries {
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
       "q_ann_lsh" -> s"""
         $embBase,
-        b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        b AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                AS rk FROM b0),
         p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
                      ${cosSql("q", "c")} AS cos_sim
-              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+               AND c.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET})
         SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
       "q_embed_neardup" -> s"""
         $embBase,
-        b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n)
+        b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        b AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                AS rk FROM b0)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
                ${cosSql("a", "b")} AS cos_sim
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         AND a.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
         WHERE ${cosSql("a", "b")} >= $NEARDUP_COS
         ORDER BY id_a, id_b""",
       "q_multimodal" -> """

@@ -106,7 +106,12 @@ object PipelineQueries {
       val b = emb.select(col("vec_id").as("id"),
         graft.ops.Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("bucket", graft.ops.Similarity.hyperplaneBucket(col("v"), 6, 64))
-      val embCands = b.select(col("id").as("id_a"), col("bucket"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("id"))
+      val embCands = b
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= graft.ops.Similarity.DEFAULT_MAX_BUCKET)
+        .select(col("id").as("id_a"), col("bucket"))
         .join(b.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(0).as("src_text"), lit(1).as("src_embed"))
@@ -201,6 +206,13 @@ object PipelineQueries {
       val key = (0 until BAND).map(j => s"mh_${b * BAND + j}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $key) AS bkey FROM mh"
     }.mkString(" UNION ALL ")
+    // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
+    // smaller-id side of a candidate pair must rank <= MAXB in its bucket
+    val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
+    val EMB_MAXB = graft.ops.Similarity.DEFAULT_MAX_BUCKET
+    val bandsCte = s"""bands0 AS ($bandSelects),
+        bands AS (SELECT *, row_number() OVER (PARTITION BY band, bkey
+                    ORDER BY doc_id) AS rk FROM bands0)"""
     val bitSums = (0 until 32).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
     val simExpr = (0 until 32).map(j =>
@@ -263,10 +275,10 @@ object PipelineQueries {
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
         ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
-        bands AS ($bandSelects),
+        $bandsCte,
         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b USING (band, bkey)
-                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
         pairs AS (SELECT id_a, id_b FROM cands
                   JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
                   WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
@@ -291,10 +303,10 @@ object PipelineQueries {
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
         ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
-        bands AS ($bandSelects),
+        $bandsCte,
         tc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS src_text, 0 AS src_embed
                FROM bands a JOIN bands b USING (band, bkey)
-               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+               WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
         -- embedding hyperplane buckets (6 bits over 64 dims, same planes as
         -- graft.ops.Similarity.hyperplaneBucket)
         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -305,8 +317,11 @@ object PipelineQueries {
                 (CAST(('0x' || substring(md5($j || '_' || d),1,8)) AS BIGINT) % 2001 - 1000)/1000.0))[i])) >= 0
               THEN ${1L << j} ELSE 0 END)"""
         }.mkString(" + ")} AS bucket FROM e),
+        ebr AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                  AS rk FROM eb),
         ec AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 0 AS src_text, 1 AS src_embed
-               FROM eb a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+               FROM ebr a JOIN ebr b USING (bucket)
+               WHERE a.vec_id < b.vec_id AND a.rk <= $EMB_MAXB GROUP BY 1, 2),
         cands AS (SELECT id_a, id_b, max(src_text) AS src_text, max(src_embed) AS src_embed
                   FROM (SELECT * FROM tc UNION ALL SELECT * FROM ec) GROUP BY 1, 2),
         nrm AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
@@ -354,10 +369,10 @@ object PipelineQueries {
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM qk),
         ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
-        bands AS ($bandSelects),
+        $bandsCte,
         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b USING (band, bkey)
-                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
         pairs AS (SELECT id_a, id_b,
                     len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -390,10 +405,10 @@ object PipelineQueries {
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
         ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
-        bands AS ($bandSelects),
+        $bandsCte,
         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b USING (band, bkey)
-                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2)
         SELECT id_a, id_b,
                len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_inter,
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::BIGINT AS n_union,
@@ -406,14 +421,17 @@ object PipelineQueries {
         h AS (SELECT doc_id, ${hash32Sql("w")} AS h FROM w),
         bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
         sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bs),
-        banded AS (
+        banded0 AS (
           SELECT doc_id AS id, 0 AS band, simhash >> 16 AS bkey, simhash FROM sim
           UNION ALL
           SELECT doc_id, 1, simhash & 65535, simhash FROM sim),
+        banded AS (SELECT *, row_number() OVER (PARTITION BY band, bkey
+                     ORDER BY id) AS rk FROM banded0),
         pairs AS (
           SELECT a.id AS id_a, b.id AS id_b,
                  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-          FROM banded a JOIN banded b USING (band, bkey) WHERE a.id < b.id
+          FROM banded a JOIN banded b USING (band, bkey)
+          WHERE a.id < b.id AND a.rk <= $MAXB
           GROUP BY 1, 2, 3)
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $HAMMING
         ORDER BY id_a, id_b""",

@@ -96,6 +96,30 @@ class OpsSpec extends AnyFunSuite {
     assert(Streams.sessionize(split, 30).count() == 2)
   }
 
+  test("LSH band join is skew-guarded: identical-doc cluster stays O(cap·m)") {
+    // 1000 identical docs land in ONE band bucket per band; unguarded pairs
+    // would be m(m-1)/2 = 499500. With anchors capped at 8 smallest ids the
+    // candidate set is exactly sum_{i=0..7} (999-i) = 7964, and every doc
+    // still pairs with an anchor (cluster stays connected for CC).
+    val m = 1000
+    val docs = (0 until m).map(i => (i.toLong, "spark spark spark streams data"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+    val cands = Dedup.lshCandidates(sig, "doc_id", 16, 4, maxBucket = 8)
+    assert(cands.count() == (0 until 8).map(i => m - 1 - i).sum)
+    // every non-anchor doc is linked (reachable for connected components)
+    assert(cands.select("id_b").distinct().count() == (m - 1).toLong)
+    // uncapped semantics unchanged for healthy buckets: tiny corpus, cap huge
+    val few = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sigF = Dedup.minhashSignatures(few, "doc_id", "text", 16, 3)
+    val full = Dedup.lshCandidates(sigF, "doc_id", 16, 4, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidates(sigF, "doc_id", 16, 4, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == capped && full.contains((1L, 2L)))
+  }
+
   test("sessionize plan is fully declarative (no per-group materialization)") {
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L))
       .toDF("user_id", "ts", "value", "event_id")
