@@ -55,18 +55,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // noop sink: executes the FULL plan users run (a bare .count() would let
+    // Catalyst drop final orderBy / unreferenced projections and under-measure
+    // the ordered outputs)
+    def sink(name: String): () => Unit =
+      () => SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     val headline: Seq[(String, () => Unit)] = Seq(
       "flagship_histo_chain_p1" -> (() => flagship(spark, sfDir, 1)),
       "flagship_histo_chain" -> (() => flagship(spark, sfDir, 0)),
       "flagship_histo_array" -> (() => flagshipArray(spark, sfDir)),
-      "q_groupby_agg" -> (() => { SparkEntry.queries("q_groupby_agg")(spark, sfDir).count(): Unit }),
-      "q_join_bcast" -> (() => { SparkEntry.queries("q_join_bcast")(spark, sfDir).count(): Unit }),
-      "q_window_topk" -> (() => { SparkEntry.queries("q_window_topk")(spark, sfDir).count(): Unit }),
-      "q_dedup_minhash_lsh" -> (() => { SparkEntry.queries("q_dedup_minhash_lsh")(spark, sfDir).count(): Unit }),
-      "q_dedup_exact" -> (() => { SparkEntry.queries("q_dedup_exact")(spark, sfDir).count(): Unit }),
-      "q_ann_bruteforce" -> (() => { SparkEntry.queries("q_ann_bruteforce")(spark, sfDir).count(): Unit }),
-      "q_text_quality" -> (() => { SparkEntry.queries("q_text_quality")(spark, sfDir).count(): Unit }),
-      "q_sessionize" -> (() => { SparkEntry.queries("q_sessionize")(spark, sfDir).count(): Unit }))
+      "q_groupby_agg" -> sink("q_groupby_agg"),
+      "q_join_bcast" -> sink("q_join_bcast"),
+      "q_window_topk" -> sink("q_window_topk"),
+      "q_dedup_minhash_lsh" -> sink("q_dedup_minhash_lsh"),
+      "q_dedup_exact" -> sink("q_dedup_exact"),
+      "q_ann_bruteforce" -> sink("q_ann_bruteforce"),
+      "q_text_quality" -> sink("q_text_quality"),
+      "q_sessionize" -> sink("q_sessionize"))
 
     val results = headline.map { case (name, run) =>
       run() // warm-up (I/O cache, codegen, broadcast reuse)

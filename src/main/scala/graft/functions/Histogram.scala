@@ -50,6 +50,15 @@ final case class Histogram(
   }
 }
 
+object Histogram {
+  /** Empty model histogram — the analog of constructing a `TH1F` to pass to
+    * the reference's model overload `Histo(branch, model)`
+    * (TDataFrame.hxx:897-904): only the axis is read from it.
+    */
+  def model(nbins: Int, lo: Double, hi: Double): Histogram =
+    Histogram(nbins, lo, hi, Array.fill(nbins)(0L), 0L, 0L, 0L, 0.0, 0.0)
+}
+
 /** Mutable per-partition buffer — the Spark analog of the reference's per-slot
   * TH1F clone (TDataFrame.hxx:483-517): update = Fill, merge = Add.
   */

@@ -165,13 +165,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(propagated, Seq("id"), "left")
+      // carry a per-row changed flag so convergence is read from the SAME
+      // materialization: the eager localCheckpoint is the one propagation job
+      // per round, and the convergence count is a cheap scan of its cached
+      // blocks — no second join/recompute of the propagation
+      val updated = labels.withColumnRenamed("label", "old")
+        .join(propagated, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).limit(1).count()
-      labels = updated.localCheckpoint(true) // truncate lineage each round
-      converged = changed == 0
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          (coalesce(col("nbr_label"), col("old")) < col("old")).cast("long").as("chg"))
+      val ck = updated.localCheckpoint(true) // truncate lineage each round
+      val row = ck.agg(sum(col("chg"))).collect()(0)
+      converged = row.isNullAt(0) || row.getLong(0) == 0L
+      labels = ck.select(col("id"), col("label"))
       iter += 1
     }
     labels

@@ -433,20 +433,44 @@ final class TDF private (
   def Mean(column: String = ""): Result[Double] = ctx.book(steps, MeanSpec(pick(column, "Mean")))
   def Take(column: String = ""): Result[Seq[Any]] =
     ctx.book(steps, TakeSpec(pick(column, "Take")))
+
+  /** Spill-safe `Take` for large collects: streams the column partition by
+    * partition (`toLocalIterator`), so the driver holds at most one partition
+    * instead of the whole `collect_list` result. Instant action — it returns
+    * a live cursor, so it cannot ride the fused batch.
+    */
+  def TakeIterator(column: String = ""): Iterator[Any] = {
+    import scala.jdk.CollectionConverters._
+    toDF.select(col(pick(column, "Take"))).toLocalIterator().asScala.map(_.get(0))
+  }
   private def checkAxis(nbins: Int, lo: Double, hi: Double): Unit = {
     require(nbins >= 1, s"Histo: nbins must be >= 1, got $nbins")
-    require(hi > lo, s"Histo: hi ($hi) must be > lo ($lo)")
+    require(hi >= lo, s"Histo: hi ($hi) must be >= lo ($lo)")
   }
 
+  /** Reference signature `Histo(branchName = "", nBins = 128, minVal = 0.,
+    * maxVal = 0.)` (TDataFrame.hxx:924): `lo == hi` means "axis from data
+    * min/max" (TH1 auto-range convention) — the two-pass deferred axis.
+    */
   def Histo(column: String, nbins: Int, lo: Double, hi: Double): Result[Histogram] = {
     checkAxis(nbins, lo, hi)
-    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi))))
+    val range = if (lo == hi) None else Some((lo, hi))
+    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, range))
   }
   /** auto-ranged: axis from data min/max, two-pass (reference FillOperation). */
   def Histo(column: String, nbins: Int): Result[Histogram] = {
     require(nbins >= 1, s"Histo: nbins must be >= 1, got $nbins")
     ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, None))
   }
+  /** reference TEST 6 `d.Histo()`: default column, 128 bins, auto-range */
+  def Histo(): Result[Histogram] = Histo("", 128)
+  /** Model overload (reference TDataFrame.hxx:897-904, TEST 6
+    * `d.Histo("dv", dvHisto)`): axis copied from the model histogram; the
+    * returned histogram is independent of the model. `Histogram.model` builds
+    * an empty model.
+    */
+  def Histo(column: String, model: Histogram): Result[Histogram] =
+    Histo(column, model.nbins, model.lo, model.hi)
   /** weighted fill: Fill(x, w) with an integer-valued weight column. */
   def HistoWeighted(column: String, weightCol: String, nbins: Int, lo: Double,
       hi: Double): Result[Histogram] = {

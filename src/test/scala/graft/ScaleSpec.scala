@@ -42,6 +42,32 @@ class ScaleSpec extends AnyFunSuite {
       s"expected 2-column pruned scan:\n$scan")
   }
 
+  test("100M-entry stress: exact count/min/max/mean/histo at 1 vs 32 partitions") {
+    // reference tests/test_par.cxx:12-40 runs 100M entries with exact
+    // printouts; here the same scale exercises real partial-buffer merges in
+    // the fused aggregate and the native histogram. Values are integral
+    // doubles (sum < 2^53), so every statistic is exact under ANY partition
+    // split / merge order — the partition-invariance contract at a size where
+    // per-task buffers actually matter.
+    import graft.tdf.TDF
+    val n = 100000000L
+    def run(parts: Int) = {
+      val df = spark.range(0, n, 1, parts)
+        .withColumn("v", ($"id" % 1000).cast("double"))
+      val d = TDF(df)
+      val (c, mn, mx, me) = (d.Count(), d.Min("v"), d.Max("v"), d.Mean("v"))
+      val h = d.Histo("v", 64, 0.0, 1000.0)
+      (c(), mn(), mx(), me(), h())
+    }
+    val (c32, mn32, mx32, me32, h32) = run(32)
+    val (c1, mn1, mx1, me1, h1) = run(1)
+    assert(c1 == n && c32 == n)
+    assert(mn1 == 0.0 && mx1 == 999.0 && mn32 == mn1 && mx32 == mx1)
+    assert(me1 == 499.5 && me32 == 499.5) // exact: integral sum, same division
+    assert(h1.counts.toSeq == h32.counts.toSeq && h1.entries == h32.entries)
+    assert(h1.sumx == h32.sumx && h1.sumx2 == h32.sumx2) // integral → exact
+  }
+
   test("dimension join broadcasts, fact side never shuffles before the join") {
     val dir = "/root/testdata/sf0.001"
     val joined = Tables.lineitem(spark, dir)

@@ -197,8 +197,12 @@ class TDFSpec extends AnyFunSuite {
     assert(TDF(fixture).Report()().isEmpty)
     // invalid histogram axes rejected at booking
     intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 0, 0.0, 1.0) }
-    intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 10, 5.0, 5.0) }
+    intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 10, 5.0, 1.0) }
     intercept[IllegalArgumentException] { TDF(fixture).Histo("b1", 0) }
+    // lo == hi is NOT an error: TH1 auto-range convention (reference default
+    // Histo(branch, 128, 0., 0.) means "axis from data")
+    val auto = TDF(fixture).Histo("b1", 10, 0.0, 0.0)()
+    assert(auto.entries == 20L && auto.lo == 0.0 && auto.counts.sum == 20L)
     // as-of key-type mismatch rejected on the driver
     val l = Seq((1L, 1L)).toDF("k", "t")
     val r = Seq((1, 1L)).toDF("rk", "rt") // Int key vs Long key
@@ -211,6 +215,36 @@ class TDFSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("b2"), 4, 0.0, 10.0)).collect()
     }
     assert(ex.getMessage.contains("graft_histogram"))
+  }
+
+  test("TEST 6: Histo model overload and no-arg default Histo") {
+    val d = TDF(fixture, defaultColumns = Seq("b1"))
+    // h3 analog: model axis copied, result independent of the model
+    val model = graft.functions.Histogram.model(64, -8.0, 8.0)
+    val h3 = d.Histo("dv", model)()
+    assert(h3.nbins == 64 && h3.lo == -8.0 && h3.hi == 8.0)
+    val expectedInRange = fixture.select(explode($"dv").as("e"))
+      .where($"e" >= -8.0 && $"e" < 8.0).count()
+    assert(h3.counts.sum == expectedInRange)
+    assert(h3.entries == fixture.select(sum(size($"dv"))).as[Long].head)
+    assert(model.entries == 0L, "model histogram must stay untouched")
+    // identical to the explicit-axis overload
+    val direct = d.Histo("dv", 64, -8.0, 8.0)()
+    assert(h3.counts.toSeq == direct.counts.toSeq && h3.overflow == direct.overflow)
+    // h1 analog: Histo() = default column, 128 bins, auto-range
+    val h1 = d.Histo()()
+    assert(h1.nbins == 128 && h1.entries == 20L && h1.underflow == 0L && h1.overflow == 0L)
+  }
+
+  test("TakeIterator streams large collects partition-by-partition") {
+    // a size where a single collect_list row would be unreasonable
+    val big = spark.range(0, 500000, 1, 32).toDF("v")
+    val it = TDF(big).Filter($"v" % 2 === 0).TakeIterator("v")
+    var n = 0L
+    var sum = 0L
+    it.foreach { v => n += 1; sum += v.asInstanceOf[Long] }
+    assert(n == 250000L)
+    assert(sum == (0L until 500000L by 2).sum)
   }
 
   test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
