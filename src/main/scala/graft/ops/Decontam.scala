@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps.{shingles, tokens}
+
+/** Benchmark decontamination — the training-data step the reference's domain
+  * never needed but every LLM corpus pipeline runs: drop (or flag) corpus
+  * documents that leak a held-out evaluation set, by
+  *
+  *  (a) exact text match (md5 digest), and
+  *  (b) word n-gram overlap: any n-gram of the document appearing in the
+  *      held-out set (the standard "13-gram rule", n configurable).
+  *
+  * Scale posture for 100 TB: the held-out side is tiny (benchmark sets are
+  * MBs), so BOTH probe structures — the digest set and the distinct n-gram
+  * set — broadcast; the corpus streams through one scan with map-side
+  * semi-joins. The only shuffle is the per-doc distinct of n-gram hits. No
+  * state grows with corpus size.
+  */
+object Decontam {
+
+  /** Every corpus row with integer flags `exact_hit`, `ngram_hit`, `kept`
+    * (kept = neither flag). Deterministic, SQL-reproducible.
+    */
+  def flags(
+      corpus: DataFrame, idCol: String, textCol: String,
+      heldout: DataFrame, heldTextCol: String, n: Int): DataFrame = {
+    val heldDigests = heldout.select(md5(col(heldTextCol)).as("__digest")).distinct()
+    val heldGrams = heldout
+      .withColumn("__toks", tokens(col(heldTextCol)))
+      .select(explode(shingles("__toks", n)).as("__g")).distinct()
+    val gramHits = corpus
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shingles("__toks", n)).as("__g"))
+      .join(broadcast(heldGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__ng", lit(1))
+    corpus
+      .withColumn("__d", md5(col(textCol)))
+      .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
+        col("__d") === col("__digest"), "left")
+      .join(gramHits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__ex"), lit(0)).as("exact_hit"),
+        coalesce(col("__ng"), lit(0)).as("ngram_hit"))
+      .withColumn("kept",
+        when(col("exact_hit") === 0 && col("ngram_hit") === 0, 1).otherwise(0))
+  }
+
+  /** The filtering form: corpus minus contaminated docs. */
+  def clean(
+      corpus: DataFrame, idCol: String, textCol: String,
+      heldout: DataFrame, heldTextCol: String, n: Int): DataFrame = {
+    val contaminated = flags(corpus, idCol, textCol, heldout, heldTextCol, n)
+      .filter(col("kept") === 0).select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

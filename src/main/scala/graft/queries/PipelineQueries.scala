@@ -179,6 +179,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // benchmark decontamination: docs with doc_id % 97 == 0 stand in for a
+    // held-out eval set; every remaining corpus doc is flagged on exact md5
+    // match and 5-gram overlap against it (broadcast probes, corpus streams
+    // once — the shape that holds when the corpus is 100 TB and the eval set
+    // is megabytes)
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val held = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+        .orderBy(col("doc_id"))
+    },
+
     // brute-force n-gram jaccard on a fixed 150-doc slice (bounded work at
     // any scale factor; the LSH query above is the scale path)
     "q_dedup_jaccard_brute" -> { (s, dir) =>
@@ -435,6 +448,28 @@ object PipelineQueries {
           GROUP BY 1, 2, 3)
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $HAMMING
         ORDER BY id_a, id_b""",
+      "q_decontaminate" -> s"""
+        WITH held AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        hd AS (SELECT DISTINCT md5(text) AS digest FROM held),
+        hg AS (SELECT DISTINCT unnest(
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS g
+               FROM (SELECT $toksSql AS toks FROM held)),
+        hglist AS (SELECT list(g) AS gl FROM hg),
+        cg AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+               FROM (SELECT doc_id, $toksSql AS toks FROM corpus))
+        SELECT c.doc_id,
+               CASE WHEN md5(c.text) IN (SELECT digest FROM hd) THEN 1 ELSE 0 END AS exact_hit,
+               CASE WHEN len(list_intersect(cg.sh, hglist.gl)) > 0
+                    THEN 1 ELSE 0 END AS ngram_hit,
+               CASE WHEN md5(c.text) NOT IN (SELECT digest FROM hd)
+                     AND len(list_intersect(cg.sh, hglist.gl)) = 0
+                    THEN 1 ELSE 0 END AS kept
+        FROM corpus c JOIN cg USING (doc_id), hglist
+        ORDER BY c.doc_id""",
       "q_dedup_jaccard_brute" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 150),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks)

@@ -550,6 +550,20 @@ final class TDF private (
       .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
     ds.reduce(f)
   }
+
+  /** Reference planned `Accumulate` (TDFGuide.md:379-381): general fold with
+    * a typed accumulator — per-partition fold from `init`, partials combined
+    * with `merge` (the reference's per-slot Operation + end-of-loop merge
+    * shape, TDataFrame.hxx:385-684). `merge` must be associative and
+    * commutative for a deterministic result under any partitioning.
+    */
+  def Accumulate[U: scala.reflect.ClassTag](column: String, init: U)(
+      acc: (U, Double) => U)(
+      merge: (U, U) => U): U = {
+    val ds = toDF.select(col(pick(column, "Accumulate")).cast(DoubleType))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+    ds.rdd.aggregate(init)(acc, merge)
+  }
 }
 
 object TDF {

@@ -42,6 +42,18 @@ class ScaleSpec extends AnyFunSuite {
       s"expected 2-column pruned scan:\n$scan")
   }
 
+  test("decontamination probes broadcast; corpus never shuffles for the joins") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val f = graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+    val plan = f.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"digest and n-gram probes must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the tiny held-out set:\n$plan")
+  }
+
   test("100M-entry stress: exact count/min/max/mean/histo at 1 vs 32 partitions") {
     // reference tests/test_par.cxx:12-40 runs 100M entries with exact
     // printouts; here the same scale exercises real partial-buffer merges in

@@ -155,6 +155,17 @@ class TDFSpec extends AnyFunSuite {
     assert(d.Filter(lit(false)).Sum("b1")() == 0.0)
   }
 
+  test("Accumulate: general typed fold (planned op, TDFGuide.md:379-381)") {
+    val d = TDF(fixture)
+    // accumulate (count, sum) in one typed fold
+    val (n, s) = d.Accumulate("b1", (0L, 0.0)) {
+      case ((c, sm), v) => (c + 1, sm + v)
+    } { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+    assert(n == 20L && s == 190.0)
+    // respects upstream filters; empty input returns init
+    assert(d.Filter($"b1" > 100).Accumulate("b1", 7.0)(_ + _)(_ + _) == 7.0)
+  }
+
   test("partition invariance: 1 vs 8 partitions give identical results") {
     val one = TDF(fixture.repartition(1))
     val eight = TDF(fixture.repartition(8))
