@@ -56,6 +56,34 @@ object TextOps {
         s"i -> concat_ws(' ', slice($toksCol, i, $n))) " +
         s"ELSE array() END")
 
+  /** PII scrub patterns: email, international-ish phone, IPv4. Deterministic
+    * regex rewrites (same PCRE subset in Spark and DuckDB), applied
+    * longest-structure-first so a phone inside an email is not half-replaced.
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  val IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** text with PII spans replaced by typed placeholders, plus match counts —
+    * pure native expressions, scan-speed at any corpus size
+    */
+  def withRedaction(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EMAIL_RE), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PHONE_RE), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(IPV4_RE), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+          PHONE_RE, "<PHONE>"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 
   /** Quality-scoring columns over a text column; all ratios are exact double

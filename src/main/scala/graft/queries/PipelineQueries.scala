@@ -179,6 +179,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PII redaction: the synthetic corpus carries no PII, so deterministic
+    // spans (email / phone / IPv4 derived from doc_id) are appended on BOTH
+    // sides, then scrubbed — the oracle checks counts and the md5 of the
+    // redacted text, so the regex semantics must agree exactly
+    "q_text_redact" -> { (s, dir) =>
+      val withPii = Tables.documents(s, dir)
+        .withColumn("t2", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+          (col("doc_id") % 256), lit(".7 or +1 (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      TextOps.withRedaction(withPii, "t2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: docs with doc_id % 97 == 0 stand in for a
     // held-out eval set; every remaining corpus doc is flagged on exact md5
     // match and 5-gram overlap against it (broadcast probes, corpus streams
@@ -448,6 +465,25 @@ object PipelineQueries {
           GROUP BY 1, 2, 3)
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $HAMMING
         ORDER BY id_a, id_b""",
+      "q_text_redact" -> {
+        val em = TextOps.EMAIL_RE
+        val ph = TextOps.PHONE_RE
+        val ip = TextOps.IPV4_RE
+        s"""
+        WITH p AS (SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com at 10.0.'
+              || (doc_id % 256) || '.7 or +1 (555) 123-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t2
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t2, '$em'))::BIGINT AS n_emails,
+               len(regexp_extract_all(t2, '$ph'))::BIGINT AS n_phones,
+               len(regexp_extract_all(t2, '$ip'))::BIGINT AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                 '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+                 '$ph', '<PHONE>', 'g')) AS redacted_md5
+        FROM p ORDER BY doc_id"""
+      },
       "q_decontaminate" -> s"""
         WITH held AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
         corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
