@@ -54,6 +54,13 @@ object ExtQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // native streaming session windows (session_window + watermark, append
+    // mode, sentinel-flushed bounded replay)
+    "q_stream_sessionize" -> { (s, dir) =>
+      Streams.streamingSessionize(s, dir, GAP_MIN)
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // stateful streaming: GroupState-backed running per-user totals
     "q_stream_stateful" -> { (s, dir) =>
       Streams.statefulUserStats(s, dir).orderBy(col("user_id"))
@@ -167,6 +174,21 @@ object ExtQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
       "q_sessionize" -> s"""
+        WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        f AS (SELECT *, CASE WHEN prev IS NULL
+                     OR ts - prev > INTERVAL '$GAP_MIN minutes' THEN 1 ELSE 0 END AS brk
+              FROM l),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+      // session_window merges touching windows (MergingSessionsIterator uses
+      // start <= currentEnd), so exactly-gap events merge — the same strict->
+      // split as the batch twin
+      "q_stream_sessionize" -> s"""
         WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                    FROM events),

@@ -115,6 +115,69 @@ object Streams {
     spark.table(name)
   }
 
+  /** Gap sessionization through Spark's NATIVE streaming session windows
+    * (`session_window`): per-user sessions merge while events arrive closer
+    * than the gap, state is evicted by the watermark — the true unbounded-
+    * stream formulation (batch twin: [[sessionize]]; same strict-> boundary —
+    * `session_window` merges touching windows, so exactly-gap events stay in
+    * one session).
+    *
+    * Append mode only emits sessions the watermark has passed, so a bounded
+    * replay would silently drop the tail: a sentinel event far past the data
+    * (user_id -1, filtered from the output) is staged as a SECOND source
+    * file, and `maxFilesPerTrigger=1` forces it into a later microbatch,
+    * advancing the watermark beyond every real session end.
+    */
+  def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_sess_${System.nanoTime()}"
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_sess_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // TWO sentinel files: emission uses the watermark as of the PREVIOUS
+    // batch, so the second sentinel's (data) batch is what flushes every real
+    // session — a single sentinel would leave the last `delay` of sessions to
+    // a no-data microbatch that processAllAvailable does not wait for
+    lazy val maxNs = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    Seq(1L, 2L).foreach { i =>
+      // must be a top-level FILE: FileStreamSource does not recurse into the
+      // directory a df.write.parquet(path) produces
+      val sentinel = stage.resolve(s"zz_sentinel$i.parquet")
+      if (!java.nio.file.Files.exists(sentinel)) {
+        val tmp = stage.resolve(s"_tmp_sentinel$i")
+        spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(-1L, maxNs + i * 365L * 86400 * 1000000000L,
+              -1L, "sentinel", 0.0, "{}")), rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        java.nio.file.Files.move(part, sentinel)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_cents"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)
