@@ -25,4 +25,21 @@ object Joins {
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-prefiltered inner join for the "selective build side too large to
+    * broadcast" case: build a Bloom filter over the build side's long keys,
+    * drop probe rows that cannot match BEFORE the join shuffle (the codegen'd
+    * [[graft.functions.BloomMightContain]] probe — no per-row UDF). At 100 TB
+    * the probe-side shuffle is the dominant cost; with a selective build side
+    * this cuts it by ~the selectivity, and the join itself then removes the
+    * `fpp` false positives, so the result is EXACTLY the plain join's.
+    */
+  def bloomPrefiltered(
+      probe: DataFrame, build: DataFrame, probeKey: String, buildKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    probe
+      .filter(graft.functions.BloomExprs.mightContain(col(probeKey), bloom))
+      .join(build, col(probeKey) === col(buildKey))
+  }
 }

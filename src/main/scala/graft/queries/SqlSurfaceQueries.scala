@@ -220,6 +220,20 @@ object SqlSurfaceQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // bloom-prefiltered join equals plain join: probe rows are dropped by a
+    // codegen'd Bloom membership test before the shuffle; the join removes
+    // the false positives, so the oracle is simply the plain join
+    "q_bloom_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sel = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      Joins.bloomPrefiltered(li, sel, "l_orderkey", "o_orderkey", 100000L, 0.01)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // salted join equals plain join (skew-mitigation correctness)
     "q_salted_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -339,6 +353,11 @@ object SqlSurfaceQueries {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
       ORDER BY o_orderkey""",
+    "q_bloom_join" -> """
+      SELECT o_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 400000.0
+      GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_salted_join" -> """
       SELECT s_name, count(*) AS n, sum(l_quantity) AS sum_qty
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

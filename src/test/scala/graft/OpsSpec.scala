@@ -96,6 +96,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Streams.sessionize(split, 30).count() == 2)
   }
 
+  test("bloom-prefiltered join: exact vs plain join, codegen'd probe in plan") {
+    // parquet-backed inputs: over a LocalRelation the optimizer would
+    // evaluate the bloom filter eagerly and leave nothing to assert on
+    val dir = "/root/testdata/sf0.001"
+    val probe = graft.Tables.lineitem(spark, dir)
+    val build = graft.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val plain = probe.join(build, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber").collect().map(_.toString).sorted.toSeq
+    val bloomed = graft.ops.Joins.bloomPrefiltered(
+      probe, build, "l_orderkey", "o_orderkey", 10000L, 0.03)
+      .select($"l_orderkey", $"l_linenumber")
+    assert(bloomed.collect().map(_.toString).sorted.toSeq == plain)
+    val plan = bloomed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bloommightcontain") || plan.contains("graftbloom"),
+      s"bloom probe must appear in the physical plan:\n$plan")
+  }
+
   test("LSH band join is skew-guarded: identical-doc cluster stays O(cap·m)") {
     // 1000 identical docs land in ONE band bucket per band; unguarded pairs
     // would be m(m-1)/2 = 499500. With anchors capped at 8 smallest ids the
