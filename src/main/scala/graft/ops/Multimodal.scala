@@ -53,4 +53,32 @@ object Multimodal {
       it.map { case (id, bytes) => decodeStub(id, bytes) }
     }(Encoders.product[MediaFeature])
   }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Video frame sampling: one media row fans out to every `stride`-th
+    * fixed-size frame, at most `maxFrames` per doc — the 1→N batch shape of
+    * a real frame extractor (decoder per task, frames streamed out, never a
+    * whole-video array on the heap). The frame "decode" is the stub byte
+    * slice; a real pipeline swaps in the codec keyframe read.
+    */
+  def sampleFrames(
+      withMedia: DataFrame, idCol: String, frameBytes: Int, stride: Int,
+      maxFrames: Int): Dataset[FrameSample] = {
+    val src = withMedia.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).take(maxFrames).iterator.map { f =>
+          val slice = java.util.Arrays.copyOfRange(
+            bytes, f * frameBytes, (f + 1) * frameBytes)
+          md.reset()
+          FrameSample(id, f.toLong,
+            md.digest(slice).map(b => f"$b%02x").mkString)
+        }
+      }
+    }(Encoders.product[FrameSample])
+  }
 }

@@ -44,6 +44,14 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // video-style frame sampling: every 3rd 64-byte frame, max 5 per doc —
+    // the 1→N fan-out batch shape of a real keyframe extractor
+    "q_multimodal_frames" -> { (s, dir) =>
+      val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrames(withMedia, "doc_id", 64, 3, 5).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     "q_stream_tumbling" -> { (s, dir) =>
       Streams.tumblingAgg(s, dir, "5 minutes")
         .orderBy(col("window_start"), col("event_type"))
@@ -168,6 +176,17 @@ object ExtQueries {
                list_sum(codes)::BIGINT AS sum_bytes,
                list_sum(codes)::DOUBLE / length(text) AS mean_byte
         FROM b ORDER BY doc_id""",
+      // frames = 64-byte slices of the utf-8 media bytes (ASCII text, so byte
+      // slices == substrings); every 3rd frame, max 5 (idx < 3*5)
+      "q_multimodal_frames" -> """
+        WITH f AS (SELECT doc_id, text, length(text) // 64 AS n_frames
+                   FROM documents),
+        idx AS (SELECT doc_id, text, unnest(range(0, n_frames, 3)) AS frame_idx
+                FROM f)
+        SELECT doc_id, frame_idx,
+               md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        FROM idx WHERE frame_idx < 15
+        ORDER BY doc_id, frame_idx""",
       "q_stream_tumbling" -> """
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
                count(*) AS n,
