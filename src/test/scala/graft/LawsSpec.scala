@@ -68,4 +68,38 @@ object LawsSpec extends Properties("graft") {
         .orderBy("name").collect().map(_.toSeq).toSeq
       plain == salted
     }
+
+  property("bloom-prefiltered join equals plain join (any fpp)") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(0.005, 0.3)) { (step, fpp) =>
+      val probe = (0L until 400L).map(i => (i, i % 7)).toDF("k", "v")
+      val build = (0L until 400L by step.toLong).map(i => (i, i * 2)).toDF("bk", "w")
+      val plain = probe.join(build, col("k") === col("bk"))
+        .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val bloomed = graft.ops.Joins.bloomPrefiltered(probe, build, "k", "bk", 500L, fpp)
+        .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString).toSeq
+      plain == bloomed
+    }
+
+  property("sessionize conserves events and cents, invariant under partitioning") =
+    Prop.forAll(Gen.choose(1, 120), Gen.choose(1, 8), Gen.choose(1, 60)) { (n, p, gapMin) =>
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val events = (0 until n).map { i =>
+        (i.toLong % 5, new java.sql.Timestamp(t0 + (i * 731 % 7200) * 1000L),
+          (i % 13).toDouble, i.toLong)
+      }.toDF("user_id", "ts", "value", "event_id")
+      val sess = graft.streaming.Streams.sessionize(events.repartition(p), gapMin).toDF()
+      val agg = sess.agg(sum("n_events"), sum("sum_cents")).collect()(0)
+      val expCents = (0 until n).map(i => math.round((i % 13).toDouble * 100)).sum
+      agg.getLong(0) == n.toLong && agg.getLong(1) == expCents
+    }
+
+  property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
+    Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
+      val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
+      val media = graft.ops.Multimodal.attachBinary(doc, "doc_id", "text")
+      val got = graft.ops.Multimodal.sampleFrames(media, "doc_id", 64, stride, cap).count()
+      val nFrames = len / 64
+      val expected = math.min((nFrames + stride - 1) / stride, cap)
+      got == expected.toLong
+    }
 }
