@@ -131,8 +131,13 @@ object Streams {
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_sess_${System.nanoTime()}"
+    // stage keyed by the source file's mtime: if the testdata is regenerated,
+    // a stale sentinel (older than the new max ts) would silently drop the
+    // tail sessions — a fresh stage is rebuilt instead
+    val srcTag = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet")).toMillis
     val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_sess_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_sess_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTag")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))

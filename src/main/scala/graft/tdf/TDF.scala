@@ -542,6 +542,28 @@ final class TDF private (
     TDF.read(spark, path)
   }
 
+  /** Snapshot partitioned by columns — downstream filters on the partition
+    * columns prune whole directories at the scan (the 100 TB layout lever
+    * for selective reads).
+    */
+  def SnapshotPartitioned(path: String, partitionCols: Seq[String]): TDF = {
+    toDF.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    TDF.read(spark, path)
+  }
+
+  /** Snapshot into a bucketed (+ bucket-sorted) table: repeated joins or
+    * aggregations on the bucket key then run bucket-to-bucket with NO
+    * shuffle exchange (BucketedJoinSpec demonstrates the zero-shuffle join).
+    * Bucketed output requires the table catalog, hence a table name rather
+    * than a bare path.
+    */
+  def SnapshotBucketed(table: String, bucketCol: String, nBuckets: Int): TDF = {
+    toDF.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    TDF(spark.table(table))
+  }
+
   /** Driver-side reduce over a double column (reference planned op,
     * TDFGuide.md:379-381). Runs as its own job (it carries a closure).
     */

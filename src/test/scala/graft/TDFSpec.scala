@@ -228,6 +228,28 @@ class TDFSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("graft_histogram"))
   }
 
+  test("SnapshotPartitioned prunes; SnapshotBucketed joins shuffle-free") {
+    val dir = "/tmp/graft_snap_part"
+    val d = TDF(fixture).Define("par", ($"b2" % 2).cast("string"))
+      .SnapshotPartitioned(dir, Seq("par"))
+    assert(d.Count()() == 20L)
+    val pruned = spark.read.parquet(dir).filter($"par" === "0")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(par"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = TDF(fixture).SnapshotBucketed("graft_snap_bucketed", "b2", 4)
+      assert(t.Count()() == 20L)
+      val self = spark.table("graft_snap_bucketed")
+        .join(spark.table("graft_snap_bucketed").select($"b2", $"b1".as("b1r")), Seq("b2"))
+      assert(!self.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"), "bucketed self-join must not shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_snap_bucketed")
+    }
+  }
+
   test("TEST 6: Histo model overload and no-arg default Histo") {
     val d = TDF(fixture, defaultColumns = Seq("b1"))
     // h3 analog: model axis copied, result independent of the model
