@@ -600,4 +600,31 @@ object TDF {
     */
   def read(spark: SparkSession, path: String, defaultColumns: Seq[String] = Nil): TDF =
     apply(spark.read.parquet(path), defaultColumns)
+
+  /** CSV source (header + schema inference by default — pass an explicit
+    * schema for production reads; inference scans the data twice).
+    */
+  def readCsv(
+      spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      defaultColumns: Seq[String] = Nil): TDF = {
+    val r = spark.read.option("header", "true")
+    val df = schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+    apply(df, defaultColumns)
+  }
+
+  /** JSON-lines source (explicit schema recommended at scale). */
+  def readJson(
+      spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      defaultColumns: Seq[String] = Nil): TDF = {
+    val df = schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+    apply(df, defaultColumns)
+  }
 }

@@ -228,6 +228,23 @@ class TDFSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("graft_histogram"))
   }
 
+  test("CSV and JSON sources round-trip through the facade") {
+    val csvDir = "/tmp/graft_src_csv"
+    val jsonDir = "/tmp/graft_src_json"
+    fixture.select($"b1", $"b2").write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    fixture.select($"b1", $"b2").write.mode("overwrite").json(jsonDir)
+    val fromCsv = TDF.readCsv(spark, csvDir)
+    assert(fromCsv.Count()() == 20L && fromCsv.Sum("b1")() == 190.0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b1",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("b2",
+        org.apache.spark.sql.types.IntegerType)))
+    val fromJson = TDF.readJson(spark, jsonDir, Some(schema))
+    assert(fromJson.Filter($"b2" > 25).Count()() == 14L) // i*i > 25 → i in 6..19
+  }
+
   test("SnapshotPartitioned prunes; SnapshotBucketed joins shuffle-free") {
     val dir = "/tmp/graft_snap_part"
     val d = TDF(fixture).Define("par", ($"b2" % 2).cast("string"))
