@@ -19,7 +19,9 @@ object Bench {
 
   private def flagship(s: SparkSession, dir: String, partitions: Int): Unit = {
     val base = Tables.lineitem(s, dir)
-    val src = if (partitions > 0) base.repartition(partitions) else base
+    // coalesce (not repartition): the 1-partition row must measure
+    // single-threaded execution, not an extra shuffle
+    val src = if (partitions > 0) base.coalesce(partitions) else base
     val d = TDF(src)
       .Define("z", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .Filter(col("z") > 1000.0)
@@ -51,6 +53,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // local testdata files are ~10 MB; the 128 MB default would hand each
+      // table to ONE task and leave 31 cores idle. On a real cluster this is
+      // the same lever, sized so scan tasks cover the executor cores.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
