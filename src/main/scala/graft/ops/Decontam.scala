@@ -41,7 +41,11 @@ object Decontam {
       .withColumn("__d", md5(col(textCol)))
       .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
         col("__d") === col("__digest"), "left")
-      .join(gramHits, Seq(idCol), "left")
+      // gramHits is bounded by the number of CONTAMINATED docs — tiny by the
+      // decontamination premise (if most of the corpus leaked the eval set,
+      // the pipeline has bigger problems) — so broadcasting it keeps the
+      // corpus side entirely shuffle-free
+      .join(broadcast(gramHits), Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("__ex"), lit(0)).as("exact_hit"),

@@ -66,6 +66,18 @@ object Dedup {
     */
   val DEFAULT_MAX_BUCKET = 256
 
+  /** The one implementation of the anchor cap (every banded/bucketed
+    * self-join uses this, so the capped semantics cannot drift between call
+    * sites): keep the `maxBucket` smallest `idCol` values per bucket.
+    */
+  def capBuckets(
+      df: DataFrame, bucketCols: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket).drop("__rk")
+  }
+
   /** LSH candidate pairs from a signature frame: k/bandSize bands, join docs
     * sharing any band key (id_a < id_b), distinct. Scales as a keyed
     * self-join on short band keys — no cross join anywhere; oversized buckets
@@ -80,9 +92,7 @@ object Dedup {
         (0 until bandSize).map(j => col(s"mh_${b * bandSize + j}")): _*)
       sig.select(col(idCol).as("id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionByName _)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val l = bands.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= maxBucket)
+    val l = capBuckets(bands, Seq("band", "bkey"), "id", maxBucket)
       .select(col("id").as("id_a"), col("band"), col("bkey"))
     val r = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey"))
@@ -214,9 +224,7 @@ object Dedup {
       sim.select(col(idCol).as("id"), lit(1).as("band"),
         col("simhash").bitwiseAND(0xFFFFL).as("bkey"), col("simhash")))
       .reduce(_ unionByName _)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val l = banded.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= maxBucket)
+    val l = capBuckets(banded, Seq("band", "bkey"), "id", maxBucket)
       .select(col("id").as("id_a"), col("band"), col("bkey"),
         col("simhash").as("sim_a"))
     val r = banded.select(col("id").as("id_b"), col("band"), col("bkey"),

@@ -89,10 +89,8 @@ object Similarity {
       dim: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
-    val wB = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val l = b.select(col("id").as("query_id"), col("__v").as("__qv"), col("bucket"))
-    val r = b.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= maxBucket)
+    val r = Dedup.capBuckets(b, Seq("bucket"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -111,9 +109,7 @@ object Similarity {
       dim: Int, maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nBits, dim))
-    val wB = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val l = b.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= maxBucket)
+    val l = Dedup.capBuckets(b, Seq("bucket"), "id", maxBucket)
       .select(col("id").as("id_a"), col("__v").as("__va"), col("bucket"))
     val r = b.select(col("id").as("id_b"), col("__v").as("__vb"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -106,11 +106,8 @@ object PipelineQueries {
       val b = emb.select(col("vec_id").as("id"),
         graft.ops.Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("bucket", graft.ops.Similarity.hyperplaneBucket(col("v"), 6, 64))
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket")).orderBy(col("id"))
-      val embCands = b
-        .withColumn("rk", row_number().over(wB))
-        .filter(col("rk") <= graft.ops.Similarity.DEFAULT_MAX_BUCKET)
+      val embCands = Dedup.capBuckets(
+          b, Seq("bucket"), "id", graft.ops.Similarity.DEFAULT_MAX_BUCKET)
         .select(col("id").as("id_a"), col("bucket"))
         .join(b.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
         .filter(col("id_a") < col("id_b"))

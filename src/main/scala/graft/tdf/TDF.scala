@@ -40,7 +40,8 @@ private[tdf] final case class HistoSpec(
     col: String, nbins: Int, range: Option[(Double, Double)],
     weight: Option[String] = None) extends ActionSpec
 private[tdf] case object ReportSpec extends ActionSpec
-private[tdf] final case class ForeachSpec(cols: Seq[String], f: (Int, Row) => Unit)
+private[tdf] final case class ForeachSpec(
+    cols: Seq[String], casts: Seq[DataType], f: (Int, Row) => Unit)
     extends ActionSpec
 
 private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, result: Result[Any])
@@ -253,8 +254,10 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     if (shareScan) { wide.persist(); () }
     try {
       if (batch.nonEmpty) runAggregates(batch, wide, fixed, autos)
-      foreaches.foreach { case Booked(steps, ForeachSpec(cols, f), result) =>
-        wide.where(predOf(steps)).select(cols.map(col): _*)
+      foreaches.foreach { case Booked(steps, ForeachSpec(cols, casts, f), result) =>
+        val sel = if (casts.isEmpty) cols.map(col)
+          else cols.zip(casts).map { case (c, dt) => col(c).cast(dt) }
+        wide.where(predOf(steps)).select(sel: _*)
           .foreachPartition { it: Iterator[Row] =>
             val slot = org.apache.spark.TaskContext.getPartitionId()
             it.foreach(r => f(slot, r))
@@ -471,11 +474,14 @@ final class TDF private (
     */
   def Histo(column: String, model: Histogram): Result[Histogram] =
     Histo(column, model.nbins, model.lo, model.hi)
-  /** weighted fill: Fill(x, w) with an integer-valued weight column. */
+  /** weighted fill: Fill(x, w) with an integer-valued weight column;
+    * `lo == hi` auto-ranges, same convention as the unweighted overloads.
+    */
   def HistoWeighted(column: String, weightCol: String, nbins: Int, lo: Double,
       hi: Double): Result[Histogram] = {
     checkAxis(nbins, lo, hi)
-    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, Some((lo, hi)), Some(weightCol)))
+    val range = if (lo == hi) None else Some((lo, hi))
+    ctx.book(steps, HistoSpec(pick(column, "Histo"), nbins, range, Some(weightCol)))
   }
   def Report(): Result[Seq[CutInfo]] = ctx.book(steps, ReportSpec)
 
@@ -503,33 +509,44 @@ final class TDF private (
     * the aggregate and side-effect jobs). User owns thread-safety.
     */
   def Foreach(cols: Seq[String])(f: Row => Unit): Unit = {
-    ctx.book[Unit](steps, ForeachSpec(cols, (_, r) => f(r)))
+    ctx.book[Unit](steps, ForeachSpec(cols, Nil, (_, r) => f(r)))
     ctx.run()
   }
 
   /** Reference `ForeachSlot`: slot = partition id (TDFGuide.md:220-233). */
   def ForeachSlot(cols: Seq[String])(f: (Int, Row) => Unit): Unit = {
-    ctx.book[Unit](steps, ForeachSpec(cols, f))
+    ctx.book[Unit](steps, ForeachSpec(cols, Nil, f))
     ctx.run()
   }
 
-  /** Typed-lambda `Foreach` (reference TDataFrame.hxx:805-813 takes a callable
-    * + branch list): values handed to the callable directly, no Row plumbing.
+  /** catalyst type for a lambda argument, so the column can be cast to the
+    * exact runtime class the callable expects (an Int column handed to a
+    * Double lambda would otherwise ClassCastException inside the executor)
     */
-  def Foreach[A](f: A => Unit, cols: Seq[String]): Unit = {
+  private def dtOf[T: TypeTag]: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.catalyst.ScalaReflection.schemaFor[T].dataType
+
+  /** Typed-lambda `Foreach` (reference TDataFrame.hxx:805-813 takes a callable
+    * + branch list): values handed to the callable directly, no Row plumbing;
+    * columns are coerced to the callable's argument types.
+    */
+  def Foreach[A: TypeTag](f: A => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 1, "Foreach")
-    ctx.book[Unit](steps, ForeachSpec(cs, (_, r) => f(r.getAs[A](0))))
+    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A]),
+      (_, r) => f(r.getAs[A](0))))
     ctx.run()
   }
-  def Foreach[A, B](f: (A, B) => Unit, cols: Seq[String]): Unit = {
+  def Foreach[A: TypeTag, B: TypeTag](f: (A, B) => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 2, "Foreach")
-    ctx.book[Unit](steps, ForeachSpec(cs, (_, r) => f(r.getAs[A](0), r.getAs[B](1))))
+    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A], dtOf[B]),
+      (_, r) => f(r.getAs[A](0), r.getAs[B](1))))
     ctx.run()
   }
-  def Foreach[A, B, C](f: (A, B, C) => Unit, cols: Seq[String]): Unit = {
+  def Foreach[A: TypeTag, B: TypeTag, C: TypeTag](
+      f: (A, B, C) => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 3, "Foreach")
-    ctx.book[Unit](steps,
-      ForeachSpec(cs, (_, r) => f(r.getAs[A](0), r.getAs[B](1), r.getAs[C](2))))
+    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A], dtOf[B], dtOf[C]),
+      (_, r) => f(r.getAs[A](0), r.getAs[B](1), r.getAs[C](2))))
     ctx.run()
   }
 

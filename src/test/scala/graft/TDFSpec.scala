@@ -297,6 +297,18 @@ class TDFSpec extends AnyFunSuite {
     assert(sum == (0L until 500000L by 2).sum)
   }
 
+  test("review fixes: HistoWeighted auto-range, typed Foreach coerces columns") {
+    // lo == hi auto-ranges for the weighted overload too (was: silent
+    // degenerate axis with everything in under/overflow)
+    val hw = TDF(fixture).HistoWeighted("b1", "b2", 10, 0.0, 0.0)()
+    assert(hw.underflow == 0L && hw.overflow == 0L)
+    assert(hw.counts.sum == (0 until 20).map(i => i * i).sum)
+    // Int column through a Double-typed Foreach lambda: coerced, not CCE
+    val acc = spark.sparkContext.doubleAccumulator("coerce")
+    TDF(fixture).Foreach((x: Double) => acc.add(x), Seq("b2"))
+    assert(acc.value == (0 until 20).map(i => i * i).sum.toDouble)
+  }
+
   test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
     val d = TDF(fixture)
     val r = d.Min("no_such_column")
