@@ -24,19 +24,27 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over the events parquet, ts truncated to micros.
-    * FileStreamSource requires a directory; the table is a single file, so a
-    * symlinked staging dir stands in (read-only testdata stays untouched).
+  /** Staging dir with the source file symlinked in (FileStreamSource needs a
+    * directory; read-only testdata stays untouched). Keyed by source mtime so
+    * regenerated testdata always gets a fresh stage — load-bearing for stages
+    * that also hold derived files (watermark sentinels).
     */
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def stagedDir(prefix: String, sfDir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val tag = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_src_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    stage
+  }
+
+  /** Streaming source over the events parquet, ts truncated to micros. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = stagedDir("graft_stream_src", sfDir)
     spark.readStream.schema(rawSchema)
       .parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -131,18 +139,7 @@ object Streams {
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_sess_${System.nanoTime()}"
-    // stage keyed by the source file's mtime: if the testdata is regenerated,
-    // a stale sentinel (older than the new max ts) would silently drop the
-    // tail sessions — a fresh stage is rebuilt instead
-    val srcTag = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet")).toMillis
-    val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_sess_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTag")
-    java.nio.file.Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stage = stagedDir("graft_stream_sess", sfDir)
     // TWO sentinel files: emission uses the watermark as of the PREVIOUS
     // batch, so the second sentinel's (data) batch is what flushes every real
     // session — a single sentinel would leave the last `delay` of sessions to
