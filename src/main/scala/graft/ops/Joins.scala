@@ -42,4 +42,30 @@ object Joins {
       .filter(graft.functions.BloomExprs.mightContain(col(probeKey), bloom))
       .join(build, col(probeKey) === col(buildKey))
   }
+
+  /** Bucketized range join: `points` rows matched to every `ranges` row with
+    * `lo <= point <= hi`. Spark plans a bare range predicate as a
+    * nested-loop/cartesian join — O(|points|·|ranges|), dead at scale. This
+    * chops the value domain into `bucketWidth` buckets: each range is
+    * replicated to the buckets it covers (+1 per `bucketWidth` of span), each
+    * point lives in exactly ONE bucket, and the join becomes a hash equi-join
+    * on the bucket id with the exact range predicate re-checked after. No
+    * duplicates by construction (a point meets each range only in the
+    * point's own bucket), so no distinct pass. Pick `bucketWidth` near the
+    * typical range span: cost is |points| + Σ spans/width replicated rows.
+    */
+  def rangeBucketed(
+      points: DataFrame, ranges: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "rangeBucketed: bucketWidth must be positive")
+    val rb = ranges.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    pb.join(rb, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

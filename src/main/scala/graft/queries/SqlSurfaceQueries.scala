@@ -234,6 +234,20 @@ object SqlSurfaceQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // bucketized range join: overlapping price bands × orders as a hash
+    // equi-join on bucket ids (a bare range predicate would plan as a
+    // nested-loop join — O(n·m), dead at 100 TB); exact vs DuckDB's BETWEEN
+    "q_range_join" -> { (s, dir) =>
+      val ranges = s.range(0, 100).toDF("range_id")
+        .withColumn("lo", col("range_id") * 3000.0)
+        .withColumn("hi", col("range_id") * 3000.0 + 8999.0)
+      Joins.rangeBucketed(Tables.orders(s, dir), ranges, "o_totalprice", "lo", "hi", 3000.0)
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("range_id"))
+    },
+
     // salted join equals plain join (skew-mitigation correctness)
     "q_salted_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -353,6 +367,13 @@ object SqlSurfaceQueries {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
       ORDER BY o_orderkey""",
+    "q_range_join" -> """
+      WITH b AS (SELECT unnest(range(0,100)) AS range_id),
+      r AS (SELECT range_id, range_id*3000.0 AS lo, range_id*3000.0+8999.0 AS hi FROM b)
+      SELECT range_id, count(*) AS n_orders,
+             CAST(sum(round(o_totalprice*100)::BIGINT) AS BIGINT) AS sum_cents
+      FROM orders JOIN r ON o_totalprice >= lo AND o_totalprice <= hi
+      GROUP BY range_id ORDER BY range_id""",
     "q_bloom_join" -> """
       SELECT o_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey

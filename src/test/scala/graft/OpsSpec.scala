@@ -114,6 +114,23 @@ class OpsSpec extends AnyFunSuite {
       s"bloom probe must appear in the physical plan:\n$plan")
   }
 
+  test("bucketized range join equals naive range join, no nested-loop plan") {
+    val points = (0 until 1000).map(i => (i.toLong, i * 0.37)).toDF("pid", "p")
+    val ranges = (0 until 50).map(i => (i.toLong, i * 5.0, i * 5.0 + 12.0))
+      .toDF("rid", "lo", "hi")
+    val naive = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"rid").collect().map(_.toString).sorted.toSeq
+    val bucketed = graft.ops.Joins.rangeBucketed(points, ranges, "p", "lo", "hi", 5.0)
+      .select($"pid", $"rid")
+    assert(bucketed.collect().map(_.toString).sorted.toSeq == naive)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must be an equi-join on buckets:\n$plan")
+    // and the naive formulation IS the nested-loop plan being avoided
+    assert(points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+      .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("LSH band join is skew-guarded: identical-doc cluster stays O(cap·m)") {
     // 1000 identical docs land in ONE band bucket per band; unguarded pairs
     // would be m(m-1)/2 = 499500. With anchors capped at 8 smallest ids the
