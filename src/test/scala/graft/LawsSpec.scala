@@ -93,6 +93,34 @@ object LawsSpec extends Properties("graft") {
       agg.getLong(0) == n.toLong && agg.getLong(1) == expCents
     }
 
+  property("bucketized range join equals naive range join for any bucket width") =
+    Prop.forAll(Gen.choose(0.5, 40.0), Gen.choose(1.0, 25.0)) { (width, span) =>
+      val points = (0 until 300).map(i => (i.toLong, i * 0.73 - 30.0)).toDF("pid", "p")
+      val ranges = (0 until 40).map(i => (i.toLong, i * 4.0 - 25.0, i * 4.0 - 25.0 + span))
+        .toDF("rid", "lo", "hi")
+      val naive = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "rid").collect().map(_.toString).sorted.toSeq
+      val bucketed = graft.ops.Joins
+        .rangeBucketed(points, ranges, "p", "lo", "hi", width)
+        .select("pid", "rid").collect().map(_.toString).sorted.toSeq
+      naive == bucketed
+    }
+
+  property("decontamination flags partition the corpus; clean = kept") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(2, 10)) { (n, mod) =>
+      val docs = (0 until n).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta token$i word${i % mod}"))
+        .toDF("doc_id", "text")
+      val held = docs.filter(col("doc_id") % mod === 0)
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      val f = graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+      val total = corpus.count()
+      val kept = f.filter(col("kept") === 1).count()
+      val contaminated = f.filter(col("kept") === 0).count()
+      val clean = graft.ops.Decontam.clean(corpus, "doc_id", "text", held, "text", 5)
+      f.count() == total && kept + contaminated == total && clean.count() == kept
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
