@@ -37,15 +37,20 @@ object Decontam {
       .join(broadcast(heldGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__ng", lit(1))
+      .persist()
+    // hit count is bounded by CONTAMINATED docs — tiny under the
+    // decontamination premise — but that premise is data-dependent (one
+    // boilerplate n-gram shared with the eval set could flag a large slice of
+    // the corpus), so decide broadcast vs shuffle from the ACTUAL size
+    // instead of trusting the premise with an unbounded driver collect
+    val hitCount = gramHits.count()
+    val hitsSide =
+      if (hitCount <= 5000000L) broadcast(gramHits) else gramHits
     corpus
       .withColumn("__d", md5(col(textCol)))
       .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
         col("__d") === col("__digest"), "left")
-      // gramHits is bounded by the number of CONTAMINATED docs — tiny by the
-      // decontamination premise (if most of the corpus leaked the eval set,
-      // the pipeline has bigger problems) — so broadcasting it keeps the
-      // corpus side entirely shuffle-free
-      .join(broadcast(gramHits), Seq(idCol), "left")
+      .join(hitsSide, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("__ex"), lit(0)).as("exact_hit"),

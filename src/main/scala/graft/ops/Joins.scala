@@ -56,12 +56,22 @@ object Joins {
     */
   def rangeBucketed(
       points: DataFrame, ranges: DataFrame, pointCol: String,
-      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+      loCol: String, hiCol: String, bucketWidth: Double,
+      maxBucketsPerRange: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, "rangeBucketed: bucketWidth must be positive")
-    val rb = ranges.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    // one outlier range (sentinel hi, malformed row) would otherwise explode
+    // sequence() into span/width elements and kill the job — fail loudly with
+    // the offending row instead. The raise_error lives INSIDE the explode
+    // child so column pruning cannot drop the check.
+    val guarded = when(hiB - loB < lit(maxBucketsPerRange.toLong),
+      sequence(loB, hiB))
+      .otherwise(raise_error(concat(
+        lit(s"rangeBucketed: range spans >= $maxBucketsPerRange buckets "),
+        lit("(lo="), col(loCol), lit(", hi="), col(hiCol),
+        lit(s", bucketWidth=$bucketWidth) — widen bucketWidth or clean the range"))))
+    val rb = ranges.withColumn("__bucket", explode(guarded))
     val pb = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pb.join(rb, Seq("__bucket"))

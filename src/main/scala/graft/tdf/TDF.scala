@@ -255,8 +255,15 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     try {
       if (batch.nonEmpty) runAggregates(batch, wide, fixed, autos)
       foreaches.foreach { case Booked(steps, ForeachSpec(cols, casts, f), result) =>
+        // UpCast, not cast: widening (int→double) coerces, but a LOSSY
+        // narrowing (double column into an Int lambda) fails analysis on the
+        // driver instead of silently truncating fractions per row
         val sel = if (casts.isEmpty) cols.map(col)
-          else cols.zip(casts).map { case (c, dt) => col(c).cast(dt) }
+          else cols.zip(casts).map { case (c, dt) =>
+            org.apache.spark.sql.graftbridge.GraftSql.column(
+              org.apache.spark.sql.catalyst.expressions.UpCast(
+                org.apache.spark.sql.graftbridge.GraftSql.expression(col(c)), dt))
+          }
         wide.where(predOf(steps)).select(sel: _*)
           .foreachPartition { it: Iterator[Row] =>
             val slot = org.apache.spark.TaskContext.getPartitionId()
@@ -519,12 +526,18 @@ final class TDF private (
     ctx.run()
   }
 
-  /** catalyst type for a lambda argument, so the column can be cast to the
+  /** catalyst type for a lambda argument, so the column can be up-cast to the
     * exact runtime class the callable expects (an Int column handed to a
-    * Double lambda would otherwise ClassCastException inside the executor)
+    * Double lambda would otherwise ClassCastException inside the executor).
+    * None for Catalyst-unrepresentable types — those fall back to the raw
+    * row path.
     */
-  private def dtOf[T: TypeTag]: org.apache.spark.sql.types.DataType =
-    org.apache.spark.sql.catalyst.ScalaReflection.schemaFor[T].dataType
+  private def dtOf[T: TypeTag]: Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(
+      org.apache.spark.sql.catalyst.ScalaReflection.schemaFor[T].dataType).toOption
+
+  private def foreachCasts(dts: Option[DataType]*): Seq[DataType] =
+    if (dts.forall(_.isDefined)) dts.flatten.toSeq else Nil
 
   /** Typed-lambda `Foreach` (reference TDataFrame.hxx:805-813 takes a callable
     * + branch list): values handed to the callable directly, no Row plumbing;
@@ -532,20 +545,20 @@ final class TDF private (
     */
   def Foreach[A: TypeTag](f: A => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 1, "Foreach")
-    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A]),
+    ctx.book[Unit](steps, ForeachSpec(cs, foreachCasts(dtOf[A]),
       (_, r) => f(r.getAs[A](0))))
     ctx.run()
   }
   def Foreach[A: TypeTag, B: TypeTag](f: (A, B) => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 2, "Foreach")
-    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A], dtOf[B]),
+    ctx.book[Unit](steps, ForeachSpec(cs, foreachCasts(dtOf[A], dtOf[B]),
       (_, r) => f(r.getAs[A](0), r.getAs[B](1))))
     ctx.run()
   }
   def Foreach[A: TypeTag, B: TypeTag, C: TypeTag](
       f: (A, B, C) => Unit, cols: Seq[String]): Unit = {
     val cs = pickN(cols, 3, "Foreach")
-    ctx.book[Unit](steps, ForeachSpec(cs, Seq(dtOf[A], dtOf[B], dtOf[C]),
+    ctx.book[Unit](steps, ForeachSpec(cs, foreachCasts(dtOf[A], dtOf[B], dtOf[C]),
       (_, r) => f(r.getAs[A](0), r.getAs[B](1), r.getAs[C](2))))
     ctx.run()
   }

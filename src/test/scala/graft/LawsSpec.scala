@@ -106,19 +106,27 @@ object LawsSpec extends Properties("graft") {
       naive == bucketed
     }
 
-  property("decontamination flags partition the corpus; clean = kept") =
-    Prop.forAll(Gen.choose(1, 60), Gen.choose(2, 10)) { (n, mod) =>
-      val docs = (0 until n).map(i =>
-        (i.toLong, s"alpha beta gamma delta epsilon zeta token$i word${i % mod}"))
-        .toDF("doc_id", "text")
+  property("decontamination flags partition the corpus; clean = kept; both sides non-trivial") =
+    Prop.forAll(Gen.choose(9, 60), Gen.choose(2, 10)) { (n, mod) =>
+      // shared prefix is 3 tokens (< n-gram width 5) so it alone contaminates
+      // nothing; docs with i % 3 == 0 carry a full shared 5-gram that the
+      // held-out set (which always contains doc 0) also carries — those are
+      // contaminated, the rest must be kept
+      val docs = (0 until n).map { i =>
+        val leak = if (i % 3 == 0) " one two three four five" else s" u$i v$i w$i x$i y$i"
+        (i.toLong, s"alpha beta gamma$leak tail$i")
+      }.toDF("doc_id", "text")
       val held = docs.filter(col("doc_id") % mod === 0)
       val corpus = docs.filter(col("doc_id") % mod =!= 0)
       val f = graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
       val total = corpus.count()
       val kept = f.filter(col("kept") === 1).count()
       val contaminated = f.filter(col("kept") === 0).count()
+      val expectedContaminated = corpus.filter(col("doc_id") % 3 === 0).count()
       val clean = graft.ops.Decontam.clean(corpus, "doc_id", "text", held, "text", 5)
-      f.count() == total && kept + contaminated == total && clean.count() == kept
+      f.count() == total && kept + contaminated == total &&
+        contaminated == expectedContaminated && kept > 0 &&
+        clean.count() == kept
     }
 
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =

@@ -131,6 +131,26 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("range join rejects runaway ranges; typed Foreach rejects lossy narrowing") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val bad = Seq((1L, 0.0, 1e12)).toDF("rid", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.ops.Joins.rangeBucketed(points, bad, "p", "lo", "hi", 1.0).count()
+    }
+    assert(e.getMessage.contains("rangeBucketed") ||
+      Option(e.getCause).exists(_.getMessage.contains("rangeBucketed")))
+    // Double column into an Int lambda: analysis-time failure, not silent
+    // per-row truncation
+    val df = Seq((1.5, 1L)).toDF("d", "k")
+    intercept[Exception] {
+      graft.tdf.TDF(df).Foreach((x: Int) => { val _ = x }, Seq("d"))
+    }
+    // widening still coerces
+    val acc = spark.sparkContext.doubleAccumulator("widen")
+    graft.tdf.TDF(Seq((3, 1L)).toDF("i", "k")).Foreach((x: Double) => acc.add(x), Seq("i"))
+    assert(acc.value == 3.0)
+  }
+
   test("LSH band join is skew-guarded: identical-doc cluster stays O(cap·m)") {
     // 1000 identical docs land in ONE band bucket per band; unguarded pairs
     // would be m(m-1)/2 = 499500. With anchors capped at 8 smallest ids the
