@@ -48,6 +48,18 @@ object Demo {
       s"under=${h().underflow} over=${h().overflow}")
     rep().foreach(c => println(f"cut ${c.name}%-8s pass=${c.pass}%6d / ${c.all}%6d " +
       f"(${100 * c.efficiency}%.1f%%)"))
+
+    // typed-lambda surface (the reference's primary API shape): same chain
+    // through Scala function values, and a general Accumulate fold
+    val lam = TDF(Tables.lineitem(spark, sfDir))
+      .Define("z", (p: Double, disc: Double) => p * (1.0 - disc),
+        Seq("l_extendedprice", "l_discount"))
+      .Filter((z: Double) => z > 1000.0, Seq("z"))
+    println(s"typed-lambda count = ${lam.Count()()}")
+    val (accN, accSum) = lam.Accumulate("z", (0L, 0.0)) {
+      case ((c, s), v) => (c + 1, s + v)
+    } { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+    println(f"Accumulate: n=$accN mean=${accSum / accN}%.4f")
     spark.stop()
   }
 }

@@ -175,6 +175,58 @@ class OpsSpec extends AnyFunSuite {
     assert(full == capped && full.contains((1L, 2L)))
   }
 
+  test("streaming watermark drops late data: a too-late event neither merges nor reopens a session") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_test")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeFile(idx: Int, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = stage.resolve(s"_tmp$idx")
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2))).asJava, schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = stage.resolve(f"f$idx%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      // strictly increasing mtimes → FileStreamSource processes in this order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 60000L))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // batch0: user 1's real session + a marker that advances the watermark
+    writeFile(0, Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+      (88L, ts("2024-01-01 23:00:00"))))
+    // batch1: marker only — user 1's session is emitted AND its state evicted
+    // here. (Eviction is the load-bearing step: a late row arriving while the
+    // session state is still live legally MERGES — Spark's watermark contract
+    // only guarantees drops after eviction.)
+    writeFile(1, Seq((88L, ts("2024-01-01 23:30:00"))))
+    // batch2: the LATE user-1 event, far behind the watermark, state evicted
+    // → must be dropped, not opened as a new session
+    writeFile(2, Seq((1L, ts("2024-01-01 10:02:00")), (88L, ts("2024-01-02 00:30:00"))))
+    // batch3+4: flush sentinels
+    writeFile(3, Seq((99L, ts("2024-01-02 23:00:00"))))
+    writeFile(4, Seq((99L, ts("2024-01-03 23:00:00"))))
+    val nm = s"graft_late_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("s"), $"n")
+      .writeStream.outputMode("append").format("memory").queryName(nm).start()
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table(nm).filter($"user_id" === 1L).collect()
+    // exactly ONE session of TWO events: the late event was dropped — had it
+    // been admitted it would either merge (n=3) or open a second session
+    assert(u1.length == 1 && u1(0).getAs[Long]("n") == 2L,
+      s"late event must be dropped, got: ${u1.mkString(", ")}")
+  }
+
   test("sessionize plan is fully declarative (no per-group materialization)") {
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L))
       .toDF("user_id", "ts", "value", "event_id")

@@ -364,6 +364,19 @@ class TDFSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("default"))
   }
 
+  test("concurrent bookings and derefs on one shared context are thread-safe") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val d = TDF(fixture)
+    val futs = (0 until 8).map { i =>
+      Future { d.Filter($"b1" >= i.toDouble).Count()() }
+    }
+    val got = futs.map(Await.result(_, Duration.Inf))
+    assert(got == (0 until 8).map(i => (20 - i).toLong),
+      s"racing book/run must not lose or double-fill results, got $got")
+  }
+
   test("TChain analog: multi-path read concatenates files") {
     val n1 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     val n2 = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
