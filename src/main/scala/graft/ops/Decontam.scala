@@ -37,20 +37,20 @@ object Decontam {
       .join(broadcast(heldGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__ng", lit(1))
-      .persist()
     // hit count is bounded by CONTAMINATED docs — tiny under the
     // decontamination premise — but that premise is data-dependent (one
-    // boilerplate n-gram shared with the eval set could flag a large slice of
-    // the corpus), so decide broadcast vs shuffle from the ACTUAL size
-    // instead of trusting the premise with an unbounded driver collect
-    val hitCount = gramHits.count()
-    val hitsSide =
-      if (hitCount <= 5000000L) broadcast(gramHits) else gramHits
+    // boilerplate n-gram shared with the eval set could flag a large slice
+    // of the corpus), so the broadcast decision must come from the ACTUAL
+    // size. The distinct above already ends in a shuffle exchange, which is
+    // exactly what AQE measures at runtime to flip a sort-merge join to
+    // broadcast — no driver-side persist/count (which would leak cached
+    // blocks for the session lifetime; this is a plan constructor, there is
+    // no hook to unpersist after the caller materializes).
     corpus
       .withColumn("__d", md5(col(textCol)))
       .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
         col("__d") === col("__digest"), "left")
-      .join(hitsSide, Seq(idCol), "left")
+      .join(gramHits, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("__ex"), lit(0)).as("exact_hit"),

@@ -38,9 +38,12 @@ object Joins {
       probe: DataFrame, build: DataFrame, probeKey: String, buildKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    probe
+    // DataFrame-qualified key references: unqualified col() would be
+    // ambiguous when the probe and build key columns share a name (the
+    // common case for same-named join keys)
+    val filtered = probe
       .filter(graft.functions.BloomExprs.mightContain(col(probeKey), bloom))
-      .join(build, col(probeKey) === col(buildKey))
+    filtered.join(build, filtered(probeKey) === build(buildKey))
   }
 
   /** Bucketized range join: `points` rows matched to every `ranges` row with
@@ -59,6 +62,10 @@ object Joins {
       loCol: String, hiCol: String, bucketWidth: Double,
       maxBucketsPerRange: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, "rangeBucketed: bucketWidth must be positive")
+    // a NULL bound can never satisfy `lo <= p AND p <= hi`, so a plain range
+    // join drops that row; drop it here too (otherwise the NULL falls through
+    // when()'s NULL condition into otherwise(raise_error) and kills the job)
+    val boundedRanges = ranges.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
     val loB = floor(col(loCol) / bucketWidth).cast("long")
     val hiB = floor(col(hiCol) / bucketWidth).cast("long")
     // one outlier range (sentinel hi, malformed row) would otherwise explode
@@ -71,7 +78,7 @@ object Joins {
         lit(s"rangeBucketed: range spans >= $maxBucketsPerRange buckets "),
         lit("(lo="), col(loCol), lit(", hi="), col(hiCol),
         lit(s", bucketWidth=$bucketWidth) — widen bucketWidth or clean the range"))))
-    val rb = ranges.withColumn("__bucket", explode(guarded))
+    val rb = boundedRanges.withColumn("__bucket", explode(guarded))
     val pb = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pb.join(rb, Seq("__bucket"))

@@ -41,7 +41,7 @@ private[tdf] final case class HistoSpec(
     weight: Option[String] = None) extends ActionSpec
 private[tdf] case object ReportSpec extends ActionSpec
 private[tdf] final case class ForeachSpec(
-    cols: Seq[String], casts: Seq[DataType], f: (Int, Row) => Unit)
+    cols: Seq[String], casts: Seq[Option[DataType]], f: (Int, Row) => Unit)
     extends ActionSpec
 
 private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, result: Result[Any])
@@ -259,10 +259,12 @@ final class BookingContext private[tdf] (val base: DataFrame) {
         // narrowing (double column into an Int lambda) fails analysis on the
         // driver instead of silently truncating fractions per row
         val sel = if (casts.isEmpty) cols.map(col)
-          else cols.zip(casts).map { case (c, dt) =>
-            org.apache.spark.sql.graftbridge.GraftSql.column(
-              org.apache.spark.sql.catalyst.expressions.UpCast(
-                org.apache.spark.sql.graftbridge.GraftSql.expression(col(c)), dt))
+          else cols.zip(casts).map {
+            case (c, Some(dt)) =>
+              org.apache.spark.sql.graftbridge.GraftSql.column(
+                org.apache.spark.sql.catalyst.expressions.UpCast(
+                  org.apache.spark.sql.graftbridge.GraftSql.expression(col(c)), dt))
+            case (c, None) => col(c) // opaque argument type: raw passthrough
           }
         wide.where(predOf(steps)).select(sel: _*)
           .foreachPartition { it: Iterator[Row] =>
@@ -536,8 +538,13 @@ final class TDF private (
     scala.util.Try(
       org.apache.spark.sql.catalyst.ScalaReflection.schemaFor[T].dataType).toOption
 
-  private def foreachCasts(dts: Option[DataType]*): Seq[DataType] =
-    if (dts.forall(_.isDefined)) dts.flatten.toSeq else Nil
+  /** Per-argument coercions: a Catalyst-underivable argument type only
+    * disables the cast for ITS column (raw value passthrough), not for the
+    * whole argument list — a representable Int column bound to a Double
+    * parameter still coerces even when a sibling argument is opaque.
+    */
+  private def foreachCasts(dts: Option[DataType]*): Seq[Option[DataType]] =
+    dts.toSeq
 
   /** Typed-lambda `Foreach` (reference TDataFrame.hxx:805-813 takes a callable
     * + branch list): values handed to the callable directly, no Row plumbing;

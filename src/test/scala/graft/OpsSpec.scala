@@ -131,6 +131,52 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("range join drops null-bounded ranges exactly like a plain range join") {
+    val points = Seq((1L, 5.0), (2L, 25.0)).toDF("pid", "p")
+    val ranges = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(30.0)),
+      (3L, Some(20.0), None)).toDF("rid", "lo", "hi")
+    val naive = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"rid").collect().map(_.toString).sorted.toSeq
+    val bucketed = graft.ops.Joins.rangeBucketed(points, ranges, "p", "lo", "hi", 5.0)
+      .select($"pid", $"rid").collect().map(_.toString).sorted.toSeq
+    assert(bucketed == naive && naive == Seq("[1,1]"))
+  }
+
+  test("bloom-prefiltered join resolves same-named key columns") {
+    val dir = "/root/testdata/sf0.001"
+    val probe = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("k"), $"l_linenumber")
+    val build = graft.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey".as("k"))
+    val got = graft.ops.Joins.bloomPrefiltered(probe, build, "k", "k", 10000L, 0.03)
+    assert(got.count() ==
+      probe.join(build.withColumnRenamed("k", "bk"), $"k" === $"bk").count())
+  }
+
+  test("decontamination builds a lazy plan: no cached blocks, no InMemoryRelation") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val flags = graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "flags() must not persist at construction time")
+    assert(flags.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "flags() must not leak cached blocks across materializations")
+    assert(!flags.queryExecution.executedPlan.toString.contains("InMemoryRelation"))
+  }
+
+  test("typed Foreach coerces representable args even when a sibling arg is opaque") {
+    // old behavior: ONE underivable argument type dropped the coercion for
+    // EVERY column, so the Int column bound to the Double parameter CCE'd
+    val acc = spark.sparkContext.doubleAccumulator("mixed-coerce")
+    val df = Seq((1, "a"), (2, "b")).toDF("i", "s")
+    graft.tdf.TDF(df).Foreach((x: Double, y: Any) => acc.add(x + y.toString.length),
+      Seq("i", "s"))
+    assert(acc.value == 5.0)
+  }
+
   test("range join rejects runaway ranges; typed Foreach rejects lossy narrowing") {
     val points = Seq((1L, 5.0)).toDF("pid", "p")
     val bad = Seq((1L, 0.0, 1e12)).toDF("rid", "lo", "hi")
