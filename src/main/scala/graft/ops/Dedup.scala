@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import TextOps.{hash32, shingles, tokens}
+import TextOps.{shingles, tokens}
 
 /** Deduplication operators for training-data pipelines, designed shuffle-
   * conscious for the 100 TB case:
@@ -34,24 +34,34 @@ object Dedup {
   def minhashSeeds(i: Int): (Long, Long) =
     (TextOps.hash32Local(s"a$i") % (MINHASH_P - 1) + 1, TextOps.hash32Local(s"b$i") % MINHASH_P)
 
+  /** seed vectors for k minhash functions (see [[minhashSeeds]]) */
+  def seedArrays(k: Int): (Seq[Long], Seq[Long]) = {
+    val (as, bs) = (0 until k).map(minhashSeeds).unzip
+    (as, bs)
+  }
+
   /** Per-doc MinHash signature: columns mh_0..mh_{k-1}.
     * One md5-derived base hash per shingle, then k universal-hash mixes
     * h_i(x) = (a_i*x + b_i) mod P — 16× fewer md5 evaluations than hashing
-    * per (i, shingle), with identical exact-integer portability. Signature_i
-    * = min over distinct shingles; map-side partial min keeps the shuffle at
-    * k longs per doc.
+    * per (i, shingle), with identical exact-integer portability.
+    *
+    * The whole signature is ONE codegen'd expression over the shingle array
+    * ([[graft.functions.MinhashSignature]]): a pure map over the corpus scan,
+    * no explode, no groupBy — the previous explode → md5-per-row →
+    * k-min-aggregate shape paid a shuffle (k longs/doc after map-side
+    * combine) plus the row-explosion; at 100 TB the signature stage is now
+    * shuffle-free. Values are identical (min over the same mixes), so the
+    * SQL oracle's groupBy formulation still reproduces them bit-for-bit.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame = {
-    val sh = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol), explode(shingles("__toks", shingleN)).as("sh"))
-      .withColumn("h0", hash32(col("sh")))
-    val aggs = (0 until k).map { i =>
-      val (a, b) = minhashSeeds(i)
-      min((lit(a) * col("h0") + lit(b)) % lit(MINHASH_P)).as(s"mh_$i")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val (as, bs) = seedArrays(k)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), shingles("__toks", shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0) // no shingles → no signature (as before)
+      .withColumn("__mh", graft.functions.TextHashExprs.minhashSig(col("__sh"), as, bs))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** Skew guard for banded self-joins: the left (smaller-id) side of a pair
@@ -119,13 +129,11 @@ object Dedup {
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleN)
     if (persistSets) sets.persist()
-    val sh = sets.select(col("id"), explode(col("sh")).as("sh"))
-      .withColumn("h0", hash32(col("sh")))
-    val aggs = (0 until k).map { i =>
-      val (a, b) = minhashSeeds(i)
-      min((lit(a) * col("h0") + lit(b)) % lit(MINHASH_P)).as(s"mh_$i")
-    }
-    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val (as, bs) = seedArrays(k)
+    val sig = sets.filter(size(col("sh")) > 0)
+      .withColumn("__mh", graft.functions.TextHashExprs.minhashSig(col("sh"), as, bs))
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
     val cands = lshCandidates(sig, "id", k, bandSize, maxBucket)
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -194,22 +202,14 @@ object Dedup {
   }
 
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the result is
-    * set iff Σ_words (±1 by bit j of hash32(word)) >= 0.
+    * set iff Σ_words (±1 by bit j of hash32(word)) >= 0. One codegen'd
+    * expression per doc ([[graft.functions.Simhash32]]) — shuffle-free map,
+    * replacing the explode → 32 conditional sums → groupBy shape.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.withColumn("__toks", array_distinct(tokens(col(textCol))))
-      .select(col(idCol), explode(col("__toks")).as("w"))
-      .withColumn("h", hash32(col("w")))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val summed = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 32).map { j =>
-      when(col(s"b_$j") >= 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    summed.withColumn("simhash", sim)
-      .select(col(idCol), col("simhash"))
-  }
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__w"))
+      .filter(size(col("__w")) > 0) // no tokens → no simhash (as before)
+      .select(col(idCol), graft.functions.TextHashExprs.simhash(col("__w")).as("simhash"))
 
   /** Hamming-distance pairs over simhash values; candidates restricted by a
     * 16-bit prefix band (both halves tried) so no full cross join at scale;

@@ -298,6 +298,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // reference formulation: explode → hash32 per shingle → k min-aggregates
+    val sh = docs.withColumn("__toks", TextOps.tokens($"text"))
+      .select($"doc_id", explode(TextOps.shingles("__toks", 3)).as("sh"))
+      .withColumn("h0", TextOps.hash32($"sh"))
+    val aggs = (0 until 8).map { i =>
+      val (a, b) = Dedup.minhashSeeds(i)
+      min((lit(a) * $"h0" + lit(b)) % lit(Dedup.MINHASH_P)).as(s"mh_$i")
+    }
+    val viaAgg = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    val viaExpr = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(viaExpr == viaAgg)
+    // and the signature stage itself must be a pure map: no exchange at all
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signatures must not shuffle:\n$plan")
+    // simhash: one-pass expression vs the 32-bit-sum formulation
+    val words = docs.withColumn("__toks", array_distinct(TextOps.tokens($"text")))
+      .select($"doc_id", explode($"__toks").as("w"))
+      .withColumn("h", TextOps.hash32($"w"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val simAgg = words.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", (0 until 32).map { j =>
+        when(col(s"b_$j") >= 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _))
+      .select($"doc_id", $"simhash").orderBy($"doc_id")
+      .collect().map(_.toString).toSeq
+    val simExpr = Dedup.simhash32(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(simExpr == simAgg)
+  }
+
   test("partition invariance: minhash signatures identical at 1 vs 8 partitions") {
     val docs = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok$i"))
       .toDF("doc_id", "text")
