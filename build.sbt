@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// DanglingSessionSpec stops its SparkSession (dangling-frame regression), so
+// it runs in its own forked JVM — it must not share the one-per-JVM local
+// SparkContext with the suites using the shared SparkTest.session.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (solo, rest) = tests.partition(_.name == "graft.DanglingSessionSpec")
+  Seq(
+    Tests.Group("shared-session", rest, Tests.SubProcess(fo)),
+    Tests.Group("dangling-session", solo, Tests.SubProcess(fo)),
+  ).filter(_.tests.nonEmpty)
+}

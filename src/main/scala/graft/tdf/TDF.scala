@@ -58,6 +58,12 @@ private[tdf] final case class Booked(steps: Vector[Step], spec: ActionSpec, resu
   * aggregation, codegen — is Catalyst's.
   */
 final class BookingContext private[tdf] (val base: DataFrame) {
+  // Frame identity captured eagerly so it is still printable after the owning
+  // session has been stopped (used by the dangling-frame guard below).
+  private val frameDesc = {
+    val cs = base.columns
+    s"TDataFrame(${cs.take(4).mkString(", ")}${if (cs.length > 4) ", …" else ""})"
+  }
   private val pending = mutable.ArrayBuffer.empty[Booked]
   private[tdf] var compat: Boolean = false
 
@@ -88,8 +94,15 @@ final class BookingContext private[tdf] (val base: DataFrame) {
           out.get(n) match {
             case None => out(n) = d
             case Some(prev) =>
-              // conservative textual comparison (different → per-action fallback)
-              if (prev.expr.toString != e.toString) return None
+              // Semantic comparison via Column equality (normalized column
+              // nodes, Origin stripped): structurally equal native
+              // expressions merge; a UDF keeps its function object in the
+              // node, so two DIFFERENT typed lambdas are unequal even though
+              // both render as `UDF(x)` — textual toString comparison would
+              // silently merge them and every action on the second fork would
+              // compute with the first fork's function. Different → per-action
+              // fallback.
+              if (prev.expr != e) return None
           }
         case _ => ()
       }
@@ -207,6 +220,15 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     */
   private[tdf] def run(): Unit = synchronized {
     if (pending.isEmpty) return
+    // Dangling-frame parity (reference tests/regression_invalidref.cxx:10-18,
+    // TDataFrame.hxx:994-1001): dereferencing a booked result after the owning
+    // session is gone must be a clear engine-level error, not a raw Spark
+    // exception from deep inside the runtime.
+    if (base.sparkSession.sparkContext.isStopped)
+      throw new IllegalStateException(
+        s"$frameDesc went out of scope: the owning SparkSession was stopped " +
+          "before this booked result was dereferenced — trigger the event loop " +
+          "(dereference the result) while the session is alive")
     val batch = pending.toVector
     pending.clear()
     mergedDefines(batch) match {

@@ -203,6 +203,59 @@ class TDFSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("sibling forks: same-named defines with DIFFERENT lambdas do not merge") {
+    // Two typed lambdas both lower to ScalaUDFs that render identically
+    // (`UDF(b1)`), so textual comparison would silently merge them and the
+    // second fork would compute with the FIRST fork's function. Canonicalized
+    // semanticEquals keeps the function object in the comparison → per-action
+    // fallback, each fork keeps its own lambda.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        val id = s.properties.getProperty("spark.sql.execution.id")
+        if (id != null) { execs.add(id); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = TDF(fixture)
+      val f1 = d.Define("z", (x: Double) => x * 2.0, Seq("b1"))
+      val f2 = d.Define("z", (x: Double) => x * 10.0, Seq("b1"))
+      val s1 = f1.Sum("z")
+      val s2 = f2.Sum("z")
+      assert(s1() == 380.0) // sum(b1) = 190, lambda ×2
+      assert(s2.isReady, "fallback still fills the whole batch in one trigger")
+      assert(s2() == 1900.0, "second fork must compute with ITS lambda (×10)")
+      Thread.sleep(600)
+      assert(execs.size() == 2,
+        s"conflicting same-named defines must fall back to per-action jobs, got ${execs.size()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sibling forks: same-named semantically-equal native defines still fuse") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        val id = s.properties.getProperty("spark.sql.execution.id")
+        if (id != null) { execs.add(id); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = TDF(fixture)
+      // two distinct Column objects, same canonical expression → one batch
+      val s1 = d.Define("z", $"b1" * 3).Sum("z")
+      val s2 = d.Define("z", $"b1" * 3).Filter($"z" > 30).Sum("z")
+      assert(s1() == 570.0)
+      assert(s2.isReady && s2() == (11 until 20).map(_ * 3.0).sum)
+      Thread.sleep(600)
+      assert(execs.size() == 1,
+        s"semantically equal defines must stay fused in ONE execution, got ${execs.size()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("review fixes: filterless Report, invalid histo axis, type mismatches") {
     // Report with zero filters → empty cut-flow, not empty.head crash
     assert(TDF(fixture).Report()().isEmpty)
