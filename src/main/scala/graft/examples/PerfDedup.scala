@@ -39,9 +39,16 @@ object PerfDedup {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", K, NGRAM)
     time("signatures (one-pass expr)")(
       sig.write.format("noop").mode("overwrite").save())
+    // Isolate the candidate stage: sig is a lazy plan, so timing
+    // lshCandidates(sig) directly would re-execute the signature stage on
+    // every run and the per-stage seconds would overlap. Persist +
+    // materialize the input first, unpersist after.
+    sig.persist()
+    sig.count()
     val cands = Dedup.lshCandidates(sig, "doc_id", K, BAND)
-    time("lsh candidates")(
+    time("lsh candidates (sig persisted)")(
       cands.write.format("noop").mode("overwrite").save())
+    sig.unpersist()
     time("full nearDuplicatesLsh persistSets=true")(
       Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
         .orderBy(col("id_a"), col("id_b"))

@@ -37,41 +37,55 @@ object TextHash {
   /** k-wide MinHash signature over the array's elements in one pass: one md5
     * per element, k universal-hash mixes (a_i*h + b_i) mod P, running mins.
     * No overflow: a < P ≈ 2^31, h < 2^32, so a*h + b < 2^63.
+    * NULL elements are skipped (the old explode+min shape ignored them:
+    * hash32(NULL) = NULL and min skips NULLs); returns null when no non-null
+    * element exists, matching the empty-array result.
     */
   def minhash(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
     val k = a.length
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = hash32(arr.getUTF8String(i))
-      var j = 0
-      while (j < k) {
-        val v = (a(j) * h + b(j)) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = hash32(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   /** 32-bit SimHash in one pass: bit j set iff Σ over elements of
-    * (±1 by bit j of hash32(element)) >= 0.
+    * (±1 by bit j of hash32(element)) >= 0. NULL elements are skipped
+    * (the old explode+sum shape ignored them); null when no non-null
+    * element exists, matching the empty-array result.
     */
-  def simhash32(arr: ArrayData): Long = {
+  def simhash32(arr: ArrayData): java.lang.Long = {
     val counts = new Array[Int](32)
     val n = arr.numElements()
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = hash32(arr.getUTF8String(i))
-      var j = 0
-      while (j < 32) {
-        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = hash32(arr.getUTF8String(i))
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
+    if (!seen) return null
     var out = 0L
     var j = 0
     while (j < 32) {
@@ -109,19 +123,20 @@ case class MinhashSignature(child: Expression, seedsA: Seq[Long], seedsB: Seq[Lo
       s"graft_minhash needs array<string>, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else TextHash.minhash(arr, aArr, bArr)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.minhash(v.asInstanceOf[ArrayData], aArr, bArr) // null if no non-null element
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val refA = ctx.addReferenceObj("graftMhSeedsA", aArr, "long[]")
     val refB = ctx.addReferenceObj("graftMhSeedsB", bArr, "long[]")
+    val r = ctx.freshName("graftMhR")
     nullSafeCodeGen(ctx, ev, c => s"""
-      if ($c.numElements() == 0) {
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.functions.TextHash.minhash($c, $refA, $refB);
+      if ($r == null) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.TextHash.minhash($c, $refA, $refB);
+        ${ev.value} = $r;
       }
     """)
   }
@@ -146,19 +161,20 @@ case class Simhash32(child: Expression) extends UnaryExpression {
       s"graft_simhash needs array<string>, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else TextHash.simhash32(arr)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhash32(v.asInstanceOf[ArrayData]) // null if no non-null element
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("graftShR")
     nullSafeCodeGen(ctx, ev, c => s"""
-      if ($c.numElements() == 0) {
+      java.lang.Long $r = graft.functions.TextHash.simhash32($c);
+      if ($r == null) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.TextHash.simhash32($c);
+        ${ev.value} = $r.longValue();
       }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)

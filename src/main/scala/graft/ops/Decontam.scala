@@ -45,12 +45,18 @@ object Decontam {
     // exactly what AQE measures at runtime to flip a sort-merge join to
     // broadcast — no driver-side persist/count (which would leak cached
     // blocks for the session lifetime; this is a plan constructor, there is
-    // no hook to unpersist after the caller materializes).
+    // no hook to unpersist after the caller materializes). Without AQE that
+    // runtime re-plan never happens and the left join would shuffle the FULL
+    // corpus by id, so fall back to the static broadcast hint (safe under the
+    // decontamination premise; AQE sessions get the size-aware behavior).
+    val aqeOn = corpus.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    val hits = if (aqeOn) gramHits else broadcast(gramHits)
     corpus
       .withColumn("__d", md5(col(textCol)))
       .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
         col("__d") === col("__digest"), "left")
-      .join(gramHits, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("__ex"), lit(0)).as("exact_hit"),

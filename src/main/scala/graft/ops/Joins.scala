@@ -43,7 +43,11 @@ object Joins {
     // common case for same-named join keys)
     val filtered = probe
       .filter(graft.functions.BloomExprs.mightContain(col(probeKey), bloom))
-    filtered.join(build, filtered(probeKey) === build(buildKey))
+    val joined = filtered.join(build, filtered(probeKey) === build(buildKey))
+    // same-named keys: keep only the probe side, or any downstream
+    // select(probeKey) hits an ambiguous-reference AnalysisException (the
+    // values are equal under the inner equi-join anyway)
+    if (probeKey == buildKey) joined.drop(build(buildKey)) else joined
   }
 
   /** Bucketized range join: `points` rows matched to every `ranges` row with

@@ -151,6 +151,35 @@ class OpsSpec extends AnyFunSuite {
     val got = graft.ops.Joins.bloomPrefiltered(probe, build, "k", "k", 10000L, 0.03)
     assert(got.count() ==
       probe.join(build.withColumnRenamed("k", "bk"), $"k" === $"bk").count())
+    // duplicate build-side key is dropped, so a downstream select(key) is
+    // unambiguous (it used to throw AnalysisException)
+    assert(got.columns.count(_ == "k") == 1)
+    assert(got.select($"k").distinct().count() ==
+      probe.join(build.withColumnRenamed("k", "bk"), $"k" === $"bk")
+        .select($"k").distinct().count())
+  }
+
+  test("minhash/simhash kernels skip null elements (public-API hardening)") {
+    import graft.functions.TextHashExprs
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", null, "b", "c", null)), // nulls interleaved
+      (3L, Seq[String](null, null)),                // only nulls
+      (4L, Seq.empty[String])                       // empty
+    ).toDF("id", "toks")
+    val a = Seq(3L, 5L); val b = Seq(7L, 11L)
+    val out = df.select($"id",
+      TextHashExprs.minhashSig($"toks", a, b).as("mh"),
+      TextHashExprs.simhash($"toks").as("sh"))
+      .orderBy($"id").collect()
+    // nulls skipped → same signature as the null-free twin
+    assert(out(0).getSeq[Long](1) == out(1).getSeq[Long](1))
+    assert(out(0).getLong(2) == out(1).getLong(2))
+    // all-null behaves like empty: null signature, null simhash
+    Seq(2, 3).foreach { i =>
+      assert(out(i).isNullAt(1) && out(i).isNullAt(2),
+        s"row ${out(i).getLong(0)}: no non-null element must yield null")
+    }
   }
 
   test("decontamination builds a lazy plan: no cached blocks, no InMemoryRelation") {
