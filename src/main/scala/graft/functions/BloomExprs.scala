@@ -50,4 +50,16 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 object BloomExprs {
   def mightContain(key: Column, bloom: BloomFilter): Column =
     GraftSql.column(BloomMightContain(GraftSql.expression(key), bloom))
+
+  /** serialize a filter for the SQL surface (`graft_bloom_might_contain(key,
+    * X'<hex of these bytes>')`) — Spark's own sketch wire format
+    */
+  def serialize(bloom: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 }

@@ -27,34 +27,34 @@ object TextOps {
   /** whitespace tokens of trimmed text */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** BPE-ish subword segmentation: letter runs, digit runs, single symbols */
-  def bpeishTokens(c: Column): Column =
-    expr(s"regexp_extract_all(${c.toString}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
-
-  /** word n-gram shingles (distinct), joined with single spaces. The CASE
-    * guards Spark's descending `sequence(1, 0)` when the doc is shorter than n.
+  /** BPE-ish subword segmentation: letter runs, digit runs, single symbols.
+    * Column-native (no SQL-string splicing), so any composed expression works.
     */
-  def shingles(toksCol: String, n: Int): Column =
-    array_distinct(expr(
-      s"CASE WHEN size($toksCol) >= $n THEN " +
-        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice($toksCol, i, $n))) " +
-        s"ELSE array() END"))
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
 
-  /** char n-gram substrings (distinct) — rolling-window fingerprint source */
-  def charShingles(c: String, n: Int): Column =
-    array_distinct(expr(
-      s"CASE WHEN length($c) >= $n THEN " +
-        s"transform(sequence(1, length($c) - ${n - 1}), i -> substring($c, i, $n)) " +
-        s"ELSE array() END"))
+  /** word n-gram shingles (distinct), joined with single spaces */
+  def shingles(toks: Column, n: Int): Column = array_distinct(shinglesAll(toks, n))
+  def shingles(toksCol: String, n: Int): Column = shingles(col(toksCol), n)
+
+  /** char n-gram substrings (distinct) — rolling-window fingerprint source.
+    * The guard keeps Spark's descending `sequence(1, 0)` from firing on short
+    * docs (same CASE the SQL oracles encode).
+    */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+  def charShingles(c: String, n: Int): Column = charShingles(col(c), n)
 
   /** word n-gram shingles WITHOUT dedup — for repetition statistics */
-  def shinglesAll(toksCol: String, n: Int): Column =
-    expr(
-      s"CASE WHEN size($toksCol) >= $n THEN " +
-        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice($toksCol, i, $n))) " +
-        s"ELSE array() END")
+  def shinglesAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  def shinglesAll(toksCol: String, n: Int): Column = shinglesAll(col(toksCol), n)
 
   /** PII scrub patterns: email, international-ish phone, IPv4. Deterministic
     * regex rewrites (same PCRE subset in Spark and DuckDB), applied

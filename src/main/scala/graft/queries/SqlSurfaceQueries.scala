@@ -69,14 +69,19 @@ object SqlSurfaceQueries {
     },
 
     "q_grouping_sets" -> { (s, dir) =>
-      Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
-      s.sql("""
+      // unique, dropped-after view name: a fixed name would mutate shared
+      // session state and could collide across concurrent queries
+      val v = s"li_gs_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.lineitem(s, dir).createOrReplaceTempView(v)
+      val out = s.sql(s"""
         SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                coalesce(l_linestatus, 'ALL') AS lstatus,
                count(*) AS n, sum(l_quantity) AS sum_qty
-        FROM li_gs
+        FROM $v
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY rflag, lstatus""")
+      s.catalog.dropTempView(v) // sql() analyzed eagerly; the plan keeps the relation
+      out
     },
 
     "q_pivot" -> { (s, dir) =>
@@ -157,14 +162,19 @@ object SqlSurfaceQueries {
 
     // correlated + IN subqueries through the engine's SQL surface
     "q_subqueries" -> { (s, dir) =>
-      Tables.customer(s, dir).createOrReplaceTempView("cust_sq")
-      Tables.orders(s, dir).createOrReplaceTempView("ord_sq")
-      s.sql("""
-        SELECT c_custkey, c_acctbal FROM cust_sq c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_sq
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+      val (cv, ov) = (s"cust_sq_$sfx", s"ord_sq_$sfx")
+      Tables.customer(s, dir).createOrReplaceTempView(cv)
+      Tables.orders(s, dir).createOrReplaceTempView(ov)
+      val out = s.sql(s"""
+        SELECT c_custkey, c_acctbal FROM $cv c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $cv
                            WHERE c_nationkey = c.c_nationkey)
-          AND c_custkey IN (SELECT o_custkey FROM ord_sq WHERE o_totalprice > 200000)
+          AND c_custkey IN (SELECT o_custkey FROM $ov WHERE o_totalprice > 200000)
         ORDER BY c_custkey""")
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(ov)
+      out
     },
 
     // exact interpolated percentiles (integral data → exact doubles)

@@ -19,4 +19,35 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Seq[Long], Long, Long)].head
     assert(h._1 == Seq(1L, 2L, 0L, 0L) && h._2 == 1L && h._3 == 4L)
   }
+
+  test("graft_minhash and graft_simhash callable from SQL, bit-identical to Scala API") {
+    GraftExtensions.register(spark)
+    val sqlRow = spark.sql(
+      "SELECT graft_minhash(array('a','b','c'), 4) AS mh, graft_simhash(array('a','b','c')) AS sh")
+      .as[(Seq[Long], Long)].head
+
+    import org.apache.spark.sql.functions.{array, lit}
+    val (as, bs) = graft.ops.Dedup.seedArrays(4)
+    val apiRow = Seq(1).toDF("one").select(
+      graft.functions.TextHashExprs.minhashSig(array(lit("a"), lit("b"), lit("c")), as, bs).as("mh"),
+      graft.functions.TextHashExprs.simhash(array(lit("a"), lit("b"), lit("c"))).as("sh"))
+      .as[(Seq[Long], Long)].head
+    assert(sqlRow == apiRow)
+    assert(sqlRow._1.length == 4)
+  }
+
+  test("graft_bloom_might_contain callable from SQL with a serialized filter") {
+    GraftExtensions.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (1L to 100L).foreach(bloom.putLong)
+    val hex = graft.functions.BloomExprs.serialize(bloom)
+      .map(b => f"$b%02x").mkString
+    val got = spark.sql(
+      s"SELECT k, graft_bloom_might_contain(k, X'$hex') AS hit " +
+        "FROM VALUES (CAST(50 AS BIGINT)), (CAST(12345678 AS BIGINT)) AS t(k)")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(50L), "inserted key must hit")
+    assert(got(12345678L) == bloom.mightContainLong(12345678L),
+      "probe must agree with the driver-side filter exactly")
+  }
 }

@@ -129,6 +129,36 @@ object LawsSpec extends Properties("graft") {
         clean.count() == kept
     }
 
+  // q_approx_sketch is rows-only at the driver (no exact oracle for sketches),
+  // so a silent sketch regression would pass every gate. Pin it locally: the
+  // sketch values from the ACTUAL gate query must land within documented error
+  // of their exact twins (q_distinct / the raw data's true median rank) at
+  // sf0.01. Computed once (lazy) — the sketches are deterministic for fixed
+  // input, the 8 ScalaCheck trials just re-read the cached booleans.
+  private lazy val sketchVsExact: (Boolean, Boolean) = {
+    val dir = "/root/testdata/sf0.01"
+    val sk = graft.SparkEntry.queries("q_approx_sketch")(spark, dir).head
+    val ex = graft.SparkEntry.queries("q_distinct")(spark, dir).head
+    val apxParts = sk.getAs[Long]("approx_parts")
+    val exactParts = ex.getAs[Long]("n_parts")
+    // approx_count_distinct at rsd=0.01: allow 5× the target rsd
+    val cdOk = math.abs(apxParts - exactParts).toDouble / exactParts <= 0.05
+    // approx_percentile(accuracy=1000) guarantees rank error <= n/1000; check
+    // the returned value's true rank with 4× slack (+1 for tie rounding)
+    val li = graft.Tables.lineitem(spark, dir)
+    val amed = sk.getAs[Double]("approx_median")
+    val n = li.count()
+    val rank = li.filter(col("l_extendedprice") <= amed).count()
+    val pctOk = math.abs(rank - n / 2.0) <= 4.0 * n / 1000.0 + 1
+    (cdOk, pctOk)
+  }
+
+  property("approx_count_distinct within 5x target rsd of exact twin") =
+    Prop.secure(sketchVsExact._1)
+
+  property("approx_percentile median within documented rank error") =
+    Prop.secure(sketchVsExact._2)
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")

@@ -26,6 +26,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) == Seq("one two three", "two three four"))
   }
 
+  test("text helpers accept composed Columns and backtick-worthy names") {
+    // the old SQL-string-spliced forms parse-errored on a column name with a
+    // space and could not take composed expressions at all
+    val df = Seq("One Two three four").toDF("weird name")
+    val row = df.select(
+      TextOps.shingles(TextOps.tokens(lower($"weird name")), 2).as("sh"),
+      TextOps.shinglesAll(TextOps.tokens($"weird name"), 3).as("sa"),
+      TextOps.charShingles(concat(lower($"weird name"), lit("!")), 17).as("cs"),
+      TextOps.bpeishTokens(concat($"weird name", lit(" x9!"))).as("bt")).head
+    assert(row.getSeq[String](0) == Seq("one two", "two three", "three four"))
+    assert(row.getSeq[String](1) == Seq("One Two three", "Two three four"))
+    assert(row.getSeq[String](2).contains("one two three fou"))
+    assert(row.getSeq[String](3) == Seq(
+      "One", "Two", "three", "four", "x", "9", "!"))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "dup text"), (2L, "dup text"), (3L, "unique")).toDF("doc_id", "text")
     val got = Dedup.exact(df, "doc_id", "text")
