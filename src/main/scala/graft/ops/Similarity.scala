@@ -101,6 +101,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("rank"))
   }
 
+  /** IVF-style ANN top-k — the inverted-file scale path alongside [[lshTopK]]:
+    *
+    *  1. centroids: the `nCents` smallest-id corpus vectors (a deterministic
+    *     stand-in for k-means — sampling keeps the operator exactly
+    *     SQL-reproducible; production swaps in trained centroids, the
+    *     plumbing is identical). Fetched driver-side like a broadcast/bloom
+    *     build: `nCents` rows, not data-scale.
+    *  2. index build: every vector is assigned to its nearest centroid by a
+    *     single scan-level argmax expression (`array_max` over per-centroid
+    *     (cos, -cent_id) structs → C codegen'd dot products per row, ZERO
+    *     shuffle, no row explosion). The one shuffle is organizing the
+    *     inverted lists by `cent_id` (anchor-capped like every bucketed op) —
+    *     at 100 TB this is the index you'd persist bucketed by `cent_id`.
+    *  3. search: each query probes its `nprobe` nearest centroids
+    *     (`array_sort` + `slice` over the same struct array) and meets ONLY
+    *     those inverted lists through an equi-join on `cent_id` — never the
+    *     full corpus. Recall is the documented IVF tradeoff.
+    *
+    * Ranking rules identical to the other ANN ops: cosine rounded to 6
+    * decimals, id tiebreaks.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCents: Int, nprobe: Int,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(nCents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+    // per-centroid (cos, -cent_id) structs: max/sort order = cos desc, then
+    // smaller cent_id (negated id inverts the tiebreak under asc/max order)
+    def centStructs(vec: Column) = cents.map { case (cid, cvec) =>
+      struct(cosineR6(vec, array(cvec.map(lit): _*)).as("cos"), lit(-cid).as("ncid"))
+    }
+    def nearestCent(vec: Column): Column =
+      (array_max(array(centStructs(vec): _*)).getField("ncid") * -1).cast("long")
+
+    val inverted = Dedup.capBuckets(
+      base.withColumn("cent_id", nearestCent(col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("cent_id"))
+
+    // nprobe centroid ids per query: sort (−cos, cent_id) asc, take nprobe
+    val probeArr = slice(
+      array_sort(array(cents.map { case (cid, cvec) =>
+        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)
+    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(inverted, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineR6(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, candidates from
     * the LSH bucket join (scale path; exact-over-bucket semantics).
     */

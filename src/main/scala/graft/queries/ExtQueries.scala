@@ -19,6 +19,9 @@ object ExtQueries {
   private val LSH_TOPK = 3
   private val NEARDUP_COS = 0.35
   private val GAP_MIN = 30
+  private val IVF_CENTS = 16
+  private val IVF_NPROBE = 2
+  private val IVF_TOPK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -36,6 +39,15 @@ object ExtQueries {
       Similarity.nearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", NEARDUP_COS, BITS, DIM)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // IVF inverted-file ANN: scan-level centroid assignment (zero shuffle),
+    // queries probe nprobe inverted lists via an equi-join on cent_id
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     "q_multimodal" -> { (s, dir) =>
@@ -72,6 +84,13 @@ object ExtQueries {
     // stateful streaming: GroupState-backed running per-user totals
     "q_stream_stateful" -> { (s, dir) =>
       Streams.statefulUserStats(s, dir).orderBy(col("user_id"))
+    },
+
+    // streaming exact dedup: watermark-evicted key state, append-mode first
+    // occurrences; delay > replay span, so the set equals batch DISTINCT
+    "q_stream_dedup" -> { (s, dir) =>
+      Streams.streamingDedup(s, dir, Seq("user_id", "event_type"), "3650 days")
+        .orderBy(col("user_id"), col("event_type"))
     },
 
     // funnel: users who did view -> click -> purchase in strict ts order;
@@ -157,6 +176,32 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      "q_ann_ivf" -> s"""
+        $embBase,
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                  ORDER BY vec_id LIMIT $IVF_CENTS),
+        ac AS (SELECT x.vec_id, c.cent_id,
+                      round(list_sum(list_transform(range(1, ${DIM + 1}),
+                        i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6) AS ccos
+               FROM n x CROSS JOIN cents c),
+        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS rn FROM ac),
+        inv AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
+                  ORDER BY vec_id) AS rk
+                FROM asg0 WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
+               WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN n q ON q.vec_id = qp.query_id
+              JOIN n c ON c.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
       "q_embed_neardup" -> s"""
         $embBase,
         b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
@@ -223,6 +268,9 @@ object ExtQueries {
         SELECT user_id, count(*) AS n_events,
                CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS sum_cents
         FROM events GROUP BY user_id ORDER BY user_id""",
+      "q_stream_dedup" -> """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""",
       "q_funnel" -> """
         WITH stages AS (
           SELECT user_id,

@@ -180,6 +180,33 @@ object Streams {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** Streaming exact dedup (`dropDuplicatesWithinWatermark`) — the streaming
+    * member of the dedup family. The first occurrence of a key is emitted
+    * immediately (append mode, no flush sentinel needed); later duplicates
+    * are suppressed while the key is in the state store, and per-key state is
+    * EVICTED once the watermark passes its event time + delay — the
+    * bounded-state contract plain `dropDuplicates` cannot give an unbounded
+    * stream. The delay must cover the max duplicate spread for exact global
+    * dedup (here: longer than the replayed data's span, so the result equals
+    * batch DISTINCT); on a real 100 TB stream you pick the business bound
+    * (e.g. 24 h) and accept re-emission of wider-spread duplicates.
+    * Output is projected to the key columns alone, so the emitted SET is
+    * deterministic regardless of which duplicate row won the race.
+    */
+  def streamingDedup(
+      spark: SparkSession, sfDir: String, keys: Seq[String], delay: String): DataFrame = {
+    val name = s"graft_sdedup_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .withWatermark("ts", delay)
+      .select(keys.map(col) :+ col("ts"): _*)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)

@@ -87,6 +87,40 @@ class OpsSpec extends AnyFunSuite {
     assert(b1.sorted == b8.sorted)
   }
 
+  test("IVF top-k: probed lists contain the true neighbor; partition-invariant") {
+    // clusters around 3 well-separated directions in R^4; centroids = 4
+    // smallest ids (one per cluster + one extra), nprobe=2
+    def v(base: Seq[Double], eps: Double) = base.map(x => (x + eps).toFloat)
+    val df = Seq(
+      (0L, v(Seq(10, 0, 0, 0), 0)), (1L, v(Seq(0, 10, 0, 0), 0)),
+      (2L, v(Seq(0, 0, 10, 0), 0)), (3L, v(Seq(10, 0, 0, 0), 0.2)),
+      (10L, v(Seq(10, 0, 0, 0), 0.1)), (11L, v(Seq(0, 10, 0, 0), 0.1)),
+      (12L, v(Seq(0, 0, 10, 0), 0.1))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(df, df.filter($"vec_id" >= 10), "vec_id", "embedding",
+      k = 1, nCents = 4, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // each query's rank-1 must come from its own cluster's inverted list
+    // (clusters are orthogonal, so any cross-cluster candidate has cos ≈ 0)
+    assert(Set(0L, 3L).contains(got(10L)), s"query 10 got ${got(10L)}")
+    assert(got(11L) == 1L && got(12L) == 2L)
+    val p1 = Similarity.ivfTopK(df.repartition(1), df.filter($"vec_id" >= 10),
+      "vec_id", "embedding", 1, 4, 2).collect().map(_.toString).sorted.toSeq
+    val p8 = Similarity.ivfTopK(df.repartition(8), df.filter($"vec_id" >= 10),
+      "vec_id", "embedding", 1, 4, 2).collect().map(_.toString).sorted.toSeq
+    assert(p1 == p8)
+  }
+
+  test("streaming dedup equals batch DISTINCT (watermark-evicted key state)") {
+    val got = Streams.streamingDedup(spark, "/root/testdata/sf0.001",
+      Seq("user_id", "event_type"), "3650 days")
+      .as[(Long, String)].collect().toSet
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("sessionize splits on gap and sums cents exactly") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
