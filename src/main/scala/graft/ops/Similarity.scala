@@ -161,6 +161,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the vector-
+    * compression step a 100 TB ANN index runs before storage (4× smaller than
+    * float32). Per-vector scale = max|x|/127, stored q_i = round(x_i·127/max)
+    * ∈ [-127, 127]; a zero vector quantizes to zeros. Pure scan-level
+    * expressions (zero shuffle), exact-integer codes → SQL-reproducible.
+    * Emits scalar diagnostics (dims, scale, code sum, md5 digest of the code
+    * array, max dequantization error) — the quality-monitoring columns a
+    * pipeline tracks, and a full bit-level pin of the codes via the digest.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mx = array_max(transform(v, x => abs(x)))
+    val q = when(mx === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x * 127.0 / mx).cast("int")))
+    df.select(
+      col(idCol),
+      size(v).cast("long").as("n_dims"),
+      round(mx / 127.0, 9).as("scale"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+      md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
+      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / lit(127.0)))), 9)
+        .as("max_err"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, candidates from
     * the LSH bucket join (scale path; exact-over-bucket semantics).
     */

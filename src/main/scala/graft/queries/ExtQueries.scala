@@ -41,6 +41,13 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // int8 embedding quantization: pure scan-level compression codes +
+    // quality diagnostics; codes pinned bit-level via md5 digest
+    "q_embed_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+
     // IVF inverted-file ANN: scan-level centroid assignment (zero shuffle),
     // queries probe nprobe inverted lists via an equi-join on cent_id
     "q_ann_ivf" -> { (s, dir) =>
@@ -176,6 +183,19 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      "q_embed_quantize" -> s"""
+        $embBase,
+        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
+        q1 AS (SELECT vec_id, v, mx,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
+               FROM q0)
+        SELECT vec_id, len(v)::BIGINT AS n_dims, round(mx/127.0, 9) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               md5(array_to_string(q, ',')) AS q_digest,
+               round(list_max(list_transform(range(1, ${DIM + 1}),
+                 i -> abs(v[i] - q[i]*mx/127.0))), 9) AS max_err
+        FROM q1 ORDER BY vec_id""",
       "q_ann_ivf" -> s"""
         $embBase,
         cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n

@@ -111,6 +111,28 @@ class OpsSpec extends AnyFunSuite {
     assert(p1 == p8)
   }
 
+  test("int8 quantization: codes in [-127,127], zero vector safe, err <= scale/2") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector must not divide by zero
+      (3L, Seq(-3.0f, 3.0f, 1.5f, -1.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy($"vec_id").collect()
+    // row 1: scale = 1/127; codes = (127, -64, 32, 0) -> sum 95
+    assert(got(0).getAs[Long]("q_sum") == 95L)
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(got(1).getAs[Double]("scale") == 0.0 &&
+      got(1).getAs[Long]("q_sum") == 0L && got(1).getAs[Double]("max_err") == 0.0)
+    // row 3: symmetric values hit the rails exactly -> sum 0, zero error
+    assert(got(2).getAs[Long]("q_sum") == 0L)
+    // quantization error bound: half a step
+    got.foreach { r =>
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: err ${r.getAs[Double]("max_err")} > scale/2")
+    }
+  }
+
   test("streaming dedup equals batch DISTINCT (watermark-evicted key state)") {
     val got = Streams.streamingDedup(spark, "/root/testdata/sf0.001",
       Seq("user_id", "event_type"), "3650 days")
