@@ -91,4 +91,18 @@ class ScaleSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"fact side must not shuffle before join:\n$plan")
   }
+
+  test("IVF centroid assignment is a scan expression, never a join") {
+    // the naive formulation (corpus × centroid-table cross join + argmin)
+    // would plan a nested-loop join and explode every row C ways through a
+    // shuffle; the operator must instead fold the centroids into a single
+    // scan-level expression and meet the corpus only through the cent_id
+    // equi-join on the capped inverted lists
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = graft.ops.Similarity.ivfTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 16, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must not plan as a join:\n$plan")
+  }
 }
