@@ -88,8 +88,10 @@ final class BookingContext private[tdf] (val base: DataFrame) {
     */
   private def mergedDefines(booked: Seq[Booked]): Option[Vector[DefineStep]] = {
     val out = mutable.LinkedHashMap.empty[String, DefineStep]
-    booked.foreach { b =>
-      b.steps.foreach {
+    var conflict = false
+    val it = booked.iterator.flatMap(_.steps.iterator)
+    while (!conflict && it.hasNext) {
+      it.next() match {
         case d @ DefineStep(n, e) =>
           out.get(n) match {
             case None => out(n) = d
@@ -101,13 +103,14 @@ final class BookingContext private[tdf] (val base: DataFrame) {
               // both render as `UDF(x)` — textual toString comparison would
               // silently merge them and every action on the second fork would
               // compute with the first fork's function. Different → per-action
-              // fallback.
-              if (prev.expr != e) return None
+              // fallback (flagged loop, not a non-local return — this sits on
+              // the fusion hot path).
+              if (prev.expr != e) conflict = true
           }
         case _ => ()
       }
     }
-    Some(out.values.toVector)
+    if (conflict) None else Some(out.values.toVector)
   }
 
   private def withDefines(defines: Seq[DefineStep]): DataFrame =
@@ -465,6 +468,11 @@ final class TDF private (
   def Min(column: String = ""): Result[Double] = ctx.book(steps, MinSpec(pick(column, "Min")))
   def Max(column: String = ""): Result[Double] = ctx.book(steps, MaxSpec(pick(column, "Max")))
   def Mean(column: String = ""): Result[Double] = ctx.book(steps, MeanSpec(pick(column, "Mean")))
+  /** Reference `Take<T>`: the full column as a driver-side Seq. Faithful to
+    * the reference's semantics (a materialized std::list, TDataFrame.hxx), so
+    * the whole column lands in driver memory — for data-scale columns use
+    * [[TakeIterator]], which streams partition by partition.
+    */
   def Take(column: String = ""): Result[Seq[Any]] =
     ctx.book(steps, TakeSpec(pick(column, "Take")))
 
