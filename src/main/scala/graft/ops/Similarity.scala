@@ -101,12 +101,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("rank"))
   }
 
+  /** Per-centroid (cos, -cent_id) structs: max/sort order = cos desc, then
+    * smaller cent_id (negated id inverts the tiebreak under asc/max order).
+    * The building block of centroid assignment and probe selection — a pure
+    * scan-level expression over centroid LITERALS, so assignment never joins.
+    */
+  private def centStructs(cents: Seq[(Long, Seq[Double])], vec: Column): Seq[Column] =
+    cents.map { case (cid, cvec) =>
+      struct(cosineR6(vec, array(cvec.map(lit): _*)).as("cos"), lit(-cid).as("ncid"))
+    }
+
+  /** nearest-centroid id as a single scan-level argmax expression */
+  private def nearestCent(cents: Seq[(Long, Seq[Double])], vec: Column): Column =
+    (array_max(array(centStructs(cents, vec): _*)).getField("ncid") * -1).cast("long")
+
+  /** Deterministic Lloyd (k-means) training over the corpus, as DataFrame
+    * ops. Init = the `nCents` smallest-id corpus vectors; each iteration
+    * assigns every vector to its nearest centroid through the SAME scan-level
+    * argmax expression the index build uses (zero shuffle), then recomputes
+    * each centroid as the per-dimension mean of its members, ROUNDED to 6
+    * decimals — fixed iteration count + rounded assignment keys and means are
+    * what keep the whole training loop exactly SQL-reproducible. An empty
+    * cluster keeps its previous centroid. Centroid state is nCents×dim
+    * doubles fetched driver-side like any broadcast build; per-iteration
+    * corpus work is one scan plus one (cent_id, dim) aggregation — at 100 TB
+    * that is `iters` extra passes over the embedding column, the standard
+    * IVF training cost (often run on a sample; here the corpus IS the
+    * sample scale).
+    *
+    * `base` must carry (`id` long, `__v` array<double>).
+    */
+  def lloydCentroids(base: DataFrame, nCents: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(nCents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    var t = 0
+    while (t < iters) {
+      val means: Map[Long, Seq[Double]] = base
+        .withColumn("cent_id", nearestCent(cents, col("__v")))
+        .select(col("cent_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      t += 1
+    }
+    cents
+  }
+
   /** IVF-style ANN top-k — the inverted-file scale path alongside [[lshTopK]]:
     *
-    *  1. centroids: the `nCents` smallest-id corpus vectors (a deterministic
-    *     stand-in for k-means — sampling keeps the operator exactly
-    *     SQL-reproducible; production swaps in trained centroids, the
-    *     plumbing is identical). Fetched driver-side like a broadcast/bloom
+    *  1. centroids: deterministic init from the `nCents` smallest-id corpus
+    *     vectors, optionally refined by `trainIters` Lloyd iterations
+    *     ([[lloydCentroids]] — rounded means keep training exactly
+    *     SQL-reproducible). Fetched driver-side like a broadcast/bloom
     *     build: `nCents` rows, not data-scale.
     *  2. index build: every vector is assigned to its nearest centroid by a
     *     single scan-level argmax expression (`array_max` over per-centroid
@@ -117,7 +167,9 @@ object Similarity {
     *  3. search: each query probes its `nprobe` nearest centroids
     *     (`array_sort` + `slice` over the same struct array) and meets ONLY
     *     those inverted lists through an equi-join on `cent_id` — never the
-    *     full corpus. Recall is the documented IVF tradeoff.
+    *     full corpus. Recall is the documented IVF tradeoff; training is what
+    *     balances the inverted lists (cap losses) and recovers recall on
+    *     skewed corpora.
     *
     * Ranking rules identical to the other ANN ops: cosine rounded to 6
     * decimals, id tiebreaks.
@@ -125,21 +177,12 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-    val cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(nCents)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-
-    // per-centroid (cos, -cent_id) structs: max/sort order = cos desc, then
-    // smaller cent_id (negated id inverts the tiebreak under asc/max order)
-    def centStructs(vec: Column) = cents.map { case (cid, cvec) =>
-      struct(cosineR6(vec, array(cvec.map(lit): _*)).as("cos"), lit(-cid).as("ncid"))
-    }
-    def nearestCent(vec: Column): Column =
-      (array_max(array(centStructs(vec): _*)).getField("ncid") * -1).cast("long")
+    val cents = lloydCentroids(base, nCents, trainIters)
 
     val inverted = Dedup.capBuckets(
-      base.withColumn("cent_id", nearestCent(col("__v"))), Seq("cent_id"), "id", maxBucket)
+      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("cent_id"))
 
     // nprobe centroid ids per query: sort (−cos, cent_id) asc, take nprobe

@@ -22,6 +22,7 @@ object ExtQueries {
   private val IVF_CENTS = 16
   private val IVF_NPROBE = 2
   private val IVF_TOPK = 3
+  private val IVF_TRAIN_ITERS = 2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -54,6 +55,16 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         IVF_TOPK, IVF_CENTS, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF with TRAINED centroids: 2 deterministic Lloyd iterations (rounded
+    // per-dim means) refine the sampled init before the same scan-level
+    // assignment — the production-shaped index (balanced lists, real recall)
+    "q_ann_ivf_trained" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE, trainIters = IVF_TRAIN_ITERS)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -222,6 +233,60 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
+      // trained IVF: the Lloyd loop unrolled as one CTE per iteration —
+      // assignment (rounded cosine, cent_id tiebreak) → per-dim rounded means
+      // → empty clusters keep the previous centroid (coalesce). Identical
+      // rounding on both sides makes the whole training loop exact.
+      "q_ann_ivf_trained" -> {
+        def dotOverCent(t: String) =
+          s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6)"
+        val trainCtes = (0 until IVF_TRAIN_ITERS).map { t =>
+          s"""
+        cn$t AS (SELECT cent_id, cv,
+                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM ct$t),
+        asn$t AS (SELECT x.vec_id, c.cent_id, ${dotOverCent(s"$t")} AS ccos
+                  FROM n x CROSS JOIN cn$t c),
+        bst$t AS (SELECT vec_id, cent_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS rn FROM asn$t)
+                  WHERE rn = 1),
+        mn$t AS (SELECT cent_id, dim, round(avg(x), 6) AS m FROM (
+                   SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
+                          unnest(v.v) AS x
+                   FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)
+                 GROUP BY cent_id, dim),
+        gl$t AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM mn$t GROUP BY cent_id),
+        ct${t + 1} AS (SELECT c.cent_id, coalesce(g.cv, c.cv) AS cv
+                       FROM ct$t c LEFT JOIN gl$t g USING (cent_id))"""
+        }.mkString(",")
+        s"""
+        $embBase,
+        ct0 AS (SELECT vec_id AS cent_id, v AS cv FROM n ORDER BY vec_id LIMIT $IVF_CENTS),
+        $trainCtes,
+        cnf AS (SELECT cent_id, cv,
+                  sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+                FROM ct$IVF_TRAIN_ITERS),
+        ac AS (SELECT x.vec_id, c.cent_id, ${dotOverCent("f")} AS ccos
+               FROM n x CROSS JOIN cnf c),
+        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS rn FROM ac),
+        inv AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
+                  ORDER BY vec_id) AS rk
+                FROM asg0 WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
+               WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN n q ON q.vec_id = qp.query_id
+              JOIN n c ON c.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
+      },
       "q_embed_neardup" -> s"""
         $embBase,
         b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),

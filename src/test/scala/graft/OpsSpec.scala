@@ -111,6 +111,25 @@ class OpsSpec extends AnyFunSuite {
     assert(p1 == p8)
   }
 
+  test("Lloyd centroids: deterministic across partitioning, move toward cluster means") {
+    def v(base: Seq[Double], eps: Double) = base.map(x => (x + eps).toFloat)
+    val df = Seq(
+      (0L, v(Seq(10, 0, 0, 0), 0)), (1L, v(Seq(0, 10, 0, 0), 0)),
+      (3L, v(Seq(10, 0, 0, 0), 0.4)), (4L, v(Seq(10, 0, 0, 0), 0.8)),
+      (11L, v(Seq(0, 10, 0, 0), 0.6)), (12L, v(Seq(0, 10, 0, 0), 0.2))
+    ).toDF("vec_id", "embedding")
+    def base(d: org.apache.spark.sql.DataFrame) =
+      d.select($"vec_id".as("id"), Similarity.asDouble($"embedding").as("__v"))
+    val c1 = Similarity.lloydCentroids(base(df.repartition(1)), 2, 2)
+    val c8 = Similarity.lloydCentroids(base(df.repartition(8)), 2, 2)
+    assert(c1 == c8, "training must be partition-invariant (rounded means)")
+    // centroid 0 pulls toward the mean of the x-cluster {0,3,4}: first dim
+    // becomes the rounded average of 10, 10.4, 10.8
+    val cmap = c1.toMap
+    assert(math.abs(cmap(0L).head - 10.4) < 1e-6, s"got ${cmap(0L)}")
+    assert(math.abs(cmap(1L)(1) - 10.266667) < 1e-6, s"got ${cmap(1L)}")
+  }
+
   test("int8 quantization: codes in [-127,127], zero vector safe, err <= scale/2") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -104,5 +104,12 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"centroid assignment must not plan as a join:\n$plan")
+    // trained centroids change only the literals inside the assignment
+    // expression — the plan shape must stay join-free
+    val trained = graft.ops.Similarity.ivfTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 16, 2, trainIters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!trained.contains("CartesianProduct") && !trained.contains("BroadcastNestedLoopJoin"),
+      s"trained centroid assignment must not plan as a join:\n$trained")
   }
 }
