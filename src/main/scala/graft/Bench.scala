@@ -110,16 +110,19 @@ object Bench {
     // driver run while fresh runs showed 12.6× — with the samples in the
     // artifact that anomaly is self-diagnosing).
     def samples3(name: String, run: () => Unit): Seq[Double] = {
-      try {
-        run() // warm-up
-        (0 until 3).map { _ =>
+      // each run guarded individually: a throw in run 3 must not discard the
+      // good samples from runs 1-2 — the raw array keeps its diagnostic value
+      def timed(): Double =
+        try {
           val t0 = System.nanoTime()
           run()
           (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name: $e"); Seq(-1.0)
-      }
+      try { run() } // warm-up
+      catch { case e: Throwable => System.err.println(s"[bench] $name warmup: $e") }
+      (0 until 3).map(_ => timed())
     }
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)

@@ -121,8 +121,14 @@ object Similarity {
     * argmax expression the index build uses (zero shuffle), then recomputes
     * each centroid as the per-dimension mean of its members, ROUNDED to 6
     * decimals — fixed iteration count + rounded assignment keys and means are
-    * what keep the whole training loop exactly SQL-reproducible. An empty
-    * cluster keeps its previous centroid. Centroid state is nCents×dim
+    * what keep the whole training loop SQL-reproducible. One residual caveat:
+    * `avg` sums in partition-dependent order (unlike the left-to-right-folded
+    * dot products), so a mean landing within float-noise (~1e-15) of a
+    * .xxxxxx5 rounding boundary could in principle round differently across
+    * partitionings/engines and cascade through later iterations — accepted as
+    * a measured-zero-frequency risk here (OpsSpec pins partition invariance on
+    * the test corpus) rather than paying a sorted-fold per dimension per
+    * iteration. An empty cluster keeps its previous centroid. Centroid state is nCents×dim
     * doubles fetched driver-side like any broadcast build; per-iteration
     * corpus work is one scan plus one (cent_id, dim) aggregation — at 100 TB
     * that is `iters` extra passes over the embedding column, the standard

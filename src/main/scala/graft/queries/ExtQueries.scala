@@ -238,13 +238,15 @@ object ExtQueries {
       // → empty clusters keep the previous centroid (coalesce). Identical
       // rounding on both sides makes the whole training loop exact.
       "q_ann_ivf_trained" -> {
-        def dotOverCent(t: String) =
+        // alias-bound (x = vector row, c = centroid row from the enclosing
+        // FROM), identical for every iteration — hence a val, not per-CTE
+        val dotOverCent =
           s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6)"
         val trainCtes = (0 until IVF_TRAIN_ITERS).map { t =>
           s"""
         cn$t AS (SELECT cent_id, cv,
                    sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM ct$t),
-        asn$t AS (SELECT x.vec_id, c.cent_id, ${dotOverCent(s"$t")} AS ccos
+        asn$t AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
                   FROM n x CROSS JOIN cn$t c),
         bst$t AS (SELECT vec_id, cent_id FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -266,7 +268,7 @@ object ExtQueries {
         cnf AS (SELECT cent_id, cv,
                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
                 FROM ct$IVF_TRAIN_ITERS),
-        ac AS (SELECT x.vec_id, c.cent_id, ${dotOverCent("f")} AS ccos
+        ac AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
                FROM n x CROSS JOIN cnf c),
         asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cent_id) AS rn FROM ac),
