@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomExprs, BloomMightContain, DotProduct, HistogramAggExpr, MinhashSignature, Simhash32}
+import graft.functions.{BloomExprs, BloomMightContain, DotProduct, DotProductInt, HistogramAggExpr, MinhashSignature, Simhash32}
 
 /** SQL surface for graft's custom expressions, injectable at session build
   * time (`SparkSession.builder().withExtensions(new GraftExtensions)`) or via
   * `spark.sql.extensions=graft.GraftExtensions`:
   *
   *   SELECT graft_dot(a, b)                          -- codegen'd dot product
+  *   SELECT graft_dot_int8(qa, qb)                   -- integer dot over int8 codes
   *   SELECT graft_histogram(x, 128, 0.0, 100.0)      -- native histogram agg
   *   SELECT graft_minhash(shingles, 16)              -- k-wide one-pass MinHash
   *   SELECT graft_simhash(tokens)                    -- 32-bit one-pass SimHash
@@ -44,6 +45,7 @@ object GraftExtensions {
     */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
+    "graft_dot_int8" -> (args => DotProductInt(args(0), args(1))),
     "graft_histogram" -> (args => HistogramAggExpr(
       args(0),
       lit[Int]("graft_histogram", args(1), "nbins"),
@@ -63,6 +65,7 @@ object GraftExtensions {
 
   private val exprClass: Map[String, String] = Map(
     "graft_dot" -> classOf[DotProduct].getName,
+    "graft_dot_int8" -> classOf[DotProductInt].getName,
     "graft_histogram" -> classOf[HistogramAggExpr].getName,
     "graft_minhash" -> classOf[MinhashSignature].getName,
     "graft_simhash" -> classOf[Simhash32].getName,

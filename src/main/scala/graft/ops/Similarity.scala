@@ -219,11 +219,55 @@ object Similarity {
     * array, max dequantization error) — the quality-monitoring columns a
     * pipeline tracks, and a full bit-level pin of the codes via the digest.
     */
+  /** int8 quantization codes of an `array<double>` view: per-vector scale
+    * max|x|/127, q_i = round(x_i·127/max) ∈ [-127, 127]; zero vector → zeros.
+    * The ONE definition of the code construction — [[quantizeInt8]]
+    * (diagnostics) and [[int8TopK]] (quantized-domain search) both build on
+    * it, so the stored codes and the searched codes cannot drift.
+    */
+  def int8Codes(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    when(mx === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x * 127.0 / mx).cast("int")))
+  }
+
+  /** Quantized-domain brute-force cosine top-k — the consumer of the int8
+    * codes: both sides are quantized ([[int8Codes]]) and ranking runs
+    * ENTIRELY in the integer domain through the codegen'd
+    * [[graft.functions.DotProductInt]] kernel. For cosine the two per-vector
+    * scales cancel exactly, so cos_q = qa·qb / (√(qa·qa)·√(qb·qb)) — three
+    * exact integer dots per pair, 4× less data scanned than float32 at
+    * 100 TB, and integer dots make the DuckDB oracle bit-for-bit. Recall vs
+    * the float ranking is the documented quantization tradeoff
+    * (LawsSpec pins it ≥ 0.8 at the gate's dim=64).
+    *
+    * Same shape as [[bruteForceTopK]]: query side broadcast, corpus streams
+    * once, per-query window top-k, rounded-6 keys + id tiebreaks.
+    */
+  def int8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    def codes(df: DataFrame) =
+      df.select(col(idCol), int8Codes(asDouble(col(vecCol))).as("__q"))
+    val dotInt = graft.functions.VectorExprs.dotInt _
+    def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
+    val c = codes(corpus).select(col(idCol).as("neighbor_id"), col("__q").as("__cq"))
+    val q = codes(queries).select(col(idCol).as("query_id"), col("__q").as("__qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", round(
+        dotInt(col("__qq"), col("__cq")).cast("double") /
+          (qnorm(col("__qq")) * qnorm(col("__cq"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_q"), col("rank"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val mx = array_max(transform(v, x => abs(x)))
-    val q = when(mx === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round(x * 127.0 / mx).cast("int")))
+    val q = int8Codes(v)
     df.select(
       col(idCol),
       size(v).cast("long").as("n_dims"),

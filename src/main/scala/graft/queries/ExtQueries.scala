@@ -49,6 +49,15 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     },
 
+    // quantized-domain ANN: ranking runs entirely over int8 codes through the
+    // codegen'd integer-dot kernel (scales cancel for cosine) — the consumer
+    // of q_embed_quantize's codes, searching 4x-smaller data
+    "q_ann_int8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", TOPK)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF inverted-file ANN: scan-level centroid assignment (zero shuffle),
     // queries probe nprobe inverted lists via an equi-join on cent_id
     "q_ann_ivf" -> { (s, dir) =>
@@ -207,6 +216,26 @@ object ExtQueries {
                round(list_max(list_transform(range(1, ${DIM + 1}),
                  i -> abs(v[i] - q[i]*mx/127.0))), 9) AS max_err
         FROM q1 ORDER BY vec_id""",
+      // quantized-domain search: the same code construction as
+      // q_embed_quantize, then THREE exact integer dots per pair (scales
+      // cancel for cosine) — only the final divide/round are float ops
+      "q_ann_int8" -> s"""
+        $embBase,
+        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        qc AS (SELECT vec_id, CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                     ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
+               FROM q0),
+        qn AS (SELECT vec_id, q,
+                 sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS qnrm
+               FROM qc),
+        p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                round(CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+                    i -> a.q[i]*b.q[i])) AS DOUBLE)/(a.qnrm*b.qnrm), 6) AS cos_q
+              FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        SELECT query_id, neighbor_id, cos_q, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $TOPK ORDER BY query_id, rank""",
       "q_ann_ivf" -> s"""
         $embBase,
         cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n

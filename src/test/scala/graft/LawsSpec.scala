@@ -159,6 +159,24 @@ object LawsSpec extends Properties("graft") {
   property("approx_percentile median within documented rank error") =
     Prop.secure(sketchVsExact._2)
 
+  // quantized-domain search trades exactness of the float ranking for 4×
+  // smaller data — recall@k vs the float brute force is the documented cost.
+  // Pin it on the real gate corpus (computed once; deterministic).
+  private lazy val int8Recall: Double = {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fl = pairs(graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    val i8 = pairs(graft.ops.Similarity.int8TopK(emb, q, "vec_id", "embedding", 5))
+    (fl intersect i8).size.toDouble / fl.size
+  }
+
+  property("int8 quantized top-k recall@5 >= 0.8 vs float ranking") =
+    Prop.secure(int8Recall >= 0.8)
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
