@@ -179,26 +179,51 @@ object Similarity {
     *
     * Ranking rules identical to the other ANN ops: cosine rounded to 6
     * decimals, id tiebreaks.
+    *
+    * Scale knobs (both default to the small-corpus exact-gate behavior):
+    *  - `trainSample`: fraction of the corpus Lloyd trains on, selected by a
+    *    deterministic md5 hash of the id — at 100 TB you train centroids on a
+    *    sample (assignment and search still cover the FULL corpus); 1.0
+    *    trains on everything.
+    *  - `assignKernel`: route centroid assignment AND probe selection through
+    *    the broadcast-matrix [[graft.functions.TopCentroids]] kernel instead
+    *    of per-centroid literal structs. Bit-identical results; mandatory at
+    *    production centroid counts, where nCents×dim literals would blow past
+    *    codegen constant-pool limits.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0): DataFrame = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0,
+      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-    val cents = lloydCentroids(base, nCents, trainIters)
+    val trainBase =
+      if (trainSample < 1.0)
+        base.filter(graft.ops.TextOps.hash32(
+          concat(lit("ivf_ts_"), col("id").cast("string"))) % 1000
+          < math.round(trainSample * 1000))
+      else base
+    val cents = lloydCentroids(trainBase, nCents, trainIters)
 
+    val assign: Column => Column =
+      if (assignKernel)
+        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
+      else v => nearestCent(cents, v)
     val inverted = Dedup.capBuckets(
-      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("cent_id"))
 
     // nprobe centroid ids per query: sort (−cos, cent_id) asc, take nprobe
-    val probeArr = slice(
+    lazy val probeArr = slice(
       array_sort(array(cents.map { case (cid, cvec) =>
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
           lit(cid).as("cid"))
       }: _*)), 1, nprobe)
+    val probeIds: Column =
+      if (assignKernel) graft.functions.CentroidExprs.topCentroids(col("__qv"), cents, nprobe)
+      else transform(probeArr, x => x.getField("cid"))
     val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+      .withColumn("cent_id", explode(probeIds))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

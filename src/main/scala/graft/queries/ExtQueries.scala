@@ -67,6 +67,17 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // the same IVF search with assignment + probe selection routed through
+    // the broadcast-matrix TopCentroids kernel (the production-nCents path —
+    // no per-centroid literals in the plan); results bit-identical to
+    // q_ann_ivf, and the oracle IS q_ann_ivf's
+    "q_ann_ivf_kernel" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE, assignKernel = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF with TRAINED centroids: 2 deterministic Lloyd iterations (rounded
     // per-dim means) refine the sampled init before the same scan-level
     // assignment — the production-shaped index (balanced lists, real recall)
@@ -180,6 +191,35 @@ object ExtQueries {
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
 
+    // shared by q_ann_ivf and q_ann_ivf_kernel (same semantics, different
+    // physical assignment expression on the Spark side)
+    val ivfSql = s"""
+        $embBase,
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                  ORDER BY vec_id LIMIT $IVF_CENTS),
+        ac AS (SELECT x.vec_id, c.cent_id,
+                      round(list_sum(list_transform(range(1, ${DIM + 1}),
+                        i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6) AS ccos
+               FROM n x CROSS JOIN cents c),
+        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS rn FROM ac),
+        inv AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
+                  ORDER BY vec_id) AS rk
+                FROM asg0 WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
+               WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN n q ON q.vec_id = qp.query_id
+              JOIN n c ON c.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
+
     Map(
       "q_ann_bruteforce" -> s"""
         $embBase,
@@ -236,32 +276,10 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
-      "q_ann_ivf" -> s"""
-        $embBase,
-        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                  ORDER BY vec_id LIMIT $IVF_CENTS),
-        ac AS (SELECT x.vec_id, c.cent_id,
-                      round(list_sum(list_transform(range(1, ${DIM + 1}),
-                        i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6) AS ccos
-               FROM n x CROSS JOIN cents c),
-        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cent_id) AS rn FROM ac),
-        inv AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
-                  ORDER BY vec_id) AS rk
-                FROM asg0 WHERE rn = 1),
-        qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
-               WHERE rn <= $IVF_NPROBE AND vec_id < 10),
-        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
-                     ${cosSql("q", "c")} AS cos_sim
-              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
-                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
-              JOIN n q ON q.vec_id = qp.query_id
-              JOIN n c ON c.vec_id = inv.vec_id
-              WHERE qp.query_id <> inv.vec_id)
-        SELECT query_id, neighbor_id, cent_id, cos_sim, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
-        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
+      "q_ann_ivf" -> ivfSql,
+      // bit-identical by construction (the kernel variant changes only the
+      // physical assignment expression), so the oracle is shared
+      "q_ann_ivf_kernel" -> ivfSql,
       // trained IVF: the Lloyd loop unrolled as one CTE per iteration —
       // assignment (rounded cosine, cent_id tiebreak) → per-dim rounded means
       // → empty clusters keep the previous centroid (coalesce). Identical

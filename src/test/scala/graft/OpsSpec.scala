@@ -130,6 +130,25 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(cmap(1L)(1) - 10.266667) < 1e-6, s"got ${cmap(1L)}")
   }
 
+  test("TopCentroids kernel bit-identical to literal-struct IVF; trainSample samples") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    def run(kernel: Boolean, iters: Int) =
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3, 8, 2,
+        trainIters = iters, assignKernel = kernel)
+        .collect().map(_.toString).sorted.toSeq
+    // same results whether assignment/probing is literal structs or the
+    // broadcast-matrix kernel — rounded cosine + id tiebreaks on both paths
+    assert(run(kernel = true, 0) == run(kernel = false, 0))
+    assert(run(kernel = true, 1) == run(kernel = false, 1))
+    // sampled training (the 100 TB pattern): centroids learned on a hash
+    // sample, index + search still cover the FULL corpus
+    val sampled = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3, 4, 2,
+      trainIters = 1, trainSample = 0.5, assignKernel = true)
+    assert(sampled.select($"query_id").distinct().count() ==
+      q.count(), "every query must still get results from the full-corpus index")
+  }
+
   test("int8 quantization: codes in [-127,127], zero vector safe, err <= scale/2") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),

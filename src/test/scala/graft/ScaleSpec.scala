@@ -111,5 +111,15 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!trained.contains("CartesianProduct") && !trained.contains("BroadcastNestedLoopJoin"),
       s"trained centroid assignment must not plan as a join:\n$trained")
+    // broadcast-matrix variant: still join-free, and the assignment must go
+    // through the TopCentroids kernel (no per-centroid literals in the plan)
+    val kernel = graft.ops.Similarity.ivfTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 16, 2,
+      assignKernel = true)
+      .queryExecution.executedPlan.toString
+    assert(!kernel.contains("CartesianProduct") && !kernel.contains("BroadcastNestedLoopJoin"),
+      s"kernel centroid assignment must not plan as a join:\n$kernel")
+    assert(kernel.contains("graft_top_centroids"),
+      s"broadcast-matrix kernel must appear in the plan:\n$kernel")
   }
 }
