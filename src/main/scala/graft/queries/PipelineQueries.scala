@@ -141,6 +141,38 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // the SQL registration path (GraftExtensions) exercised END-TO-END: the
+    // same custom kernels every Scala-API query compiles to, here invoked
+    // through spark.sql text — proving a SQL-only user gets bit-identical
+    // values. Arrays are prepared via the DataFrame API into scoped temp
+    // views (Spark SQL string literals eat regex backslashes), the kernels
+    // themselves run inside the SQL query.
+    "q_sql_kernels" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+      val (dv, ev) = (s"docs_krn_$sfx", s"emb_krn_$sfx")
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          TextOps.shingles("__toks", NGRAM).as("sh"),
+          array_distinct(TextOps.tokens(col("text"))).as("w"))
+        .createOrReplaceTempView(dv)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), graft.ops.Similarity.asDouble(col("embedding")).as("v"))
+        .createOrReplaceTempView(ev)
+      val out = s.sql(s"""
+        SELECT d.doc_id,
+               CASE WHEN size(d.w) > 0 THEN graft_simhash(d.w) END AS simhash,
+               CASE WHEN size(d.sh) > 0
+                    THEN element_at(graft_minhash(d.sh, $K), 1) END AS mh_0,
+               round(graft_dot(e.v, e.v), 6) AS self_dot
+        FROM $dv d JOIN $ev e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id""")
+      s.catalog.dropTempView(dv)
+      s.catalog.dropTempView(ev)
+      out
+    },
+
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("digest"))
@@ -297,6 +329,33 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      // the kernels' defining formulas, re-derived in SQL: docs without
+      // tokens/shingles fall out of the aggregating CTEs and come back NULL
+      // through the LEFT JOINs — mirroring the Spark side's CASE WHEN guards
+      "q_sql_kernels" -> {
+        val (a0, b0) = graft.ops.Dedup.minhashSeeds(0)
+        s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh1 AS (SELECT doc_id,
+                  CAST(min(($a0 * h0 + $b0) % ${graft.ops.Dedup.MINHASH_P}) AS BIGINT) AS mh_0
+                FROM ex GROUP BY doc_id),
+        wt AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM toks),
+        wh AS (SELECT doc_id, ${hash32Sql("w")} AS h FROM wt),
+        bs AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bs),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sd AS (SELECT vec_id, round(list_sum(list_transform(v, x -> x*x)), 6) AS self_dot
+               FROM e)
+        SELECT d.doc_id, sim.simhash, mh1.mh_0, sd.self_dot
+        FROM documents d
+        LEFT JOIN sim ON sim.doc_id = d.doc_id
+        LEFT JOIN mh1 ON mh1.doc_id = d.doc_id
+        JOIN sd ON sd.vec_id = d.doc_id
+        ORDER BY d.doc_id"""
+      },
       "q_dedup_clusters" -> s"""
         WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
