@@ -141,6 +141,15 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // streaming NEAR-dup dedup: the MinHash signature computed on the stream
+    // (codegen'd map, no state), dropDuplicatesWithinWatermark keyed on the
+    // full signature; delay > replay span, so the emitted set equals batch
+    // signature-DISTINCT — which is exactly what the oracle computes
+    "q_stream_neardup" -> { (s, dir) =>
+      graft.streaming.Streams.streamingNearDupDedup(s, dir, K, NGRAM, "3650 days")
+        .orderBy(col("sig"))
+    },
+
     // the SQL registration path (GraftExtensions) exercised END-TO-END: the
     // same custom kernels every Scala-API query compiles to, here invoked
     // through spark.sql text — proving a SQL-only user gets bit-identical
@@ -329,6 +338,13 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_stream_neardup" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id)
+        SELECT DISTINCT concat_ws('_', ${(0 until K).map(i => s"mh_$i").mkString(", ")}) AS sig
+        FROM mh ORDER BY sig""",
       // the kernels' defining formulas, re-derived in SQL: docs without
       // tokens/shingles fall out of the aggregating CTEs and come back NULL
       // through the LEFT JOINs — mirroring the Spark side's CASE WHEN guards

@@ -29,13 +29,14 @@ object Streams {
     * regenerated testdata always gets a fresh stage — load-bearing for stages
     * that also hold derived files (watermark sentinels).
     */
-  private def stagedDir(prefix: String, sfDir: String): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+  private def stagedDir(
+      prefix: String, sfDir: String, file: String = "events.parquet"): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$sfDir/$file")
     val tag = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stage = java.nio.file.Paths.get(
       s"/tmp/${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag")
     java.nio.file.Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
+    val link = stage.resolve(file)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, src)
     stage
@@ -201,6 +202,54 @@ object Streams {
       .select(keys.map(col) :+ col("ts"): _*)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming NEAR-duplicate dedup — the last cell of the dedup matrix
+    * (batch exact / batch near-dup / streaming exact all exist): the one-pass
+    * codegen'd [[graft.functions.MinhashSignature]] kernel computes each
+    * document's k-wide signature ON the stream (a pure map, no state), and
+    * `dropDuplicatesWithinWatermark` keyed on the joined signature suppresses
+    * later documents whose signature collides — near-duplicates by the
+    * MinHash estimate, full-signature collision being the strictest band
+    * (P[collide] ≈ jaccard^k). Per-key state is watermark-evicted, the
+    * bounded-state contract; as with [[streamingDedup]], the delay must cover
+    * the duplicate spread for global semantics (here: > the replay span, so
+    * the emitted set equals the batch signature-DISTINCT), while a real
+    * stream picks a business bound and accepts re-emission beyond it.
+    *
+    * Documents without shingles (shorter than the shingle width) carry no
+    * signature and are filtered out, exactly like the batch signature op.
+    * Event time is derived deterministically from `doc_id` (documents carry
+    * no timestamp); output projects to the signature alone so the emitted
+    * SET is deterministic regardless of which colliding doc won the race.
+    */
+  def streamingNearDupDedup(
+      spark: SparkSession, sfDir: String, k: Int, shingleN: Int,
+      delay: String): DataFrame = {
+    val name = s"graft_sneardup_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val (as, bs) = graft.ops.Dedup.seedArrays(k)
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      // 2024-01-01 base: doc_id 0 at epoch 0 would sit exactly ON the initial
+      // watermark and be dropped as late before the batch advances it
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1704067200L) * 1000000L))
+      .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("__sh", graft.ops.TextOps.shingles("__toks", shingleN))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__mh", graft.functions.TextHashExprs.minhashSig(col("__sh"), as, bs))
+      .withColumn("sig", array_join(transform(col("__mh"), x => x.cast("string")), "_"))
+      .withWatermark("ts", delay)
+      .select(col("sig"), col("ts"))
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .select(col("sig"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()

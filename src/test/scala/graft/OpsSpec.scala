@@ -181,6 +181,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming near-dup dedup equals batch signature-DISTINCT") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Streams.streamingNearDupDedup(spark, dir, 16, 3, "3650 days")
+      .as[String].collect().toSet
+    val sig = graft.ops.Dedup.minhashSignatures(
+      Tables.documents(spark, dir), "doc_id", "text", 16, 3)
+    val expected = sig.select(concat_ws("_",
+      (0 until 16).map(i => $"mh_$i"): _*).as("sig"))
+      .distinct().as[String].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("sessionize splits on gap and sums cents exactly") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
