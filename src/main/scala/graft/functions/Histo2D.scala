@@ -30,3 +30,31 @@ object Histo2D {
       .groupBy(col("bx"), col("by"))
       .agg(count(lit(1)).as("n"))
 }
+
+/** 1-D histogram with REAL-VALUED weights (TH1 `Fill(x, w)` with double w),
+  * decimal-summed for exactness: each weight is quantized to `wScale` decimal
+  * places and bins accumulate exact scaled longs — order-independent across
+  * partitions and engines, unlike naive double summation whose result depends
+  * on merge order. One division back to double at the end. The integer-weight
+  * twin rides the native fused aggregate ([[HistogramAggExpr.histoWeighted]]);
+  * this declarative form (same shape as [[Histo2D]]) trades single-pass
+  * fusion for exact double-weight semantics, map-side partial aggregation,
+  * and full spillability. Bin convention identical to the 1-D action:
+  * underflow = -1, overflow = nbins.
+  */
+object WeightedHisto {
+
+  def apply(
+      df: DataFrame, x: Column, w: Column, nbins: Int, lo: Double, hi: Double,
+      wScale: Int): DataFrame = {
+    require(wScale >= 0 && wScale <= 9, s"wScale must be in [0, 9], got $wScale")
+    val unit = math.pow(10.0, wScale)
+    df.select(
+      Histo2D.bucket(x.cast("double"), nbins, lo, hi).as("bin"),
+      round(w.cast("double") * unit).cast("long").as("__wu"))
+      .groupBy(col("bin"))
+      .agg(
+        (sum(col("__wu")).cast("double") / unit).as("w"),
+        count(lit(1)).as("n_fills"))
+  }
+}

@@ -158,6 +158,15 @@ object CoreQueries {
       histToDF(s, h)
     },
 
+    // DOUBLE-weighted histogram: Fill(z, w=l_extendedprice) with real-valued
+    // weights, decimal-summed (cents-exact at wScale=2) — the twin that lifts
+    // q_histo_weighted's deliberate integer restriction
+    "q_histo_weighted_d" -> { (s, dir) =>
+      TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .HistoWeightedD("z", "l_extendedprice", 11, 0.0, 110000.0, wScale = 2)
+        .orderBy(col("bin"))
+    },
+
     // 2-D histogram over (z, quantity) — distributed grid, non-empty cells
     "q_histo2d" -> { (s, dir) =>
       TDF(Tables.lineitem(s, dir)).Define("z", zCol)
@@ -248,6 +257,15 @@ object CoreQueries {
                   ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n
       FROM (SELECT $zSql AS z, l_quantity FROM lineitem) GROUP BY 1 ORDER BY 1""",
+    "q_histo_weighted_d" -> s"""
+      WITH src AS (SELECT $zSql AS z,
+                          CAST(round(l_extendedprice*100) AS BIGINT) AS wu
+                   FROM lineitem)
+      SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
+                  ELSE LEAST(CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT), 10) END AS bin,
+             CAST(CAST(sum(wu) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS w,
+             count(*) AS n_fills
+      FROM src GROUP BY 1 ORDER BY 1""",
     "q_histo2d" -> s"""
       WITH src AS (SELECT $zSql AS z, l_quantity AS q FROM lineitem)
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 100000.0 THEN 10

@@ -515,6 +515,11 @@ final class TDF private (
     Histo(column, model.nbins, model.lo, model.hi)
   /** weighted fill: Fill(x, w) with an integer-valued weight column;
     * `lo == hi` auto-ranges, same convention as the unweighted overloads.
+    * DELIBERATE integer restriction: the weight is cast to long (a fractional
+    * weight column would silently truncate), because the native aggregate's
+    * long bins are what keep weighted counts exact and merge-order-
+    * independent. Real-valued weights go through [[HistoWeightedD]], which
+    * keeps exactness by decimal-summing quantized weights instead.
     */
   def HistoWeighted(column: String, weightCol: String, nbins: Int, lo: Double,
       hi: Double): Result[Histogram] = {
@@ -532,6 +537,17 @@ final class TDF private (
       nx: Int, lox: Double, hix: Double,
       ny: Int, loy: Double, hiy: Double): DataFrame =
     graft.functions.Histo2D(toDF, col(xCol), col(yCol), nx, lox, hix, ny, loy, hiy)
+
+  /** Double-weighted 1-D histogram (TH1 `Fill(x, w)` with real-valued w):
+    * weights quantized to `wScale` decimal places, bins sum exact scaled
+    * longs (order-independent decimal-summed bins), one division back at the
+    * end — see [[graft.functions.WeightedHisto]]. Declarative Histo2D-style
+    * result (non-empty bins only).
+    */
+  def HistoWeightedD(
+      xCol: String, wCol: String, nbins: Int, lo: Double, hi: Double,
+      wScale: Int = 2): DataFrame =
+    graft.functions.WeightedHisto(toDF, col(xCol), col(wCol), nbins, lo, hi, wScale)
 
   // ---- instant actions ------------------------------------------------------
 

@@ -362,6 +362,20 @@ class TDFSpec extends AnyFunSuite {
     assert(acc.value == (0 until 20).map(i => i * i).sum.toDouble)
   }
 
+  test("HistoWeightedD: decimal-summed bins exact, partition-invariant") {
+    // weights chosen binary-exact so quantization is unambiguous:
+    // 0.125*100 = 12.5 rounds HALF_UP to 13 units -> two fills = 0.26 exactly
+    val df = Seq((0.5, 0.125), (0.5, 0.125), (1.5, -0.25), (2.5, 1.0), (-1.0, 2.0))
+      .toDF("x", "w")
+    def run(p: Int) = TDF(df.repartition(p))
+      .HistoWeightedD("x", "w", 2, 0.0, 2.0, wScale = 2)
+      .orderBy($"bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    val expected = Seq((-1, 2.0, 1L), (0, 0.26, 2L), (1, -0.25, 1L), (2, 1.0, 1L))
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+  }
+
   test("error paths: unknown column, multi-default ambiguity (TEST 12/13 analog)") {
     val d = TDF(fixture)
     val r = d.Min("no_such_column")
