@@ -235,6 +235,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_sim"), col("rank"))
   }
 
+  /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.
+    * the actual 100 TB ANN architecture: the coarse stage (centroid
+    * assignment + probe selection) runs on floats exactly like [[ivfTopK]],
+    * while the inverted lists store int8 codes ([[int8Codes]], 4× smaller
+    * than float32) and in-list ranking runs entirely in the integer domain
+    * through [[graft.functions.DotProductInt]] (scales cancel for cosine,
+    * see [[int8TopK]]). Candidate generation cost is IVF's (only nprobe
+    * lists touched); candidate ranking cost is the quantized kernel's.
+    * Same ranking discipline: rounded-6 keys, id tiebreaks.
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCents: Int, nprobe: Int,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+      int8Codes(asDouble(col(vecCol))).as("__q"))
+    val cents = lloydCentroids(base.select(col("id"), col("__v")), nCents, 0)
+
+    val inverted = Dedup.capBuckets(
+      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id"), col("__q").as("__cq"), col("cent_id"))
+
+    val probeArr = slice(
+      array_sort(array(cents.map { case (cid, cvec) =>
+        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)
+    val probes = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"),
+      int8Codes(asDouble(col(vecCol))).as("__qq"))
+      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+
+    val dotInt = graft.functions.VectorExprs.dotInt _
+    def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    probes.join(inverted, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", round(
+        dotInt(col("__qq"), col("__cq")).cast("double") /
+          (qnorm(col("__qq")) * qnorm(col("__cq"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_q"), col("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the vector-
     * compression step a 100 TB ANN index runs before storage (4× smaller than
     * float32). Per-vector scale = max|x|/127, stored q_i = round(x_i·127/max)

@@ -78,6 +78,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF + int8 composed (the production ANN architecture): float coarse
+    // stage (assignment, probe selection), QUANTIZED inverted lists, in-list
+    // ranking entirely in the integer domain
+    "q_ann_ivf_int8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfInt8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF with TRAINED centroids: 2 deterministic Lloyd iterations (rounded
     // per-dim means) refine the sampled init before the same scan-level
     // assignment — the production-shaped index (balanced lists, real recall)
@@ -191,10 +201,23 @@ object ExtQueries {
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
 
-    // shared by q_ann_ivf and q_ann_ivf_kernel (same semantics, different
-    // physical assignment expression on the Spark side)
-    val ivfSql = s"""
-        $embBase,
+    // int8 code CTEs (the q_embed_quantize construction): q = codes, qnrm =
+    // sqrt of the integer self-dot — shared by every quantized-domain query
+    val int8Ctes = s"""
+        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        qc AS (SELECT vec_id, CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                     ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
+               FROM q0),
+        qn AS (SELECT vec_id, q,
+                 sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS qnrm
+               FROM qc)"""
+    // int8 cosine between two qn-aliased rows: one integer dot, scales cancel
+    def cosInt8Sql(a: String, b: String) =
+      s"""round(CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+            i -> $a.q[i]*$b.q[i])) AS DOUBLE)/($a.qnrm*$b.qnrm), 6)"""
+    // IVF coarse stage (centroids, full assignment, inverted lists, probes) —
+    // shared by every IVF query
+    val ivfCoarseCtes = s"""
         cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
                   ORDER BY vec_id LIMIT $IVF_CENTS),
         ac AS (SELECT x.vec_id, c.cent_id,
@@ -207,7 +230,12 @@ object ExtQueries {
                   ORDER BY vec_id) AS rk
                 FROM asg0 WHERE rn = 1),
         qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
-               WHERE rn <= $IVF_NPROBE AND vec_id < 10),
+               WHERE rn <= $IVF_NPROBE AND vec_id < 10)"""
+    // shared by q_ann_ivf and q_ann_ivf_kernel (same semantics, different
+    // physical assignment expression on the Spark side)
+    val ivfSql = s"""
+        $embBase,
+        $ivfCoarseCtes,
         p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
                      ${cosSql("q", "c")} AS cos_sim
               FROM qp JOIN inv ON qp.cent_id = inv.cent_id
@@ -261,21 +289,30 @@ object ExtQueries {
       // cancel for cosine) — only the final divide/round are float ops
       "q_ann_int8" -> s"""
         $embBase,
-        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-        qc AS (SELECT vec_id, CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-                     ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
-               FROM q0),
-        qn AS (SELECT vec_id, q,
-                 sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS qnrm
-               FROM qc),
+        $int8Ctes,
         p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                round(CAST(list_sum(list_transform(range(1, ${DIM + 1}),
-                    i -> a.q[i]*b.q[i])) AS DOUBLE)/(a.qnrm*b.qnrm), 6) AS cos_q
+                ${cosInt8Sql("a", "b")} AS cos_q
               FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
         SELECT query_id, neighbor_id, cos_q, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
+      // IVF coarse stage on floats + in-list ranking over int8 codes
+      "q_ann_ivf_int8" -> s"""
+        $embBase,
+        $ivfCoarseCtes,
+        $int8Ctes,
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                ${cosInt8Sql("a", "b")} AS cos_q
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN qn a ON a.vec_id = qp.query_id
+              JOIN qn b ON b.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, cos_q, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
       "q_ann_ivf" -> ivfSql,
       // bit-identical by construction (the kernel variant changes only the
       // physical assignment expression), so the oracle is shared

@@ -177,6 +177,28 @@ object LawsSpec extends Properties("graft") {
   property("int8 quantized top-k recall@5 >= 0.8 vs float ranking") =
     Prop.secure(int8Recall >= 0.8)
 
+  // the broadcast-matrix kernel must reproduce the literal-struct ranking
+  // bit-for-bit for ANY centroid set — including exact rounded-cosine ties
+  // (2-decimal vectors collide often), where the smaller cent id must win
+  property("TopCentroids kernel equals literal-struct ranking on random vectors") =
+    Prop.forAll(Gen.choose(2, 6), Gen.choose(0L, 1000000L)) { (nc, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val dim = 4
+      def nz(v: Seq[Double]) = if (v.forall(_ == 0.0)) v.updated(0, 0.5) else v
+      def vec() = nz(Seq.fill(dim)(math.rint(rnd.nextDouble() * 200 - 100) / 100))
+      val cents = (0L until nc.toLong).map(c => (c, vec())).toSeq
+      val df = (0 until 15).map(i => (i.toLong, vec())).toDF("id", "v")
+      val n = 1 + (seed % nc).toInt
+      val litArr = slice(array_sort(array(cents.map { case (cid, cv) =>
+        struct((graft.ops.Similarity.cosineR6($"v", array(cv.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, n)
+      df.select(
+        graft.functions.CentroidExprs.topCentroids($"v", cents, n).as("a"),
+        transform(litArr, x => x.getField("cid")).as("b"))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
