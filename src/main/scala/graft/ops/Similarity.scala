@@ -256,7 +256,17 @@ object Similarity {
     val inverted = Dedup.capBuckets(
       base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("__cq"), col("cent_id"))
+    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe)
+  }
 
+  /** shared probe + quantized ranking stage of [[ivfInt8TopK]] and
+    * [[searchIvfInt8Index]]: probes select nprobe centroids on floats, meet
+    * the quantized lists through the cent_id equi-join, rank in the integer
+    * domain. `inverted` carries (neighbor_id, __cq array<int>, cent_id).
+    */
+  private def int8ProbeRank(
+      inverted: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     val probeArr = slice(
       array_sort(array(cents.map { case (cid, cvec) =>
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
@@ -279,6 +289,66 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_q"), col("rank"))
+  }
+
+  /** Build and PERSIST the quantized inverted-file index — the storage form
+    * of [[ivfInt8TopK]] and the layout a 100 TB deployment actually keeps on
+    * disk (the in-memory ops rebuild the index per query; a production index
+    * is built once, searched many times):
+    *
+    *   `path/lists/`     (neighbor_id, q int8 codes) PARTITIONED BY cent_id —
+    *                     4× smaller than float32, and a probe touches only
+    *                     its nprobe directories (partition-level pruning, so
+    *                     search I/O is `nprobe/nCents` of the index, not a
+    *                     full scan)
+    *   `path/centroids/` (cent_id, cv) sidecar — nCents rows, the
+    *                     driver-side broadcast build for probe selection
+    *
+    * Same deterministic construction as the in-memory ops (smallest-id init,
+    * optional Lloyd refinement + training sample, anchor-capped lists), so a
+    * search over the persisted index returns exactly what [[ivfInt8TopK]]
+    * returns for the same parameters.
+    */
+  def writeIvfInt8Index(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+      int8Codes(asDouble(col(vecCol))).as("__q"))
+    val trainBase =
+      if (trainSample < 1.0)
+        base.filter(graft.ops.TextOps.hash32(
+          concat(lit("ivf_ts_"), col("id").cast("string"))) % 1000
+          < math.round(trainSample * 1000))
+      else base
+    val cents = lloydCentroids(trainBase.select(col("id"), col("__v")), nCents, trainIters)
+    Dedup.capBuckets(
+      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+    import spark.implicits._
+    cents.toDF("cent_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a persisted [[writeIvfInt8Index]] index: centroids come from the
+    * nCents-row sidecar (a driver-side broadcast build), probes meet ONLY
+    * their nprobe list partitions through the cent_id equi-join — at 100 TB
+    * the scan reads `nprobe/nCents` of the stored (already 4×-compressed)
+    * index. Ranking identical to [[ivfInt8TopK]].
+    */
+  def searchIvfInt8Index(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+      .toSeq.sortBy(_._1)
+    val inverted = spark.read.parquet(s"$path/lists")
+      // partition-column inference reads cent_id as int; restore the long key
+      .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
+    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe)
   }
 
   /** Symmetric int8 quantization of an embedding column — the vector-

@@ -88,6 +88,19 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // build once / search many: the PERSISTED quantized inverted-file index —
+    // int8 lists partitioned by cent_id on disk, nCents-row centroid sidecar;
+    // search reads only the probed list partitions. Results identical to
+    // q_ann_ivf_int8 (same deterministic construction), so the oracle is its
+    "q_ann_ivf_index" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS)
+      Similarity.searchIvfInt8Index(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF with TRAINED centroids: 2 deterministic Lloyd iterations (rounded
     // per-dim means) refine the sampled init before the same scan-level
     // assignment — the production-shaped index (balanced lists, real recall)
@@ -231,6 +244,23 @@ object ExtQueries {
                 FROM asg0 WHERE rn = 1),
         qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
                WHERE rn <= $IVF_NPROBE AND vec_id < 10)"""
+    // shared by q_ann_ivf_int8 and q_ann_ivf_index (in-memory vs persisted)
+    val ivfInt8Sql = s"""
+        $embBase,
+        $ivfCoarseCtes,
+        $int8Ctes,
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                ${cosInt8Sql("a", "b")} AS cos_q
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN qn a ON a.vec_id = qp.query_id
+              JOIN qn b ON b.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, cos_q, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
+
     // shared by q_ann_ivf and q_ann_ivf_kernel (same semantics, different
     // physical assignment expression on the Spark side)
     val ivfSql = s"""
@@ -298,21 +328,10 @@ object ExtQueries {
             ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
       // IVF coarse stage on floats + in-list ranking over int8 codes
-      "q_ann_ivf_int8" -> s"""
-        $embBase,
-        $ivfCoarseCtes,
-        $int8Ctes,
-        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
-                ${cosInt8Sql("a", "b")} AS cos_q
-              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
-                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
-              JOIN qn a ON a.vec_id = qp.query_id
-              JOIN qn b ON b.vec_id = inv.vec_id
-              WHERE qp.query_id <> inv.vec_id)
-        SELECT query_id, neighbor_id, cent_id, cos_q, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
-        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
+      "q_ann_ivf_int8" -> ivfInt8Sql,
+      // the persisted-index search is the same deterministic computation
+      // (build + search split across a parquet round-trip), so oracle shared
+      "q_ann_ivf_index" -> ivfInt8Sql,
       "q_ann_ivf" -> ivfSql,
       // bit-identical by construction (the kernel variant changes only the
       // physical assignment expression), so the oracle is shared

@@ -122,4 +122,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(kernel.contains("graft_top_centroids"),
       s"broadcast-matrix kernel must appear in the plan:\n$kernel")
   }
+
+  test("persisted IVF index search dynamically prunes list partitions") {
+    // the lists are partitioned by cent_id on disk; the probe join must turn
+    // into a dynamic partition-pruning filter on the scan, so search I/O is
+    // nprobe/nCents of the stored index — the build-once/search-many contract
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_index_scalespec"
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, 8)
+    val search = graft.ops.Similarity.searchIvfInt8Index(
+      spark, path, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"list scan must carry a dynamic partition-pruning filter on cent_id:\n$plan")
+    // and the persisted round-trip returns exactly the in-memory results
+    val inMem = graft.ops.Similarity.ivfInt8TopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 8, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(search.collect().map(_.toString).sorted.toSeq == inMem)
+  }
 }
