@@ -197,13 +197,7 @@ object Similarity {
       maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0,
       trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-    val trainBase =
-      if (trainSample < 1.0)
-        base.filter(graft.ops.TextOps.hash32(
-          concat(lit("ivf_ts_"), col("id").cast("string"))) % 1000
-          < math.round(trainSample * 1000))
-      else base
-    val cents = lloydCentroids(trainBase, nCents, trainIters)
+    val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
 
     val assign: Column => Column =
       if (assignKernel)
@@ -245,18 +239,35 @@ object Similarity {
     * lists touched); candidate ranking cost is the quantized kernel's.
     * Same ranking discipline: rounded-6 keys, id tiebreaks.
     */
+  /** deterministic md5-hash training sample of a (id, __v, …) base frame —
+    * the ONE definition of the `trainSample` semantics, shared by every op
+    * that trains centroids
+    */
+  private def sampleForTraining(base: DataFrame, trainSample: Double): DataFrame =
+    if (trainSample < 1.0)
+      base.filter(graft.ops.TextOps.hash32(
+        concat(lit("ivf_ts_"), col("id").cast("string"))) % 1000
+        < math.round(trainSample * 1000))
+    else base
+
   def ivfInt8TopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0,
+      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int8Codes(asDouble(col(vecCol))).as("__q"))
-    val cents = lloydCentroids(base.select(col("id"), col("__v")), nCents, 0)
+    val cents = lloydCentroids(
+      sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
 
+    val assign: Column => Column =
+      if (assignKernel)
+        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
+      else v => nearestCent(cents, v)
     val inverted = Dedup.capBuckets(
-      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("__cq"), col("cent_id"))
-    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe)
+    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
   }
 
   /** shared probe + quantized ranking stage of [[ivfInt8TopK]] and
@@ -266,16 +277,21 @@ object Similarity {
     */
   private def int8ProbeRank(
       inverted: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
-    val probeArr = slice(
+      cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+      assignKernel: Boolean = false): DataFrame = {
+    lazy val probeArr = slice(
       array_sort(array(cents.map { case (cid, cvec) =>
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
           lit(cid).as("cid"))
       }: _*)), 1, nprobe)
+    val probeIds: Column =
+      if (assignKernel)
+        graft.functions.CentroidExprs.topCentroids(col("__qv"), cents, nprobe)
+      else transform(probeArr, x => x.getField("cid"))
     val probes = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"),
       int8Codes(asDouble(col(vecCol))).as("__qq"))
-      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+      .withColumn("cent_id", explode(probeIds))
 
     val dotInt = graft.functions.VectorExprs.dotInt _
     def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
@@ -312,19 +328,18 @@ object Similarity {
   def writeIvfInt8Index(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int8Codes(asDouble(col(vecCol))).as("__q"))
-    val trainBase =
-      if (trainSample < 1.0)
-        base.filter(graft.ops.TextOps.hash32(
-          concat(lit("ivf_ts_"), col("id").cast("string"))) % 1000
-          < math.round(trainSample * 1000))
-      else base
-    val cents = lloydCentroids(trainBase.select(col("id"), col("__v")), nCents, trainIters)
+    val cents = lloydCentroids(
+      sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
+    val assign: Column => Column =
+      if (assignKernel)
+        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
+      else v => nearestCent(cents, v)
     Dedup.capBuckets(
-      base.withColumn("cent_id", nearestCent(cents, col("__v"))), Seq("cent_id"), "id", maxBucket)
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
     import spark.implicits._
@@ -340,7 +355,8 @@ object Similarity {
     */
   def searchIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      assignKernel: Boolean = false): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
@@ -348,7 +364,7 @@ object Similarity {
     val inverted = spark.read.parquet(s"$path/lists")
       // partition-column inference reads cent_id as int; restore the long key
       .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
-    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe)
+    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
   }
 
   /** Symmetric int8 quantization of an embedding column — the vector-

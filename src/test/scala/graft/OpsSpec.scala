@@ -147,6 +147,12 @@ class OpsSpec extends AnyFunSuite {
       trainIters = 1, trainSample = 0.5, assignKernel = true)
     assert(sampled.select($"query_id").distinct().count() ==
       q.count(), "every query must still get results from the full-corpus index")
+    // the quantized path carries the same knobs with the same guarantees
+    def runI8(kernel: Boolean) =
+      Similarity.ivfInt8TopK(emb, q, "vec_id", "embedding", 3, 8, 2,
+        trainIters = 1, assignKernel = kernel)
+        .collect().map(_.toString).sorted.toSeq
+    assert(runI8(kernel = true) == runI8(kernel = false))
   }
 
   test("int8 quantization: codes in [-127,127], zero vector safe, err <= scale/2") {
