@@ -60,6 +60,25 @@ object Demo {
       case ((c, s), v) => (c + 1, s + v)
     } { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
     println(f"Accumulate: n=$accN mean=${accSum / accN}%.4f")
+
+    // pipeline ops at the same package boundary: dedup and the quantized
+    // ANN family (in-memory and persisted, searched over int8 codes)
+    val docs = Tables.documents(spark, sfDir)
+    val nearDups = graft.ops.Dedup.nearDuplicatesLsh(
+      docs, "doc_id", "text", k = 16, bandSize = 4, shingleN = 3)
+      .filter(col("jaccard") >= 0.4).count()
+    println(s"near-duplicate pairs (jaccard>=0.4) = $nearDups")
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") < 3)
+    val i8 = graft.ops.Similarity.int8TopK(emb, qs, "vec_id", "embedding", 2)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" ")
+    println(s"int8 top-2: $i8")
+    val idx = "/tmp/graft_demo_ivf_index"
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, nCents = 8)
+    val hits = graft.ops.Similarity.searchIvfInt8Index(
+      spark, idx, qs, "vec_id", "embedding", k = 2, nprobe = 2).count()
+    println(s"persisted-index hits = $hits")
     spark.stop()
   }
 }

@@ -31,7 +31,9 @@ object Histo2D {
       .agg(count(lit(1)).as("n"))
 }
 
-/** 1-D histogram with REAL-VALUED weights (TH1 `Fill(x, w)` with double w),
+/** 1-D histogram with REAL-VALUED weights (TH1 `Fill(x, w)` with double w —
+  * the weighted-fill semantics the reference's Histo action family exposes
+  * through TH1, reference TDataFrame.hxx:483-517 per-slot fill/merge),
   * decimal-summed for exactness: each weight is quantized to `wScale` decimal
   * places and bins accumulate exact scaled longs — order-independent across
   * partitions and engines, unlike naive double summation whose result depends
