@@ -13,6 +13,11 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Double].head
     assert(dot == 32.0)
 
+    // integer twin: exact bigint dot over int8 code arrays
+    val idot = spark.sql("SELECT graft_dot_int8(array(127, -5, 3), array(2, 10, -1))")
+      .as[Long].head
+    assert(idot == 127L * 2 - 5 * 10 - 3)
+
     Seq(1.0, 2.0, 3.0, 15.0).toDF("x").createOrReplaceTempView("hx")
     val h = spark.sql("SELECT graft_histogram(x, 4, 0.0d, 8.0d) AS h FROM hx")
       .select($"h.counts", $"h.overflow", $"h.entries")
