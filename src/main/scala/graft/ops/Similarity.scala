@@ -199,10 +199,7 @@ object Similarity {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
 
-    val assign: Column => Column =
-      if (assignKernel)
-        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
-      else v => nearestCent(cents, v)
+    val assign = assignExpr(cents, assignKernel)
     val inverted = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__v").as("__cv"), col("cent_id"))
@@ -239,6 +236,17 @@ object Similarity {
     * lists touched); candidate ranking cost is the quantized kernel's.
     * Same ranking discipline: rounded-6 keys, id tiebreaks.
     */
+  /** nearest-centroid assignment expression: literal-struct argmax (optimal
+    * at small nCents) or the broadcast-matrix [[graft.functions.TopCentroids]]
+    * kernel (mandatory at production centroid counts) — one definition for
+    * every index-building op
+    */
+  private def assignExpr(
+      cents: Seq[(Long, Seq[Double])], assignKernel: Boolean): Column => Column =
+    if (assignKernel)
+      v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
+    else v => nearestCent(cents, v)
+
   /** deterministic md5-hash training sample of a (id, __v, …) base frame —
     * the ONE definition of the `trainSample` semantics, shared by every op
     * that trains centroids
@@ -260,10 +268,7 @@ object Similarity {
     val cents = lloydCentroids(
       sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
 
-    val assign: Column => Column =
-      if (assignKernel)
-        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
-      else v => nearestCent(cents, v)
+    val assign = assignExpr(cents, assignKernel)
     val inverted = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("__cq"), col("cent_id"))
@@ -334,10 +339,7 @@ object Similarity {
       int8Codes(asDouble(col(vecCol))).as("__q"))
     val cents = lloydCentroids(
       sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
-    val assign: Column => Column =
-      if (assignKernel)
-        v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
-      else v => nearestCent(cents, v)
+    val assign = assignExpr(cents, assignKernel)
     Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
