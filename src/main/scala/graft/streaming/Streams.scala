@@ -226,10 +226,17 @@ object Streams {
     * Event time is derived deterministically from `doc_id` (documents carry
     * no timestamp); output projects to the signature alone so the emitted
     * SET is deterministic regardless of which colliding doc won the race.
+    *
+    * `band = Some((b, bandSize))` keys on band b's minhashes instead of the
+    * full signature — the aggressive production setting (P[collide] ≈
+    * jaccard^bandSize): a stream curation job keeps the first document per
+    * band bucket, trading recall of near-dup suppression for precision
+    * exactly like batch LSH banding. Default is the full signature (the
+    * strictest band).
     */
   def streamingNearDupDedup(
       spark: SparkSession, sfDir: String, k: Int, shingleN: Int,
-      delay: String): DataFrame = {
+      delay: String, band: Option[(Int, Int)] = None): DataFrame = {
     val name = s"graft_sneardup_${System.nanoTime()}"
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -245,7 +252,11 @@ object Streams {
       .withColumn("__sh", graft.ops.TextOps.shingles("__toks", shingleN))
       .filter(size(col("__sh")) > 0)
       .withColumn("__mh", graft.functions.TextHashExprs.minhashSig(col("__sh"), as, bs))
-      .withColumn("sig", array_join(transform(col("__mh"), x => x.cast("string")), "_"))
+      .withColumn("sig", band match {
+        case Some((b, bandSize)) => array_join(transform(
+          slice(col("__mh"), b * bandSize + 1, bandSize), x => x.cast("string")), "_")
+        case None => array_join(transform(col("__mh"), x => x.cast("string")), "_")
+      })
       .withWatermark("ts", delay)
       .select(col("sig"), col("ts"))
       .dropDuplicatesWithinWatermark(Seq("sig"))

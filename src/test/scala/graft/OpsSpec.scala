@@ -197,6 +197,14 @@ class OpsSpec extends AnyFunSuite {
       (0 until 16).map(i => $"mh_$i"): _*).as("sig"))
       .distinct().as[String].collect().toSet
     assert(got == expected && got.nonEmpty)
+    // band-keyed (aggressive) variant: first doc per band-1 bucket survives —
+    // the emitted set is batch DISTINCT of that band's key
+    val gotBand = Streams.streamingNearDupDedup(spark, dir, 16, 3, "3650 days",
+      band = Some((1, 4))).as[String].collect().toSet
+    val expBand = sig.select(concat_ws("_",
+      (4 until 8).map(i => $"mh_$i"): _*).as("sig"))
+      .distinct().as[String].collect().toSet
+    assert(gotBand == expBand && gotBand.size <= got.size)
   }
 
   test("sessionize splits on gap and sums cents exactly") {
