@@ -226,16 +226,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_sim"), col("rank"))
   }
 
-  /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.
-    * the actual 100 TB ANN architecture: the coarse stage (centroid
-    * assignment + probe selection) runs on floats exactly like [[ivfTopK]],
-    * while the inverted lists store int8 codes ([[int8Codes]], 4× smaller
-    * than float32) and in-list ranking runs entirely in the integer domain
-    * through [[graft.functions.DotProductInt]] (scales cancel for cosine,
-    * see [[int8TopK]]). Candidate generation cost is IVF's (only nprobe
-    * lists touched); candidate ranking cost is the quantized kernel's.
-    * Same ranking discipline: rounded-6 keys, id tiebreaks.
-    */
   /** nearest-centroid assignment expression: literal-struct argmax (optimal
     * at small nCents) or the broadcast-matrix [[graft.functions.TopCentroids]]
     * kernel (mandatory at production centroid counts) — one definition for
@@ -258,6 +248,17 @@ object Similarity {
         < math.round(trainSample * 1000))
     else base
 
+  /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.
+    * the actual 100 TB ANN architecture: the coarse stage (centroid
+    * assignment + probe selection) runs on floats exactly like [[ivfTopK]],
+    * while the inverted lists store int8 codes ([[int8Codes]], 4× smaller
+    * than float32) and in-list ranking runs entirely in the integer domain
+    * through [[graft.functions.DotProductInt]] (scales cancel for cosine,
+    * see [[int8TopK]]). Candidate generation cost is IVF's (only nprobe
+    * lists touched); candidate ranking cost is the quantized kernel's.
+    * Same ranking discipline: rounded-6 keys, id tiebreaks. Scale knobs
+    * identical to [[ivfTopK]].
+    */
   def ivfInt8TopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
@@ -293,20 +294,24 @@ object Similarity {
       if (assignKernel)
         graft.functions.CentroidExprs.topCentroids(col("__qv"), cents, nprobe)
       else transform(probeArr, x => x.getField("cid"))
+    val dotInt = graft.functions.VectorExprs.dotInt _
+    def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
+    // norms projected ONCE per side (a row's norm would otherwise be
+    // recomputed for every candidate pair it joins into — 2 extra integer
+    // dots per pair); same IEEE values, so ranking is unchanged
     val probes = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"),
       int8Codes(asDouble(col(vecCol))).as("__qq"))
+      .withColumn("__qn", qnorm(col("__qq")))
       .withColumn("cent_id", explode(probeIds))
+    val lists = inverted.withColumn("__cn", qnorm(col("__cq")))
 
-    val dotInt = graft.functions.VectorExprs.dotInt _
-    def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id").asc)
-    probes.join(inverted, Seq("cent_id"))
+    probes.join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_q", round(
-        dotInt(col("__qq"), col("__cq")).cast("double") /
-          (qnorm(col("__qq")) * qnorm(col("__cq"))), 6))
+        dotInt(col("__qq"), col("__cq")).cast("double") / (col("__qn") * col("__cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cent_id"), col("cos_q"), col("rank"))
@@ -410,14 +415,16 @@ object Similarity {
       df.select(col(idCol), int8Codes(asDouble(col(vecCol))).as("__q"))
     val dotInt = graft.functions.VectorExprs.dotInt _
     def qnorm(c: Column) = sqrt(dotInt(c, c).cast("double"))
+    // norms projected once per side, not recomputed per candidate pair
     val c = codes(corpus).select(col(idCol).as("neighbor_id"), col("__q").as("__cq"))
+      .withColumn("__cn", qnorm(col("__cq")))
     val q = codes(queries).select(col(idCol).as("query_id"), col("__q").as("__qq"))
+      .withColumn("__qn", qnorm(col("__qq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id").asc)
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_q", round(
-        dotInt(col("__qq"), col("__cq")).cast("double") /
-          (qnorm(col("__qq")) * qnorm(col("__cq"))), 6))
+        dotInt(col("__qq"), col("__cq")).cast("double") / (col("__qn") * col("__cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_q"), col("rank"))
