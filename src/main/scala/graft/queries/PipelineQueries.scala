@@ -150,6 +150,15 @@ object PipelineQueries {
         .orderBy(col("sig"))
     },
 
+    // the aggressive production mode of the same operator: dedup keyed on ONE
+    // LSH band's minhashes (P[collide] ~ jaccard^bandSize) — first doc per
+    // band bucket survives; emitted set = batch DISTINCT of the band key
+    "q_stream_neardup_band" -> { (s, dir) =>
+      graft.streaming.Streams.streamingNearDupDedup(s, dir, K, NGRAM, "3650 days",
+        band = Some((1, BAND)))
+        .orderBy(col("sig"))
+    },
+
     // the SQL registration path (GraftExtensions) exercised END-TO-END: the
     // same custom kernels every Scala-API query compiles to, here invoked
     // through spark.sql text — proving a SQL-only user gets bit-identical
@@ -344,6 +353,13 @@ object PipelineQueries {
         ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
         mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id)
         SELECT DISTINCT concat_ws('_', ${(0 until K).map(i => s"mh_$i").mkString(", ")}) AS sig
+        FROM mh ORDER BY sig""",
+      "q_stream_neardup_band" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id)
+        SELECT DISTINCT concat_ws('_', ${(BAND until 2 * BAND).map(i => s"mh_$i").mkString(", ")}) AS sig
         FROM mh ORDER BY sig""",
       // the kernels' defining formulas, re-derived in SQL: docs without
       // tokens/shingles fall out of the aggregating CTEs and come back NULL
