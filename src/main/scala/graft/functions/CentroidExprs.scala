@@ -118,8 +118,9 @@ object CentroidExprs {
     require(cents.nonEmpty, "graft_top_centroids: empty centroid set")
     val sorted = cents.sortBy(_._1)
     val dim = sorted.head._2.length
+    // clamp like the literal path's slice(): nprobe > nCents means "all"
     ExpressionUtils.column(TopCentroids(
       ExpressionUtils.expression(vec), sorted.map(_._1).toArray,
-      sorted.flatMap(_._2).toArray, dim, n))
+      sorted.flatMap(_._2).toArray, dim, math.min(n, sorted.size)))
   }
 }

@@ -29,6 +29,27 @@ object Histo2D {
       bucket(y.cast("double"), ny, loy, hiy).as("by"))
       .groupBy(col("bx"), col("by"))
       .agg(count(lit(1)).as("n"))
+
+  /** weighted variant — TH2 `Fill(x, y, w)` with real-valued weights, under
+    * the same decimal-summed-bins discipline as [[WeightedHisto]]: weights
+    * quantized to `wScale` decimals, cells sum exact scaled longs, one
+    * division back to double per cell.
+    */
+  def weighted(
+      df: DataFrame, x: Column, y: Column, w: Column,
+      nx: Int, lox: Double, hix: Double,
+      ny: Int, loy: Double, hiy: Double, wScale: Int): DataFrame = {
+    require(wScale >= 0 && wScale <= 9, s"wScale must be in [0, 9], got $wScale")
+    val unit = math.pow(10.0, wScale)
+    df.select(
+      bucket(x.cast("double"), nx, lox, hix).as("bx"),
+      bucket(y.cast("double"), ny, loy, hiy).as("by"),
+      round(w.cast("double") * unit).cast("long").as("__wu"))
+      .groupBy(col("bx"), col("by"))
+      .agg(
+        (sum(col("__wu")).cast("double") / unit).as("w"),
+        count(lit(1)).as("n_fills"))
+  }
 }
 
 /** 1-D histogram with REAL-VALUED weights (TH1 `Fill(x, w)` with double w —

@@ -167,6 +167,15 @@ object CoreQueries {
         .orderBy(col("bin"))
     },
 
+    // weighted 2-D histogram: TH2 Fill(z, qty, w=l_extendedprice), cells
+    // decimal-summed (cents-exact at wScale=2)
+    "q_histo2d_weighted" -> { (s, dir) =>
+      TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .Histo2DWeighted("z", "l_quantity", "l_extendedprice",
+          10, 0.0, 100000.0, 5, 0.0, 50.0, wScale = 2)
+        .orderBy(col("bx"), col("by"))
+    },
+
     // 2-D histogram over (z, quantity) — distributed grid, non-empty cells
     "q_histo2d" -> { (s, dir) =>
       TDF(Tables.lineitem(s, dir)).Define("z", zCol)
@@ -273,6 +282,17 @@ object CoreQueries {
              CASE WHEN q < 0.0 THEN -1 WHEN q >= 50.0 THEN 5
                   ELSE LEAST(CAST(floor((q - 0.0) / ((50.0 - 0.0) / 5)) AS INT), 4) END AS by,
              count(*) AS n
+      FROM src GROUP BY 1, 2 ORDER BY bx, by""",
+    "q_histo2d_weighted" -> s"""
+      WITH src AS (SELECT $zSql AS z, l_quantity AS q,
+                          CAST(round(l_extendedprice*100) AS BIGINT) AS wu
+                   FROM lineitem)
+      SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 100000.0 THEN 10
+                  ELSE LEAST(CAST(floor((z - 0.0) / ((100000.0 - 0.0) / 10)) AS INT), 9) END AS bx,
+             CASE WHEN q < 0.0 THEN -1 WHEN q >= 50.0 THEN 5
+                  ELSE LEAST(CAST(floor((q - 0.0) / ((50.0 - 0.0) / 5)) AS INT), 4) END AS by,
+             CAST(CAST(sum(wu) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS w,
+             count(*) AS n_fills
       FROM src GROUP BY 1, 2 ORDER BY bx, by"""
   )
 }

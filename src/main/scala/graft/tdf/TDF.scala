@@ -538,6 +538,16 @@ final class TDF private (
       ny: Int, loy: Double, hiy: Double): DataFrame =
     graft.functions.Histo2D(toDF, col(xCol), col(yCol), nx, lox, hix, ny, loy, hiy)
 
+  /** Weighted 2-D histogram (TH2 `Fill(x, y, w)`, real-valued weights) —
+    * decimal-summed cells, see [[graft.functions.Histo2D.weighted]].
+    */
+  def Histo2DWeighted(
+      xCol: String, yCol: String, wCol: String,
+      nx: Int, lox: Double, hix: Double,
+      ny: Int, loy: Double, hiy: Double, wScale: Int = 2): DataFrame =
+    graft.functions.Histo2D.weighted(
+      toDF, col(xCol), col(yCol), col(wCol), nx, lox, hix, ny, loy, hiy, wScale)
+
   /** Double-weighted 1-D histogram (TH1 `Fill(x, w)` with real-valued w):
     * weights quantized to `wScale` decimal places, bins sum exact scaled
     * longs (order-independent decimal-summed bins), one division back at the
@@ -625,6 +635,15 @@ final class TDF private (
     TDF.read(spark, path)
   }
 
+  /** Snapshot to ORC — same contract, the other pushdown-capable columnar
+    * sink ([[TDF.readOrc]] reopens it).
+    */
+  def SnapshotOrc(path: String, cols: Seq[String] = Nil): TDF = {
+    val df = if (cols.isEmpty) toDF else toDF.select(cols.map(col): _*)
+    df.write.mode("overwrite").orc(path)
+    TDF.readOrc(spark, path)
+  }
+
   /** Snapshot partitioned by columns — downstream filters on the partition
     * columns prune whole directories at the scan (the 100 TB layout lever
     * for selective reads).
@@ -710,4 +729,11 @@ object TDF {
     }
     apply(df, defaultColumns)
   }
+
+  /** ORC source — the other columnar format with full pushdown/pruning
+    * support in Spark's native readers (schema travels in the file, like
+    * parquet).
+    */
+  def readOrc(spark: SparkSession, path: String, defaultColumns: Seq[String] = Nil): TDF =
+    apply(spark.read.orc(path), defaultColumns)
 }

@@ -199,6 +199,22 @@ object LawsSpec extends Properties("graft") {
         .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
     }
 
+  // decimal-summed weighted bins: total mass = the sum of HALF_UP-quantized
+  // weights exactly, for any partitioning and any wScale
+  property("weighted histogram conserves quantized mass under any partitioning") =
+    Prop.forAll(Gen.choose(1, 150), Gen.choose(1, 8), Gen.choose(0, 4)) { (n, p, s) =>
+      val rows = (0 until n).map(i => ((i % 11 - 2).toDouble, (i * 37 % 19 - 9) / 8.0))
+      val unit = math.pow(10.0, s)
+      def q(w: Double): Long = // Spark round() semantics: HALF_UP away from zero
+        java.math.BigDecimal.valueOf(w * unit)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val got = TDF(rows.toDF("x", "w").repartition(p))
+        .HistoWeightedD("x", "w", 4, 0.0, 8.0, wScale = s)
+        .agg(sum(col("w")), sum(col("n_fills"))).collect()(0)
+      val expMass = rows.map(r => q(r._2)).sum / unit
+      math.abs(got.getDouble(0) - expMass) < 1e-6 && got.getLong(1) == n.toLong
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")

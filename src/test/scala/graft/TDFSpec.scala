@@ -281,7 +281,7 @@ class TDFSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("graft_histogram"))
   }
 
-  test("CSV and JSON sources round-trip through the facade") {
+  test("CSV, JSON and ORC sources round-trip through the facade") {
     val csvDir = "/tmp/graft_src_csv"
     val jsonDir = "/tmp/graft_src_json"
     fixture.select($"b1", $"b2").write.mode("overwrite")
@@ -296,6 +296,10 @@ class TDFSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType)))
     val fromJson = TDF.readJson(spark, jsonDir, Some(schema))
     assert(fromJson.Filter($"b2" > 25).Count()() == 14L) // i*i > 25 → i in 6..19
+    // ORC round-trip: snapshot the skim to ORC, reopen, identical results
+    val orc = TDF(fixture).Filter($"b2" > 25).SnapshotOrc("/tmp/graft_snap_orc")
+    assert(orc.Count()() == 14L && orc.Sum("b1")() ==
+      (6 until 20).map(_.toDouble).sum)
   }
 
   test("SnapshotPartitioned prunes; SnapshotBucketed joins shuffle-free") {
