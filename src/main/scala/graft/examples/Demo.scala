@@ -74,6 +74,10 @@ object Demo {
       .orderBy(col("query_id"), col("rank"))
       .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" ")
     println(s"int8 top-2: $i8")
+    // layout lever: range-sorted snapshot (tight min/max stats per file)
+    val sorted = loose.SnapshotSorted("/tmp/graft_demo_sorted", Seq("z"), numFiles = 4)
+    println(s"sorted snapshot rows = ${sorted.Count()()}")
+
     val idx = "/tmp/graft_demo_ivf_index"
     graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, nCents = 8)
     val hits = graft.ops.Similarity.searchIvfInt8Index(

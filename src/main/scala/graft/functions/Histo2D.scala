@@ -52,6 +52,46 @@ object Histo2D {
   }
 }
 
+/** Profile histogram (TProfile analog — the per-x-bin mean/spread of a second
+  * observable, the other member of ROOT's histogram family next to TH1/TH2;
+  * the reference road-mapped the Histo family, TDataFrame.hxx:483-517).
+  * Exactness discipline matches [[WeightedHisto]]: y is quantized to `yScale`
+  * decimals, per-bin sums accumulate exact integers (sum-of-squares through
+  * decimal(38,0) — long sums of squared scaled values overflow at real row
+  * counts), and the mean/rms doubles derive from those exact integers through
+  * one fixed expression chain, so the result is order-independent across
+  * partitions and engines. Fully codegen'd, map-side partials, spillable —
+  * the 100 TB shape. Bin convention matches the family: underflow = -1,
+  * overflow = nbins.
+  */
+object ProfileHisto {
+
+  def apply(
+      df: DataFrame, x: Column, y: Column, nbins: Int, lo: Double, hi: Double,
+      yScale: Int): DataFrame = {
+    require(yScale >= 0 && yScale <= 9, s"yScale must be in [0, 9], got $yScale")
+    val unit = math.pow(10.0, yScale)
+    val yu = col("__yu")
+    df.select(
+      Histo2D.bucket(x.cast("double"), nbins, lo, hi).as("bin"),
+      round(y.cast("double") * unit).cast("long").as("__yu"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_fills"),
+        sum(yu).as("__sy"),
+        sum((yu * yu).cast("decimal(38,0)")).cast("double").as("__syy"))
+      .select(
+        col("bin"), col("n_fills"),
+        (col("__sy").cast("double") / col("n_fills").cast("double") / unit)
+          .as("y_mean"),
+        sqrt(greatest(
+          col("__syy") / col("n_fills").cast("double") / unit / unit -
+            (col("__sy").cast("double") / col("n_fills").cast("double") / unit) *
+            (col("__sy").cast("double") / col("n_fills").cast("double") / unit),
+          lit(0.0))).as("y_rms"))
+  }
+}
+
 /** 1-D histogram with REAL-VALUED weights (TH1 `Fill(x, w)` with double w —
   * the weighted-fill semantics the reference's Histo action family exposes
   * through TH1, reference TDataFrame.hxx:483-517 per-slot fill/merge),

@@ -176,6 +176,14 @@ object CoreQueries {
         .orderBy(col("bx"), col("by"))
     },
 
+    // profile histogram: mean/rms of l_quantity in bins of z (TProfile),
+    // decimal-summed sums, mean/rms from exact integers
+    "q_histo_profile" -> { (s, dir) =>
+      TDF(Tables.lineitem(s, dir)).Define("z", zCol)
+        .HistoProfile("z", "l_quantity", 10, 0.0, 100000.0, yScale = 2)
+        .orderBy(col("bin"))
+    },
+
     // 2-D histogram over (z, quantity) — distributed grid, non-empty cells
     "q_histo2d" -> { (s, dir) =>
       TDF(Tables.lineitem(s, dir)).Define("z", zCol)
@@ -283,6 +291,24 @@ object CoreQueries {
                   ELSE LEAST(CAST(floor((q - 0.0) / ((50.0 - 0.0) / 5)) AS INT), 4) END AS by,
              count(*) AS n
       FROM src GROUP BY 1, 2 ORDER BY bx, by""",
+    "q_histo_profile" -> s"""
+      WITH src AS (SELECT $zSql AS z,
+                          CAST(round(l_quantity*100) AS BIGINT) AS yu
+                   FROM lineitem),
+      agg AS (SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 100000.0 THEN 10
+                          ELSE LEAST(CAST(floor((z - 0.0) / ((100000.0 - 0.0) / 10)) AS INT), 9) END AS bin,
+                     count(*) AS n_fills,
+                     CAST(sum(yu) AS BIGINT) AS sy,
+                     CAST(sum(yu*yu) AS DOUBLE) AS syy
+              FROM src GROUP BY 1)
+      SELECT bin, n_fills,
+             CAST(sy AS DOUBLE) / CAST(n_fills AS DOUBLE) / CAST(100.0 AS DOUBLE) AS y_mean,
+             sqrt(greatest(
+               syy / CAST(n_fills AS DOUBLE) / CAST(100.0 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                 - (CAST(sy AS DOUBLE) / CAST(n_fills AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(n_fills AS DOUBLE) / CAST(100.0 AS DOUBLE)),
+               CAST(0.0 AS DOUBLE))) AS y_rms
+      FROM agg ORDER BY bin""",
     "q_histo2d_weighted" -> s"""
       WITH src AS (SELECT $zSql AS z, l_quantity AS q,
                           CAST(round(l_extendedprice*100) AS BIGINT) AS wu

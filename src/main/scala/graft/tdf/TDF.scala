@@ -548,6 +548,15 @@ final class TDF private (
     graft.functions.Histo2D.weighted(
       toDF, col(xCol), col(yCol), col(wCol), nx, lox, hix, ny, loy, hiy, wScale)
 
+  /** Profile histogram (TProfile analog): per-x-bin count, mean and rms of
+    * `yCol`, decimal-summed for cross-engine exactness — see
+    * [[graft.functions.ProfileHisto]].
+    */
+  def HistoProfile(
+      xCol: String, yCol: String, nbins: Int, lo: Double, hi: Double,
+      yScale: Int = 2): DataFrame =
+    graft.functions.ProfileHisto(toDF, col(xCol), col(yCol), nbins, lo, hi, yScale)
+
   /** Double-weighted 1-D histogram (TH1 `Fill(x, w)` with real-valued w):
     * weights quantized to `wScale` decimal places, bins sum exact scaled
     * longs (order-independent decimal-summed bins), one division back at the
@@ -666,6 +675,23 @@ final class TDF private (
     TDF(spark.table(table))
   }
 
+  /** Snapshot range-sorted by columns: `repartitionByRange` then
+    * `sortWithinPartitions` before the write, so each output file covers a
+    * disjoint key range and every row-group's parquet min/max statistics are
+    * tight — downstream range filters skip whole files and row-groups at the
+    * scan. The sort-based layout lever (z-order's 1-D case) next to
+    * [[SnapshotPartitioned]] (directory pruning, for low-cardinality keys)
+    * and [[SnapshotBucketed]] (shuffle-free joins).
+    */
+  def SnapshotSorted(path: String, sortCols: Seq[String], numFiles: Int = 0): TDF = {
+    val cs = sortCols.map(col)
+    val ranged =
+      if (numFiles > 0) toDF.repartitionByRange(numFiles, cs: _*)
+      else toDF.repartitionByRange(cs: _*)
+    ranged.sortWithinPartitions(cs: _*).write.mode("overwrite").parquet(path)
+    TDF.read(spark, path)
+  }
+
   /** Driver-side reduce over a double column (reference planned op,
     * TDFGuide.md:379-381). Runs as its own job (it carries a closure).
     */
@@ -736,4 +762,18 @@ object TDF {
     */
   def readOrc(spark: SparkSession, path: String, defaultColumns: Seq[String] = Nil): TDF =
     apply(spark.read.orc(path), defaultColumns)
+
+  /** Binary-file source (`binaryFile` format): one row per file with
+    * `(path, modificationTime, length, content)` — the ingest edge for
+    * multimodal corpora, where raw image/audio/video files land on
+    * distributed storage before being packed into parquet
+    * ([[graft.ops.Multimodal]] consumes the same binary-column shape).
+    * `glob` filters by name at the LISTING (`pathGlobFilter`), so non-matching
+    * files are never opened; a `length` predicate prunes on file metadata
+    * before any content is read.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: Option[String] = None): TDF = {
+    val reader = spark.read.format("binaryFile")
+    apply(glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path))
+  }
 }

@@ -215,6 +215,32 @@ object LawsSpec extends Properties("graft") {
       math.abs(got.getDouble(0) - expMass) < 1e-6 && got.getLong(1) == n.toLong
     }
 
+  // profile bins derive mean/rms from exact integer sums, so any partitioning
+  // reproduces the same doubles bit-for-bit as a local fold of the same chain
+  property("profile histogram mean/rms are partition-invariant and exact") =
+    Prop.forAll(Gen.choose(1, 150), Gen.choose(1, 8), Gen.choose(0, 4)) { (n, p, s) =>
+      val rows = (0 until n).map(i => ((i % 13 - 2).toDouble, (i * 29 % 23 - 11) / 4.0))
+      val unit = math.pow(10.0, s)
+      def q(y: Double): Long =
+        java.math.BigDecimal.valueOf(y * unit)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val got = TDF(rows.toDF("x", "y").repartition(p))
+        .HistoProfile("x", "y", 4, 0.0, 8.0, yScale = s)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      rows.groupBy { case (x, _) =>
+        if (x < 0.0) -1 else if (x >= 8.0) 4 else math.min((x / 2.0).toInt, 3)
+      }.forall { case (bin, grp) =>
+        val sy = grp.map(g => q(g._2)).sum
+        val syy = grp.map(g => { val u = q(g._2); (u * u).toDouble }).sum
+        val nf = grp.size.toDouble
+        val mean = sy.toDouble / nf / unit
+        val rms = math.sqrt(math.max(syy / nf / unit / unit - mean * mean, 0.0))
+        val r = got(bin)
+        r.getLong(1) == grp.size.toLong && r.getDouble(2) == mean &&
+          r.getDouble(3) == rms
+      }
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")

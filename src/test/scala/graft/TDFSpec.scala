@@ -324,6 +324,36 @@ class TDFSpec extends AnyFunSuite {
     }
   }
 
+  test("SnapshotSorted writes range-disjoint files; binaryFile source lists by glob") {
+    val dir = "/tmp/graft_snap_sorted"
+    val d = TDF(fixture).SnapshotSorted(dir, Seq("b1"), numFiles = 4)
+    assert(d.Count()() == 20L)
+    // each part file must cover a disjoint b1 range (this is what makes the
+    // parquet min/max stats actionable for file/row-group skipping)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"b1"), max($"b1")).collect()(0)
+        (r.getDouble(0), r.getDouble(1))
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
+      s"file ranges must be disjoint: ${ranges.mkString(",")}")
+
+    // binaryFile ingest: two files on disk, glob selects one at the listing
+    val binDir = new java.io.File("/tmp/graft_bin_src")
+    binDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(binDir, "a.jpg").toPath, Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(
+      new java.io.File(binDir, "b.txt").toPath, Array[Byte](9))
+    val jpgs = TDF.readBinaryFiles(spark, binDir.getAbsolutePath, Some("*.jpg"))
+    val row = jpgs.toDF.select($"path", $"length", $"content").collect()
+    assert(row.length == 1 && row(0).getLong(1) == 4L &&
+      row(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("TEST 6: Histo model overload and no-arg default Histo") {
     val d = TDF(fixture, defaultColumns = Seq("b1"))
     // h3 analog: model axis copied, result independent of the model
