@@ -77,6 +77,8 @@ object Demo {
     // layout lever: range-sorted snapshot (tight min/max stats per file)
     val sorted = loose.SnapshotSorted("/tmp/graft_demo_sorted", Seq("z"), numFiles = 4)
     println(s"sorted snapshot rows = ${sorted.Count()()}")
+    val compacted = TDF.compact(spark, "/tmp/graft_demo_sorted", "/tmp/graft_demo_compacted")
+    println(s"compacted rows = ${compacted.Count()()}")
 
     val idx = "/tmp/graft_demo_ivf_index"
     graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, nCents = 8)

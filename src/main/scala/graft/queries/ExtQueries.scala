@@ -130,6 +130,12 @@ object ExtQueries {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // streaming histogram: bin counts maintained on the stream (stateless
+    // bucket map, complete-mode agg on <= nbins+2 keys)
+    "q_stream_histo" -> { (s, dir) =>
+      Streams.streamingHisto(s, dir, 8, 0.0, 400.0).orderBy(col("bin"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -427,6 +433,11 @@ object ExtQueries {
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+      "q_stream_histo" -> """
+        SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
+                    ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY bin""",
       "q_sessionize" -> s"""
         WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

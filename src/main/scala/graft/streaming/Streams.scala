@@ -72,6 +72,27 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming histogram — the Histo family's streaming cell: per-bin counts
+    * maintained incrementally over the stream. The bucket expression is a
+    * stateless codegen'd map; the only state is the bin table itself
+    * (complete-mode agg over ≤ nbins+2 keys), so state size is independent
+    * of stream length — the dashboard-histogram shape at any scale.
+    */
+  def streamingHisto(
+      spark: SparkSession, sfDir: String,
+      nbins: Int, lo: Double, hi: Double): DataFrame = {
+    val name = s"graft_stream_histo_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(graft.functions.Histo2D.bucket(
+        col("value").cast("double"), nbins, lo, hi).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running
     * (event count, cents) kept in `GroupState`, emitted in Update mode each
     * batch — exercises the real streaming state store. Commutative state

@@ -763,6 +763,28 @@ object TDF {
   def readOrc(spark: SparkSession, path: String, defaultColumns: Seq[String] = Nil): TDF =
     apply(spark.read.orc(path), defaultColumns)
 
+  /** Compact a parquet directory toward `targetFileBytes` per output file —
+    * the small-files remedy. Directories accreted by incremental writes
+    * (streaming micro-batches, many-task jobs) degrade scans with per-file
+    * open/footer costs; this rewrites to `ceil(totalBytes / targetFileBytes)`
+    * files via `coalesce` (narrow — no shuffle, tasks merge whole input
+    * files). Sizing uses the Hadoop FileSystem listing, so it works on any
+    * supported storage, not just local paths. Writes to `destPath` (a scan
+    * cannot overwrite its own input) and returns the reopened frame.
+    */
+  def compact(
+      spark: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L << 20): TDF = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(destPath)
+    read(spark, destPath)
+  }
+
   /** Binary-file source (`binaryFile` format): one row per file with
     * `(path, modificationTime, length, content)` — the ingest edge for
     * multimodal corpora, where raw image/audio/video files land on

@@ -354,6 +354,21 @@ class TDFSpec extends AnyFunSuite {
       row(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
   }
 
+  test("compact rewrites a many-small-files directory into few files, data intact") {
+    val src = "/tmp/graft_compact_src"
+    val dst = "/tmp/graft_compact_dst"
+    fixture.repartition(13).write.mode("overwrite").parquet(src)
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(src) > 1) // exact count varies (AQE may coalesce the shuffle)
+    val c = TDF.compact(spark, src, dst) // 20 rows << 128 MB target -> 1 file
+    assert(parts(dst) == 1)
+    assert(c.Count()() == 20L && c.Sum("b1")() == (0 until 20).map(_.toDouble).sum)
+    // plan check: coalesce is narrow — no exchange in the rewrite
+    val plan = spark.read.parquet(src).coalesce(1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "compaction must not shuffle")
+  }
+
   test("TEST 6: Histo model overload and no-arg default Histo") {
     val d = TDF(fixture, defaultColumns = Seq("b1"))
     // h3 analog: model axis copied, result independent of the model
