@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling audit — the ANALYZE/data-quality step a curation pipeline
+  * runs before committing a corpus snapshot: per-column non-null count, null
+  * count, EXACT distinct count, and min/max, for a set of numeric columns.
+  *
+  * Shape: ONE wide aggregation computes every statistic in a single pass over
+  * the scan (map-side partials for count/null/min/max; the exact distincts
+  * expand per-column — the standard Spark multi-distinct plan, each distinct
+  * column shuffled once on its own values), then a `stack` unpivot emits one
+  * row per column. At 100 TB the scan happens once regardless of how many
+  * columns are profiled; swap `countDistinct` for `approx_count_distinct` when
+  * a sketch suffices and the whole audit collapses to one shuffle-free pass.
+  */
+object Profiling {
+
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnStats: no columns given")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n, n_nulls, n_distinct, min_d, max_d)")
+  }
+}

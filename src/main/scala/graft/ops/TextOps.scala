@@ -150,6 +150,19 @@ object TextOps {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Global token top-k (vocabulary audit — the stopword/vocab inspection
+    * step of a curation pipeline): corpus-wide term frequencies with a
+    * deterministic total order (count desc, then token asc). Map-side
+    * partial counts collapse the explode before the single shuffle; the
+    * top-k itself is `TakeOrderedAndProject` — per-partition heaps merged on
+    * the driver, never a global sort.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */

@@ -176,6 +176,15 @@ object CoreQueries {
         .orderBy(col("bx"), col("by"))
     },
 
+    // z-order curve value (the SnapshotZOrdered layout key): exact integer
+    // bit-interleave, oracle mirrors the arithmetic term by term
+    "q_zorder" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // profile histogram: mean/rms of l_quantity in bins of z (TProfile),
     // decimal-summed sums, mean/rms from exact integers
     "q_histo_profile" -> { (s, dir) =>
@@ -291,6 +300,13 @@ object CoreQueries {
                   ELSE LEAST(CAST(floor((q - 0.0) / ((50.0 - 0.0) / 5)) AS INT), 4) END AS by,
              count(*) AS n
       FROM src GROUP BY 1, 2 ORDER BY bx, by""",
+    "q_zorder" -> ("""
+      SELECT l_orderkey, l_linenumber, """ +
+      (0 until 16).map(b =>
+        s"(((CAST(l_partkey AS BIGINT) >> $b) & 1) << ${2 * b}) | " +
+          s"(((CAST(l_suppkey AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ") + """ AS z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
     "q_histo_profile" -> s"""
       WITH src AS (SELECT $zSql AS z,
                           CAST(round(l_quantity*100) AS BIGINT) AS yu

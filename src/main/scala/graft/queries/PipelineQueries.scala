@@ -196,6 +196,20 @@ object PipelineQueries {
         .orderBy(col("digest"))
     },
 
+    // vocabulary audit: corpus-wide token top-k, deterministic total order
+    "q_token_topk" -> { (s, dir) =>
+      graft.ops.TextOps.topTokens(Tables.documents(s, dir), "text", 20)
+    },
+
+    // data-profiling audit: per-column count/nulls/exact-distinct/min/max in
+    // one pass over the scan, one row per column
+    "q_profile_cols" -> { (s, dir) =>
+      graft.ops.Profiling.columnStats(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber"))
+        .orderBy(col("col_name"))
+    },
+
     "q_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.nearDuplicatesLsh(Tables.documents(s, dir), "doc_id", "text", K, BAND, NGRAM)
         .orderBy(col("id_a"), col("id_b"))
@@ -347,6 +361,18 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_token_topk" -> s"""
+        WITH t AS (SELECT $toksSql AS toks FROM documents),
+        u AS (SELECT unnest(toks) AS token FROM t)
+        SELECT token, count(*) AS n FROM u WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+      "q_profile_cols" -> (Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")
+        .map(c => s"""
+          SELECT '$c' AS col_name, count($c) AS n,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
+          FROM lineitem""").mkString(" UNION ALL ") + " ORDER BY col_name"),
       "q_stream_neardup" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),

@@ -692,6 +692,24 @@ final class TDF private (
     TDF.read(spark, path)
   }
 
+  /** Snapshot z-ordered by two integer columns: rows are range-partitioned
+    * and sorted by the Morton-interleaved value
+    * ([[graft.functions.ZOrder.zorder2]]), so each file clusters BOTH
+    * dimensions and parquet min/max statistics prune range filters on either
+    * column — the multi-dimensional layout lever next to [[SnapshotSorted]].
+    */
+  def SnapshotZOrdered(
+      path: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): TDF = {
+    val z = graft.functions.ZOrder.zorder2(col(xCol), col(yCol), bits)
+    toDF.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    TDF.read(spark, path)
+  }
+
   /** Driver-side reduce over a double column (reference planned op,
     * TDFGuide.md:379-381). Runs as its own job (it carries a closure).
     */

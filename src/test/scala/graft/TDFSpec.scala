@@ -354,6 +354,23 @@ class TDFSpec extends AnyFunSuite {
       row(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
   }
 
+  test("SnapshotZOrdered clusters both dimensions into z-range-disjoint files") {
+    val dir = "/tmp/graft_snap_zorder"
+    val d = TDF(fixture).SnapshotZOrdered(dir, "b2", "b1", numFiles = 4)
+    assert(d.Count()() == 20L)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val z = graft.functions.ZOrder.zorder2($"b2", $"b1")
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(z), max(z)).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
+      s"z ranges must be disjoint: ${ranges.mkString(",")}")
+  }
+
   test("compact rewrites a many-small-files directory into few files, data intact") {
     val src = "/tmp/graft_compact_src"
     val dst = "/tmp/graft_compact_dst"
