@@ -27,6 +27,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the nightly-crawl ingestion pattern: admit
+    * only new-batch docs whose content digest is absent from the existing
+    * corpus. The corpus side is just its digest column (read it from a
+    * persisted digest index — e.g. [[exact]]'s output snapshotted per
+    * ingest — so the scan prunes to one 32-char column, not the corpus
+    * text), the membership test is a `left_anti` join on the digest, and
+    * the batch is first deduped WITHIN itself (min-id winner) so the
+    * admitted set is digest-unique. Cost at 100 TB: one digest shuffle per
+    * side — and only the 32-char digest column ever moves; the corpus text
+    * never leaves its scan.
+    */
+  def incrementalExact(
+      batch: DataFrame, idCol: String, textCol: String,
+      corpusDigests: DataFrame): DataFrame = {
+    val dig = corpusDigests.select(col("digest"))
+    batch.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper"))
+      .join(dig, Seq("digest"), "left_anti")
+  }
+
   /** universal-hash modulus and per-function seeds, derived from hash32 so a
     * SQL oracle can inline the same literal constants
     */

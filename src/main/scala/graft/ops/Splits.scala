@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the reproducible train/val/test
+  * assignment a training pipeline requires: each row lands in exactly one
+  * split by its key's md5 bucket, stable across runs, machines, partitionings
+  * and engines (no RNG, no partition sensitivity; the same convention as the
+  * hash-sampling query family). A pure scan-level expression: splitting
+  * 100 TB adds zero shuffles, and downstream per-split reads filter on the
+  * label column (pair with `SnapshotPartitioned(Seq("split"))` to prune whole
+  * directories per split).
+  */
+object Splits {
+
+  /** md5 bucket in [0, 100) of a key column — percentage points. */
+  def bucket100(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Assign each row a split label; `splits` are (name, percent) with
+    * percents summing to 100, intervals taken in order.
+    */
+  def assign(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+      labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    val b = bucket100(col(keyCol))
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(b < cut, name).otherwise(rest)
+    }
+    df.withColumn(labelCol, label)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Splits, TextOps}
 
 /** Training-data pipeline queries over `documents`: text analysis and the
   * dedup family. Oracles replicate each deterministic computation (md5-based
@@ -196,6 +196,25 @@ object PipelineQueries {
         .orderBy(col("digest"))
     },
 
+    // deterministic train/val/test split: md5-bucket assignment, pure scan
+    // expression, zero shuffles
+    "q_split" -> { (s, dir) =>
+      Splits.assign(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // incremental exact dedup: new batch (doc_id >= 250) admitted only if
+    // its digest is absent from the existing corpus (doc_id < 250)
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = Dedup.exact(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.incrementalExact(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", corpus)
+        .orderBy(col("digest"))
+    },
+
     // vocabulary audit: corpus-wide token top-k, deterministic total order
     "q_token_topk" -> { (s, dir) =>
       graft.ops.TextOps.topTokens(Tables.documents(s, dir), "text", 20)
@@ -361,6 +380,20 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_split" -> """
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id""",
+      "q_dedup_incremental" -> """
+        WITH corpus AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250),
+        batch AS (SELECT md5(text) AS digest, min(doc_id) AS keeper
+                  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        SELECT digest, keeper FROM batch
+        WHERE digest NOT IN (SELECT digest FROM corpus)
+        ORDER BY digest""",
       "q_token_topk" -> s"""
         WITH t AS (SELECT $toksSql AS toks FROM documents),
         u AS (SELECT unnest(toks) AS token FROM t)

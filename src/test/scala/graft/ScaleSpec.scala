@@ -92,6 +92,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"fact side must not shuffle before join:\n$plan")
   }
 
+  test("audit ops keep their scale shape: heap top-k, one-scan profile, zero-shuffle split") {
+    val dir = "/root/testdata/sf0.001"
+    // token top-k: per-partition heaps merged on the driver, never a global sort
+    val topk = graft.ops.TextOps.topTokens(Tables.documents(spark, dir), "text", 20)
+    assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "topTokens must plan TakeOrderedAndProject, not Sort+Limit")
+    // column profiling: however many columns are audited, the table scans ONCE
+    val prof = graft.ops.Profiling.columnStats(
+      Tables.lineitem(spark, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))
+    val profScans = "Scan parquet".r.findAllIn(prof.queryExecution.executedPlan.toString).size
+    assert(profScans == 1, s"columnStats must scan once, saw $profScans scans")
+    // split assignment: a pure scan-level projection, no exchange at all
+    val split = graft.ops.Splits.assign(Tables.documents(spark, dir), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must not shuffle")
+  }
+
   test("IVF centroid assignment is a scan expression, never a join") {
     // the naive formulation (corpus × centroid-table cross join + argmin)
     // would plan a nested-loop join and explode every row C ways through a
