@@ -64,6 +64,17 @@ object Demo {
     // pipeline ops at the same package boundary: dedup and the quantized
     // ANN family (in-memory and persisted, searched over int8 codes)
     val docs = Tables.documents(spark, sfDir)
+    // audit family: reproducible split, one-pass column profile
+    val splitCounts = graft.ops.Splits.assign(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy(col("split")).count().orderBy(col("split"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"splits: $splitCounts")
+    val prof = graft.ops.Profiling.columnStats(docs, Seq("doc_id", "n_chars"))
+      .orderBy(col("col_name")).collect()
+      .map(r => s"${r.getString(0)}(n=${r.getLong(1)},distinct=${r.getLong(3)})")
+      .mkString(" ")
+    println(s"profile: $prof")
     val nearDups = graft.ops.Dedup.nearDuplicatesLsh(
       docs, "doc_id", "text", k = 16, bandSize = 4, shingleN = 3)
       .filter(col("jaccard") >= 0.4).count()

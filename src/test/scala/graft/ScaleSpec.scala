@@ -108,6 +108,18 @@ class ScaleSpec extends AnyFunSuite {
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
       "split assignment must not shuffle")
+    // approx profile: no Expand (the exact multi-distinct's row inflation),
+    // and the sketch stays within its error envelope on real data
+    val approx = graft.ops.Profiling.columnStatsApprox(
+      Tables.lineitem(spark, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not plan Expand")
+    val exactD = prof.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      assert(math.abs(est - exactD(c)).toDouble / exactD(c) < 0.15,
+        s"approx distinct for $c: $est vs exact ${exactD(c)}")
+    }
   }
 
   test("IVF centroid assignment is a scan expression, never a join") {
