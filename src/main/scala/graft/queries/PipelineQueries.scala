@@ -150,6 +150,17 @@ object PipelineQueries {
         .orderBy(col("sig"))
     },
 
+    // streaming incremental ingestion: stream-static left_anti against the
+    // corpus digest set + within-stream watermarked dedup; delay > replay
+    // span, so the emitted set equals the batch incremental-dedup digests
+    "q_stream_incremental" -> { (s, dir) =>
+      val corpus = Dedup.exact(
+        Tables.documents(s, dir).filter(col("doc_id") < 250), "doc_id", "text")
+      graft.streaming.Streams.streamingIncrementalDedup(
+        s, dir, corpus, minDocId = 250, delay = "3650 days")
+        .orderBy(col("digest"))
+    },
+
     // the aggressive production mode of the same operator: dedup keyed on ONE
     // LSH band's minhashes (P[collide] ~ jaccard^bandSize) — first doc per
     // band bucket survives; emitted set = batch DISTINCT of the band key
@@ -393,6 +404,12 @@ object PipelineQueries {
                   FROM documents WHERE doc_id >= 250 GROUP BY 1)
         SELECT digest, keeper FROM batch
         WHERE digest NOT IN (SELECT digest FROM corpus)
+        ORDER BY digest""",
+      "q_stream_incremental" -> """
+        WITH corpus AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250)
+        SELECT DISTINCT md5(text) AS digest
+        FROM documents WHERE doc_id >= 250
+          AND md5(text) NOT IN (SELECT digest FROM corpus)
         ORDER BY digest""",
       "q_token_topk" -> s"""
         WITH t AS (SELECT $toksSql AS toks FROM documents),

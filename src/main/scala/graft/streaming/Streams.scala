@@ -288,6 +288,43 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming incremental ingestion — the streaming twin of
+    * [[graft.ops.Dedup.incrementalExact]] and the STREAM-STATIC join cell
+    * (every other join query is batch or stream-stream): documents arriving
+    * on the stream are admitted only if their content digest is absent from
+    * a STATIC corpus digest set (left_anti stream-static join — the static
+    * side is a plain DataFrame, no state, re-evaluated per micro-batch) AND
+    * not already seen on the stream itself (`dropDuplicatesWithinWatermark`
+    * on the digest, state watermark-evicted). Output projects to the digest
+    * so the emitted SET is deterministic regardless of intra-batch races.
+    * The corpus side carries only the digest column — at 100 TB the static
+    * side is a digest index scan, never the corpus text.
+    */
+  def streamingIncrementalDedup(
+      spark: SparkSession, sfDir: String, corpusDigests: DataFrame,
+      minDocId: Long, delay: String): DataFrame = {
+    val name = s"graft_sincr_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .filter(col("doc_id") >= minDocId)
+      // 2024 base — doc at epoch 0 would sit ON the initial watermark (late)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1704067200L) * 1000000L))
+      .withColumn("digest", md5(col("text")))
+      .join(corpusDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .withWatermark("ts", delay)
+      .select(col("digest"), col("ts"))
+      .dropDuplicatesWithinWatermark(Seq("digest"))
+      .select(col("digest"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_cents: Long)
