@@ -136,6 +136,14 @@ object ExtQueries {
       Streams.streamingHisto(s, dir, 8, 0.0, 400.0).orderBy(col("bin"))
     },
 
+    // the production FILE sink for the same aggregation: foreachBatch
+    // replace-snapshot to parquet, result read back from the directory
+    "q_stream_sink" -> { (s, dir) =>
+      Streams.streamingHistoToParquet(s, dir, 8, 0.0, 400.0,
+        s"/tmp/graft_stream_sink_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy(col("bin"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -434,6 +442,11 @@ object ExtQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
       "q_stream_histo" -> """
+        SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
+                    ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY bin""",
+      "q_stream_sink" -> """
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
                count(*) AS n

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,15 +82,43 @@ object Streams {
       spark: SparkSession, sfDir: String,
       nbins: Int, lo: Double, hi: Double): DataFrame = {
     val name = s"graft_stream_histo_${System.nanoTime()}"
-    val q = eventStream(spark, sfDir)
-      .select(graft.functions.Histo2D.bucket(
-        col("value").cast("double"), nbins, lo, hi).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val q = histoAgg(spark, sfDir, nbins, lo, hi)
       .writeStream.outputMode("complete")
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  private def histoAgg(
+      spark: SparkSession, sfDir: String,
+      nbins: Int, lo: Double, hi: Double): DataFrame =
+    eventStream(spark, sfDir)
+      .select(graft.functions.Histo2D.bucket(
+        col("value").cast("double"), nbins, lo, hi).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** Production FILE sink for a streaming aggregation: `foreachBatch`
+    * overwrites the output directory with each micro-batch's full
+    * aggregation state — the replace-snapshot pattern (complete-mode aggs
+    * cannot append to file sinks; per-batch overwrite keeps the directory
+    * always equal to the latest state, and downstream batch readers get
+    * commit-protocol atomicity). The memory-sink drains elsewhere are the
+    * test harness; THIS is the shape a production job deploys, and the
+    * gate reads the result back from parquet like any downstream consumer.
+    */
+  def streamingHistoToParquet(
+      spark: SparkSession, sfDir: String,
+      nbins: Int, lo: Double, hi: Double, outDir: String): DataFrame = {
+    val q = histoAgg(spark, sfDir, nbins, lo, hi)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
   }
 
   /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running
