@@ -49,6 +49,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup: corpus hit dropped, in-batch dup collapses to min id") {
+    val corpus = Dedup.exact(
+      Seq((1L, "old news")).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq(
+      (10L, "old news"),   // already in corpus → dropped
+      (12L, "fresh"),      // in-batch duplicate pair → one row, keeper = 11
+      (11L, "fresh"),
+      (13L, "unique")      // admitted as-is
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, "doc_id", "text", corpus)
+      .orderBy($"keeper").collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
+  test("splits: rejects bad percents, labels are exhaustive and reproducible") {
+    val df = (0L until 200L).toDF("id")
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.assign(df, "id", Seq("a" -> 60, "b" -> 60))
+    }
+    val labels = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = graft.ops.Splits.assign(df, "id", labels)
+    val b = graft.ops.Splits.assign(df.repartition(7), "id", labels)
+    // every row gets exactly one of the declared labels, independent of
+    // partitioning, and the two assignments agree row-for-row
+    val byId = a.select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.values.toSet.subsetOf(Set("train", "val", "test")) && byId.size == 200)
+    b.select($"id", $"split").collect().foreach { r =>
+      assert(byId(r.getLong(0)) == r.getString(1))
+    }
+  }
+
   test("minhash: identical docs share full signature; jaccard 1.0 via LSH") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
