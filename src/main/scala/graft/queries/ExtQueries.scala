@@ -136,6 +136,13 @@ object ExtQueries {
       Streams.streamingHisto(s, dir, 8, 0.0, 400.0).orderBy(col("bin"))
     },
 
+    // weighted streaming histogram: revenue by user cohort — cents-exact
+    // scaled-long bins across micro-batch state merges
+    "q_stream_histo_weighted" -> { (s, dir) =>
+      Streams.streamingHistoWeighted(s, dir, "user_id", "value",
+        10, 0.0, 150.0, wScale = 2).orderBy(col("bin"))
+    },
+
     // the production FILE sink for the same aggregation: foreachBatch
     // replace-snapshot to parquet, result read back from the directory
     "q_stream_sink" -> { (s, dir) =>
@@ -445,6 +452,13 @@ object ExtQueries {
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
                count(*) AS n
+        FROM events GROUP BY 1 ORDER BY bin""",
+      "q_stream_histo_weighted" -> """
+        SELECT CASE WHEN user_id < 0.0 THEN -1 WHEN user_id >= 150.0 THEN 10
+                    ELSE LEAST(CAST(floor((user_id - 0.0) / ((150.0 - 0.0) / 10)) AS INT), 9) END AS bin,
+               CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(100.0 AS DOUBLE) AS w,
+               count(*) AS n_fills
         FROM events GROUP BY 1 ORDER BY bin""",
       "q_stream_sink" -> """
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8

@@ -98,6 +98,34 @@ object Streams {
         col("value").cast("double"), nbins, lo, hi).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
 
+  /** Weighted streaming histogram — the decimal-summed-bins discipline
+    * ([[graft.functions.WeightedHisto]]) surviving streaming state merges:
+    * weights are quantized to `wScale` decimals in the stateless map, bins
+    * accumulate exact scaled longs across micro-batches (long sums are
+    * order- and batch-boundary-independent), and the single division back
+    * to double happens per emitted row — so an arbitrary replay chunking
+    * reproduces the batch result bit-for-bit.
+    */
+  def streamingHistoWeighted(
+      spark: SparkSession, sfDir: String, x: String, w: String,
+      nbins: Int, lo: Double, hi: Double, wScale: Int): DataFrame = {
+    require(wScale >= 0 && wScale <= 9, s"wScale must be in [0, 9], got $wScale")
+    val unit = math.pow(10.0, wScale)
+    val name = s"graft_stream_whisto_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(
+        graft.functions.Histo2D.bucket(col(x).cast("double"), nbins, lo, hi).as("bin"),
+        round(col(w).cast("double") * unit).cast("long").as("__wu"))
+      .groupBy(col("bin"))
+      .agg((sum(col("__wu")).cast("double") / unit).as("w"),
+        count(lit(1)).as("n_fills"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Production FILE sink for a streaming aggregation: `foreachBatch`
     * overwrites the output directory with each micro-batch's full
     * aggregation state — the replace-snapshot pattern (complete-mode aggs
