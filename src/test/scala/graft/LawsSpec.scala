@@ -241,6 +241,20 @@ object LawsSpec extends Properties("graft") {
       }
     }
 
+  // the Morton layout key is an exact bijection on [0,2^bits)^2: de-interleave
+  // recovers both inputs, so z-range file pruning can never conflate cells
+  property("zorder2 interleaves exactly; de-interleave recovers both inputs") =
+    Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.choose(0, 65535), Gen.choose(0, 65535)))) { pairs =>
+      val got = pairs.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.functions.ZOrder.zorder2(col("x"), col("y"), 16).as("z"))
+        .collect()
+      def deinter(z: Long, off: Int): Int =
+        (0 until 16).map(b => (((z >> (2 * b + off)) & 1L) << b).toInt).sum
+      got.forall(r =>
+        deinter(r.getLong(2), 0) == r.getInt(0) && deinter(r.getLong(2), 1) == r.getInt(1))
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
