@@ -216,6 +216,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // native checkpointed streaming file sink: split-routed append with the
+    // exactly-once _spark_metadata commit log, read back from the directory
+    "q_stream_split" -> { (s, dir) =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.Streams.streamingSplitRoute(s, dir,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        s"/tmp/graft_stream_split_$tag", s"/tmp/graft_stream_split_ckpt_$tag")
+        .orderBy(col("doc_id"))
+    },
+
     // incremental exact dedup: new batch (doc_id >= 250) admitted only if
     // its digest is absent from the existing corpus (doc_id < 250)
     "q_dedup_incremental" -> { (s, dir) =>
@@ -405,6 +415,13 @@ object PipelineQueries {
         SELECT digest, keeper FROM batch
         WHERE digest NOT IN (SELECT digest FROM corpus)
         ORDER BY digest""",
+      "q_stream_split" -> """
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id""",
       "q_stream_incremental" -> """
         WITH corpus AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250)
         SELECT DISTINCT md5(text) AS digest

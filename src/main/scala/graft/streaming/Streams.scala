@@ -134,6 +134,11 @@ object Streams {
     * commit-protocol atomicity). The memory-sink drains elsewhere are the
     * test harness; THIS is the shape a production job deploys, and the
     * gate reads the result back from parquet like any downstream consumer.
+    * Caveat: mode("overwrite") deletes before writing, so a reader racing
+    * the swap can observe an empty directory — production hardens this by
+    * writing to a versioned subdir and flipping a pointer (or a table
+    * format's atomic commit); append-shaped streams should use the native
+    * checkpointed sink ([[streamingSplitRoute]]) instead.
     */
   def streamingHistoToParquet(
       spark: SparkSession, sfDir: String,
@@ -379,6 +384,41 @@ object Streams {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Native checkpointed streaming FILE sink — the exactly-once path: an
+    * append-shaped stream (here: documents labelled with their
+    * [[graft.ops.Splits]] train/val/test assignment, a pure projection)
+    * written by Spark's built-in parquet sink, whose `_spark_metadata`
+    * commit log records exactly the files each micro-batch committed
+    * (failed/duplicate batch attempts leave orphans the log excludes —
+    * readers going through the sink directory see exactly-once output).
+    * `partitionBy(split)` routes rows into per-split directories as they
+    * arrive, so downstream per-split consumers directory-prune. This is
+    * the native-sink complement to [[streamingHistoToParquet]]'s
+    * foreachBatch snapshot (which exists for complete-mode aggs that file
+    * sinks cannot append).
+    */
+  def streamingSplitRoute(
+      spark: SparkSession, sfDir: String, splits: Seq[(String, Int)],
+      outDir: String, checkpointDir: String): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+    val q = graft.ops.Splits.assign(stream, "doc_id", splits)
+      .select(col("doc_id"), col("split"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("split")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
   }
 
   final case class Session(

@@ -789,6 +789,11 @@ object TDF {
     * files). Sizing uses the Hadoop FileSystem listing, so it works on any
     * supported storage, not just local paths. Writes to `destPath` (a scan
     * cannot overwrite its own input) and returns the reopened frame.
+    * Caveat: write parallelism equals the output file count — a petabyte
+    * directory compacting to few files serialises onto few tasks; at that
+    * scale run compact per partition directory (the unit
+    * [[SnapshotPartitioned]] produces) so compactions parallelise across
+    * partitions while each stays narrow.
     */
   def compact(
       spark: SparkSession, srcPath: String, destPath: String,
