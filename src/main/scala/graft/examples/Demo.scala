@@ -90,6 +90,10 @@ object Demo {
     println(s"sorted snapshot rows = ${sorted.Count()()}")
     val compacted = TDF.compact(spark, "/tmp/graft_demo_sorted", "/tmp/graft_demo_compacted")
     println(s"compacted rows = ${compacted.Count()()}")
+    loose.SnapshotPartitioned("/tmp/graft_demo_parted", Seq("l_returnflag"))
+    val pcomp = TDF.compactPartitions(
+      spark, "/tmp/graft_demo_parted", "/tmp/graft_demo_parted_c")
+    println(s"partitioned-compact rows = ${pcomp.Count()()}")
 
     val idx = "/tmp/graft_demo_ivf_index"
     graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, nCents = 8)

@@ -808,6 +808,28 @@ object TDF {
     read(spark, destPath)
   }
 
+  /** Per-partition compaction — the petabyte-scale form of [[compact]]:
+    * each `key=value` partition directory of a [[TDF.SnapshotPartitioned]]
+    * layout compacts independently (its own Hadoop-FS sizing, its own
+    * narrow `coalesce`), so the work spreads across partitions while no
+    * single compaction serialises the whole dataset onto few tasks.
+    * Partition discovery on the destination restores the partition column.
+    */
+  def compactPartitions(
+      spark: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long = 128L << 20): TDF = {
+    val root = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(parts.nonEmpty, s"compactPartitions: no key=value directories under $srcPath")
+    parts.foreach { p =>
+      val name = p.getPath.getName
+      compact(spark, p.getPath.toString, s"$destPath/$name", targetFileBytes)
+    }
+    read(spark, destPath)
+  }
+
   /** Binary-file source (`binaryFile` format): one row per file with
     * `(path, modificationTime, length, content)` — the ingest edge for
     * multimodal corpora, where raw image/audio/video files land on

@@ -386,6 +386,23 @@ class TDFSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "compaction must not shuffle")
   }
 
+  test("compactPartitions compacts each partition dir independently") {
+    val src = "/tmp/graft_compactp_src"
+    val dst = "/tmp/graft_compactp_dst"
+    fixture.withColumn("par", ($"b2" % 2).cast("string"))
+      .repartition(6).write.mode("overwrite").partitionBy("par").parquet(src)
+    val c = TDF.compactPartitions(spark, src, dst)
+    assert(c.Count()() == 20L)
+    // each partition dir collapses to one file; the partition column survives
+    Seq("par=0", "par=1").foreach { d =>
+      val n = new java.io.File(s"$dst/$d").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(n == 1, s"$d has $n files")
+    }
+    assert(c.toDF.filter($"par" === "0").count() ==
+      fixture.filter(($"b2" % 2) === 0).count())
+  }
+
   test("TEST 6: Histo model overload and no-arg default Histo") {
     val d = TDF(fixture, defaultColumns = Seq("b1"))
     // h3 analog: model axis copied, result independent of the model
