@@ -105,6 +105,22 @@ case class TopCentroids(
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($v);")
   }
 
+  // case-class equals/hashCode over Array fields compare by reference, which
+  // would make two structurally identical instances never semanticEquals —
+  // defeating Catalyst common-subexpression elimination when the same
+  // centroid set appears twice in a plan. Compare matrix CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case t: TopCentroids =>
+      child == t.child && dim == t.dim && n == t.n &&
+        java.util.Arrays.equals(centIds, t.centIds) &&
+        java.util.Arrays.equals(centsFlat, t.centsFlat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim), Integer.valueOf(n),
+      Integer.valueOf(java.util.Arrays.hashCode(centIds)),
+      Integer.valueOf(java.util.Arrays.hashCode(centsFlat)))
+
   override protected def withNewChildInternal(newChild: Expression): TopCentroids =
     copy(child = newChild)
   override def prettyName: String = "graft_top_centroids"

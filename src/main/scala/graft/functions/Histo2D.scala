@@ -56,9 +56,10 @@ object Histo2D {
   * observable, the other member of ROOT's histogram family next to TH1/TH2;
   * the reference road-mapped the Histo family, TDataFrame.hxx:483-517).
   * Exactness discipline matches [[WeightedHisto]]: y is quantized to `yScale`
-  * decimals, per-bin sums accumulate exact integers (sum-of-squares through
-  * decimal(38,0) — long sums of squared scaled values overflow at real row
-  * counts), and the mean/rms doubles derive from those exact integers through
+  * decimals, per-bin sums accumulate exact integers (squares computed AND
+  * summed in decimal(38,0) — a long product wraps at |y|·10^yScale ≥ ~3.04e9
+  * and long sums of squares overflow at real row counts), and the mean/rms
+  * doubles derive from those exact integers through
   * one fixed expression chain, so the result is order-independent across
   * partitions and engines. Fully codegen'd, map-side partials, spillable —
   * the 100 TB shape. Bin convention matches the family: underflow = -1,
@@ -79,7 +80,11 @@ object ProfileHisto {
       .agg(
         count(lit(1)).as("n_fills"),
         sum(yu).as("__sy"),
-        sum((yu * yu).cast("decimal(38,0)")).cast("double").as("__syy"))
+        // square in decimal, not long: yu*yu over longs silently wraps once
+        // |y|*10^yScale exceeds ~3.04e9 (sqrt(Long.Max)); decimal(19,0)
+        // operands make the per-row product exact up to the full long range
+        sum((yu.cast("decimal(19,0)") * yu.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("double").as("__syy"))
       .select(
         col("bin"), col("n_fills"),
         (col("__sy").cast("double") / col("n_fills").cast("double") / unit)

@@ -319,6 +319,12 @@ object Streams {
   def streamingNearDupDedup(
       spark: SparkSession, sfDir: String, k: Int, shingleN: Int,
       delay: String, band: Option[(Int, Int)] = None): DataFrame = {
+    // out-of-range bands would slice() short/empty — an empty slice keys
+    // every document on "" and collapses the stream to one emitted row
+    band.foreach { case (b, bandSize) =>
+      require(b >= 0 && bandSize >= 1 && (b + 1) * bandSize <= k,
+        s"band ($b, size $bandSize) out of range for a $k-wide signature")
+    }
     val name = s"graft_sneardup_${System.nanoTime()}"
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),

@@ -798,6 +798,16 @@ object TDF {
   def compact(
       spark: SparkSession, srcPath: String, destPath: String,
       targetFileBytes: Long = 128L << 20): TDF = {
+    compactInto(spark, srcPath, destPath, targetFileBytes)
+    read(spark, destPath)
+  }
+
+  /** the write half of [[compact]], without reopening the destination —
+    * [[compactPartitions]] fans many of these out and reopens the root once
+    */
+  private def compactInto(
+      spark: SparkSession, srcPath: String, destPath: String,
+      targetFileBytes: Long): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
     val p = new org.apache.hadoop.fs.Path(srcPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -805,28 +815,50 @@ object TDF {
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(srcPath).coalesce(nFiles)
       .write.mode("overwrite").parquet(destPath)
-    read(spark, destPath)
   }
 
   /** Per-partition compaction — the petabyte-scale form of [[compact]]:
-    * each `key=value` partition directory of a [[TDF.SnapshotPartitioned]]
-    * layout compacts independently (its own Hadoop-FS sizing, its own
-    * narrow `coalesce`), so the work spreads across partitions while no
-    * single compaction serialises the whole dataset onto few tasks.
-    * Partition discovery on the destination restores the partition column.
+    * each LEAF partition directory of a [[TDF.SnapshotPartitioned]] layout
+    * (nested `key1=…/key2=…` layouts are walked to their leaves, so inner
+    * partition columns keep their directories — and their pruning) compacts
+    * independently, with its own Hadoop-FS sizing and its own narrow
+    * `coalesce`. The per-directory jobs are SUBMITTED CONCURRENTLY from a
+    * bounded thread pool (Spark's scheduler runs concurrent jobs fine): each
+    * compaction is narrow and small by construction, so with serial
+    * submission a thousand-partition dataset would wait on a thousand
+    * driver round-trips; `parallelism` bounds the in-flight jobs instead.
+    * Partition discovery on the destination restores the partition columns.
     */
   def compactPartitions(
       spark: SparkSession, srcPath: String, destPath: String,
-      targetFileBytes: Long = 128L << 20): TDF = {
+      targetFileBytes: Long = 128L << 20, parallelism: Int = 8): TDF = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val root = new org.apache.hadoop.fs.Path(srcPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(dir: org.apache.hadoop.fs.Path, rel: String): Seq[String] = {
+      val subs = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(rel)
+      else subs.toSeq.flatMap(s => leaves(s.getPath, s"$rel/${s.getPath.getName}"))
+    }
     val parts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(s => leaves(s.getPath, s.getPath.getName))
     require(parts.nonEmpty, s"compactPartitions: no key=value directories under $srcPath")
-    parts.foreach { p =>
-      val name = p.getPath.getName
-      compact(spark, p.getPath.toString, s"$destPath/$name", targetFileBytes)
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, parts.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val jobs = parts.toSeq.map { rel =>
+        scala.concurrent.Future {
+          compactInto(spark, s"$srcPath/$rel", s"$destPath/$rel", targetFileBytes)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     read(spark, destPath)
   }
 

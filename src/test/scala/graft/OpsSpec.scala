@@ -236,6 +236,33 @@ class OpsSpec extends AnyFunSuite {
       (4 until 8).map(i => $"mh_$i"): _*).as("sig"))
       .distinct().as[String].collect().toSet
     assert(gotBand == expBand && gotBand.size <= got.size)
+    // out-of-range band bounds are rejected up front (an empty slice would
+    // key every doc on "" and silently collapse the stream to one row)
+    intercept[IllegalArgumentException] {
+      Streams.streamingNearDupDedup(spark, dir, 16, 3, "3650 days",
+        band = Some((4, 4))) // (4+1)*4 = 20 > k = 16
+    }
+    intercept[IllegalArgumentException] {
+      Streams.streamingNearDupDedup(spark, dir, 16, 3, "3650 days",
+        band = Some((-1, 4)))
+    }
+  }
+
+  test("TopCentroids equality is structural (canonicalization / CSE holds)") {
+    import org.apache.spark.sql.graftbridge.{GraftSql => EU}
+    val cents = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.4)))
+    val v = col("v")
+    // two instances built from distinct (but equal) collections: case-class
+    // equality over Array fields would compare by reference and never match
+    val e1 = EU.expression(graft.functions.CentroidExprs.topCentroids(v, cents, 1))
+    val e2 = EU.expression(graft.functions.CentroidExprs.topCentroids(
+      v, cents.map { case (c, vv) => (c, vv.map(identity)) }, 1))
+    assert(e1 == e2, "structurally identical TopCentroids must be equal")
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    val e3 = EU.expression(graft.functions.CentroidExprs.topCentroids(
+      v, Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.5))), 1))
+    assert(e1 != e3, "different matrices must not compare equal")
   }
 
   test("sessionize splits on gap and sums cents exactly") {

@@ -403,6 +403,66 @@ class TDFSpec extends AnyFunSuite {
       fixture.filter(($"b2" % 2) === 0).count())
   }
 
+  test("compactPartitions recurses nested layouts and overlaps job execution") {
+    val src = "/tmp/graft_compactn_src"
+    val dst = "/tmp/graft_compactn_dst"
+    fixture
+      .withColumn("pa", ($"b2" % 2).cast("string"))
+      .withColumn("pb", ($"b2" % 3).cast("string"))
+      .repartition(6).write.mode("overwrite").partitionBy("pa", "pb").parquet(src)
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxRunning = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        started.incrementAndGet()
+        val r = running.incrementAndGet()
+        maxRunning.updateAndGet(m => math.max(m, r))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        running.decrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val c =
+      try TDF.compactPartitions(spark, src, dst)
+      finally {
+        // drain the async listener bus before reading the counters
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while ((running.get() != 0 || started.get() == 0) && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(c.Count()() == 20L)
+    // every LEAF dir (pa=?/pb=?) compacts to one file; inner dirs survive
+    val leafDirs = for {
+      a <- new java.io.File(dst).listFiles().toSeq if a.getName.startsWith("pa=")
+      b <- a.listFiles().toSeq if b.getName.startsWith("pb=")
+    } yield b
+    assert(leafDirs.nonEmpty)
+    leafDirs.foreach { d =>
+      val n = d.listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getPath} has $n files")
+    }
+    // both partition columns restored by discovery, values intact
+    assert(c.toDF.filter($"pb" === "1").count() ==
+      fixture.filter(($"b2" % 3) === 1).count())
+    assert(maxRunning.get() >= 2,
+      s"per-directory compactions must overlap (max concurrent = ${maxRunning.get()})")
+  }
+
+  test("profile histogram survives |y| beyond the long-square bound") {
+    // yu*yu at yScale=0: 1.6e19 and 3.6e19 both exceed Long.MaxValue
+    // (~9.22e18) — a long product would wrap silently; the decimal path keeps
+    // the per-row squares exact. mean = 5e9, rms = 1e9.
+    val df = Seq((1.0, 4.0e9), (1.0, 6.0e9)).toDF("x", "y")
+    val r = TDF(df).HistoProfile("x", "y", 4, 0.0, 8.0, yScale = 0)
+      .filter($"bin" === 0).collect()(0)
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 5.0e9) < 1.0, s"y_mean = ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0e9) < 1.0, s"y_rms = ${r.getDouble(3)}")
+  }
+
   test("TEST 6: Histo model overload and no-arg default Histo") {
     val d = TDF(fixture, defaultColumns = Seq("b1"))
     // h3 analog: model axis copied, result independent of the model
