@@ -185,6 +185,16 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // the N-dimensional curve (3 columns, stride-3 interleave) — the key
+    // SnapshotZOrderedN sorts by; oracle mirrors the arithmetic term by term
+    "q_zorder3" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.zorderN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 16).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // profile histogram: mean/rms of l_quantity in bins of z (TProfile),
     // decimal-summed sums, mean/rms from exact integers
     "q_histo_profile" -> { (s, dir) =>
@@ -306,6 +316,14 @@ object CoreQueries {
         s"(((CAST(l_partkey AS BIGINT) >> $b) & 1) << ${2 * b}) | " +
           s"(((CAST(l_suppkey AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
         .mkString(" | ") + """ AS z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    "q_zorder3" -> ("""
+      SELECT l_orderkey, l_linenumber, """ +
+      (0 until 16).map { b =>
+        Seq("l_partkey", "l_suppkey", "l_linenumber").zipWithIndex.map {
+          case (c, i) => s"(((CAST($c AS BIGINT) >> $b) & 1) << ${3 * b + i})"
+        }.mkString(" | ")
+      }.mkString(" | ") + """ AS z
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
     "q_histo_profile" -> s"""
       WITH src AS (SELECT $zSql AS z,

@@ -700,8 +700,15 @@ final class TDF private (
     */
   def SnapshotZOrdered(
       path: String, xCol: String, yCol: String,
-      numFiles: Int, bits: Int = 16): TDF = {
-    val z = graft.functions.ZOrder.zorder2(col(xCol), col(yCol), bits)
+      numFiles: Int, bits: Int = 16): TDF =
+    SnapshotZOrderedN(path, Seq(xCol, yCol), numFiles, bits)
+
+  /** the N-column form ([[graft.functions.ZOrder.zorderN]]) — the 3+-column
+    * clustering a real table wants (`cols.size * bits` ≤ 63)
+    */
+  def SnapshotZOrderedN(
+      path: String, cols: Seq[String], numFiles: Int, bits: Int = 16): TDF = {
+    val z = graft.functions.ZOrder.zorderN(cols.map(col), bits)
     toDF.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

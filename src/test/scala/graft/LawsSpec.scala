@@ -255,6 +255,24 @@ object LawsSpec extends Properties("graft") {
         deinter(r.getLong(2), 0) == r.getInt(0) && deinter(r.getLong(2), 1) == r.getInt(1))
     }
 
+  // same bijection law in N dims: bit b of column i sits at k*b+i, so the
+  // stride-k de-interleave recovers every input column exactly
+  property("zorderN interleaves exactly; stride-k de-interleave recovers all inputs") =
+    Prop.forAll(Gen.choose(2, 5),
+      Gen.listOfN(20, Gen.listOfN(5, Gen.choose(0, 4095)))) { (k, rows) =>
+      val bits = 12 // 5 cols x 12 bits = 60 <= 63
+      val df = rows.map(r => (r(0), r(1), r(2), r(3), r(4)))
+        .toDF("c0", "c1", "c2", "c3", "c4")
+      val cols = (0 until k).map(i => col(s"c$i"))
+      val got = df.select(
+        (0 until 5).map(i => col(s"c$i")) :+
+          graft.functions.ZOrder.zorderN(cols, bits).as("z"): _*)
+        .collect()
+      def deinter(z: Long, i: Int): Int =
+        (0 until bits).map(b => (((z >> (k * b + i)) & 1L) << b).toInt).sum
+      got.forall(r => (0 until k).forall(i => deinter(r.getLong(5), i) == r.getInt(i)))
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")

@@ -371,6 +371,24 @@ class TDFSpec extends AnyFunSuite {
       s"z ranges must be disjoint: ${ranges.mkString(",")}")
   }
 
+  test("SnapshotZOrderedN clusters three dimensions into z-range-disjoint files") {
+    val dir = "/tmp/graft_snap_zorder3"
+    val d = TDF(fixture.withColumn("b3", ($"b2" * 7) % 20))
+      .SnapshotZOrderedN(dir, Seq("b2", "b1", "b3"), numFiles = 4)
+    assert(d.Count()() == 20L)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val z = graft.functions.ZOrder.zorderN(Seq($"b2", $"b1", $"b3"), 16)
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(z), max(z)).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
+      s"z ranges must be disjoint: ${ranges.mkString(",")}")
+  }
+
   test("compact rewrites a many-small-files directory into few files, data intact") {
     val src = "/tmp/graft_compact_src"
     val dst = "/tmp/graft_compact_dst"
