@@ -127,31 +127,73 @@ object Streams {
   }
 
   /** Production FILE sink for a streaming aggregation: `foreachBatch`
-    * overwrites the output directory with each micro-batch's full
-    * aggregation state — the replace-snapshot pattern (complete-mode aggs
-    * cannot append to file sinks; per-batch overwrite keeps the directory
-    * always equal to the latest state, and downstream batch readers get
-    * commit-protocol atomicity). The memory-sink drains elsewhere are the
-    * test harness; THIS is the shape a production job deploys, and the
-    * gate reads the result back from parquet like any downstream consumer.
-    * Caveat: mode("overwrite") deletes before writing, so a reader racing
-    * the swap can observe an empty directory — production hardens this by
-    * writing to a versioned subdir and flipping a pointer (or a table
-    * format's atomic commit); append-shaped streams should use the native
-    * checkpointed sink ([[streamingSplitRoute]]) instead.
+    * replaces the published snapshot with each micro-batch's full
+    * aggregation state (complete-mode aggs cannot append to file sinks).
+    * Hardened against racing readers: each batch lands in its own
+    * `v_<batchId>` subdirectory and ONLY then does [[commitSnapshot]] flip
+    * the `_LATEST` pointer file (atomic rename), so a reader between
+    * batches — or mid-write — always resolves a fully-committed snapshot;
+    * a plain `mode("overwrite")` of the directory would delete before
+    * writing and expose an empty dir. The immediately-previous version is
+    * retained one commit as a grace window for readers that resolved the
+    * old pointer just before the flip; older versions are pruned.
+    * Append-shaped streams should use the native checkpointed sink
+    * ([[streamingSplitRoute]]) instead.
     */
   def streamingHistoToParquet(
       spark: SparkSession, sfDir: String,
       nbins: Int, lo: Double, hi: Double, outDir: String): DataFrame = {
     val q = histoAgg(spark, sfDir, nbins, lo, hi)
       .writeStream.outputMode("complete")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        commitSnapshot(batch, outDir, batchId)
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    readSnapshot(spark, outDir)
+  }
+
+  /** Publish one complete snapshot version: write `outDir/v_<version>` in
+    * full, then atomically flip the `_LATEST` pointer to it (temp file +
+    * `FileContext.rename(OVERWRITE)` — a metadata op on HDFS-like stores and
+    * an atomic `REPLACE_EXISTING` move on local disks). Readers going
+    * through [[readSnapshot]] therefore never observe a partial or deleted
+    * snapshot: until the flip they resolve the previous version, after it
+    * the new one. Versions older than the immediately-previous one are
+    * pruned (the one-commit grace window covers a reader that resolved the
+    * old pointer right before the flip).
+    */
+  def commitSnapshot(batch: Dataset[Row], outDir: String, version: Long): Unit = {
+    batch.write.mode("overwrite").parquet(s"$outDir/v_$version")
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_LATEST.tmp_$version")
+    val out = fs.create(tmp, true)
+    try out.write(s"v_$version".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_LATEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(s => s.getPath)
+      .filter(p => p.getName.stripPrefix("v_").toLong < version - 1)
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Resolve the current snapshot version via the `_LATEST` pointer and read
+    * it — the reader half of the [[commitSnapshot]] protocol.
+    */
+  def readSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_LATEST"))
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    spark.read.parquet(s"$outDir/$v")
   }
 
   /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running

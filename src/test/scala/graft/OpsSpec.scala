@@ -248,6 +248,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot sink: pointer flip keeps readers on complete versions only") {
+    val out = "/tmp/graft_snapshot_sink_test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    def readSet() = Streams.readSnapshot(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val a = Seq((0, 1L), (1, 2L)).toDF("bin", "n")
+    val b = Seq((0, 5L), (1, 6L), (2, 7L)).toDF("bin", "n")
+    Streams.commitSnapshot(a, out, 0L)
+    assert(readSet() == Set((0, 1L), (1, 2L)))
+    Streams.commitSnapshot(b, out, 1L)
+    assert(readSet() == Set((0, 5L), (1, 6L), (2, 7L)))
+    // previous version survives one commit as the reader grace window
+    assert(new java.io.File(s"$out/v_0").exists())
+    // a partially-written future version is invisible until its own flip —
+    // the racing reader still resolves the committed v_1
+    new java.io.File(s"$out/v_2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/v_2/part-partial.parquet"), Array[Byte](1, 2, 3))
+    assert(readSet() == Set((0, 5L), (1, 6L), (2, 7L)))
+    // the next commit publishes v_2 and prunes v_0 (v_1 kept as grace)
+    Streams.commitSnapshot(b.withColumn("n", $"n" + 1), out, 2L)
+    assert(readSet() == Set((0, 6L), (1, 7L), (2, 8L)))
+    assert(!new java.io.File(s"$out/v_0").exists())
+    assert(new java.io.File(s"$out/v_1").exists())
+  }
+
   test("TopCentroids equality is structural (canonicalization / CSE holds)") {
     import org.apache.spark.sql.graftbridge.{GraftSql => EU}
     val cents = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.4)))
