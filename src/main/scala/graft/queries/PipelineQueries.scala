@@ -310,6 +310,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the STREAMING twin: the same held-out probes (digest left_anti +
+    // broadcast gram row met by arrays_overlap) applied as a stateless
+    // per-row filter on the replayed document stream — emits exactly the
+    // batch clean()'s kept doc_ids
+    "q_stream_decontaminate" -> { (s, dir) =>
+      val held = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      graft.streaming.Streams.streamingDecontaminate(
+        s, dir, held, "text", 5, docPredicate = col("doc_id") % 97 =!= 0)
+        .orderBy(col("doc_id"))
+    },
+
     // brute-force n-gram jaccard on a fixed 150-doc slice (bounded work at
     // any scale factor; the LSH query above is the scale path)
     "q_dedup_jaccard_brute" -> { (s, dir) =>
@@ -686,6 +697,24 @@ object PipelineQueries {
                      AND len(list_intersect(cg.sh, hglist.gl)) = 0
                     THEN 1 ELSE 0 END AS kept
         FROM corpus c JOIN cg USING (doc_id), hglist
+        ORDER BY c.doc_id""",
+      "q_stream_decontaminate" -> s"""
+        WITH held AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        hd AS (SELECT DISTINCT md5(text) AS digest FROM held),
+        hg AS (SELECT DISTINCT unnest(
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS g
+               FROM (SELECT $toksSql AS toks FROM held)),
+        hglist AS (SELECT list(g) AS gl FROM hg),
+        cg AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+               FROM (SELECT doc_id, $toksSql AS toks FROM corpus))
+        SELECT c.doc_id
+        FROM corpus c JOIN cg USING (doc_id), hglist
+        WHERE md5(c.text) NOT IN (SELECT digest FROM hd)
+          AND len(list_intersect(cg.sh, hglist.gl)) = 0
         ORDER BY c.doc_id""",
       "q_dedup_jaccard_brute" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 150),

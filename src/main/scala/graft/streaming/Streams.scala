@@ -434,6 +434,50 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming decontamination — the held-out-benchmark filter
+    * ([[graft.ops.Decontam]]) as a STREAM-STATIC cell, the live-ingest twin
+    * of the batch `clean`: documents arriving on the stream are admitted
+    * only if (a) their md5 digest is absent from the held-out set (broadcast
+    * stream-static `left_anti`, the [[streamingIncrementalDedup]] shape) and
+    * (b) none of their word `n`-grams appears in the held-out set — the
+    * distinct held-out grams ride as ONE broadcast array row (benchmark
+    * sets are MBs under the decontamination premise) met by a stateless
+    * `arrays_overlap` filter. The whole operator is a pure per-row filter:
+    * no watermark, no state store, nothing grows with stream length — the
+    * shape that holds when the stream is a 100 TB crawl. Emits `doc_id`
+    * of admitted documents; `docPredicate` pre-filters the replayed source
+    * (the gate uses it to carve the corpus/held-out split).
+    */
+  def streamingDecontaminate(
+      spark: SparkSession, sfDir: String, heldout: DataFrame,
+      heldTextCol: String, n: Int,
+      docPredicate: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val name = s"graft_sdecon_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val heldDigests = heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
+    val heldGramRow = heldout
+      .withColumn("__toks", graft.ops.TextOps.tokens(col(heldTextCol)))
+      .select(explode(graft.ops.TextOps.shingles("__toks", n)).as("__g")).distinct()
+      .agg(sort_array(collect_list(col("__g"))).as("__gl"))
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .filter(docPredicate)
+      .withColumn("__d", md5(col("text")))
+      .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("__sh", graft.ops.TextOps.shingles("__toks", n))
+      .join(broadcast(heldDigests), col("__d") === col("digest"), "left_anti")
+      .join(broadcast(heldGramRow))
+      .filter(!arrays_overlap(col("__sh"), col("__gl")))
+      .select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Native checkpointed streaming FILE sink — the exactly-once path: an
     * append-shaped stream (here: documents labelled with their
     * [[graft.ops.Splits]] train/val/test assignment, a pure projection)

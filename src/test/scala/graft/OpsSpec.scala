@@ -248,6 +248,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination equals batch clean() (stream-static, stateless)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val got = graft.streaming.Streams.streamingDecontaminate(
+      spark, dir, held, "text", 5, docPredicate = $"doc_id" % 97 =!= 0)
+      .as[Long].collect().toSet
+    val expected = graft.ops.Decontam.clean(corpus, "doc_id", "text", held, "text", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    assert(got.size < corpus.count(), "some docs must actually be filtered")
+  }
+
   test("snapshot sink: pointer flip keeps readers on complete versions only") {
     val out = "/tmp/graft_snapshot_sink_test"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
