@@ -183,42 +183,71 @@ object Dedup {
 
   /** Connected components over near-dup pairs: every doc labeled with the
     * smallest id reachable through the pair graph — the final step of a dedup
-    * pipeline (keep one representative per duplicate cluster). Iterative
-    * min-label propagation: each round joins labels across edges and keeps the
-    * min; converges in O(graph diameter) rounds. Each round is one shuffle on
-    * id; label frames are tiny relative to the corpus (pairs only), so this
-    * scales to the 100 TB corpus as long as the duplicate graph fits the
-    * cluster — the standard large-scale CC trade.
+    * pipeline (keep one representative per duplicate cluster). Alternating
+    * LARGE-STAR / SMALL-STAR rounds (the MapReduce CC algorithm of Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each round
+    * contracts the graph toward a star forest rooted at the component
+    * minima and converges in O(log n) rounds — min-label propagation needs
+    * O(graph diameter) rounds, pathological for chain-shaped graphs (a
+    * 1000-link chain = 1000 shuffles; this does it in ~10). The footprint
+    * stays pairs-only: every phase is one groupBy + one join on the edge
+    * frame (tiny relative to the corpus), `localCheckpoint`ed per round to
+    * truncate iterative lineage.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it took —
+    * the observable the log-convergence tests pin.
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    // canonical (hi, lo): both phases only ever emit edges pointing a node
+    // at a strictly smaller node, so the whole loop stays in this form
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(true)
+    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.join(b, Seq("hi", "lo"), "left_anti").isEmpty
+    var rounds = 0
     var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // carry a per-row changed flag so convergence is read from the SAME
-      // materialization: the eager localCheckpoint is the one propagation job
-      // per round, and the convergence count is a cheap scan of its cached
-      // blocks — no second join/recompute of the propagation
-      val updated = labels.withColumnRenamed("label", "old")
-        .join(propagated, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
-          (coalesce(col("nbr_label"), col("old")) < col("old")).cast("long").as("chg"))
-      val ck = updated.localCheckpoint(true) // truncate lineage each round
-      val row = ck.agg(sum(col("chg"))).collect()(0)
-      converged = row.isNullAt(0) || row.getLong(0) == 0L
-      labels = ck.select(col("id"), col("label"))
-      iter += 1
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: per node u over its FULL neighborhood, connect every
+      // strictly larger neighbor to m = min(neighborhood ∪ {u})
+      val dirAll = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lmin = dirAll.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = dirAll.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR: orient each edge at its larger endpoint u; connect u and
+      // all its smaller neighbors to the neighborhood minimum
+      val smallDir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smin = smallDir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smallDir.join(smin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .unionByName(smin.select(col("u").as("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      // fixpoint of BOTH phases = star forest rooted at component minima
+      converged = sameEdges(large, edges) && sameEdges(small, large)
+      edges = small
+      rounds += 1
     }
-    labels
+    // edges is now (member, root); roots and self-pair isolates label self
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("__l")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__l"), col("id")).as("label"))
+    (labels, rounds)
   }
 
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the result is

@@ -561,6 +561,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge in O(log n) rounds on a chain graph") {
+    // a 256-link chain has diameter 256: min-label propagation would need
+    // ~256 shuffle rounds; large-star/small-star contracts it in ~log n
+    val n = 256
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      s"all ${n + 1} chain nodes must label 0, got ${got.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 12, s"chain of ${n + 1} must converge in <= 12 rounds, took $rounds")
+    // shuffled ids (descending chain) — min is at the far end
+    val rev = (0 until n).map(i => ((n - i).toLong, (n - i - 1).toLong)).toDF("id_a", "id_b")
+    val (labels2, rounds2) = Dedup.connectedComponentsWithRounds(rev, maxIter = 20)
+    assert(labels2.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(rounds2 <= 12, s"reverse chain took $rounds2 rounds")
+  }
+
   test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference formulation: explode → hash32 per shingle → k min-aggregates
