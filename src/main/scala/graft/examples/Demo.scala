@@ -96,10 +96,13 @@ object Demo {
     println(s"partitioned-compact rows = ${pcomp.Count()()}")
 
     val idx = "/tmp/graft_demo_ivf_index"
-    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, nCents = 8)
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", idx, nCents = 8)
+    graft.ops.Similarity.appendIvfInt8Index(
+      spark, emb.filter(col("vec_id") >= 300), "vec_id", "embedding", idx)
     val hits = graft.ops.Similarity.searchIvfInt8Index(
       spark, idx, qs, "vec_id", "embedding", k = 2, nprobe = 2).count()
-    println(s"persisted-index hits = $hits")
+    println(s"persisted-index (build+append) hits = $hits")
     spark.stop()
   }
 }

@@ -364,14 +364,69 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       assignKernel: Boolean = false): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
-      .toSeq.sortBy(_._1)
+    val cents = loadCentroids(spark, path)
     val inverted = spark.read.parquet(s"$path/lists")
       // partition-column inference reads cent_id as int; restore the long key
       .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
     int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
+  }
+
+  /** the nCents-row centroid sidecar of a persisted index, driver-side (the
+    * broadcast build every search and append starts from)
+    */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** Append a batch of new vectors to a persisted [[writeIvfInt8Index]]
+    * index — the maintenance op of the nightly-crawl pattern (the ANN twin
+    * of [[Dedup.incrementalExact]]): a 100 TB index is never rebuilt from
+    * scratch. Three steps, I/O proportional to the BATCH, not the index:
+    *
+    *  1. assign: new vectors are quantized and assigned with the STORED
+    *     centroid sidecar — the index's coarse geometry is immutable across
+    *     appends, so probe routing agrees before and after;
+    *  2. merge: only the TOUCHED `cent_id` list partitions are read back
+    *     (partition pruning on the ≤ nCents touched ids), unioned with the
+    *     new rows, and re-capped — capping the union of an already-capped
+    *     list with the batch equals capping the uncapped union, because the
+    *     anchor cap keeps smallest ids: any id surviving the union cap
+    *     survived the base cap too;
+    *  3. rewrite: DYNAMIC partition overwrite replaces exactly the touched
+    *     `cent_id=` directories; untouched partitions are never read or
+    *     written. The merged rows are localCheckpointed first — the write
+    *     overwrites files its own plan reads.
+    *
+    * Result is bit-identical to [[writeIvfInt8Index]] over base ∪ batch
+    * with the same centroids (OpsSpec pins it; the gate's oracle is the
+    * full-corpus index search).
+    */
+  def appendIvfInt8Index(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+    val cents = loadCentroids(spark, path)
+    val assign = assignExpr(cents, assignKernel)
+    val newRows = batch.select(
+      col(idCol).as("neighbor_id"),
+      int8Codes(asDouble(col(vecCol))).as("q"),
+      assign(asDouble(col(vecCol))).as("cent_id"))
+    val touched = newRows.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)) // <= nCents values, a driver-side build
+    if (touched.nonEmpty) {
+      val existing = spark.read.parquet(s"$path/lists")
+        .filter(col("cent_id").isin(touched.map(Long.box): _*)) // partition-pruned
+        .select(col("neighbor_id"), col("q"), col("cent_id").cast("long").as("cent_id"))
+      val merged = Dedup.capBuckets(
+        existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cent_id").parquet(s"$path/lists")
+    }
   }
 
   /** Symmetric int8 quantization of an embedding column — the vector-

@@ -101,6 +101,24 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // incremental index maintenance: build the persisted index on a base
+    // slice, APPEND the remaining vectors (assigned with the stored centroid
+    // sidecar, dynamic overwrite of only the touched cent_id= partitions),
+    // then search — the appended index is bit-identical to a full-corpus
+    // build (same smallest-id centroids live in the base slice), so the
+    // oracle is q_ann_ivf_index's
+    "q_ann_ivf_append" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_append_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfInt8Index(
+        emb.filter(col("vec_id") < 300), "vec_id", "embedding", path, IVF_CENTS)
+      Similarity.appendIvfInt8Index(
+        s, emb.filter(col("vec_id") >= 300), "vec_id", "embedding", path)
+      Similarity.searchIvfInt8Index(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF with TRAINED centroids: 2 deterministic Lloyd iterations (rounded
     // per-dim means) refine the sampled init before the same scan-level
     // assignment — the production-shaped index (balanced lists, real recall)
@@ -353,6 +371,9 @@ object ExtQueries {
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,
+      // base-build + append equals the full-corpus build exactly (stored
+      // centroids = the same smallest-id init; re-capped union = full cap)
+      "q_ann_ivf_append" -> ivfInt8Sql,
       "q_ann_ivf" -> ivfSql,
       // bit-identical by construction (the kernel variant changes only the
       // physical assignment expression), so the oracle is shared

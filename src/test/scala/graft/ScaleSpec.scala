@@ -171,4 +171,49 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(search.collect().map(_.toString).sorted.toSeq == inMem)
   }
+
+  test("index append equals full rebuild and rewrites only touched partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = "/tmp/graft_ivf_full_scalespec"
+    val inc = "/tmp/graft_ivf_inc_scalespec"
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", full, 8)
+    // base on an ODD split boundary (ids 0..7 still inside, so the stored
+    // centroids equal the full build's smallest-id init)
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter($"vec_id" < 137), "vec_id", "embedding", inc, 8)
+    // record per-partition file state before the append
+    def fileState(dir: String): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$dir/lists").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    val before = fileState(inc)
+    val batch = emb.filter($"vec_id" >= 137)
+    graft.ops.Similarity.appendIvfInt8Index(
+      spark, batch, "vec_id", "embedding", inc)
+    val after = fileState(inc)
+    val rewritten = after.keySet.filter(p => before.get(p) != Some(after(p)))
+    assert(rewritten.nonEmpty, "the append must rewrite at least one partition")
+    // appended index answers exactly like the full-corpus build
+    val got = graft.ops.Similarity.searchIvfInt8Index(
+      spark, inc, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = graft.ops.Similarity.searchIvfInt8Index(
+      spark, full, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // with 8 centroids and a 363-vector batch it is overwhelmingly likely
+    // every list was touched — the untouched-kept check is meaningful when
+    // the batch is small, so run one more tiny append and verify
+    val before2 = fileState(inc)
+    graft.ops.Similarity.appendIvfInt8Index(
+      spark, emb.filter($"vec_id" === 0).withColumn("vec_id", lit(100000L)),
+      "vec_id", "embedding", inc)
+    val after2 = fileState(inc)
+    val changed2 = after2.keySet.filter(p => before2.get(p) != Some(after2(p)))
+    assert(changed2.size == 1,
+      s"a 1-vector append must rewrite exactly its one partition, got $changed2")
+  }
 }
