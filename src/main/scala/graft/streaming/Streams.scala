@@ -434,19 +434,44 @@ object Streams {
     spark.table(name)
   }
 
+  /** The gram-hit predicate [[streamingDecontaminate]] applies per row: true
+    * iff any word `n`-gram of `shinglesCol` appears in `heldout`'s distinct
+    * gram set. The held grams are collected driver-side (benchmark sets are
+    * MBs under the decontamination premise — the same premise the batch
+    * twin's broadcast rests on) and probed through the codegen'd
+    * [[graft.functions.AnyInBroadcastSet]]: the set is hashed ONCE per
+    * executor and each document pays O(|its shingles|) hash probes — not the
+    * per-row scan of the full gram list that `arrays_overlap` against a
+    * broadcast list row would do (`ArraysOverlap` hash-builds the smaller
+    * array and iterates the LARGER, i.e. the 10⁵–10⁶-entry gram list, for
+    * every document). Factored out so plan tests assert on the exact
+    * production expression.
+    */
+  def gramHitFilter(
+      spark: SparkSession, heldout: DataFrame, heldTextCol: String, n: Int,
+      shinglesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val heldGrams = heldout
+      .withColumn("__toks", graft.ops.TextOps.tokens(col(heldTextCol)))
+      .select(explode(graft.ops.TextOps.shingles("__toks", n)).as("__g")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.functions.SetProbeExprs.anyInSet(spark, shinglesCol, heldGrams)
+  }
+
   /** Streaming decontamination — the held-out-benchmark filter
     * ([[graft.ops.Decontam]]) as a STREAM-STATIC cell, the live-ingest twin
     * of the batch `clean`: documents arriving on the stream are admitted
     * only if (a) their md5 digest is absent from the held-out set (broadcast
     * stream-static `left_anti`, the [[streamingIncrementalDedup]] shape) and
-    * (b) none of their word `n`-grams appears in the held-out set — the
-    * distinct held-out grams ride as ONE broadcast array row (benchmark
-    * sets are MBs under the decontamination premise) met by a stateless
-    * `arrays_overlap` filter. The whole operator is a pure per-row filter:
-    * no watermark, no state store, nothing grows with stream length — the
-    * shape that holds when the stream is a 100 TB crawl. Emits `doc_id`
-    * of admitted documents; `docPredicate` pre-filters the replayed source
-    * (the gate uses it to carve the corpus/held-out split).
+    * (b) none of their word `n`-grams appears in the held-out set — a
+    * stateless [[gramHitFilter]] hash-set probe (the batch twin's
+    * explode + semi-join shape needs a per-doc distinct, a streaming agg
+    * this operator deliberately avoids; the probe expression reaches the
+    * same hash-lookup cost without state). The whole operator is a pure
+    * per-row filter: no watermark, no state store, nothing grows with
+    * stream length — the shape that holds when the stream is a 100 TB
+    * crawl. Emits `doc_id` of admitted documents; `docPredicate`
+    * pre-filters the replayed source (the gate uses it to carve the
+    * corpus/held-out split).
     */
   def streamingDecontaminate(
       spark: SparkSession, sfDir: String, heldout: DataFrame,
@@ -459,18 +484,14 @@ object Streams {
       StructField("n_chars", LongType)))
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val heldDigests = heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
-    val heldGramRow = heldout
-      .withColumn("__toks", graft.ops.TextOps.tokens(col(heldTextCol)))
-      .select(explode(graft.ops.TextOps.shingles("__toks", n)).as("__g")).distinct()
-      .agg(sort_array(collect_list(col("__g"))).as("__gl"))
+    val gramHit = gramHitFilter(spark, heldout, heldTextCol, n, col("__sh"))
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .filter(docPredicate)
       .withColumn("__d", md5(col("text")))
       .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
       .withColumn("__sh", graft.ops.TextOps.shingles("__toks", n))
       .join(broadcast(heldDigests), col("__d") === col("digest"), "left_anti")
-      .join(broadcast(heldGramRow))
-      .filter(!arrays_overlap(col("__sh"), col("__gl")))
+      .filter(!gramHit)
       .select(col("doc_id"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()

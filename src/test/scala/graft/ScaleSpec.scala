@@ -54,6 +54,30 @@ class ScaleSpec extends AnyFunSuite {
       s"corpus must not sort-merge against the tiny held-out set:\n$plan")
   }
 
+  test("streaming decontamination gram probe is a hash-set probe, not a list scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      .withColumn("__toks", graft.ops.TextOps.tokens($"text"))
+      .withColumn("__sh", graft.ops.TextOps.shingles("__toks", 5))
+    // the EXACT production predicate streamingDecontaminate applies per row
+    val gramHit = graft.streaming.Streams.gramHitFilter(spark, held, "text", 5, $"__sh")
+    val filtered = corpus.filter(!gramHit).select($"doc_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_any_in_set"),
+      s"gram probe must be the broadcast hash-set expression:\n$plan")
+    assert(!plan.toLowerCase.contains("arrays_overlap"),
+      s"no per-row scan of the gram list may remain:\n$plan")
+    // and it must mean exactly what the scan shape it replaced meant
+    val heldGrams = held
+      .withColumn("__toks", graft.ops.TextOps.tokens($"text"))
+      .select(explode(graft.ops.TextOps.shingles("__toks", 5)).as("__g")).distinct()
+      .agg(sort_array(collect_list($"__g")).as("__gl"))
+    val viaOverlap = corpus.crossJoin(broadcast(heldGrams))
+      .filter(!arrays_overlap($"__sh", $"__gl")).select($"doc_id")
+    assert(filtered.as[Long].collect().toSet == viaOverlap.as[Long].collect().toSet)
+  }
+
   test("100M-entry stress: exact count/min/max/mean/histo at 1 vs 32 partitions") {
     // reference tests/test_par.cxx:12-40 runs 100M entries with exact
     // printouts; here the same scale exercises real partial-buffer merges in
