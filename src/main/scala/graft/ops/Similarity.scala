@@ -329,6 +329,9 @@ object Similarity {
     *                     full scan)
     *   `path/centroids/` (cent_id, cv) sidecar — nCents rows, the
     *                     driver-side broadcast build for probe selection
+    *   `path/_COMMIT`    [[IndexManifest]] pointer — the live file set,
+    *                     flipped atomically by every append so readers never
+    *                     see a half-updated index
     *
     * Same deterministic construction as the in-memory ops (smallest-id init,
     * optional Lloyd refinement + training sample, anchor-capped lists), so a
@@ -352,7 +355,98 @@ object Similarity {
     import spark.implicits._
     cents.toDF("cent_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    commitManifest(spark, path,
+      IndexManifest(0L, listDataFiles(spark, path), Seq.empty))
   }
+
+  /** Commit manifest of a persisted IVF index — the crash/reader-isolation
+    * protocol. `_COMMIT` at the index root is the single source of truth for
+    * which data files under `lists/` are live; it is replaced by atomic
+    * rename, so a reader resolves either the pre-append or the post-append
+    * file set, NEVER a mix — no matter when an append crashes or what a
+    * concurrent reader is doing. `expired` carries the files the latest
+    * commit replaced: they stay on disk for one commit (the reader grace
+    * window, the [[graft.streaming.Streams.commitSnapshot]] pattern) and are
+    * deleted by the next append. Writers are single-writer by contract
+    * (concurrent appends would race the flip); readers need no coordination.
+    * An index written before this protocol (no `_COMMIT`) is adopted on
+    * first read/append from its directory listing.
+    */
+  private case class IndexManifest(
+      version: Long, files: Seq[String], expired: Seq[String])
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_COMMIT")
+
+  private def readManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[IndexManifest] = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      Some(IndexManifest(
+        lines.collectFirst { case l if l.startsWith("v ") => l.drop(2).toLong }.getOrElse(0L),
+        lines.collect { case l if l.startsWith("f ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("x ") => l.drop(2) }))
+    }
+  }
+
+  private def commitManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String, m: IndexManifest): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_COMMIT.tmp_${m.version}")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (s"v ${m.version}" +:
+        (m.files.sorted.map("f " + _) ++ m.expired.sorted.map("x " + _))).mkString("\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, manifestPath(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** `lists/`-relative paths of the data files currently on disk (recursive
+    * over the `cent_id=` partition dirs; commit-protocol markers excluded)
+    */
+  private def listDataFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val rootStr = fs.makeQualified(root).toString
+      val it = fs.listFiles(root, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          buf += f.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+      }
+      buf.result()
+    }
+  }
+
+  /** The live inverted lists of a persisted index: exactly the manifest's
+    * file set (explicit paths + `basePath`, so `cent_id` stays a partition
+    * column and partition/dynamic pruning still apply). Falls back to the
+    * raw directory for pre-manifest indexes.
+    */
+  private def readIndexLists(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readManifest(spark, path) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.option("basePath", s"$path/lists")
+          .parquet(m.files.map(f => s"$path/lists/$f"): _*)
+      case _ => spark.read.parquet(s"$path/lists")
+    }
 
   /** Search a persisted [[writeIvfInt8Index]] index: centroids come from the
     * nCents-row sidecar (a driver-side broadcast build), probes meet ONLY
@@ -365,7 +459,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       assignKernel: Boolean = false): DataFrame = {
     val cents = loadCentroids(spark, path)
-    val inverted = spark.read.parquet(s"$path/lists")
+    val inverted = readIndexLists(spark, path)
       // partition-column inference reads cent_id as int; restore the long key
       .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
     int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
@@ -389,16 +483,20 @@ object Similarity {
     *  1. assign: new vectors are quantized and assigned with the STORED
     *     centroid sidecar — the index's coarse geometry is immutable across
     *     appends, so probe routing agrees before and after;
-    *  2. merge: only the TOUCHED `cent_id` list partitions are read back
-    *     (partition pruning on the ≤ nCents touched ids), unioned with the
-    *     new rows, and re-capped — capping the union of an already-capped
-    *     list with the batch equals capping the uncapped union, because the
-    *     anchor cap keeps smallest ids: any id surviving the union cap
-    *     survived the base cap too;
-    *  3. rewrite: DYNAMIC partition overwrite replaces exactly the touched
-    *     `cent_id=` directories; untouched partitions are never read or
-    *     written. The merged rows are localCheckpointed first — the write
-    *     overwrites files its own plan reads.
+    *  2. merge: only the TOUCHED `cent_id` lists are read back (exactly the
+    *     manifest's files for those partitions, ≤ nCents of them), unioned
+    *     with the new rows, and re-capped — capping the union of an
+    *     already-capped list with the batch equals capping the uncapped
+    *     union, because the anchor cap keeps smallest ids: any id surviving
+    *     the union cap survived the base cap too;
+    *  3. publish: the merged lists are written as NEW uniquely-named part
+    *     files (append-mode parquet — no live file is ever mutated), then
+    *     the [[IndexManifest]] `_COMMIT` pointer flips atomically to the
+    *     new file set. A crash before the flip leaves only uncommitted
+    *     orphan files that readers (manifest-driven) never see and the next
+    *     append sweeps; a crash after the flip is a completed append. The
+    *     files the flip replaced stay on disk for one commit as the reader
+    *     grace window. Untouched partitions are never read or written.
     *
     * Result is bit-identical to [[writeIvfInt8Index]] over base ∪ batch
     * with the same centroids (OpsSpec pins it; the gate's oracle is the
@@ -416,17 +514,39 @@ object Similarity {
       assign(asDouble(col(vecCol))).as("cent_id"))
     val touched = newRows.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)) // <= nCents values, a driver-side build
-    if (touched.nonEmpty) {
-      val existing = spark.read.parquet(s"$path/lists")
-        .filter(col("cent_id").isin(touched.map(Long.box): _*)) // partition-pruned
+    if (touched.isEmpty) return
+    val manifest = readManifest(spark, path).getOrElse(
+      // pre-manifest index: adopt what is on disk as version -1
+      IndexManifest(-1L, listDataFiles(spark, path), Seq.empty))
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the previous commit's grace window closes now (single-writer contract)
+    manifest.expired.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+    val touchedDirs = touched.map(c => s"cent_id=$c/").toSet
+    def inTouched(rel: String) = touchedDirs.exists(rel.startsWith)
+    // sweep uncommitted orphans a crashed append left in the touched dirs,
+    // so the post-write listing diff identifies exactly this append's files
+    val live = manifest.files.toSet
+    listDataFiles(spark, path)
+      .filter(f => inTouched(f) && !live.contains(f))
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+    val touchedFiles = manifest.files.filter(inTouched)
+    val existing =
+      if (touchedFiles.isEmpty) newRows.limit(0) // all-new partitions
+      else spark.read.option("basePath", listsRoot.toString)
+        .parquet(touchedFiles.map(f => s"$path/lists/$f"): _*)
         .select(col("neighbor_id"), col("q"), col("cent_id").cast("long").as("cent_id"))
-      val merged = Dedup.capBuckets(
-        existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cent_id").parquet(s"$path/lists")
-    }
+    val merged = Dedup.capBuckets(
+      existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
+      .localCheckpoint(true)
+    merged.write.mode("append").partitionBy("cent_id").parquet(listsRoot.toString)
+    val newFiles = listDataFiles(spark, path)
+      .filter(f => inTouched(f) && !live.contains(f))
+    commitManifest(spark, path, IndexManifest(
+      manifest.version + 1,
+      manifest.files.filterNot(inTouched) ++ newFiles,
+      touchedFiles))
   }
 
   /** Symmetric int8 quantization of an embedding column — the vector-
