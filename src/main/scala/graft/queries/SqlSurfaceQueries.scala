@@ -211,13 +211,29 @@ object SqlSurfaceQueries {
     },
 
     // approximate aggregates — the 100 TB scale path (sketch-based, fixed
-    // memory). No exact oracle possible: declared without oracleSql → the
-    // driver's weaker rows-only check applies; exact twins live in
-    // q_distinct / q_percentile.
+    // memory). Sketch VALUES have no exact oracle, but their LAWS do: the
+    // query compares each sketch against its exact twin in-query and emits
+    // only the exact values plus 0/1 law flags; DuckDB reproduces the exact
+    // values and asserts the flags are 1, so a sketch drifting out of its
+    // documented error envelope breaks the hash match. (The raw-value rank
+    // law lives in LawsSpec.) Tolerances: HLL++ at rsd 0.01 gets 5× the
+    // target rsd; approx_percentile(accuracy=1000) guarantees rank error
+    // <= n/1000, checked as the exact 0.494..0.506 quantile band (6×).
     "q_approx_sketch" -> { (s, dir) =>
       Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("__apx"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__amed"),
+        percentile(col("l_extendedprice"), lit(0.494)).as("__lo"),
+        percentile(col("l_extendedprice"), lit(0.506)).as("__hi"))
+        .select(
+          col("exact_parts"),
+          (abs(col("__apx") - col("exact_parts")) / col("exact_parts") <= 0.05)
+            .cast("int").as("approx_parts_ok"),
+          col("exact_median"),
+          (col("__amed") >= col("__lo") && col("__amed") <= col("__hi"))
+            .cast("int").as("approx_median_ok"))
     },
 
     // deterministic hash sampling — the reproducible 100 TB sampling pattern
@@ -363,6 +379,12 @@ object SqlSurfaceQueries {
              quantile_cont(l_quantity, 0.5) AS p50,
              quantile_cont(l_quantity, 0.75) AS p75,
              quantile_cont(l_quantity, 0.9) AS p90
+      FROM lineitem""",
+    "q_approx_sketch" -> """
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             1 AS approx_parts_ok,
+             quantile_cont(l_extendedprice, 0.5) AS exact_median,
+             1 AS approx_median_ok
       FROM lineitem""",
     "q_range" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

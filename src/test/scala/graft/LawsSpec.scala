@@ -129,15 +129,19 @@ object LawsSpec extends Properties("graft") {
         clean.count() == kept
     }
 
-  // q_approx_sketch is rows-only at the driver (no exact oracle for sketches),
-  // so a silent sketch regression would pass every gate. Pin it locally: the
-  // sketch values from the ACTUAL gate query must land within documented error
-  // of their exact twins (q_distinct / the raw data's true median rank) at
-  // sf0.01. Computed once (lazy) — the sketches are deterministic for fixed
-  // input, the 8 ScalaCheck trials just re-read the cached booleans.
+  // The driver gate now checks the sketch LAWS exactly (q_approx_sketch
+  // emits exact values + in-query pass flags DuckDB asserts). Keep the
+  // deeper local pin on the RAW sketch values — true-rank verification the
+  // in-query quantile band can't do — plus the gate flags themselves.
+  // Computed once (lazy) — the sketches are deterministic for fixed input,
+  // the 8 ScalaCheck trials just re-read the cached booleans.
   private lazy val sketchVsExact: (Boolean, Boolean) = {
     val dir = "/root/testdata/sf0.01"
-    val sk = graft.SparkEntry.queries("q_approx_sketch")(spark, dir).head
+    val li = graft.Tables.lineitem(spark, dir)
+    val sk = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .head
     val ex = graft.SparkEntry.queries("q_distinct")(spark, dir).head
     val apxParts = sk.getAs[Long]("approx_parts")
     val exactParts = ex.getAs[Long]("n_parts")
@@ -145,12 +149,14 @@ object LawsSpec extends Properties("graft") {
     val cdOk = math.abs(apxParts - exactParts).toDouble / exactParts <= 0.05
     // approx_percentile(accuracy=1000) guarantees rank error <= n/1000; check
     // the returned value's true rank with 4× slack (+1 for tie rounding)
-    val li = graft.Tables.lineitem(spark, dir)
     val amed = sk.getAs[Double]("approx_median")
     val n = li.count()
     val rank = li.filter(col("l_extendedprice") <= amed).count()
     val pctOk = math.abs(rank - n / 2.0) <= 4.0 * n / 1000.0 + 1
-    (cdOk, pctOk)
+    val gate = graft.SparkEntry.queries("q_approx_sketch")(spark, dir).head
+    val flagsOk = gate.getAs[Int]("approx_parts_ok") == 1 &&
+      gate.getAs[Int]("approx_median_ok") == 1
+    (cdOk && flagsOk, pctOk && flagsOk)
   }
 
   property("approx_count_distinct within 5x target rsd of exact twin") =
