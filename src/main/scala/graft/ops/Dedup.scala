@@ -209,8 +209,26 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint(true)
-    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
-      a.count() == b.count() && a.join(b, Seq("hi", "lo"), "left_anti").isEmpty
+    // Convergence = the round's output is already a star forest rooted at
+    // component minima: every hi appears in exactly ONE edge and never as a
+    // lo. That is precisely the both-phase fixpoint (large-star and
+    // small-star are the identity on a star forest and strictly redirect
+    // otherwise — a doubly-parented hi is what small-star merges, a hi-as-lo
+    // is a depth-2 path large-star shortcuts), read with ONE aggregate over
+    // the round's own materialization instead of the count + anti-join
+    // comparison per phase pair it replaces. The single count() action also
+    // materializes the round's LAZY localCheckpoint in the same job, so a
+    // round costs exactly two jobs: the large phase's checkpoint and this.
+    def isStarForest(df: DataFrame): Boolean = {
+      val sides = df.select(explode(array(
+        struct(col("hi").as("n"), lit(1).as("h")),
+        struct(col("lo").as("n"), lit(0).as("h")))).as("s"))
+        .select(col("s.n").as("n"), col("s.h").as("h"))
+      sides.groupBy(col("n"))
+        .agg(sum(col("h")).as("nh"), count(lit(1)).as("nt"))
+        .filter(col("nh") > 1 || (col("nh") >= 1 && col("nt") > col("nh")))
+        .count() == 0L
+    }
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -235,9 +253,8 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .unionByName(smin.select(col("u").as("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
-        .localCheckpoint(true)
-      // fixpoint of BOTH phases = star forest rooted at component minima
-      converged = sameEdges(large, edges) && sameEdges(small, large)
+        .localCheckpoint(false) // lazy: the convergence read materializes it
+      converged = isStarForest(small)
       edges = small
       rounds += 1
     }

@@ -578,6 +578,56 @@ class OpsSpec extends AnyFunSuite {
     assert(rounds2 <= 12, s"reverse chain took $rounds2 rounds")
   }
 
+  test("CC convergence detection costs two jobs per round") {
+    // the star-forest convergence read must piggyback on the round's own
+    // materialization: one job for the large phase's checkpoint, one job
+    // that materializes the small phase AND aggregates convergence — not
+    // the old count + anti-join comparisons (4+ extra jobs per round).
+    // A dedicated session pins AQE off locally (AQE splits one action into
+    // per-stage jobs, which would count planner mechanics, not actions);
+    // a job group isolates the count from concurrently-running suites.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    val pairs = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+      .localCheckpoint(true) // source materialization happens out-of-group
+    val group = s"graft_cc_jobs_${System.nanoTime()}"
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == js.properties.getProperty("spark.jobGroup.id") &&
+            // broadcast-exchange builds are sub-steps of the phase joins
+            // (they predate this change and scale with the plan, not with
+            // convergence detection) — count ACTIONS, not their sub-jobs.
+            // Builds surface as CompletableFuture jobs through
+            // SQLExecution.withThreadLocalCaptured; real actions carry the
+            // Dedup.scala call sites in their stage names.
+            !js.stageInfos.forall(_.name.contains("withThreadLocalCaptured"))) {
+          jobs.incrementAndGet()
+          descs.add(s"${js.jobId}: ${js.stageInfos.map(_.name).mkString(";")}")
+          ()
+        }
+    }
+    s2.sparkContext.addSparkListener(listener)
+    try {
+      s2.sparkContext.setJobGroup(group, "cc job count")
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
+      s2.sparkContext.clearJobGroup()
+      // listener delivery is async — poll until the count is stable
+      var last = -1
+      var cur = jobs.get()
+      while (cur != last) { Thread.sleep(200); last = cur; cur = jobs.get() }
+      assert(rounds >= 2, s"a 65-node chain should take several rounds, took $rounds")
+      assert(cur <= 1 + 2 * rounds + 1,
+        s"expected <= 2 jobs/round (+1 initial checkpoint, +1 slack), saw $cur jobs in $rounds rounds:\n" +
+          descs.toArray.mkString("\n"))
+      assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    } finally s2.sparkContext.removeSparkListener(listener)
+  }
+
   test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference formulation: explode → hash32 per shingle → k min-aggregates
