@@ -160,11 +160,15 @@ object Streams {
     * an atomic `REPLACE_EXISTING` move on local disks). Readers going
     * through [[readSnapshot]] therefore never observe a partial or deleted
     * snapshot: until the flip they resolve the previous version, after it
-    * the new one. Versions older than the immediately-previous one are
-    * pruned (the one-commit grace window covers a reader that resolved the
-    * old pointer right before the flip).
+    * the new one. Versions older than the `retain` immediately-previous
+    * ones are pruned — `retain` is the reader contract: a reader that
+    * resolved the pointer and then stalls is safe for `retain` further
+    * commits (default 1, the minimum grace for one racing with the flip);
+    * size it to the slowest reader the deployment tolerates.
     */
-  def commitSnapshot(batch: Dataset[Row], outDir: String, version: Long): Unit = {
+  def commitSnapshot(
+      batch: Dataset[Row], outDir: String, version: Long, retain: Int = 1): Unit = {
+    require(retain >= 1, s"snapshot retention must keep >= 1 previous version, got $retain")
     batch.write.mode("overwrite").parquet(s"$outDir/v_$version")
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(outDir)
@@ -179,7 +183,7 @@ object Streams {
     fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
       .map(s => s.getPath)
-      .filter(p => p.getName.stripPrefix("v_").toLong < version - 1)
+      .filter(p => p.getName.stripPrefix("v_").toLong < version - retain)
       .foreach(p => fs.delete(p, true))
   }
 

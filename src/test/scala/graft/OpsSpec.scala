@@ -262,6 +262,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size < corpus.count(), "some docs must actually be filtered")
   }
 
+  test("snapshot retention keeps a configurable number of previous versions") {
+    val out = "/tmp/graft_snapshot_retain_test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val a = Seq((0, 1L)).toDF("bin", "n")
+    (0L to 2L).foreach(v => Streams.commitSnapshot(a, out, v, retain = 2))
+    // a reader that resolved v_0 and then stalled through TWO commits still
+    // reads a complete snapshot — the configured reader contract
+    assert(spark.read.parquet(s"$out/v_0").count() == 1)
+    Streams.commitSnapshot(a, out, 3L, retain = 2)
+    assert(!new java.io.File(s"$out/v_0").exists(),
+      "versions beyond the retention window must be pruned")
+    assert(new java.io.File(s"$out/v_1").exists() && new java.io.File(s"$out/v_2").exists())
+    intercept[IllegalArgumentException] {
+      Streams.commitSnapshot(a, out, 4L, retain = 0)
+    }
+  }
+
   test("snapshot sink: pointer flip keeps readers on complete versions only") {
     val out = "/tmp/graft_snapshot_sink_test"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
