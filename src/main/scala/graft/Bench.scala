@@ -79,6 +79,8 @@ object Bench {
       // the same lever, sized so scan tasks cover the executor cores.
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "262144")
+      // the layout experiment's bucketed tables go through the catalog
+      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_wh")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,13 +140,25 @@ object Bench {
     val (scaleP1, scalePar) = (median(scaleP1s), median(scalePars))
     val speedup = if (scalePar > 0) scaleP1 / scalePar else -1.0
 
+    // layout experiment: q_join_bcast (the slowest benched query) over a
+    // bucketed layout of lineitem/orders — the fact side is never shuffled.
+    // The one-time bucketed write happens here (untimed per query, cost
+    // reported) and the row stays OUT of `total` so the headline number
+    // remains comparable across rounds, like the scale probe.
+    val layoutSec = graft.examples.BucketedJoinExperiment.setupTables(spark, sfDir)
+    val bucketTs = samples3("q_join_bcast_bucketed", () =>
+      graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+
     val qs = results.map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
       .mkString("{", ",", "}")
-    val raw = (results ++ Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars))
+    val raw = (results ++ Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
+      "q_join_bcast_bucketed" -> bucketTs))
       .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""scale":{"p1_sec":$scaleP1%.3f,"parallel_sec":$scalePar%.3f,"speedup":$speedup%.1f},""" +
+      f""""layout":{"q_join_bcast_bucketed":${median(bucketTs)}%.3f,"layout_write_sec":$layoutSec%.3f},""" +
       f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")
     spark.stop()
   }
