@@ -75,10 +75,16 @@ object Demo {
       .map(r => s"${r.getString(0)}(n=${r.getLong(1)},distinct=${r.getLong(3)})")
       .mkString(" ")
     println(s"profile: $prof")
-    val nearDups = graft.ops.Dedup.nearDuplicatesLsh(
+    val nearDupPairs = graft.ops.Dedup.nearDuplicatesLsh(
       docs, "doc_id", "text", k = 16, bandSize = 4, shingleN = 3)
-      .filter(col("jaccard") >= 0.4).count()
-    println(s"near-duplicate pairs (jaccard>=0.4) = $nearDups")
+      .filter(col("jaccard") >= 0.4)
+    println(s"near-duplicate pairs (jaccard>=0.4) = ${nearDupPairs.count()}")
+    // duplicate clustering: large-star/small-star contracts the pair graph
+    // in O(log n) alternating rounds — the round count is the observable
+    val (clusters, ccRounds) = graft.ops.Dedup.connectedComponentsWithRounds(
+      nearDupPairs.select(col("id_a"), col("id_b")))
+    println(s"duplicate clusters = ${clusters.select(col("label")).distinct().count()} " +
+      s"(converged in $ccRounds rounds)")
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.filter(col("vec_id") < 3)
     val i8 = graft.ops.Similarity.int8TopK(emb, qs, "vec_id", "embedding", 2)
@@ -91,9 +97,10 @@ object Demo {
     val compacted = TDF.compact(spark, "/tmp/graft_demo_sorted", "/tmp/graft_demo_compacted")
     println(s"compacted rows = ${compacted.Count()()}")
     loose.SnapshotPartitioned("/tmp/graft_demo_parted", Seq("l_returnflag"))
+    // per-partition narrow jobs overlap through a bounded pool (parallelism)
     val pcomp = TDF.compactPartitions(
-      spark, "/tmp/graft_demo_parted", "/tmp/graft_demo_parted_c")
-    println(s"partitioned-compact rows = ${pcomp.Count()()}")
+      spark, "/tmp/graft_demo_parted", "/tmp/graft_demo_parted_c", parallelism = 4)
+    println(s"partitioned-compact rows = ${pcomp.Count()()} (4 concurrent partition jobs)")
 
     val idx = "/tmp/graft_demo_ivf_index"
     graft.ops.Similarity.writeIvfInt8Index(

@@ -389,6 +389,34 @@ class TDFSpec extends AnyFunSuite {
       s"z ranges must be disjoint: ${ranges.mkString(",")}")
   }
 
+  test("SnapshotZOrderedN at 4 columns: 60-bit budget clusters, 64 bits rejected") {
+    val dir = "/tmp/graft_snap_zorder4"
+    val src = fixture
+      .withColumn("b3", ($"b2" * 7) % 20)
+      .withColumn("b4", ($"b1" * 3) % 20)
+    // 4 cols x 15 bits = 60 <= 63: fine, and files stay z-range-disjoint
+    val d = TDF(src).SnapshotZOrderedN(dir, Seq("b2", "b1", "b3", "b4"),
+      numFiles = 4, bits = 15)
+    assert(d.Count()() == 20L)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val z = graft.functions.ZOrder.zorderN(Seq($"b2", $"b1", $"b3", $"b4"), 15)
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(z), max(z)).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo },
+      s"z ranges must be disjoint: ${ranges.mkString(",")}")
+    // 4 cols x default 16 bits = 64 > 63: the sign bit would corrupt the
+    // interleave order — must be rejected up front
+    intercept[IllegalArgumentException] {
+      TDF(src).SnapshotZOrderedN("/tmp/graft_snap_zorder4_bad",
+        Seq("b2", "b1", "b3", "b4"), numFiles = 4)
+    }
+  }
+
   test("compact rewrites a many-small-files directory into few files, data intact") {
     val src = "/tmp/graft_compact_src"
     val dst = "/tmp/graft_compact_dst"
