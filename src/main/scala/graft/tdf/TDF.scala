@@ -668,10 +668,15 @@ final class TDF private (
     * Bucketed output requires the table catalog, hence a table name rather
     * than a bare path.
     */
-  def SnapshotBucketed(table: String, bucketCol: String, nBuckets: Int): TDF = {
-    toDF.write.mode("overwrite")
+  def SnapshotBucketed(
+      table: String, bucketCol: String, nBuckets: Int,
+      path: Option[String] = None): TDF = {
+    val w = toDF.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+    // explicit path -> an EXTERNAL bucketed table (data where the caller
+    // says, catalog entry only for the bucketing metadata); otherwise the
+    // session warehouse holds it as a managed table
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
     TDF(spark.table(table))
   }
 

@@ -39,4 +39,25 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_items")
     }
   }
+
+  test("SnapshotBucketed with explicit path writes an external table whose fact agg needs no exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val path = "/tmp/graft_bucketed_external_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    try {
+      val t = graft.tdf.TDF(
+        Tables.lineitem(spark, dir).select($"l_orderkey", $"l_quantity"))
+        .SnapshotBucketed("graft_bucketed_external", "l_orderkey", 8, Some(path))
+      // the data landed at the caller's path, not in the warehouse
+      assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("part-")))
+      // a per-key aggregate rides the buckets' hash partitioning: no exchange
+      // before the aggregate (the q_join_bucketed gate's core claim)
+      val agg = t.toDF.groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed pre-aggregate must not shuffle:\n$plan")
+      assert(agg.count() ==
+        Tables.lineitem(spark, dir).select($"l_orderkey").distinct().count())
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_external")
+  }
 }
