@@ -343,20 +343,48 @@ object Similarity {
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
       maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
+    val prior = readManifest(spark, path)
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int8Codes(asDouble(col(vecCol))).as("__q"))
     val cents = lloydCentroids(
       sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
     val assign = assignExpr(cents, assignKernel)
-    Dedup.capBuckets(
+    val lists = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
     import spark.implicits._
-    cents.toDF("cent_id", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    commitManifest(spark, path,
-      IndexManifest(0L, listDataFiles(spark, path), Seq.empty))
+    val centDf = cents.toDF("cent_id", "cv").coalesce(1)
+    prior match {
+      case None =>
+        // fresh build: plain overwrite, then the first manifest
+        lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
+        centDf.write.mode("overwrite").parquet(s"$path/centroids")
+        commitManifest(spark, path,
+          IndexManifest(0L, listDataFiles(spark, path), Seq.empty))
+      case Some(m) =>
+        // REBUILD over a committed index: same crash-safe protocol as the
+        // append — everything is written as NEW files/dirs, the flip is the
+        // only visible transition, the whole previous version becomes the
+        // grace window. A crash mid-rebuild leaves readers on the old index.
+        val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+        val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        m.expired.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+        m.expiredDirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
+        // sweep every uncommitted orphan (a rebuild touches all partitions)
+        val live = m.files.toSet
+        listDataFiles(spark, path).filterNot(live)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+        val version = m.version + 1
+        val cdir = s"centroids_v$version"
+        lists.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+        centDf.write.mode("overwrite").parquet(s"$path/$cdir")
+        val newFiles = listDataFiles(spark, path).filterNot(live)
+        commitManifest(spark, path, IndexManifest(
+          version, newFiles, expired = m.files, cdir = cdir,
+          expiredDirs = if (m.cdir == cdir) Seq.empty else Seq(m.cdir)))
+    }
   }
 
   /** Commit manifest of a persisted IVF index — the crash/reader-isolation
@@ -371,9 +399,16 @@ object Similarity {
     * (concurrent appends would race the flip); readers need no coordination.
     * An index written before this protocol (no `_COMMIT`) is adopted on
     * first read/append from its directory listing.
+    *
+    * `cdir` names the live centroid-sidecar directory: a REBUILD writes a
+    * new `centroids_v<N>` and flips `cdir` with everything else, so the
+    * centroid geometry and the lists a reader resolves always belong to the
+    * same index version; the replaced sidecar rides `expiredDirs` through
+    * the same one-commit grace window as replaced list files.
     */
   private case class IndexManifest(
-      version: Long, files: Seq[String], expired: Seq[String])
+      version: Long, files: Seq[String], expired: Seq[String],
+      cdir: String = "centroids", expiredDirs: Seq[String] = Seq.empty)
 
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_COMMIT")
@@ -391,7 +426,9 @@ object Similarity {
       Some(IndexManifest(
         lines.collectFirst { case l if l.startsWith("v ") => l.drop(2).toLong }.getOrElse(0L),
         lines.collect { case l if l.startsWith("f ") => l.drop(2) },
-        lines.collect { case l if l.startsWith("x ") => l.drop(2) }))
+        lines.collect { case l if l.startsWith("x ") => l.drop(2) },
+        lines.collectFirst { case l if l.startsWith("c ") => l.drop(2) }.getOrElse("centroids"),
+        lines.collect { case l if l.startsWith("xd ") => l.drop(3) }))
     }
   }
 
@@ -403,8 +440,9 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_COMMIT.tmp_${m.version}")
     val out = fs.create(tmp, true)
     try {
-      val body = (s"v ${m.version}" +:
-        (m.files.sorted.map("f " + _) ++ m.expired.sorted.map("x " + _))).mkString("\n")
+      val body = (Seq(s"v ${m.version}", s"c ${m.cdir}") ++
+        m.files.sorted.map("f " + _) ++ m.expired.sorted.map("x " + _) ++
+        m.expiredDirs.sorted.map("xd " + _)).mkString("\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
@@ -469,11 +507,13 @@ object Similarity {
     * broadcast build every search and append starts from)
     */
   private def loadCentroids(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(Long, Seq[Double])] =
-    spark.read.parquet(s"$path/centroids")
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(Long, Seq[Double])] = {
+    val cdir = readManifest(spark, path).map(_.cdir).getOrElse("centroids")
+    spark.read.parquet(s"$path/$cdir")
       .collect()
       .map(r => (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
       .toSeq.sortBy(_._1)
+  }
 
   /** Append a batch of new vectors to a persisted [[writeIvfInt8Index]]
     * index — the maintenance op of the nightly-crawl pattern (the ANN twin
@@ -523,6 +563,8 @@ object Similarity {
     // the previous commit's grace window closes now (single-writer contract)
     manifest.expired.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+    manifest.expiredDirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
     val touchedDirs = touched.map(c => s"cent_id=$c/").toSet
     def inTouched(rel: String) = touchedDirs.exists(rel.startsWith)
     // sweep uncommitted orphans a crashed append left in the touched dirs,
@@ -546,8 +588,31 @@ object Similarity {
     commitManifest(spark, path, IndexManifest(
       manifest.version + 1,
       manifest.files.filterNot(inTouched) ++ newFiles,
-      touchedFiles))
+      touchedFiles, cdir = manifest.cdir))
   }
+
+  /** Sweep unreferenced files from a persisted index — the admin op that
+    * reclaims space after crashed writers. Deletes list files neither live
+    * nor inside the current grace window, and stale `centroids_v*` sidecars
+    * that no manifest entry references. Never touches the grace window
+    * itself, so in-flight readers of the previous commit stay safe; readers
+    * of the CURRENT commit are untouched by construction.
+    */
+  def vacuumIvfInt8Index(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    readManifest(spark, path).foreach { m =>
+      val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+      val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val referenced = m.files.toSet ++ m.expired.toSet
+      listDataFiles(spark, path).filterNot(referenced)
+        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
+      val keepDirs = Set(m.cdir) ++ m.expiredDirs.toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroids"))
+        .map(_.getPath)
+        .filterNot(p => keepDirs.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
 
   /** Symmetric int8 quantization of an embedding column — the vector-
     * compression step a 100 TB ANN index runs before storage (4× smaller than

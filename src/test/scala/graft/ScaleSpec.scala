@@ -258,6 +258,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(search().nonEmpty && afterFirst.nonEmpty)
   }
 
+  test("index rebuild rides the manifest protocol; vacuum sweeps only unreferenced files") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_rebuild_scalespec"
+    val fresh = "/tmp/graft_ivf_rebuild_fresh"
+    Seq(path, fresh).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    def manifest(): Seq[String] =
+      scala.io.Source.fromFile(s"$path/_COMMIT").getLines().toSeq
+    def liveFiles(m: Seq[String]) = m.collect { case l if l.startsWith("f ") => l.drop(2) }
+    def cdir(m: Seq[String]) =
+      m.collectFirst { case l if l.startsWith("c ") => l.drop(2) }.get
+    def search(p: String) = graft.ops.Similarity.searchIvfInt8Index(
+      spark, p, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter($"vec_id" < 137), "vec_id", "embedding", path, 8)
+    graft.ops.Similarity.appendIvfInt8Index(
+      spark, emb.filter($"vec_id" >= 137 && $"vec_id" < 300), "vec_id", "embedding", path)
+    val m1 = manifest()
+    assert(cdir(m1) == "centroids", "appends must not move the centroid sidecar")
+    // REBUILD in place over the full corpus with a different geometry
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, 16)
+    val m2 = manifest()
+    assert(cdir(m2) == "centroids_v2", s"rebuild must version the sidecar, got ${cdir(m2)}")
+    // the ENTIRE previous version is the grace window: old lists files and
+    // the old sidecar are still on disk for a reader that resolved m1
+    liveFiles(m1).foreach(f => assert(new java.io.File(s"$path/lists/$f").exists(),
+      s"pre-rebuild file $f must survive one commit"))
+    assert(new java.io.File(s"$path/${cdir(m1)}").exists())
+    // and the rebuilt index answers exactly like a fresh build (same params)
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", fresh, 16)
+    assert(search(path) == search(fresh) && search(path).nonEmpty)
+    // the next commit closes the rebuild's grace window
+    graft.ops.Similarity.appendIvfInt8Index(
+      spark, emb.filter($"vec_id" === 0).withColumn("vec_id", lit(900000L)),
+      "vec_id", "embedding", path)
+    assert(!new java.io.File(s"$path/${cdir(m1)}").exists(),
+      "the replaced sidecar must be deleted by the following commit")
+    // vacuum: an unreferenced orphan goes, referenced files stay, answers too
+    val dir = new java.io.File(s"$path/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cent_id=")).head
+    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = dir.toPath.resolve("part-orphan-vacuum.parquet")
+    java.nio.file.Files.copy(part.toPath, orphan)
+    val s0 = search(path)
+    graft.ops.Similarity.vacuumIvfInt8Index(spark, path)
+    assert(!orphan.toFile.exists(), "vacuum must delete the unreferenced file")
+    assert(search(path) == s0, "vacuum must not change answers")
+  }
+
   test("index append equals full rebuild and rewrites only touched partitions") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val full = "/tmp/graft_ivf_full_scalespec"
