@@ -188,15 +188,23 @@ object Streams {
   }
 
   /** Resolve the current snapshot version via the `_LATEST` pointer and read
-    * it — the reader half of the [[commitSnapshot]] protocol.
+    * it — the reader half of the [[commitSnapshot]] protocol. An explicit
+    * `version` pins a historical snapshot instead (time travel across the
+    * `retain` window — versions older than that are pruned and throw).
     */
-  def readSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+  def readSnapshot(
+      spark: SparkSession, outDir: String,
+      version: Option[Long] = None): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(outDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_LATEST"))
-    val v =
+    val v = version.map(n => s"v_$n").getOrElse {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_LATEST"))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir, v)),
+      s"snapshot $v does not exist under $outDir " +
+        "(pruned beyond the retain window, or never committed)")
     spark.read.parquet(s"$outDir/$v")
   }
 

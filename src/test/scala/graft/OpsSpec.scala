@@ -277,6 +277,12 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Streams.commitSnapshot(a, out, 4L, retain = 0)
     }
+    // time travel: any retained version is addressable; pruned ones throw
+    assert(Streams.readSnapshot(spark, out, Some(1L)).count() == 1)
+    assert(Streams.readSnapshot(spark, out).count() == 1) // latest still default
+    intercept[IllegalArgumentException] {
+      Streams.readSnapshot(spark, out, Some(0L))
+    }
   }
 
   test("snapshot sink: pointer flip keeps readers on complete versions only") {
