@@ -101,6 +101,22 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ONLINE retrieval: the same persisted-index search with the queries
+    // arriving on a STREAM (foreachBatch per micro-batch, stateless — each
+    // query ranks against the static index inside its own batch), results
+    // appended to a parquet sink. Identical to the batch search over the
+    // same query set, so the oracle is q_ann_ivf_index's
+    "q_stream_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_stream_ann_idx_$tag"
+      Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS)
+      graft.streaming.Streams.streamingAnnSearch(
+        emb.filter(col("vec_id") < 10), path, s"/tmp/graft_stream_ann_out_$tag",
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // incremental index maintenance: build the persisted index on a base
     // slice, APPEND the remaining vectors (assigned with the stored centroid
     // sidecar, dynamic overwrite of only the touched cent_id= partitions),
@@ -371,6 +387,9 @@ object ExtQueries {
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,
+      // streaming retrieval over the same persisted index and query set —
+      // per-batch search unions to exactly the batch search's result
+      "q_stream_ann" -> ivfInt8Sql,
       // base-build + append equals the full-corpus build exactly (stored
       // centroids = the same smallest-id init; re-capped union = full cap)
       "q_ann_ivf_append" -> ivfInt8Sql,

@@ -511,6 +511,47 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming similarity search — ONLINE retrieval against a static
+    * persisted IVF index ([[graft.ops.Similarity.writeIvfInt8Index]]):
+    * query vectors arrive on a stream, each micro-batch is searched with
+    * full batch semantics through `foreachBatch` and appended to a parquet
+    * result sink. Per-query top-k ranking is NOT a streaming aggregation
+    * problem — each query lives in exactly one micro-batch and ranks only
+    * against the static index — so the operator needs no state store, no
+    * watermark, nothing that grows with stream length. At 100 TB the index
+    * is the big side and stays on disk, partition-pruned per probe
+    * (`nprobe/nCents` of the lists read per batch); the stream side is
+    * whatever queries arrived. The incoming queries are staged as `batches`
+    * files and fed one file per trigger, so the gate genuinely exercises
+    * multi-batch execution.
+    */
+  def streamingAnnSearch(
+      queries: DataFrame, indexPath: String, outDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      batches: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val name = s"graft_sann_${System.nanoTime()}"
+    val stage = s"$outDir-stage"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(stage, outDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    queries.repartition(batches).write.mode("overwrite").parquet(stage)
+    val q = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.outputMode("append").queryName(name)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ops.Similarity.searchIvfInt8Index(
+          spark, indexPath, batch, idCol, vecCol, k, nprobe)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Native checkpointed streaming FILE sink — the exactly-once path: an
     * append-shaped stream (here: documents labelled with their
     * [[graft.ops.Splits]] train/val/test assignment, a pure projection)

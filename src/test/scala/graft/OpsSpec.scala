@@ -262,6 +262,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size < corpus.count(), "some docs must actually be filtered")
   }
 
+  test("streaming ANN search equals the batch search over the same query set") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = "/tmp/graft_stream_ann_opsspec_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, 8)
+    val qs = emb.filter($"vec_id" < 20)
+    val streamed = Streams.streamingAnnSearch(
+      qs, idx, "/tmp/graft_stream_ann_opsspec_out", "vec_id", "embedding", 3, 2,
+      batches = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ops.Similarity.searchIvfInt8Index(
+      spark, idx, qs, "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("snapshot retention keeps a configurable number of previous versions") {
     val out = "/tmp/graft_snapshot_retain_test"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
