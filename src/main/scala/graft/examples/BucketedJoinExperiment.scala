@@ -26,6 +26,16 @@ object BucketedJoinExperiment {
     * in seconds — the price a deployment pays to choose this layout
     */
   def setupTables(spark: SparkSession, sfDir: String): Double = {
+    // the in-memory catalog starts empty each JVM, but a managed table's
+    // warehouse directory survives /tmp — saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS, so clear stale locations up front
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      p.getFileSystem(conf).delete(p, true)
+    }
     val t0 = System.nanoTime()
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

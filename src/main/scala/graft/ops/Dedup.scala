@@ -117,11 +117,18 @@ object Dedup {
       sig: DataFrame, idCol: String, k: Int, bandSize: Int,
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val nBands = k / bandSize
-    val bands = (0 until nBands).map { b =>
-      val key = concat_ws("_",
-        (0 until bandSize).map(j => col(s"mh_${b * bandSize + j}")): _*)
-      sig.select(col(idCol).as("id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionByName _)
+    // ONE pass over sig: posexplode of the band-key array fans each doc into
+    // its nBands (band, key) rows. The previous nBands-way union evaluated
+    // the signature columns once PER BRANCH — with a computed signature
+    // frame (the production path: mh_i = element_at(minhashSig(...), i+1))
+    // that meant nBands full signature evaluations per doc per join side;
+    // here each side evaluates it once (Catalyst CSE dedups the shared
+    // minhash subexpression within the single projection).
+    val keys = (0 until nBands).map { b =>
+      concat_ws("_", (0 until bandSize).map(j => col(s"mh_${b * bandSize + j}")): _*)
+    }
+    val bands = sig.select(col(idCol).as("id"), posexplode(array(keys: _*)))
+      .toDF("id", "band", "bkey")
     val l = capBuckets(bands, Seq("band", "bkey"), "id", maxBucket)
       .select(col("id").as("id_a"), col("band"), col("bkey"))
     val r = bands.select(col("id").as("id_b"), col("band"), col("bkey"))
