@@ -65,6 +65,22 @@ object Bench {
     h(); c() // one fused job
   }
 
+  /** per-run task telemetry for the layout rows: task count answers "did the
+    * bucketed scan fan differently", max task duration answers "did one
+    * unsplittable bucket straggle" — the two competing explanations for the
+    * bimodal r8 layout samples
+    */
+  private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val d = te.taskInfo.duration
+      var cur = maxMs.get()
+      while (d > cur && !maxMs.compareAndSet(cur, d)) cur = maxMs.get()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +100,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     // noop sink: executes the FULL plan users run (a bare .count() would let
     // Catalyst drop final orderBy / unreferenced projections and under-measure
@@ -131,6 +149,33 @@ object Bench {
     def jsonArr(ts: Seq[Double]): String =
       ts.map(t => f"$t%.3f").mkString("[", ",", "]")
 
+    // timed run that also captures task count + max task duration (listener
+    // bus is async: poll the counter until it stops moving before reading)
+    def timedWithTasks(run: () => Unit): (Double, Int, Double) = {
+      val l = new TaskStats
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      var last = -1
+      var n = l.tasks.get()
+      var spins = 0
+      while (n != last && spins < 50) { Thread.sleep(100); last = n; n = l.tasks.get(); spins += 1 }
+      spark.sparkContext.removeSparkListener(l)
+      (sec, n, l.maxMs.get() / 1e3)
+    }
+
+    // plan-shape counts: the contention-robust regression signal — a shuffle
+    // or broadcast appearing/disappearing is a real plan change even when the
+    // wall-clock is noise (counts are from the pre-execution plan, which is
+    // deterministic; AQE runtime re-plans don't add logical shuffles)
+    def planCounts(df: DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      val exchanges = "Exchange".r.findAllIn(p).size
+      (exchanges - broadcasts, broadcasts)
+    }
+
     val results = headline.map { case (name, run) => name -> samples3(name, run) }
 
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
@@ -145,20 +190,63 @@ object Bench {
     // The one-time bucketed write happens here (untimed per query, cost
     // reported) and the row stays OUT of `total` so the headline number
     // remains comparable across rounds, like the scale probe.
+    // layout experiment, now diagnostic (the r8 layout row was bimodal —
+    // [2.957, 0.996, 3.110] — and contradicted the standalone experiment):
+    // plain and bucketed are measured back-to-back INTERLEAVED so box
+    // contention hits both alike and the ratio stays meaningful, and every
+    // sample carries its task count + max task duration to separate
+    // "unsplittable bucket scan straggled" from "box was busy".
     val layoutSec = graft.examples.BucketedJoinExperiment.setupTables(spark, sfDir)
-    val bucketTs = samples3("q_join_bcast_bucketed", () =>
-      graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
+    def layoutNoop(df: => DataFrame): () => Unit =
+      () => df.write.format("noop").mode("overwrite").save()
+    val runPlain = layoutNoop(graft.examples.BucketedJoinExperiment.plain(spark, sfDir))
+    val runBucketed = layoutNoop(graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir))
+    def safeStats(name: String, run: () => Unit): (Double, Int, Double) =
+      try timedWithTasks(run)
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); (-1.0, -1, -1.0) }
+    try { runPlain(); runBucketed() } // warm-up
+    catch { case e: Throwable => System.err.println(s"[bench] layout warmup: $e") }
+    val layoutRuns = (0 until 3).map { _ =>
+      (safeStats("layout_plain", runPlain), safeStats("layout_bucketed", runBucketed))
+    }
+    val plainStats = layoutRuns.map(_._1)
+    val bucketStats = layoutRuns.map(_._2)
+    val (plainEx, plainBc) = planCounts(graft.examples.BucketedJoinExperiment.plain(spark, sfDir))
+    val (bucketEx, bucketBc) = planCounts(graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir))
+    def layoutJson(ss: Seq[(Double, Int, Double)], sh: Int, bc: Int): String =
+      s""""shuffles":$sh,"broadcasts":$bc,""" +
+        s""""tasks":${ss.map(_._2).mkString("[", ",", "]")},""" +
+        s""""max_task_sec":${ss.map(s => f"${s._3}%.3f").mkString("[", ",", "]")}"""
+    val plainTs = plainStats.map(_._1)
+    val bucketTs = bucketStats.map(_._1)
+
+    // plan-shape section: per benched query, how many shuffles + broadcasts —
+    // comparable across rounds even when the box makes wall-clock useless
+    val plansJson = headline.collect { case (name, _) if SparkEntry.queries.contains(name) =>
+      val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
+      s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+    }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
       .mkString("{", ",", "}")
     val raw = (results ++ Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
-      "q_join_bcast_bucketed" -> bucketTs))
+      "q_join_plain_layout" -> plainTs, "q_join_bcast_bucketed" -> bucketTs))
       .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
+    // the box is shared: headline totals swing ±15% with other tenants'
+    // load, so the artifact records the 1-min load average at start and end —
+    // a contended run is then self-diagnosing without a re-run
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""scale":{"p1_sec":$scaleP1%.3f,"parallel_sec":$scalePar%.3f,"speedup":$speedup%.1f},""" +
-      f""""layout":{"q_join_bcast_bucketed":${median(bucketTs)}%.3f,"layout_write_sec":$layoutSec%.3f},""" +
+      f""""layout":{"q_join_plain":${median(plainTs)}%.3f,""" +
+      f""""q_join_bcast_bucketed":${median(bucketTs)}%.3f,""" +
+      f""""layout_write_sec":$layoutSec%.3f,""" +
+      f""""plain":{${layoutJson(plainStats, plainEx, plainBc)}},""" +
+      f""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}},""" +
+      f""""plans":$plansJson,""" +
+      f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -68,9 +68,11 @@ object RelationalQueries {
     // ([[graft.tdf.TDF.SnapshotBucketed]], external tables under /tmp): the
     // pre-aggregate rides the buckets' hash partitioning and the orders join
     // runs bucket-to-bucket, so the fact table is never shuffled — the
-    // layout lever a deployment pre-pays for its hottest join key (the bench
-    // measures it ~1.9x faster than q_join_bcast at sf0.1). Same oracle as
-    // q_join_bcast: layout must never change answers.
+    // layout lever a deployment pre-pays for its hottest join key.
+    // Standalone BucketedJoinExperiment runs measured 0.63-0.80s vs 1.25s
+    // plain at sf0.1; the bench's layout row now measures both plans
+    // interleaved with task telemetry, which is the artifact of record.
+    // Same oracle as q_join_bcast: layout must never change answers.
     "q_join_bucketed" -> { (s, dir) =>
       val li = graft.tdf.TDF(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
