@@ -360,7 +360,8 @@ object Similarity {
         lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
         centDf.write.mode("overwrite").parquet(s"$path/centroids")
         commitManifest(spark, path,
-          IndexManifest(0L, listDataFiles(spark, path), Seq.empty))
+          IndexManifest(0L, listDataFiles(spark, path), Seq.empty),
+          expectedPrior = None)
       case Some(m) =>
         // REBUILD over a committed index: same crash-safe protocol as the
         // append — everything is written as NEW files/dirs, the flip is the
@@ -383,7 +384,8 @@ object Similarity {
         val newFiles = listDataFiles(spark, path).filterNot(live)
         commitManifest(spark, path, IndexManifest(
           version, newFiles, expired = m.files, cdir = cdir,
-          expiredDirs = if (m.cdir == cdir) Seq.empty else Seq(m.cdir)))
+          expiredDirs = if (m.cdir == cdir) Seq.empty else Seq(m.cdir)),
+          expectedPrior = Some(m.version))
     }
   }
 
@@ -405,6 +407,16 @@ object Similarity {
     * centroid geometry and the lists a reader resolves always belong to the
     * same index version; the replaced sidecar rides `expiredDirs` through
     * the same one-commit grace window as replaced list files.
+    *
+    * The single-writer contract is ENFORCED at flip time, not just
+    * documented: every commit re-reads `_COMMIT` immediately before the
+    * rename and verifies the on-disk version still equals the one this
+    * writer started from — if a concurrent append/rebuild flipped in
+    * between, the late writer fails with [[ConcurrentIndexWriteException]]
+    * instead of silently clobbering the other commit (its uncommitted part
+    * files become orphans the next append or [[vacuumIvfInt8Index]]
+    * sweeps). [[vacuumIvfInt8Index]] counts as a writer for this contract:
+    * it fences on the same version check before and after its sweep.
     */
   private case class IndexManifest(
       version: Long, files: Seq[String], expired: Seq[String],
@@ -432,11 +444,39 @@ object Similarity {
     }
   }
 
+  /** Thrown when the writer fence detects that another writer committed
+    * between this writer's manifest read and its flip — the index is intact
+    * (the OTHER writer's commit is live); this writer's work must be retried
+    * from a fresh manifest read.
+    */
+  final class ConcurrentIndexWriteException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** the flip-time writer fence: the on-disk manifest version must still be
+    * `expectedPrior` (None = no manifest existed when this writer started)
+    */
+  private def verifyWriterFence(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expectedPrior: Option[Long], who: String): Unit = {
+    val now = readManifest(spark, path).map(_.version)
+    if (now != expectedPrior)
+      throw new ConcurrentIndexWriteException(
+        s"$who on index $path started from manifest version " +
+          s"${expectedPrior.map(_.toString).getOrElse("<none>")} but found " +
+          s"${now.map(_.toString).getOrElse("<none>")} at flip time: a " +
+          "concurrent writer committed in between (the protocol is " +
+          "single-writer). The other commit is live and intact; retry this " +
+          "operation from a fresh manifest read — its orphaned part files " +
+          "will be swept by the next append or vacuum.")
+  }
+
   private def commitManifest(
-      spark: org.apache.spark.sql.SparkSession, path: String, m: IndexManifest): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String, m: IndexManifest,
+      expectedPrior: Option[Long]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
+    verifyWriterFence(spark, path, expectedPrior, "commit")
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_COMMIT.tmp_${m.version}")
     val out = fs.create(tmp, true)
     try {
@@ -483,7 +523,22 @@ object Similarity {
       case Some(m) if m.files.nonEmpty =>
         spark.read.option("basePath", s"$path/lists")
           .parquet(m.files.map(f => s"$path/lists/$f"): _*)
-      case _ => spark.read.parquet(s"$path/lists")
+      case Some(_) =>
+        // a committed manifest with an EMPTY file list (e.g. an empty-corpus
+        // build) still defines the live set: it is empty. Falling back to the
+        // raw directory here would surface grace-window files and uncommitted
+        // orphans — exactly what reader isolation forbids.
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("q",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ByteType)),
+            org.apache.spark.sql.types.StructField("cent_id",
+              org.apache.spark.sql.types.IntegerType))))
+      case None => spark.read.parquet(s"$path/lists")
     }
 
   /** Search a persisted [[writeIvfInt8Index]] index: centroids come from the
@@ -545,7 +600,20 @@ object Similarity {
   def appendIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit =
+    appendIvfInt8IndexImpl(spark, batch, idCol, vecCol, path, maxBucket,
+      assignKernel, beforeFlip = () => ())
+
+  /** [[appendIvfInt8Index]] with a test seam: `beforeFlip` runs after this
+    * append's part files are written but before its manifest flip — the
+    * window where a concurrent writer's commit must trip the fence. Specs
+    * use it to run a REAL interleaved second append and assert the loser
+    * fails loudly instead of clobbering the winner's commit.
+    */
+  private[graft] def appendIvfInt8IndexImpl(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      maxBucket: Int, assignKernel: Boolean, beforeFlip: () => Unit): Unit = {
     val cents = loadCentroids(spark, path)
     val assign = assignExpr(cents, assignKernel)
     val newRows = batch.select(
@@ -555,7 +623,8 @@ object Similarity {
     val touched = newRows.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)) // <= nCents values, a driver-side build
     if (touched.isEmpty) return
-    val manifest = readManifest(spark, path).getOrElse(
+    val prior = readManifest(spark, path)
+    val manifest = prior.getOrElse(
       // pre-manifest index: adopt what is on disk as version -1
       IndexManifest(-1L, listDataFiles(spark, path), Seq.empty))
     val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
@@ -585,10 +654,12 @@ object Similarity {
     merged.write.mode("append").partitionBy("cent_id").parquet(listsRoot.toString)
     val newFiles = listDataFiles(spark, path)
       .filter(f => inTouched(f) && !live.contains(f))
+    beforeFlip()
     commitManifest(spark, path, IndexManifest(
       manifest.version + 1,
       manifest.files.filterNot(inTouched) ++ newFiles,
-      touchedFiles, cdir = manifest.cdir))
+      touchedFiles, cdir = manifest.cdir),
+      expectedPrior = prior.map(_.version))
   }
 
   /** Sweep unreferenced files from a persisted index — the admin op that
@@ -597,9 +668,28 @@ object Similarity {
     * that no manifest entry references. Never touches the grace window
     * itself, so in-flight readers of the previous commit stay safe; readers
     * of the CURRENT commit are untouched by construction.
+    *
+    * Vacuum is a WRITER under the single-writer contract: an in-flight
+    * append's freshly written, not-yet-committed part files are
+    * indistinguishable from crash orphans, so a vacuum racing an append
+    * would delete the appender's files before its flip. The fence makes the
+    * race loud: the manifest version is checked before the sweep starts and
+    * re-checked after it completes — if a writer committed in between,
+    * vacuum throws [[ConcurrentIndexWriteException]] (the sweep may have
+    * eaten the new commit's files; rebuild or restore from the prior
+    * version). Run vacuum only when no append/rebuild is in flight.
     */
   def vacuumIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    vacuumIvfInt8IndexImpl(spark, path, beforeFence = () => ())
+
+  /** [[vacuumIvfInt8Index]] with a test seam: `beforeFence` runs after the
+    * sweep, before the closing fence check — the window where a concurrent
+    * writer's commit must make vacuum fail loudly.
+    */
+  private[graft] def vacuumIvfInt8IndexImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeFence: () => Unit): Unit =
     readManifest(spark, path).foreach { m =>
       val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
       val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -612,6 +702,8 @@ object Similarity {
         .map(_.getPath)
         .filterNot(p => keepDirs.contains(p.getName))
         .foreach(p => fs.delete(p, true))
+      beforeFence()
+      verifyWriterFence(spark, path, Some(m.version), "vacuum")
     }
 
   /** Symmetric int8 quantization of an embedding column — the vector-

@@ -357,4 +357,91 @@ class ScaleSpec extends AnyFunSuite {
     assert(gained.size == 1,
       s"a 1-vector append must write new files in exactly one partition, got $gained")
   }
+
+  test("index writer fence: an interleaved second writer fails loudly, never clobbers") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_fence_scalespec"
+    val twin = "/tmp/graft_ivf_fence_twin"
+    Seq(path, twin).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    def version(p: String): Long =
+      scala.io.Source.fromFile(s"$p/_COMMIT").getLines()
+        .collectFirst { case l if l.startsWith("v ") => l.drop(2).toLong }.get
+    def search(p: String) = graft.ops.Similarity.searchIvfInt8Index(
+      spark, p, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val base = emb.filter($"vec_id" < 137)
+    val batchA = emb.filter($"vec_id" >= 137 && $"vec_id" < 200)
+    val batchB = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    graft.ops.Similarity.writeIvfInt8Index(base, "vec_id", "embedding", path, 8)
+    assert(version(path) == 0L)
+    // writer A appends batchA, but a REAL second append (batchB) runs and
+    // commits inside A's write-to-flip window: A's flip must trip the fence
+    val ex = intercept[graft.ops.Similarity.ConcurrentIndexWriteException] {
+      graft.ops.Similarity.appendIvfInt8IndexImpl(
+        spark, batchA, "vec_id", "embedding", path,
+        graft.ops.Similarity.DEFAULT_MAX_BUCKET, assignKernel = false,
+        beforeFlip = () => graft.ops.Similarity.appendIvfInt8Index(
+          spark, batchB, "vec_id", "embedding", path))
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    assert(version(path) == 1L, "the interleaved winner's commit must stay live")
+    // the surviving index answers exactly as base ∪ batchB appended cleanly
+    graft.ops.Similarity.writeIvfInt8Index(base, "vec_id", "embedding", twin, 8)
+    graft.ops.Similarity.appendIvfInt8Index(spark, batchB, "vec_id", "embedding", twin)
+    assert(search(path) == search(twin) && search(path).nonEmpty,
+      "the loser's discarded work must not corrupt the winner's commit")
+    // and the loser's orphans are invisible to readers + swept by the next
+    // legitimate append (the crash-safety path already pinned above); a
+    // fresh retry of A from a new manifest read succeeds
+    graft.ops.Similarity.appendIvfInt8Index(spark, batchA, "vec_id", "embedding", path)
+    assert(version(path) == 2L)
+    graft.ops.Similarity.appendIvfInt8Index(spark, batchA, "vec_id", "embedding", twin)
+    assert(search(path) == search(twin), "retried append must converge")
+  }
+
+  test("vacuum fences against a writer that commits mid-sweep") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_vacfence_scalespec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter($"vec_id" < 137), "vec_id", "embedding", path, 8)
+    val ex = intercept[graft.ops.Similarity.ConcurrentIndexWriteException] {
+      graft.ops.Similarity.vacuumIvfInt8IndexImpl(spark, path,
+        beforeFence = () => graft.ops.Similarity.appendIvfInt8Index(
+          spark, emb.filter($"vec_id" >= 137 && $"vec_id" < 200),
+          "vec_id", "embedding", path))
+    }
+    assert(ex.getMessage.contains("vacuum"))
+    // quiet vacuum still works
+    graft.ops.Similarity.vacuumIvfInt8Index(spark, path)
+  }
+
+  test("flagship chain stays one fused SQL execution") {
+    // the bench's headline shape (Define → Filter → Define → Histo + Count)
+    // must keep riding the booking registry as ONE SQL execution — the
+    // plan-shape regression guard behind BENCH's flagship rows
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) { execs.add(id); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = graft.tdf.TDF(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+        .Define("z", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .Filter($"z" > 1000.0)
+        .Define("z2", $"z" * $"l_quantity")
+      val h = d.Histo("z2", 128, 0.0, 6000000.0)
+      val c = d.Count()
+      h(); c()
+      assert(c() > 0)
+      Thread.sleep(600) // listener bus is async
+      assert(execs.size() == 1,
+        s"flagship Histo+Count chain must be ONE SQL execution, got ${execs.size()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
