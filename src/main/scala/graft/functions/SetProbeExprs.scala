@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -78,25 +76,66 @@ case class AnyInBroadcastSet(
 }
 
 object AnyInBroadcastSet {
-  // per-executor-JVM memo of built sets; entries are dropped with the JVM
-  // (bounded: one entry per distinct held-out set in flight)
-  private val cache = new ConcurrentHashMap[String, java.util.HashSet[UTF8String]]()
+  /** LRU bound on the per-executor-JVM memo of built sets: a long-lived
+    * session cycling many distinct held-out sets retains at most this many
+    * built `HashSet`s — an evicted set is rebuilt from its broadcast on the
+    * next probe (cheap relative to the probe volume that justified building
+    * it). 8 × a 10⁶-gram set is comfortably inside executor heap; "every set
+    * ever seen" was not.
+    */
+  private[graft] val MaxCachedSets = 8
 
-  private[functions] def cached(
+  // access-ordered LinkedHashMap = LRU; all access synchronized (probe volume
+  // is per-row but `cached` is hit once per task via the lazy val, so the
+  // lock is not on the hot path)
+  private val cache =
+    new java.util.LinkedHashMap[String, java.util.HashSet[UTF8String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.HashSet[UTF8String]]): Boolean =
+        size() > MaxCachedSets
+    }
+
+  private[graft] def cached(
       digest: String, set: Broadcast[Array[Array[Byte]]]): java.util.HashSet[UTF8String] =
-    cache.computeIfAbsent(digest, _ => {
-      val elems = set.value
-      val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
-      elems.foreach(b => s.add(UTF8String.fromBytes(b)))
-      s
-    })
+    cache.synchronized {
+      val hit = cache.get(digest)
+      if (hit != null) hit
+      else {
+        val elems = set.value
+        val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
+        elems.foreach(b => s.add(UTF8String.fromBytes(b)))
+        cache.put(digest, s)
+        s
+      }
+    }
+
+  private[graft] def cachedCount: Int = cache.synchronized(cache.size())
 }
 
 object SetProbeExprs {
 
+  /** Driver-side broadcast memo, same LRU bound as the executor set cache:
+    * repeated probes of the same held-out set (every gate run, every
+    * restarted stream) reuse ONE broadcast instead of shipping a fresh copy
+    * each call. Eviction drops the strong reference only — Spark's
+    * ContextCleaner reclaims the broadcast's blocks once no live plan holds
+    * the expression, which an explicit `destroy` here could not know; keys
+    * carry the applicationId so a restarted context never resurrects a dead
+    * context's handle.
+    */
+  private val bcCache =
+    new java.util.LinkedHashMap[String, Broadcast[Array[Array[Byte]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Broadcast[Array[Array[Byte]]]]): Boolean =
+        size() > AnyInBroadcastSet.MaxCachedSets
+    }
+
+  private[graft] def broadcastCacheCount: Int = bcCache.synchronized(bcCache.size())
+
   /** Predicate: any element of the string-array column `arr` is one of
     * `elems`. The element list is deduplicated and sorted driver-side (a
-    * deterministic digest needs a canonical order) and broadcast once.
+    * deterministic digest needs a canonical order) and broadcast once per
+    * distinct set content, not once per call.
     */
   def anyInSet(spark: SparkSession, arr: Column, elems: Seq[String]): Column = {
     val canonical = elems.distinct.sorted
@@ -108,7 +147,16 @@ object SetProbeExprs {
       md.update(b)
     }
     val digest = md.digest().map(b => f"$b%02x").mkString
-    val bc = spark.sparkContext.broadcast(canonical)
+    val key = s"${spark.sparkContext.applicationId}:$digest"
+    val bc = bcCache.synchronized {
+      val hit = bcCache.get(key)
+      if (hit != null) hit
+      else {
+        val fresh = spark.sparkContext.broadcast(canonical)
+        bcCache.put(key, fresh)
+        fresh
+      }
+    }
     GraftSql.column(AnyInBroadcastSet(GraftSql.expression(arr), bc, digest))
   }
 }

@@ -524,6 +524,15 @@ object Streams {
     * whatever queries arrived. The incoming queries are staged as `batches`
     * files and fed one file per trigger, so the gate genuinely exercises
     * multi-batch execution.
+    *
+    * The sink is RETRY-IDEMPOTENT: each micro-batch lands in its own
+    * `batch=<batchId>` subdirectory with overwrite semantics, so a batch
+    * Structured Streaming re-executes after a failure replaces its own
+    * previous (possibly partial) attempt instead of appending a duplicate —
+    * the same effectively-once property the repo's other custom sinks get
+    * from `_spark_metadata` ([[streamingSplitRoute]]) or the versioned flip
+    * ([[commitSnapshot]]). The final read strips the `batch` partition
+    * column, so results are independent of how queries were batched.
     */
   def streamingAnnSearch(
       queries: DataFrame, indexPath: String, outDir: String,
@@ -541,16 +550,33 @@ object Streams {
     val q = spark.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.outputMode("append").queryName(name)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        graft.ops.Similarity.searchIvfInt8Index(
-          spark, indexPath, batch, idCol, vecCol, k, nprobe)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        annBatchSink(indexPath, outDir, idCol, vecCol, k, nprobe)(batch, batchId)
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    // empty stream / all-empty batches leave no batch dirs: return the empty
+    // result with the search schema instead of failing schema inference
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!outPath.getFileSystem(conf).exists(outPath))
+      graft.ops.Similarity.searchIvfInt8Index(
+        spark, indexPath, queries.limit(0), idCol, vecCol, k, nprobe)
+    else spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
   }
+
+  /** [[streamingAnnSearch]]'s per-micro-batch sink, factored out so the spec
+    * can replay a batch id and assert idempotence: batch `i` overwrites
+    * `outDir/batch=i`, nothing else — a retry replaces itself. Empty batches
+    * write nothing (their retry is trivially idempotent).
+    */
+  private[graft] def annBatchSink(
+      indexPath: String, outDir: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int)(batch: Dataset[Row], batchId: Long): Unit =
+    if (!batch.isEmpty)
+      graft.ops.Similarity.searchIvfInt8Index(
+        batch.sparkSession, indexPath, batch, idCol, vecCol, k, nprobe)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 
   /** Native checkpointed streaming FILE sink — the exactly-once path: an
     * append-shaped stream (here: documents labelled with their

@@ -279,6 +279,75 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming ANN sink is retry-idempotent: replaying a batch id adds no rows") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = "/tmp/graft_sann_idem_idx"
+    val out = "/tmp/graft_sann_idem_out"
+    Seq(idx, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, 8)
+    val sink = Streams.annBatchSink(idx, out, "vec_id", "embedding", 3, 2) _
+    val b0 = emb.filter($"vec_id" < 10).toDF()
+    sink(b0, 0L)
+    val once = spark.read.option("basePath", out).parquet(out).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(once.nonEmpty)
+    // a failed micro-batch is re-executed with the SAME batch id: the retry
+    // must replace its previous attempt, not append a duplicate
+    sink(b0, 0L)
+    val retried = spark.read.option("basePath", out).parquet(out).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(retried == once, "replayed batch id must not duplicate rows")
+    // a NEW batch id still appends its own results
+    sink(emb.filter($"vec_id" >= 10 && $"vec_id" < 15).toDF(), 1L)
+    val two = spark.read.option("basePath", out).parquet(out).drop("batch")
+    assert(two.count() > once.size)
+    // and empty batches write nothing (trivially idempotent)
+    sink(emb.filter($"vec_id" < 0).toDF(), 2L)
+    assert(!new java.io.File(s"$out/batch=2").exists())
+  }
+
+  test("streaming ANN search over an empty query set returns the search schema, empty") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = "/tmp/graft_sann_empty_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, 8)
+    val got = Streams.streamingAnnSearch(
+      emb.filter($"vec_id" < 0), idx, "/tmp/graft_sann_empty_out",
+      "vec_id", "embedding", 3, 2, batches = 2)
+    val expected = graft.ops.Similarity.searchIvfInt8Index(
+      spark, idx, emb.limit(0), "vec_id", "embedding", 3, 2)
+    assert(got.schema.fieldNames.toSeq == expected.schema.fieldNames.toSeq)
+    assert(got.count() == 0)
+  }
+
+  test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
+    import graft.functions.{AnyInBroadcastSet, SetProbeExprs}
+    val probe = Seq(("a", Seq("x", "y"))).toDF("id", "grams")
+    // cycling many DISTINCT held-out sets must not retain them all: the
+    // executor-side built sets and the driver-side broadcasts both stay
+    // within the LRU bound instead of growing with every set ever seen
+    (0 until 3 * AnyInBroadcastSet.MaxCachedSets).foreach { i =>
+      val c = SetProbeExprs.anyInSet(spark, $"grams", Seq(s"g$i", s"h$i"))
+      assert(probe.filter(c).count() == 0)
+    }
+    assert(AnyInBroadcastSet.cachedCount <= AnyInBroadcastSet.MaxCachedSets,
+      s"executor set cache must stay bounded, got ${AnyInBroadcastSet.cachedCount}")
+    assert(SetProbeExprs.broadcastCacheCount <= AnyInBroadcastSet.MaxCachedSets,
+      s"driver broadcast cache must stay bounded, got ${SetProbeExprs.broadcastCacheCount}")
+    // repeated probes of the SAME set reuse one broadcast: the cache count
+    // is unchanged after many calls with identical content
+    val before = SetProbeExprs.broadcastCacheCount
+    (0 until 5).foreach { _ =>
+      val c = SetProbeExprs.anyInSet(spark, $"grams", Seq("x", "zzz"))
+      assert(probe.filter(c).count() == 1)
+    }
+    assert(SetProbeExprs.broadcastCacheCount <= before + 1,
+      "identical set content must reuse its broadcast, not ship a new one per call")
+  }
+
   test("snapshot retention keeps a configurable number of previous versions") {
     val out = "/tmp/graft_snapshot_retain_test"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
