@@ -56,6 +56,35 @@ object LawsSpec extends Properties("graft") {
       h.underflow == 0L && h.overflow == 0L && h.counts.sum == n.toLong
     }
 
+  property("typed-lambda Filter equals native twin; native plan stays UDF-free") =
+    Prop.forAll(smallN, cut) { (n, c) =>
+      // the typed-lambda surface (§2.6) is the documented SLOW path: it
+      // lowers to a ScalaUDF, which blocks predicate pushdown and codegen
+      // fusion. This law keeps the perf cliff visible: both forms must agree
+      // on results, the lambda plan must actually carry the UDF (we are
+      // really exercising the slow path), and the native plan must carry
+      // none (nobody silently moved the fast path onto a UDF).
+      val m = math.max(n, 1) // shrinker can step outside the Gen range
+      val native = TDF(fixture(m)).Filter(col("b") <= c)
+      val lambda = TDF(fixture(m)).Filter((b: Double) => b <= c, Seq("b"))
+      val sameAnswer = native.Count()() == lambda.Count()() &&
+        native.Sum("a")() == lambda.Sum("a")()
+      // plan inspection needs a non-foldable source: over a LocalRelation,
+      // ConvertToLocalRelation evaluates even the UDF filter at optimization
+      // time (pushing through a repartition first), and no Filter node
+      // survives into the physical plan at all — a Range source cannot fold
+      val src = spark.range(0, m.toLong)
+        .select(($"id" % 97).cast("double").as("b"), $"id".cast("double").as("a"))
+      val nativePlan = src.filter(col("b") <= c)
+        .queryExecution.executedPlan.toString
+      val lambdaPlan = src
+        .filter(udf((b: Double) => b <= c).apply(col("b")))
+        .queryExecution.executedPlan.toString
+      sameAnswer &&
+        !nativePlan.contains("UDF") && !nativePlan.contains("BatchEvalPython") &&
+        lambdaPlan.contains("UDF")
+    }
+
   property("salted join equals plain join") =
     Prop.forAll(Gen.choose(2, 12), Gen.choose(1, 50)) { (salt, keys) =>
       val big = (0 until 300).map(i => (i % keys, i.toDouble)).toDF("k", "v")
