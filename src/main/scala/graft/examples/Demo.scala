@@ -110,6 +110,22 @@ object Demo {
     val hits = graft.ops.Similarity.searchIvfInt8Index(
       spark, idx, qs, "vec_id", "embedding", k = 2, nprobe = 2).count()
     println(s"persisted-index (build+append) hits = $hits")
+    // admin surface: sweep crashed-writer leftovers (fences loudly if a
+    // writer commits mid-sweep — single-writer contract, enforced)
+    graft.ops.Similarity.vacuumIvfInt8Index(spark, idx)
+    println("index vacuumed: unreferenced files swept, grace window kept")
+    // versioned snapshots: retention + time travel
+    val snapDir = "/tmp/graft_demo_snapshots"
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(snapPath, true)
+    val stats = loose.toDF.groupBy(col("l_returnflag")).count()
+    (0L to 2L).foreach(v =>
+      graft.streaming.Streams.commitSnapshot(stats, snapDir, v, retain = 2))
+    println(s"snapshot latest rows = " +
+      s"${graft.streaming.Streams.readSnapshot(spark, snapDir).count()}, " +
+      s"time-travel v1 rows = " +
+      s"${graft.streaming.Streams.readSnapshot(spark, snapDir, Some(1L)).count()}")
     spark.stop()
   }
 }
