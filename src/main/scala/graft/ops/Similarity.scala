@@ -47,6 +47,36 @@ object Similarity {
   def plane(j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(d => (hash32Local(s"${j}_$d") % 2001 - 1000) / 1000.0)
 
+  /** deterministic projection row j over `dim` dims — an independent family
+    * from [[plane]] (distinct seed prefix), values in [-1, 1]
+    */
+  def projPlane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => (hash32Local(s"p${j}_$d") % 2001 - 1000) / 1000.0)
+
+  /** Johnson–Lindenstrauss-style random projection of an embedding column to
+    * `outDim` dims — the compression step a 100 TB pipeline runs BEFORE ANN
+    * (a 768-dim corpus projected to 64 dims is 12× less data through every
+    * downstream bucket/probe/rank stage, with pairwise distances preserved
+    * to JL tolerance). The projection matrix rows are [[projPlane]]s —
+    * md5-derived like the LSH hyperplanes, so a SQL oracle regenerates them
+    * exactly — scaled by sqrt(3/outDim) (each lattice coordinate has
+    * variance ~1/3, so projected squared norms are unbiased). Pure
+    * scan-level codegen'd expressions: zero shuffle, no UDF; output
+    * components are rounded to 6 decimals (cross-engine comparison-stable).
+    * Emits `idCol` plus `p0..p{outDim-1}` scalar columns.
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int): DataFrame = {
+    val scale = math.sqrt(3.0 / outDim)
+    val v = asDouble(col(vecCol))
+    val comps = (0 until outDim).map { j =>
+      val p = array(projPlane(j, dim).map(lit): _*)
+      round(dot(v, p) * scale, 6).as(s"p$j")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
   /** LSH bucket id: sign bits of `nBits` hyperplane dots. */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
     (0 until nBits).map { j =>

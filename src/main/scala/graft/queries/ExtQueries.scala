@@ -14,6 +14,7 @@ import graft.streaming.Streams
 object ExtQueries {
 
   private val DIM = 64
+  private val PROJ_DIM = 8
   private val BITS = 6       // hyperplane LSH bits → 64 buckets
   private val TOPK = 5
   private val LSH_TOPK = 3
@@ -46,6 +47,15 @@ object ExtQueries {
     // quality diagnostics; codes pinned bit-level via md5 digest
     "q_embed_quantize" -> { (s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+
+    // JL-style random-projection dim reduction (64 -> 8) via a deterministic
+    // md5-derived matrix — the pre-ANN compression step; pure scan-level
+    // codegen'd expressions, zero shuffle
+    "q_embed_project" -> { (s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PROJ_DIM, DIM)
         .orderBy(col("vec_id"))
     },
 
@@ -356,6 +366,25 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      // random projection: regenerate the md5-derived matrix rows inline
+      // (the q_ann_lsh hyperplane construction with the 'p' seed prefix),
+      // one scalar output column per projected dim
+      "q_embed_project" -> {
+        val scale = math.sqrt(3.0 / PROJ_DIM)
+        val comps = (0 until PROJ_DIM).map { j =>
+          s"""round(list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] *
+               (list_transform(range(0, $DIM), d ->
+                 (CAST(('0x' || substring(md5('p${j}_' || d),1,8)) AS BIGINT)
+                   % 2001 - 1000)/1000.0))[i])) * $scale, 6) AS p$j"""
+        }.mkString(",\n               ")
+        s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)
+        SELECT vec_id,
+               $comps
+        FROM e ORDER BY vec_id"""
+      },
       "q_embed_quantize" -> s"""
         $embBase,
         q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),

@@ -323,6 +323,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("random projection is scan-level, deterministic, matches a local dot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val proj = graft.ops.Similarity.randomProject(emb, "vec_id", "embedding", 8, 64)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must be pure scan-level (zero shuffle):\n$plan")
+    assert(!plan.contains("UDF"), "projection must stay codegen'd, no UDF")
+    // golden pin: p0 of one vector equals the driver-side fold over the
+    // same deterministic matrix row
+    val row = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val p0row = graft.ops.Similarity.projPlane(0, 64)
+    val expected = BigDecimal(
+      row.zip(p0row).map { case (a, b) => a * b }.sum * math.sqrt(3.0 / 8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = proj.filter($"vec_id" === 0).select($"p0").head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
+    // distinct seed family: projection row 0 is not the LSH hyperplane 0
+    assert(graft.ops.Similarity.projPlane(0, 64) != graft.ops.Similarity.plane(0, 64))
+  }
+
   test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
     import graft.functions.{AnyInBroadcastSet, SetProbeExprs}
     val probe = Seq(("a", Seq("x", "y"))).toDF("id", "grams")
