@@ -15,6 +15,15 @@ object ExtQueries {
 
   private val DIM = 64
   private val PROJ_DIM = 8
+
+  /** SQL for projected component j of `v` (the randomProject construction:
+    * md5-derived matrix row, 'p' seed prefix, sqrt(3/outDim) scale, R6)
+    */
+  private def projCompSql(j: Int): String =
+    s"""round(list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] *
+         (list_transform(range(0, $DIM), d ->
+           (CAST(('0x' || substring(md5('p${j}_' || d),1,8)) AS BIGINT)
+             % 2001 - 1000)/1000.0))[i])) * ${math.sqrt(3.0 / PROJ_DIM)}, 6)"""
   private val BITS = 6       // hyperplane LSH bits → 64 buckets
   private val TOPK = 5
   private val LSH_TOPK = 3
@@ -57,6 +66,21 @@ object ExtQueries {
       Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
         PROJ_DIM, DIM)
         .orderBy(col("vec_id"))
+    },
+
+    // coarse ANN over the projected space — the randomProject consumer: the
+    // rank stage moves 8 doubles per vector instead of 64 (the 100 TB
+    // pattern: project once at ingest, search the small vectors; re-rank the
+    // shortlist in full precision only if needed). Same broadcast-query
+    // zero-corpus-shuffle shape as q_ann_bruteforce.
+    "q_ann_projected" -> { (s, dir) =>
+      val proj = Similarity.randomProject(
+        Tables.embeddings(s, dir), "vec_id", "embedding", PROJ_DIM, DIM)
+        .select(col("vec_id"),
+          array((0 until PROJ_DIM).map(j => col(s"p$j")): _*).as("pv"))
+      Similarity.bruteForceTopK(
+        proj, proj.filter(col("vec_id") < 10), "vec_id", "pv", TOPK)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // quantized-domain ANN: ranking runs entirely over int8 codes through the
@@ -369,22 +393,37 @@ object ExtQueries {
       // random projection: regenerate the md5-derived matrix rows inline
       // (the q_ann_lsh hyperplane construction with the 'p' seed prefix),
       // one scalar output column per projected dim
-      "q_embed_project" -> {
-        val scale = math.sqrt(3.0 / PROJ_DIM)
-        val comps = (0 until PROJ_DIM).map { j =>
-          s"""round(list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] *
-               (list_transform(range(0, $DIM), d ->
-                 (CAST(('0x' || substring(md5('p${j}_' || d),1,8)) AS BIGINT)
-                   % 2001 - 1000)/1000.0))[i])) * $scale, 6) AS p$j"""
-        }.mkString(",\n               ")
-        s"""
+      "q_embed_project" -> s"""
         WITH e AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings)
         SELECT vec_id,
-               $comps
-        FROM e ORDER BY vec_id"""
-      },
+               ${(0 until PROJ_DIM).map(j => s"${projCompSql(j)} AS p$j")
+                 .mkString(",\n               ")}
+        FROM e ORDER BY vec_id""",
+
+      // ANN over the projected space: the randomProject consumer — cosine
+      // top-k over the 8-dim projections. The deterministic projection makes
+      // even this APPROXIMATE path exactly SQL-reproducible.
+      "q_ann_projected" -> s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        proj AS (SELECT vec_id,
+                   list_value(${(0 until PROJ_DIM).map(projCompSql)
+                     .mkString(",\n                     ")}) AS pv
+                 FROM e),
+        n AS (SELECT vec_id, pv,
+                sqrt(list_sum(list_transform(pv, x -> x*x))) AS nrm
+              FROM proj),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_sum(list_transform(range(1, ${PROJ_DIM + 1}),
+                       i -> q.pv[i] * c.pv[i])) / (q.nrm * c.nrm), 6) AS cos_sim
+              FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= $TOPK ORDER BY query_id, rank""",
       "q_embed_quantize" -> s"""
         $embBase,
         q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
