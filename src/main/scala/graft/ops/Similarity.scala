@@ -77,6 +77,117 @@ object Similarity {
     df.select(col(idCol) +: comps: _*)
   }
 
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** squared L2 distance expanded through the codegen'd dot kernel
+    * (|a−b|² = a·a − 2a·b + b·b) — the exact formula the SQL oracle mirrors,
+    * so both engines fold the identical term sequence
+    */
+  def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** nearest candidate under rounded squared L2 (R6, key tiebreak) as one
+    * scan-level argmin expression — `array_min` over (d, key) structs, the
+    * L2 twin of the IVF cosine argmax. `usePos` keys by dense position in
+    * cent_id order (PQ codes) instead of the raw cent_id (Lloyd training).
+    */
+  private def nearestL2(
+      cands: Seq[(Long, Seq[Double])], v: Column, usePos: Boolean): Column = {
+    val structs = cands.sortBy(_._1).zipWithIndex.map { case ((cid, cv), pos) =>
+      struct(round(sqDist(v, array(cv.map(lit): _*)), 6).as("d"),
+        lit(if (usePos) pos.toLong else cid).as("key"))
+    }
+    array_min(array(structs: _*)).getField("key")
+  }
+
+  /** deterministic Lloyd under squared L2 — [[lloydCentroids]]' discipline
+    * (smallest-id init, R6 assignment + rounded means, empty cluster keeps
+    * its previous centroid) with the L2 argmin, for PQ codebook training
+    */
+  private def lloydL2(
+      base: DataFrame, nCents: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(nCents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    var t = 0
+    while (t < iters) {
+      val means: Map[Long, Seq[Double]] = base
+        .withColumn("cent_id", nearestL2(cents, col("__v"), usePos = false))
+        .select(col("cent_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      t += 1
+    }
+    cents
+  }
+
+  /** PQ codebooks: the vector space split into `m` contiguous subspaces of
+    * `dim/m` dims, each with `nCodes` centroids trained independently by
+    * [[lloydL2]]. Codebook state is m × nCodes × (dim/m) doubles — tiny,
+    * driver-side, the broadcast-build pattern; training cost is `iters`
+    * scans per subspace (on a sample at 100 TB, the [[ivfTopK]]
+    * `trainSample` pattern applies identically).
+    */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCodes: Int, dim: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val sub = dim / m
+    require(m * sub == dim, s"PQ needs m to divide dim, got m=$m dim=$dim")
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    (0 until m).map { s =>
+      lloydL2(base.select(col("id"),
+        slice(col("__v"), s * sub + 1, sub).as("__v")), nCodes, iters)
+    }
+  }
+
+  /** Product-quantization ANN top-k with asymmetric distance (ADC) — the
+    * classic 32× ANN compression (Jégou et al.; reference's sketch-operator
+    * family): each corpus vector is encoded as `m` small codes (nearest
+    * codebook centroid per subspace — scan-level argmin expressions, zero
+    * shuffle), and search ranks by the sum of per-subspace rounded squared
+    * distances between the RAW query subvectors and the centroid each code
+    * names. At 100 TB the coded table is what you store and scan
+    * (m log₂(nCodes) bits per vector vs dim floats); queries broadcast, the
+    * corpus is never shuffled — the [[bruteForceTopK]] shape over 32×
+    * smaller data. The deterministic training (smallest-id init, R6
+    * rounding) makes codes AND distances exactly SQL-reproducible, so even
+    * this approximate path is oracle-gated, not rows-only.
+    *
+    * Ranking: `adist` asc (R6), neighbor_id tiebreak, self excluded.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, nCodes: Int, dim: Int, trainIters: Int = 1): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, dim, trainIters)
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val coded = c.select(col("neighbor_id") +: (0 until m).map { s =>
+      nearestL2(books(s), slice(col("__cv"), s * sub + 1, sub), usePos = true)
+        .cast("int").as(s"c$s")
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    // ADC terms: per subspace, the rounded distance table over all nCodes
+    // centroids (query-side only) indexed by the row's code
+    val terms = (0 until m).map { s =>
+      val qs = slice(col("__qv"), s * sub + 1, sub)
+      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
+        round(sqDist(qs, array(cv.map(lit): _*)), 6)
+      }: _*)
+      element_at(table, col(s"c$s") + 1)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(q).join(coded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(terms.reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** LSH bucket id: sign bits of `nBits` hyperplane dots. */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
     (0 until nBits).map { j =>

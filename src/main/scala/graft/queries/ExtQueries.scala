@@ -33,6 +33,10 @@ object ExtQueries {
   private val IVF_NPROBE = 2
   private val IVF_TOPK = 3
   private val IVF_TRAIN_ITERS = 2
+  private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
+  private val PQ_CODES = 16  // codebook size per subspace
+  private val PQ_SUB = 16    // DIM / PQ_M
+  private val PQ_TOPK = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -66,6 +70,17 @@ object ExtQueries {
       Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
         PROJ_DIM, DIM)
         .orderBy(col("vec_id"))
+    },
+
+    // product-quantization ANN (ADC): corpus encoded as 4 codes/vector
+    // against per-subspace Lloyd codebooks (the 32x-compression sketch);
+    // ranking by summed per-subspace rounded distances — deterministic
+    // training makes the approximate path exactly oracle-able
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        PQ_TOPK, PQ_M, PQ_CODES, DIM, trainIters = 1)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // coarse ANN over the projected space — the randomProject consumer: the
@@ -317,6 +332,46 @@ object ExtQueries {
     def cosInt8Sql(a: String, b: String) =
       s"""round(CAST(list_sum(list_transform(range(1, ${DIM + 1}),
             i -> $a.q[i]*$b.q[i])) AS DOUBLE)/($a.qnrm*$b.qnrm), 6)"""
+    // PQ: squared L2 via the same three-dot expansion the Spark kernel uses
+    // (|a-b|^2 = a.a - 2 a.b + b.b, left-assoc sum), over one subspace
+    def pqSqSql(a: String, b: String) =
+      s"""(list_sum(list_transform(range(1, ${PQ_SUB + 1}), i -> $a[i]*$a[i]))
+           - 2*list_sum(list_transform(range(1, ${PQ_SUB + 1}), i -> $a[i]*$b[i]))
+           + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i -> $b[i]*$b[i])))"""
+    // per-subspace PQ block: slice -> smallest-id codebook init -> ONE Lloyd
+    // iteration (R6 assignment, rounded means, empty cluster keeps previous)
+    // -> dense positions -> encode. Mirrors Similarity.lloydL2/pqTopK exactly
+    // (trainIters = 1 unrolled).
+    def pqSubCtes(s: Int): String = {
+      val lo = s * PQ_SUB + 1
+      val hi = (s + 1) * PQ_SUB
+      s"""
+        ns$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM n),
+        ct${s}_0 AS (SELECT vec_id AS code, v AS cv FROM ns$s
+                     ORDER BY vec_id LIMIT $PQ_CODES),
+        asn$s AS (SELECT x.vec_id, c.code,
+                    round(${pqSqSql("x.v", "c.cv")}, 6) AS d
+                  FROM ns$s x CROSS JOIN ct${s}_0 c),
+        bst$s AS (SELECT vec_id, code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, code) AS rn FROM asn$s) WHERE rn = 1),
+        mn$s AS (SELECT code, dim, round(avg(x), 6) AS m FROM (
+                   SELECT b.code, unnest(range(1, ${PQ_SUB + 1})) AS dim,
+                          unnest(v.v) AS x
+                   FROM bst$s b JOIN ns$s v ON v.vec_id = b.vec_id)
+                 GROUP BY code, dim),
+        gl$s AS (SELECT code, list(m ORDER BY dim) AS cv FROM mn$s GROUP BY code),
+        ct${s}_1 AS (SELECT c.code, coalesce(g.cv, c.cv) AS cv
+                     FROM ct${s}_0 c LEFT JOIN gl$s g USING (code)),
+        bk$s AS (SELECT row_number() OVER (ORDER BY code) - 1 AS pos, cv
+                 FROM ct${s}_1),
+        enc$s AS (SELECT vec_id, pos AS c$s FROM (
+                    SELECT x.vec_id, b.pos,
+                      row_number() OVER (PARTITION BY x.vec_id
+                        ORDER BY round(${pqSqSql("x.v", "b.cv")}, 6), b.pos) AS rn
+                    FROM ns$s x CROSS JOIN bk$s b) WHERE rn = 1)"""
+    }
+
     // IVF coarse stage (centroids, full assignment, inverted lists, probes) —
     // shared by every IVF query
     val ivfCoarseCtes = s"""
@@ -401,6 +456,30 @@ object ExtQueries {
                ${(0 until PROJ_DIM).map(j => s"${projCompSql(j)} AS p$j")
                  .mkString(",\n               ")}
         FROM e ORDER BY vec_id""",
+
+      // PQ-ADC: 4 independent subspace Lloyd trainings + encodings, then
+      // rank by the left-assoc sum of per-subspace rounded distances
+      "q_ann_pq" -> s"""
+        $embBase,
+        ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
+        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+        qn AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
+                 s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
+               FROM n WHERE vec_id < 10),
+        p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                round(${(0 until PQ_M).map(s =>
+                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
+                  AS adist
+              FROM qn q CROSS JOIN cdd x
+                ${(0 until PQ_M).map(s =>
+                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
+              WHERE q.vec_id <> x.vec_id)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank FROM p)
+        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
 
       // ANN over the projected space: the randomProject consumer — cosine
       // top-k over the 8-dim projections. The deterministic projection makes

@@ -344,6 +344,30 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.projPlane(0, 64) != graft.ops.Similarity.plane(0, 64))
   }
 
+  test("PQ-ADC search is partition-invariant; codes and distances well-formed") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.Similarity.pqTopK(
+      df, df.filter($"vec_id" < 10), "vec_id", "embedding", 5, 4, 16, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val a = run(emb)
+    // training means are rounded to 6 decimals, so codebooks (and therefore
+    // codes + rankings) survive a different partitioning
+    val b = run(emb.repartition(7))
+    assert(a == b && a.nonEmpty, "PQ ranking must be partition-invariant")
+    val rows = graft.ops.Similarity.pqTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 5, 4, 16, 64)
+      .collect()
+    assert(rows.forall(_.getAs[Double]("adist") >= -1e-9),
+      "squared distances must be non-negative")
+    assert(rows.map(r => (r.getLong(0), r.getInt(3))).distinct.length == rows.length,
+      "one rank per (query, rank) slot")
+    // the codebook is genuinely small: m * nCodes * sub doubles
+    val books = graft.ops.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", 4, 16, 64, 1)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_._2.length == 16)))
+  }
+
   test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
     import graft.functions.{AnyInBroadcastSet, SetProbeExprs}
     val probe = Seq(("a", Seq("x", "y"))).toDF("id", "grams")
