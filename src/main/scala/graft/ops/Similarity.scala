@@ -188,6 +188,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** IVF + PQ — the full production ANN composition (the FAISS IVFPQ shape):
+    * coarse inverted-file routing restricts each query to its `nprobe`
+    * lists (cosine coarse stage, identical rules to [[ivfTopK]]), and
+    * WITHIN the lists candidates are ranked by PQ asymmetric distance over
+    * `m`-code compressed rows ([[pqTopK]]'s ADC). At 100 TB this is the
+    * index you store: `(id, cent_id, m codes)` ≈ a dozen bytes/vector, and
+    * each query scans `nprobe/nCents` of that — compression × pruning
+    * multiply. Probes broadcast; the coded corpus is shuffled once at build
+    * (list organization), never at search.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCents: Int, nprobe: Int, m: Int, nCodes: Int, dim: Int,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 1): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, dim, trainIters)
+    val sub = dim / m
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cents = lloydCentroids(base, nCents, 0)
+    val assign = assignExpr(cents, assignKernel = false)
+    val coded = Dedup.capBuckets(
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id") +: col("cent_id") +: (0 until m).map { s =>
+        nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = true)
+          .cast("int").as(s"c$s")
+      }: _*)
+    val probeArr = slice(
+      array_sort(array(cents.map { case (cid, cvec) =>
+        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+    val terms = (0 until m).map { s =>
+      val qs = slice(col("__qv"), s * sub + 1, sub)
+      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
+        round(sqDist(qs, array(cv.map(lit): _*)), 6)
+      }: _*)
+      element_at(table, col(s"c$s") + 1)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(probes).join(coded, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(terms.reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id"),
+        col("adist"), col("rank"))
+  }
+
   /** LSH bucket id: sign bits of `nBits` hyperplane dots. */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
     (0 until nBits).map { j =>

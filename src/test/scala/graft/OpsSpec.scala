@@ -368,6 +368,26 @@ class OpsSpec extends AnyFunSuite {
       books.forall(_.forall(_._2.length == 16)))
   }
 
+  test("IVF+PQ: candidates only from probed lists; partition-invariant") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.ops.Similarity.ivfPqTopK(
+      df, df.filter($"vec_id" < 10), "vec_id", "embedding", 5, 8, 2, 4, 16, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val a = run(emb)
+    assert(a == run(emb.repartition(5)) && a.nonEmpty)
+    // the coarse stage must be the SAME routing as plain IVF: every IVF+PQ
+    // result pair appears among the probed-list candidates the cosine IVF
+    // search sees with identical geometry (huge k = the full candidate set)
+    val ivfPairs = graft.ops.Similarity.ivfTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 100000, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRows = graft.ops.Similarity.ivfPqTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 5, 8, 2, 4, 16, 64)
+      .collect()
+    assert(pqRows.forall(r => ivfPairs.contains((r.getLong(0), r.getLong(1)))),
+      "IVF+PQ must rank within exactly the lists the coarse stage probes")
+  }
+
   test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
     import graft.functions.{AnyInBroadcastSet, SetProbeExprs}
     val probe = Seq(("a", Seq("x", "y"))).toDF("id", "grams")
