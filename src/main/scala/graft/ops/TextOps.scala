@@ -163,6 +163,42 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Corpus-relative unigram log-probability score — the language-model
+    * quality signal a pretraining pipeline computes without a model: each
+    * document scored by the mean (and min, i.e. rarest-token) log₁₀
+    * probability of its tokens under the corpus's own unigram distribution.
+    * Low mean = unusual vocabulary (often boilerplate, code, or noise); a
+    * very low min flags one-off garbage tokens. Two shuffles at any scale:
+    * the vocabulary count and the per-document aggregate; the token→logp
+    * join is a plain equi-join that Spark sort-merges (the vocabulary of a
+    * 100 TB crawl is itself large — do NOT assume broadcastable). The corpus
+    * total is one driver-side scalar, the broadcast-build pattern. Token
+    * probabilities are rounded to 6 decimals before averaging so the score
+    * is SQL-reproducible.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val total = toks.count()
+    val lp = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("logp",
+        round(log10(col("n").cast("double") / lit(total.toDouble)), 6))
+      .select(col("tok"), col("logp"))
+    // the per-doc mean is computed from EXACT scaled-long sums (the weighted-
+    // histogram discipline): a float avg over rounded logps summed in
+    // partition-dependent order can land on a .5e-6 boundary and round
+    // differently per engine — integer sums cannot
+    toks.join(lp, Seq("tok"))
+      .withColumn("lp6", round(col("logp") * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp6")).as("__s"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .withColumn("avg_logp",
+        round(col("__s").cast("double") / (col("n_tokens") * lit(1e6)), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logp"), col("min_logp"))
+  }
+
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */

@@ -58,6 +58,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus-relative unigram log-probability — the model-free LM quality
+    // signal: mean/min log10 token probability under the corpus's own
+    // unigram distribution (low mean = unusual vocabulary)
+    "q_text_unigram" -> { (s, dir) =>
+      TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
     "q_text_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -368,6 +376,18 @@ object PipelineQueries {
                length(text)::BIGINT AS n_chars_computed
         FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
         ORDER BY doc_id""",
+      "q_text_unigram" -> s"""
+        WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+                      FROM documents),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+        lp AS (SELECT tok, round(log10(CAST(count(*) AS DOUBLE)/t), 6) AS logp
+               FROM toks, tot GROUP BY tok, t)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_logp,
+               round(min(logp), 6) AS min_logp
+        FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""",
       "q_text_quality" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         c AS (SELECT doc_id,
