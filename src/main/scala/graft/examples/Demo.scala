@@ -110,6 +110,18 @@ object Demo {
     val hits = graft.ops.Similarity.searchIvfInt8Index(
       spark, idx, qs, "vec_id", "embedding", k = 2, nprobe = 2).count()
     println(s"persisted-index (build+append) hits = $hits")
+    // compressed-search family: JL projection, PQ-ADC, and the IVF+PQ
+    // composition (pruning x compression)
+    val pq = graft.ops.Similarity.pqTopK(
+      emb, qs, "vec_id", "embedding", k = 2, m = 4, nCodes = 16, dim = 64)
+    println(s"PQ-ADC hits = ${pq.count()}")
+    val ivfpq = graft.ops.Similarity.ivfPqTopK(
+      emb, qs, "vec_id", "embedding", k = 2, nCents = 8, nprobe = 2,
+      m = 4, nCodes = 16, dim = 64)
+    println(s"IVF+PQ hits = ${ivfpq.count()}")
+    val projected = graft.ops.Similarity.randomProject(
+      emb, "vec_id", "embedding", outDim = 8, dim = 64)
+    println(s"projected vectors = ${projected.count()} (64 -> 8 dims)")
     // admin surface: sweep crashed-writer leftovers (fences loudly if a
     // writer commits mid-sweep — single-writer contract, enforced)
     graft.ops.Similarity.vacuumIvfInt8Index(spark, idx)
