@@ -535,7 +535,6 @@ object Similarity {
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
       maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val prior = readManifest(spark, path)
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int8Codes(asDouble(col(vecCol))).as("__q"))
     val cents = lloydCentroids(
@@ -545,12 +544,22 @@ object Similarity {
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
     import spark.implicits._
-    val centDf = cents.toDF("cent_id", "cv").coalesce(1)
-    prior match {
+    publishIndexLists(spark, path, lists, cents.toDF("cent_id", "cv").coalesce(1))
+  }
+
+  /** The fresh-build / rebuild half of the commit protocol, shared by every
+    * persisted lists index (int8 and PQ): lists go under `lists/`
+    * partitioned by `cent_id`, the sidecar frame under the (versioned)
+    * `cdir`, and the `_COMMIT` flip publishes both atomically.
+    */
+  private def publishIndexLists(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      lists: DataFrame, sidecar: DataFrame): Unit =
+    readManifest(spark, path) match {
       case None =>
         // fresh build: plain overwrite, then the first manifest
         lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/lists")
-        centDf.write.mode("overwrite").parquet(s"$path/centroids")
+        sidecar.write.mode("overwrite").parquet(s"$path/centroids")
         commitManifest(spark, path,
           IndexManifest(0L, listDataFiles(spark, path), Seq.empty),
           expectedPrior = None)
@@ -572,14 +581,13 @@ object Similarity {
         val version = m.version + 1
         val cdir = s"centroids_v$version"
         lists.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
-        centDf.write.mode("overwrite").parquet(s"$path/$cdir")
+        sidecar.write.mode("overwrite").parquet(s"$path/$cdir")
         val newFiles = listDataFiles(spark, path).filterNot(live)
         commitManifest(spark, path, IndexManifest(
           version, newFiles, expired = m.files, cdir = cdir,
           expiredDirs = if (m.cdir == cdir) Seq.empty else Seq(m.cdir)),
           expectedPrior = Some(m.version))
     }
-  }
 
   /** Commit manifest of a persisted IVF index — the crash/reader-isolation
     * protocol. `_COMMIT` at the index root is the single source of truth for
@@ -812,6 +820,17 @@ object Similarity {
       col(idCol).as("neighbor_id"),
       int8Codes(asDouble(col(vecCol))).as("q"),
       assign(asDouble(col(vecCol))).as("cent_id"))
+    appendListsIndexImpl(spark, path, newRows, maxBucket, beforeFlip)
+  }
+
+  /** The append half of the commit protocol, shared by every persisted lists
+    * index: merge `newRows` (`neighbor_id`, `q`, `cent_id` — `q` is whatever
+    * the index stores per row, int8 codes or PQ codes) into the touched
+    * `cent_id` partitions, publish as new files, flip the manifest.
+    */
+  private def appendListsIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newRows: DataFrame, maxBucket: Int, beforeFlip: () => Unit): Unit = {
     val touched = newRows.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)) // <= nCents values, a driver-side build
     if (touched.isEmpty) return
@@ -852,6 +871,130 @@ object Similarity {
       manifest.files.filterNot(inTouched) ++ newFiles,
       touchedFiles, cdir = manifest.cdir),
       expectedPrior = prior.map(_.version))
+  }
+
+  /** Persist an IVF+PQ index — the [[ivfPqTopK]] composition in its stored
+    * form, riding the SAME crash-safe commit protocol as the int8 index
+    * (manifest flip, grace window, writer fence, vacuum): `lists/` holds
+    * `(neighbor_id, q = array<int> of m PQ codes, cent_id)` partitioned by
+    * `cent_id` (~a dozen bytes/vector — the 100 TB storage form), and the
+    * versioned sidecar holds BOTH geometries in one frame (`kind` = coarse
+    * centroid rows and per-subspace codebook rows), so a reader always
+    * resolves lists, coarse centroids and codebooks from the same committed
+    * version.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCents: Int, m: Int, nCodes: Int, dim: Int, trainIters: Int = 1,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+    val spark = corpus.sparkSession
+    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, dim, trainIters)
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cents = lloydCentroids(base, nCents, 0)
+    val assign = assignExpr(cents, assignKernel = false)
+    val sub = dim / m
+    val codes = array((0 until m).map { s =>
+      nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = true)
+        .cast("int")
+    }: _*)
+    val lists = Dedup.capBuckets(
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id"), codes.as("q"), col("cent_id"))
+    import spark.implicits._
+    val sidecar = (
+      cents.map { case (cid, cv) => ("coarse", cid, -1L, cv) } ++
+        books.zipWithIndex.flatMap { case (bk, s) =>
+          bk.sortBy(_._1).zipWithIndex.map { case ((_, cv), pos) =>
+            ("book", s.toLong, pos.toLong, cv)
+          }
+        }
+      ).toDF("kind", "k1", "k2", "cv").coalesce(1)
+    publishIndexLists(spark, path, lists, sidecar)
+  }
+
+  /** the committed (coarse centroids, per-subspace codebooks) of a persisted
+    * PQ index, driver-side — the broadcast build every search/append starts
+    * from; books come back in dense position order (the code values)
+    */
+  private def loadPqSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
+    val cdir = readManifest(spark, path).map(_.cdir).getOrElse("centroids")
+    val rows = spark.read.parquet(s"$path/$cdir").collect()
+    val cents = rows.filter(_.getAs[String]("kind") == "coarse")
+      .map(r => (r.getAs[Long]("k1"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+      .sortBy(_._1).toSeq
+    val m = rows.filter(_.getAs[String]("kind") == "book")
+      .map(_.getAs[Long]("k1")).max.toInt + 1
+    val books = (0 until m).map { s =>
+      rows.filter(r => r.getAs[String]("kind") == "book" && r.getAs[Long]("k1") == s)
+        .map(r => (r.getAs[Long]("k2"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+        .sortBy(_._1).toSeq
+    }
+    (cents, books)
+  }
+
+  /** Search a persisted [[writeIvfPqIndex]] index: probes meet only their
+    * `nprobe` list partitions (same DPP-preserving manifest-driven read as
+    * [[searchIvfInt8Index]]), candidates ranked by PQ asymmetric distance —
+    * per query, `nprobe/nCents` of the 32×-compressed index is scanned.
+    * Ranking identical to [[ivfPqTopK]] over the same corpus.
+    */
+  def searchIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val (cents, books) = loadPqSidecar(spark, path)
+    val sub = books.head.head._2.length
+    val inverted = readIndexLists(spark, path)
+      .select(col("neighbor_id"), col("q").cast("array<int>").as("__cq"),
+        col("cent_id").cast("long").as("cent_id"))
+    val probeArr = slice(
+      array_sort(array(cents.map { case (cid, cvec) =>
+        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+    val terms = books.indices.map { s =>
+      val qs = slice(col("__qv"), s * sub + 1, sub)
+      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
+        round(sqDist(qs, array(cv.map(lit): _*)), 6)
+      }: _*)
+      element_at(table, element_at(col("__cq"), s + 1) + 1)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(probes).join(inverted, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(terms.reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id"),
+        col("adist"), col("rank"))
+  }
+
+  /** Append a batch to a persisted [[writeIvfPqIndex]] index: new vectors
+    * are encoded with the STORED coarse centroids and codebooks (both
+    * geometries immutable across appends, so routing and codes agree before
+    * and after), then merged through the shared crash-safe append protocol —
+    * I/O ∝ batch, atomic flip, fence, grace window, all inherited.
+    */
+  def appendIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+    val (cents, books) = loadPqSidecar(spark, path)
+    val sub = books.head.head._2.length
+    val assign = assignExpr(cents, assignKernel = false)
+    val codes = array(books.indices.map { s =>
+      nearestL2(books(s), slice(asDouble(col(vecCol)), s * sub + 1, sub),
+        usePos = true).cast("int")
+    }: _*)
+    val newRows = batch.select(
+      col(idCol).as("neighbor_id"), codes.as("q"),
+      assign(asDouble(col(vecCol))).as("cent_id"))
+    appendListsIndexImpl(spark, path, newRows, maxBucket, () => ())
   }
 
   /** Sweep unreferenced files from a persisted index — the admin op that

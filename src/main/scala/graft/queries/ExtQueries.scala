@@ -93,6 +93,20 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // the PERSISTED IVF+PQ index (build + search round-trip): same crash-
+    // safe manifest protocol as the int8 index, lists hold m int codes per
+    // vector; search = partition-pruned probes + ADC. Results identical to
+    // the in-memory q_ann_ivf_pq, so the oracle is shared
+    "q_ann_pq_index" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_pq_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+        IVF_CENTS, PQ_M, PQ_CODES, DIM, trainIters = 1)
+      Similarity.searchIvfPqIndex(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", PQ_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // coarse ANN over the projected space — the randomProject consumer: the
     // rank stage moves 8 doubles per vector instead of 64 (the 100 TB
     // pattern: project once at ingest, search the small vectors; re-rank the
@@ -432,6 +446,34 @@ object ExtQueries {
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
 
+    // shared by q_ann_ivf_pq (in-memory) and q_ann_pq_index (persisted) —
+    // identical deterministic construction either way
+    val ivfPqSql = s"""
+        $embBase,
+        $ivfCoarseCtes,
+        ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
+        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+        qsub AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
+                   s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
+                 FROM n WHERE vec_id < 10),
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
+                round(${(0 until PQ_M).map(s =>
+                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
+                  AS adist
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+                JOIN cdd x ON x.vec_id = inv.vec_id
+                JOIN qsub q ON q.vec_id = qp.query_id
+                ${(0 until PQ_M).map(s =>
+                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
+              WHERE qp.query_id <> inv.vec_id)
+        SELECT query_id, neighbor_id, cent_id, adist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank FROM p)
+        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank"""
+
     Map(
       "q_ann_bruteforce" -> s"""
         $embBase,
@@ -493,32 +535,10 @@ object ExtQueries {
 
       // IVF+PQ: coarse stage CTEs (cents/inv/qp) + the PQ training/encode
       // blocks, ranked by ADC within the probed lists only
-      "q_ann_ivf_pq" -> s"""
-        $embBase,
-        $ivfCoarseCtes,
-        ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
-        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
-                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
-                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
-        qsub AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
-                   s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
-                 FROM n WHERE vec_id < 10),
-        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
-                round(${(0 until PQ_M).map(s =>
-                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
-                  AS adist
-              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
-                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
-                JOIN cdd x ON x.vec_id = inv.vec_id
-                JOIN qsub q ON q.vec_id = qp.query_id
-                ${(0 until PQ_M).map(s =>
-                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
-              WHERE qp.query_id <> inv.vec_id)
-        SELECT query_id, neighbor_id, cent_id, adist, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY adist, neighbor_id) AS rank FROM p)
-        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
-
+      "q_ann_ivf_pq" -> ivfPqSql,
+      // the persisted index is the same deterministic construction
+      // round-tripped through parquet, so the oracle is shared
+      "q_ann_pq_index" -> ivfPqSql,
       // ANN over the projected space: the randomProject consumer — cosine
       // top-k over the 8-dim projections. The deterministic projection makes
       // even this APPROXIMATE path exactly SQL-reproducible.

@@ -388,6 +388,40 @@ class OpsSpec extends AnyFunSuite {
       "IVF+PQ must rank within exactly the lists the coarse stage probes")
   }
 
+  test("persisted PQ index: round-trip equals in-memory; appends searchable; DPP fires") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_pq_index_opsspec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    graft.ops.Similarity.writeIvfPqIndex(
+      emb, "vec_id", "embedding", path, 8, 4, 16, 64, trainIters = 1)
+    val qs = emb.filter($"vec_id" < 10)
+    val search = graft.ops.Similarity.searchIvfPqIndex(
+      spark, path, qs, "vec_id", "embedding", 5, 2)
+    // the stored index answers exactly like the in-memory composition
+    val inMem = graft.ops.Similarity.ivfPqTopK(
+      emb, qs, "vec_id", "embedding", 5, 8, 2, 4, 16, 64, trainIters = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(search.collect().map(_.toString).sorted.toSeq == inMem && inMem.nonEmpty)
+    // probes meet only their list partitions: dynamic pruning on cent_id
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"PQ list scan must carry dynamic partition pruning:\n$plan")
+    // an appended batch is encoded with the STORED geometry and searchable
+    val base = "/tmp/graft_pq_append_opsspec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    graft.ops.Similarity.writeIvfPqIndex(
+      emb.filter($"vec_id" < 300), "vec_id", "embedding", base, 8, 4, 16, 64)
+    graft.ops.Similarity.appendIvfPqIndex(
+      spark, emb.filter($"vec_id" >= 300), "vec_id", "embedding", base)
+    val all = graft.ops.Similarity.searchIvfPqIndex(
+      spark, base, qs, "vec_id", "embedding", 100000, 8)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(all.exists(_ >= 300), "appended vectors must be searchable")
+    assert(all.size == emb.count() - 1 ||
+      all.size >= emb.count() - 10, // anchor caps can trim oversized lists
+      s"full-probe search must see the merged corpus, got ${all.size}")
+  }
+
   test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
     import graft.functions.{AnyInBroadcastSet, SetProbeExprs}
     val probe = Seq(("a", Seq("x", "y"))).toDF("id", "grams")
