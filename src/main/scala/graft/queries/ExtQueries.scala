@@ -190,6 +190,21 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // online retrieval over the COMPRESSED stored index: the q_stream_ann
+    // cell with the persisted IVF+PQ index — identical to the batch PQ
+    // search over the same query set, so the oracle is q_ann_ivf_pq's
+    "q_stream_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_stream_pq_idx_$tag"
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+        IVF_CENTS, PQ_M, PQ_CODES, DIM, trainIters = 1)
+      graft.streaming.Streams.streamingPqSearch(
+        emb.filter(col("vec_id") < 10), path, s"/tmp/graft_stream_pq_out_$tag",
+        "vec_id", "embedding", PQ_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // incremental index maintenance: build the persisted index on a base
     // slice, APPEND the remaining vectors (assigned with the stored centroid
     // sidecar, dynamic overwrite of only the touched cent_id= partitions),
@@ -539,6 +554,8 @@ object ExtQueries {
       // the persisted index is the same deterministic construction
       // round-tripped through parquet, so the oracle is shared
       "q_ann_pq_index" -> ivfPqSql,
+      // streaming search unions per-batch results of the same search
+      "q_stream_pq" -> ivfPqSql,
       // ANN over the projected space: the randomProject consumer — cosine
       // top-k over the 8-dim projections. The deterministic projection makes
       // even this APPROXIMATE path exactly SQL-reproducible.

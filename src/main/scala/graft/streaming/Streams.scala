@@ -537,7 +537,32 @@ object Streams {
   def streamingAnnSearch(
       queries: DataFrame, indexPath: String, outDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      batches: Int = 4): DataFrame = {
+      batches: Int = 4): DataFrame =
+    streamingSearch(queries, outDir, batches, b =>
+      graft.ops.Similarity.searchIvfInt8Index(
+        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+
+  /** [[streamingAnnSearch]]'s twin over the persisted IVF+PQ index
+    * ([[graft.ops.Similarity.writeIvfPqIndex]]) — online retrieval against
+    * the 32×-compressed stored form, same stateless per-batch semantics and
+    * retry-idempotent sink.
+    */
+  def streamingPqSearch(
+      queries: DataFrame, indexPath: String, outDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      batches: Int = 4): DataFrame =
+    streamingSearch(queries, outDir, batches, b =>
+      graft.ops.Similarity.searchIvfPqIndex(
+        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+
+  /** the shared streaming-search harness: stage queries as `batches` files,
+    * feed one file per trigger, run `searchFn` with full batch semantics per
+    * micro-batch through the idempotent [[searchBatchSink]], read the union
+    * back (empty stream → `searchFn` of zero queries, i.e. the search schema)
+    */
+  private def streamingSearch(
+      queries: DataFrame, outDir: String, batches: Int,
+      searchFn: DataFrame => DataFrame): DataFrame = {
     val spark = queries.sparkSession
     val name = s"graft_sann_${System.nanoTime()}"
     val stage = s"$outDir-stage"
@@ -551,7 +576,7 @@ object Streams {
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .writeStream.outputMode("append").queryName(name)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        annBatchSink(indexPath, outDir, idCol, vecCol, k, nprobe)(batch, batchId)
+        searchBatchSink(outDir, searchFn)(batch, batchId)
       }
       .start()
     q.processAllAvailable()
@@ -559,24 +584,30 @@ object Streams {
     // empty stream / all-empty batches leave no batch dirs: return the empty
     // result with the search schema instead of failing schema inference
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    if (!outPath.getFileSystem(conf).exists(outPath))
-      graft.ops.Similarity.searchIvfInt8Index(
-        spark, indexPath, queries.limit(0), idCol, vecCol, k, nprobe)
+    if (!outPath.getFileSystem(conf).exists(outPath)) searchFn(queries.limit(0))
     else spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
   }
 
-  /** [[streamingAnnSearch]]'s per-micro-batch sink, factored out so the spec
-    * can replay a batch id and assert idempotence: batch `i` overwrites
-    * `outDir/batch=i`, nothing else — a retry replaces itself. Empty batches
-    * write nothing (their retry is trivially idempotent).
+  /** The per-micro-batch sink of the streaming searches, factored out so
+    * specs can replay a batch id and assert idempotence: batch `i`
+    * overwrites `outDir/batch=i`, nothing else — a retry replaces itself.
+    * Empty batches write nothing (their retry is trivially idempotent).
+    */
+  private[graft] def searchBatchSink(
+      outDir: String, searchFn: DataFrame => DataFrame)(
+      batch: Dataset[Row], batchId: Long): Unit =
+    if (!batch.isEmpty)
+      searchFn(batch.toDF())
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  /** [[searchBatchSink]] instantiated for the int8 index (the spec's replay
+    * target)
     */
   private[graft] def annBatchSink(
       indexPath: String, outDir: String, idCol: String, vecCol: String,
       k: Int, nprobe: Int)(batch: Dataset[Row], batchId: Long): Unit =
-    if (!batch.isEmpty)
-      graft.ops.Similarity.searchIvfInt8Index(
-        batch.sparkSession, indexPath, batch, idCol, vecCol, k, nprobe)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    searchBatchSink(outDir, b => graft.ops.Similarity.searchIvfInt8Index(
+      b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))(batch, batchId)
 
   /** Native checkpointed streaming FILE sink — the exactly-once path: an
     * append-shaped stream (here: documents labelled with their
