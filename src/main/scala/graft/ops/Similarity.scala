@@ -1018,6 +1018,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     vacuumIvfInt8IndexImpl(spark, path, beforeFence = () => ())
 
+  /** index-type-agnostic alias: the sweep only reads the manifest and the
+    * `lists/` + `centroids*` layout, which int8 and PQ indexes share — one
+    * vacuum serves both
+    */
+  def vacuumIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    vacuumIvfInt8Index(spark, path)
+
   /** [[vacuumIvfInt8Index]] with a test seam: `beforeFence` runs after the
     * sweep, before the closing fence check — the window where a concurrent
     * writer's commit must make vacuum fail loudly.

@@ -420,6 +420,26 @@ class OpsSpec extends AnyFunSuite {
     assert(all.size == emb.count() - 1 ||
       all.size >= emb.count() - 10, // anchor caps can trim oversized lists
       s"full-probe search must see the merged corpus, got ${all.size}")
+    // vacuum is index-type-agnostic: sweeping the PQ index changes nothing
+    val before = graft.ops.Similarity.searchIvfPqIndex(
+      spark, base, qs, "vec_id", "embedding", 5, 2)
+      .collect().map(_.toString).sorted.toSeq
+    graft.ops.Similarity.vacuumIndex(spark, base)
+    val after = graft.ops.Similarity.searchIvfPqIndex(
+      spark, base, qs, "vec_id", "embedding", 5, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "vacuum must not change PQ index answers")
+    // consistency: with nprobe = nCents every list is probed, so the IVF+PQ
+    // composition must rank exactly like flat PQ over the full corpus
+    // (coarse routing only partitions the candidates, never reorders them)
+    val flat = graft.ops.Similarity.pqTopK(
+      emb, qs, "vec_id", "embedding", 5, 4, 16, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val routed = graft.ops.Similarity.ivfPqTopK(
+      emb, qs, "vec_id", "embedding", 5, 8, 8, 4, 16, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).sorted.toSeq
+    assert(routed == flat,
+      "full-probe IVF+PQ must equal flat PQ (routing partitions, never reorders)")
   }
 
   test("set-probe caches are LRU-bounded; one broadcast per distinct set content") {
