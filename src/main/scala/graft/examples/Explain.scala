@@ -37,7 +37,10 @@ object Explain {
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_groupby_agg", "q_join_bcast", "q_window_topk", "q_dedup_minhash_lsh",
-        "q_ann_bruteforce", "q_asof_join")
+        "q_ann_bruteforce", "q_asof_join",
+        // round-9 compressed-search family: projection must be scan-only,
+        // PQ encode scan-level, IVF+PQ probe join broadcast + DPP-pruned
+        "q_embed_project", "q_ann_pq", "q_ann_ivf_pq")
     names.foreach { n =>
       println(s"=== $n ===")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -85,6 +85,28 @@ object LawsSpec extends Properties("graft") {
         lambdaPlan.contains("UDF")
     }
 
+  property("random projection is linear: scaling commutes up to rounding") =
+    Prop.forAll(Gen.choose(1, 20), Gen.choose(-4.0, 4.0)) { (n0, c) =>
+      val n = math.max(n0, 1)
+      val dim = 16
+      val rows = (0 until n).map { i =>
+        (i.toLong, (0 until dim).map(d => ((i * 31 + d * 17) % 97 - 48) / 10.0))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val scaled = df.select($"vec_id",
+        transform($"embedding", x => x * c).as("embedding"))
+      def proj(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Similarity.randomProject(d, "vec_id", "embedding", 4, dim)
+          .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+      val base = proj(df)
+      // p(c·v) = c·p(v) exactly, up to the R6 rounding on each side
+      proj(scaled).forall { case (id, comps) =>
+        comps.zip(base(id)).forall { case (a, b) =>
+          math.abs(a - b * c) <= 1e-6 * (1 + math.abs(c))
+        }
+      }
+    }
+
   property("salted join equals plain join") =
     Prop.forAll(Gen.choose(2, 12), Gen.choose(1, 50)) { (salt, keys) =>
       val big = (0 until 300).map(i => (i % keys, i.toDouble)).toDF("k", "v")
