@@ -169,15 +169,17 @@ object Similarity {
       nearestL2(books(s), slice(col("__cv"), s * sub + 1, sub), usePos = true)
         .cast("int").as(s"c$s")
     }: _*)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-    // ADC terms: per subspace, the rounded distance table over all nCodes
-    // centroids (query-side only) indexed by the row's code
-    val terms = (0 until m).map { s =>
-      val qs = slice(col("__qv"), s * sub + 1, sub)
-      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
-        round(sqDist(qs, array(cv.map(lit): _*)), 6)
-      }: _*)
-      element_at(table, col(s"c$s") + 1)
+    // ADC distance tables are PRE-COMPUTED on the query side (m × nCodes
+    // rounded distances per query, materialized once per query row and
+    // carried through the broadcast) — candidates pay m array lookups + a
+    // sum, not a table rebuild per row. This is the asymmetric-distance
+    // trick that makes PQ search cheap: without it each candidate row would
+    // re-evaluate every centroid distance.
+    val q = adcTables(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
+      .drop("__qv")
+    val terms = books.indices.map { s =>
+      element_at(col(s"__t$s"), col(s"c$s") + 1)
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -187,6 +189,19 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
+
+  /** append per-subspace ADC distance-table columns `__t0..__t{m-1}` (each
+    * an array of the query's rounded squared distances to every codebook
+    * centroid, in code order) to a frame carrying `__qv`
+    */
+  private def adcTables(
+      q: DataFrame, books: Seq[Seq[(Long, Seq[Double])]], sub: Int): DataFrame =
+    books.indices.foldLeft(q) { (acc, s) =>
+      val qs = slice(col("__qv"), s * sub + 1, sub)
+      acc.withColumn(s"__t$s", array(books(s).sortBy(_._1).map { case (_, cv) =>
+        round(sqDist(qs, array(cv.map(lit): _*)), 6)
+      }: _*))
+    }
 
   /** IVF + PQ — the full production ANN composition (the FAISS IVFPQ shape):
     * coarse inverted-file routing restricts each query to its `nprobe`
@@ -218,15 +233,14 @@ object Similarity {
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
           lit(cid).as("cid"))
       }: _*)), 1, nprobe)
-    val probes = queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    // probe routing + pre-computed ADC tables, both query-side (once per
+    // query); the broadcast carries the small tables, not the raw vector
+    val probes = adcTables(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
       .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
-    val terms = (0 until m).map { s =>
-      val qs = slice(col("__qv"), s * sub + 1, sub)
-      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
-        round(sqDist(qs, array(cv.map(lit): _*)), 6)
-      }: _*)
-      element_at(table, col(s"c$s") + 1)
+      .drop("__qv")
+    val terms = books.indices.map { s =>
+      element_at(col(s"__t$s"), col(s"c$s") + 1)
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -953,15 +967,12 @@ object Similarity {
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
           lit(cid).as("cid"))
       }: _*)), 1, nprobe)
-    val probes = queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val probes = adcTables(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
       .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+      .drop("__qv")
     val terms = books.indices.map { s =>
-      val qs = slice(col("__qv"), s * sub + 1, sub)
-      val table = array(books(s).sortBy(_._1).map { case (_, cv) =>
-        round(sqDist(qs, array(cv.map(lit): _*)), 6)
-      }: _*)
-      element_at(table, element_at(col("__cq"), s + 1) + 1)
+      element_at(col(s"__t$s"), element_at(col("__cq"), s + 1) + 1)
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
