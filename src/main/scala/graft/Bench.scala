@@ -154,15 +154,16 @@ object Bench {
     def timedWithTasks(run: () => Unit): (Double, Int, Double) = {
       val l = new TaskStats
       spark.sparkContext.addSparkListener(l)
-      val t0 = System.nanoTime()
-      run()
-      val sec = (System.nanoTime() - t0) / 1e9
-      var last = -1
-      var n = l.tasks.get()
-      var spins = 0
-      while (n != last && spins < 50) { Thread.sleep(100); last = n; n = l.tasks.get(); spins += 1 }
-      spark.sparkContext.removeSparkListener(l)
-      (sec, n, l.maxMs.get() / 1e3)
+      try {
+        val t0 = System.nanoTime()
+        run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        var last = -1
+        var n = l.tasks.get()
+        var spins = 0
+        while (n != last && spins < 50) { Thread.sleep(100); last = n; n = l.tasks.get(); spins += 1 }
+        (sec, n, l.maxMs.get() / 1e3)
+      } finally spark.sparkContext.removeSparkListener(l)
     }
 
     // plan-shape counts: the contention-robust regression signal — a shuffle
@@ -172,8 +173,12 @@ object Bench {
     def planCounts(df: DataFrame): (Int, Int) = {
       val p = df.queryExecution.executedPlan.toString
       val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      // ReusedExchange re-reads another exchange's output — counting it as a
+      // new shuffle would fake a plan change whenever Spark starts/stops
+      // reusing one
+      val reused = "ReusedExchange".r.findAllIn(p).size
       val exchanges = "Exchange".r.findAllIn(p).size
-      (exchanges - broadcasts, broadcasts)
+      (exchanges - broadcasts - reused, broadcasts)
     }
 
     val results = headline.map { case (name, run) => name -> samples3(name, run) }

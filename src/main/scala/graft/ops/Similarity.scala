@@ -178,16 +178,10 @@ object Similarity {
     val q = adcTables(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
       .drop("__qv")
-    val terms = books.indices.map { s =>
-      element_at(col(s"__t$s"), col(s"c$s") + 1)
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    broadcast(q).join(coded, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(terms.reduce(_ + _), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    adcRanked(
+      broadcast(q).join(coded, col("query_id") =!= col("neighbor_id")),
+      m, k, s => col(s"c$s"),
+      Seq(col("query_id"), col("neighbor_id"), col("adist"), col("rank")))
   }
 
   /** append per-subspace ADC distance-table columns `__t0..__t{m-1}` (each
@@ -202,6 +196,45 @@ object Similarity {
         round(sqDist(qs, array(cv.map(lit): _*)), 6)
       }: _*))
     }
+
+  /** The query-side probe frame shared by BOTH routed PQ searches
+    * (in-memory [[ivfPqTopK]] and persisted [[searchIvfPqIndex]]): the
+    * nprobe coarse routing (cosine desc, cent_id tiebreak — the IVF rule)
+    * exploded per probe, plus the pre-computed ADC tables; the raw vector
+    * is dropped before the broadcast. ONE definition keeps the stored and
+    * in-memory paths in agreement by construction.
+    */
+  private def pqProbeSide(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], books: Seq[Seq[(Long, Seq[Double])]],
+      sub: Int, nprobe: Int): DataFrame = {
+    val probeArr = slice(
+      array_sort(array(cents.map { case (cid, cvec) =>
+        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)
+    adcTables(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
+      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+      .drop("__qv")
+  }
+
+  /** rank PQ candidates by the left-assoc sum of per-subspace ADC lookups —
+    * the ONE ranking tail of all three PQ searches; `codeAt(s)` reads the
+    * candidate row's code for subspace s (a column for in-memory coded
+    * frames, an array element for stored lists)
+    */
+  private def adcRanked(
+      cands: DataFrame, m: Int, k: Int, codeAt: Int => Column,
+      out: Seq[Column]): DataFrame = {
+    val terms = (0 until m).map(s => element_at(col(s"__t$s"), codeAt(s) + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    cands.withColumn("adist", round(terms.reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(out: _*)
+  }
 
   /** IVF + PQ — the full production ANN composition (the FAISS IVFPQ shape):
     * coarse inverted-file routing restricts each query to its `nprobe`
@@ -228,29 +261,13 @@ object Similarity {
         nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = true)
           .cast("int").as(s"c$s")
       }: _*)
-    val probeArr = slice(
-      array_sort(array(cents.map { case (cid, cvec) =>
-        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
-          lit(cid).as("cid"))
-      }: _*)), 1, nprobe)
-    // probe routing + pre-computed ADC tables, both query-side (once per
-    // query); the broadcast carries the small tables, not the raw vector
-    val probes = adcTables(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
-      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
-      .drop("__qv")
-    val terms = books.indices.map { s =>
-      element_at(col(s"__t$s"), col(s"c$s") + 1)
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    broadcast(probes).join(coded, Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(terms.reduce(_ + _), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cent_id"),
-        col("adist"), col("rank"))
+    val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
+    adcRanked(
+      broadcast(probes).join(coded, Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      m, k, s => col(s"c$s"),
+      Seq(col("query_id"), col("neighbor_id"), col("cent_id"),
+        col("adist"), col("rank")))
   }
 
   /** LSH bucket id: sign bits of `nBits` hyperplane dots. */
@@ -588,15 +605,16 @@ object Similarity {
           fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
         m.expiredDirs.foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
-        // sweep every uncommitted orphan (a rebuild touches all partitions)
+        // sweep every uncommitted orphan (a rebuild touches all partitions;
+        // hygiene only — the rebuild's own files come from the staged
+        // promote, never a listing diff)
         val live = m.files.toSet
         listDataFiles(spark, path).filterNot(live)
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(listsRoot, f), false))
         val version = m.version + 1
         val cdir = s"centroids_v$version"
-        lists.write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+        val newFiles = stageAndPromote(spark, path, lists)
         sidecar.write.mode("overwrite").parquet(s"$path/$cdir")
-        val newFiles = listDataFiles(spark, path).filterNot(live)
         commitManifest(spark, path, IndexManifest(
           version, newFiles, expired = m.files, cdir = cdir,
           expiredDirs = if (m.cdir == cdir) Seq.empty else Seq(m.cdir)),
@@ -622,15 +640,24 @@ object Similarity {
     * same index version; the replaced sidecar rides `expiredDirs` through
     * the same one-commit grace window as replaced list files.
     *
-    * The single-writer contract is ENFORCED at flip time, not just
-    * documented: every commit re-reads `_COMMIT` immediately before the
-    * rename and verifies the on-disk version still equals the one this
-    * writer started from — if a concurrent append/rebuild flipped in
-    * between, the late writer fails with [[ConcurrentIndexWriteException]]
-    * instead of silently clobbering the other commit (its uncommitted part
-    * files become orphans the next append or [[vacuumIvfInt8Index]]
-    * sweeps). [[vacuumIvfInt8Index]] counts as a writer for this contract:
-    * it fences on the same version check before and after its sweep.
+    * The single-writer contract is backed by three mechanisms, not just
+    * documentation:
+    *
+    *  - POSITIVE file ownership: a writer's manifest lists exactly the files
+    *    it staged and promoted under its own nonce ([[stageAndPromote]]) —
+    *    never a listing diff, which under true concurrency would silently
+    *    adopt another writer's uncommitted files into this writer's commit.
+    *  - the flip-time FENCE: every commit re-reads `_COMMIT` immediately
+    *    before the rename and fails with [[ConcurrentIndexWriteException]]
+    *    if the version moved — the loser's promoted files become orphans
+    *    the next append or vacuum sweeps. Plain filesystems have no
+    *    compare-and-swap rename, so two flips inside the same instant can
+    *    still race; the fence is loud detection for everything slower, not
+    *    mutual exclusion — single-writer remains the deployment contract.
+    *  - vacuum AS a commit: [[vacuumIvfInt8Index]] re-publishes the manifest
+    *    at version + 1 after its sweep, so an append racing the sweep fails
+    *    its own fence instead of committing partitions whose files vacuum
+    *    deleted.
     */
   private case class IndexManifest(
       version: Long, files: Seq[String], expired: Seq[String],
@@ -686,11 +713,10 @@ object Similarity {
 
   private def commitManifest(
       spark: org.apache.spark.sql.SparkSession, path: String, m: IndexManifest,
-      expectedPrior: Option[Long]): Unit = {
+      expectedPrior: Option[Long], who: String = "commit"): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    verifyWriterFence(spark, path, expectedPrior, "commit")
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_COMMIT.tmp_${m.version}")
     val out = fs.create(tmp, true)
     try {
@@ -699,6 +725,13 @@ object Similarity {
         m.expiredDirs.sorted.map("xd " + _)).mkString("\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
+    // fence LAST, immediately before the rename: the check-then-rename
+    // window is then the instant between this re-read and the flip. Plain
+    // filesystems offer no compare-and-swap rename, so two writers flipping
+    // inside that instant can still race undetected — the fence is loud
+    // DETECTION for everything slower than that, not mutual exclusion;
+    // single-writer remains the deployment contract.
+    verifyWriterFence(spark, path, expectedPrior, who)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
     fc.rename(tmp, manifestPath(path),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -710,7 +743,15 @@ object Similarity {
   private def listDataFiles(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFilesUnder(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** root-relative paths of the data files under `root` (recursive;
+    * commit-protocol markers excluded)
+    */
+  private def dataFilesUnder(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
     if (!fs.exists(root)) Seq.empty
     else {
       val rootStr = fs.makeQualified(root).toString
@@ -724,6 +765,38 @@ object Similarity {
       }
       buf.result()
     }
+
+  /** Write `rows` (partitioned by `cent_id`) into a private `stage_<nonce>`
+    * directory, then move each data file into `lists/` under a name carrying
+    * the nonce, and return exactly the promoted relative paths — POSITIVE
+    * file ownership. A post-write listing diff would silently ADOPT a
+    * concurrent writer's uncommitted files into this writer's manifest
+    * (duplicating rows no fence could catch, since the on-disk manifest is
+    * still the expected version at flip time); a promoted set cannot contain
+    * anything this writer did not stage. Staging also keeps half-written
+    * files out of `lists/` entirely, so a concurrent vacuum never sees them
+    * as sweepable orphans mid-write.
+    */
+  private def stageAndPromote(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame): Seq[String] = {
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val stageDir = new org.apache.hadoop.fs.Path(path, s"stage_$nonce")
+    rows.write.mode("overwrite").partitionBy("cent_id").parquet(stageDir.toString)
+    val promoted = dataFilesUnder(fs, stageDir).map { rel =>
+      val slash = rel.lastIndexOf('/')
+      val (dir, name) = (rel.substring(0, slash), rel.substring(slash + 1))
+      val destRel = s"$dir/$nonce-$name"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(listsRoot, dir))
+      if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir, rel),
+        new org.apache.hadoop.fs.Path(listsRoot, destRel)))
+        throw new java.io.IOException(s"failed to promote staged file $rel into $listsRoot")
+      destRel
+    }
+    fs.delete(stageDir, true)
+    promoted
   }
 
   /** The live inverted lists of a persisted index: exactly the manifest's
@@ -732,7 +805,8 @@ object Similarity {
     * raw directory for pre-manifest indexes.
     */
   private def readIndexLists(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      emptyQType: org.apache.spark.sql.types.DataType): DataFrame =
     readManifest(spark, path) match {
       case Some(m) if m.files.nonEmpty =>
         spark.read.option("basePath", s"$path/lists")
@@ -741,15 +815,14 @@ object Similarity {
         // a committed manifest with an EMPTY file list (e.g. an empty-corpus
         // build) still defines the live set: it is empty. Falling back to the
         // raw directory here would surface grace-window files and uncommitted
-        // orphans — exactly what reader isolation forbids.
+        // orphans — exactly what reader isolation forbids. The payload type
+        // is the caller's: array<byte> for int8 lists, array<int> for PQ.
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("neighbor_id",
               org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("q",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.ByteType)),
+            org.apache.spark.sql.types.StructField("q", emptyQType),
             org.apache.spark.sql.types.StructField("cent_id",
               org.apache.spark.sql.types.IntegerType))))
       case None => spark.read.parquet(s"$path/lists")
@@ -766,7 +839,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       assignKernel: Boolean = false): DataFrame = {
     val cents = loadCentroids(spark, path)
-    val inverted = readIndexLists(spark, path)
+    val inverted = readIndexLists(spark, path,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
       // partition-column inference reads cent_id as int; restore the long key
       .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
     int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
@@ -861,8 +935,9 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
     val touchedDirs = touched.map(c => s"cent_id=$c/").toSet
     def inTouched(rel: String) = touchedDirs.exists(rel.startsWith)
-    // sweep uncommitted orphans a crashed append left in the touched dirs,
-    // so the post-write listing diff identifies exactly this append's files
+    // sweep uncommitted orphans a crashed append left in the touched dirs
+    // (pure hygiene — this writer's own files are identified positively by
+    // the staged promote below, never by a listing diff)
     val live = manifest.files.toSet
     listDataFiles(spark, path)
       .filter(f => inTouched(f) && !live.contains(f))
@@ -876,9 +951,7 @@ object Similarity {
     val merged = Dedup.capBuckets(
       existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
       .localCheckpoint(true)
-    merged.write.mode("append").partitionBy("cent_id").parquet(listsRoot.toString)
-    val newFiles = listDataFiles(spark, path)
-      .filter(f => inTouched(f) && !live.contains(f))
+    val newFiles = stageAndPromote(spark, path, merged)
     beforeFlip()
     commitManifest(spark, path, IndexManifest(
       manifest.version + 1,
@@ -959,30 +1032,17 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val (cents, books) = loadPqSidecar(spark, path)
     val sub = books.head.head._2.length
-    val inverted = readIndexLists(spark, path)
+    val inverted = readIndexLists(spark, path,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
       .select(col("neighbor_id"), col("q").cast("array<int>").as("__cq"),
         col("cent_id").cast("long").as("cent_id"))
-    val probeArr = slice(
-      array_sort(array(cents.map { case (cid, cvec) =>
-        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
-          lit(cid).as("cid"))
-      }: _*)), 1, nprobe)
-    val probes = adcTables(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
-      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
-      .drop("__qv")
-    val terms = books.indices.map { s =>
-      element_at(col(s"__t$s"), element_at(col("__cq"), s + 1) + 1)
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    broadcast(probes).join(inverted, Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(terms.reduce(_ + _), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cent_id"),
-        col("adist"), col("rank"))
+    val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
+    adcRanked(
+      broadcast(probes).join(inverted, Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      books.length, k, s => element_at(col("__cq"), s + 1),
+      Seq(col("query_id"), col("neighbor_id"), col("cent_id"),
+        col("adist"), col("rank")))
   }
 
   /** Append a batch to a persisted [[writeIvfPqIndex]] index: new vectors
@@ -1015,15 +1075,18 @@ object Similarity {
     * itself, so in-flight readers of the previous commit stay safe; readers
     * of the CURRENT commit are untouched by construction.
     *
-    * Vacuum is a WRITER under the single-writer contract: an in-flight
-    * append's freshly written, not-yet-committed part files are
-    * indistinguishable from crash orphans, so a vacuum racing an append
-    * would delete the appender's files before its flip. The fence makes the
-    * race loud: the manifest version is checked before the sweep starts and
-    * re-checked after it completes — if a writer committed in between,
-    * vacuum throws [[ConcurrentIndexWriteException]] (the sweep may have
-    * eaten the new commit's files; rebuild or restore from the prior
-    * version). Run vacuum only when no append/rebuild is in flight.
+    * Vacuum is a WRITER under the single-writer contract: a promoted but
+    * not-yet-committed part file is indistinguishable from a crash orphan,
+    * so a vacuum racing an append could delete the appender's files in the
+    * window between its promote and its flip. Two guards make the race
+    * loud in BOTH directions: vacuum ends by re-publishing the manifest at
+    * version + 1 (through the fenced [[commitManifest]]) — so an append
+    * whose files the sweep may have eaten fails its own flip, and a vacuum
+    * overlapped by a completed commit fails ITS flip with
+    * [[ConcurrentIndexWriteException]]. (In-flight writes themselves live
+    * in `stage_*` dirs vacuum only sweeps as crash leftovers — an active
+    * writer's staged files are exposed only during the brief promote.)
+    * Run vacuum only when no append/rebuild is in flight.
     */
   def vacuumIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
@@ -1056,8 +1119,19 @@ object Similarity {
         .map(_.getPath)
         .filterNot(p => keepDirs.contains(p.getName))
         .foreach(p => fs.delete(p, true))
+      // crashed writers' staging leftovers (committed writers delete theirs)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("stage_"))
+        .foreach(s => fs.delete(s.getPath, true))
       beforeFence()
-      verifyWriterFence(spark, path, Some(m.version), "vacuum")
+      // vacuum IS a commit: re-publishing the same manifest at version + 1
+      // makes any writer whose files the sweep may have touched fail its
+      // flip loudly (its expected prior version no longer matches) instead
+      // of committing partitions vacuum just swept — without the bump, a
+      // racing append's fence would PASS (vacuum used to leave the version
+      // unchanged) even though its uncommitted files were deleted.
+      commitManifest(spark, path, m.copy(version = m.version + 1),
+        expectedPrior = Some(m.version), who = "vacuum")
     }
 
   /** Symmetric int8 quantization of an embedding column — the vector-

@@ -174,15 +174,19 @@ object TextOps {
     * 100 TB crawl is itself large — do NOT assume broadcastable). The corpus
     * total is one driver-side scalar, the broadcast-build pattern. Token
     * probabilities are rounded to 6 decimals before averaging so the score
-    * is SQL-reproducible.
+    * is SQL-reproducible. The corpus total is a 1-row aggregate broadcast
+    * INSIDE the lazy plan (the oracle's `tot` CTE) — constructing the frame
+    * launches no job and the corpus is not tokenized an extra time for a
+    * driver-side count.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-    val total = toks.count()
+    val tot = toks.agg(count(lit(1)).cast("double").as("__tot"))
     val lp = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
       .withColumn("logp",
-        round(log10(col("n").cast("double") / lit(total.toDouble)), 6))
+        round(log10(col("n").cast("double") / col("__tot")), 6))
       .select(col("tok"), col("logp"))
     // the per-doc mean is computed from EXACT scaled-long sums (the weighted-
     // histogram discipline): a float avg over rounded logps summed in

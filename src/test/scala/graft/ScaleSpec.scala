@@ -218,7 +218,7 @@ class ScaleSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$path/lists").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("cent_id=")).toSeq
     dirs.foreach { d =>
-      val part = d.listFiles().filter(_.getName.startsWith("part-")).head
+      val part = d.listFiles().filter(_.getName.contains("part-")).head
       java.nio.file.Files.copy(part.toPath,
         d.toPath.resolve(s"part-orphan-${d.getName.hashCode}.parquet"))
     }
@@ -299,7 +299,7 @@ class ScaleSpec extends AnyFunSuite {
     // vacuum: an unreferenced orphan goes, referenced files stay, answers too
     val dir = new java.io.File(s"$path/lists").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("cent_id=")).head
-    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val part = dir.listFiles().filter(_.getName.contains("part-")).head
     val orphan = dir.toPath.resolve("part-orphan-vacuum.parquet")
     java.nio.file.Files.copy(part.toPath, orphan)
     val s0 = search(path)
@@ -322,7 +322,7 @@ class ScaleSpec extends AnyFunSuite {
       new java.io.File(s"$dir/lists").listFiles().toSeq
         .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
         .map(d => d.getName -> d.listFiles()
-          .filter(_.getName.startsWith("part-"))
+          .filter(_.getName.contains("part-"))
           .map(f => (f.getName, f.lastModified())).toSet)
         .toMap
     val before = fileState(inc)
