@@ -33,4 +33,25 @@ object Splits {
     }
     df.withColumn(labelCol, label)
   }
+
+  /** Deterministic fixed-size per-group sample — the balanced training-mix
+    * op (k documents per source/language/domain regardless of group skew):
+    * rows rank within their group by the md5 hash of their key (a
+    * reproducible shuffle — no RNG, no partition sensitivity, the
+    * [[bucket100]] convention) and the first `k` survive. One shuffle on
+    * the group column at any scale; groups larger than memory stream
+    * through Spark's sort-based window (`WindowGroupLimit` prunes to k per
+    * group map-side before the exchange). Emits the input columns plus
+    * `sample_rank` (1-based position in the group's hash order).
+    */
+  def sampleGroupK(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").asc, col(keyCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -88,6 +88,15 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // deterministic FIXED-SIZE per-group sample: exactly k docs per language
+    // by md5-hash order — the balanced training-mix op (rate sampling above
+    // keeps group skew; this equalizes it)
+    "q_sample_group" -> { (s, dir) =>
+      graft.ops.Splits.sampleGroupK(Tables.documents(s, dir), "lang", "doc_id", 40)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // repetition detection: how dominant is the most-repeated word 3-gram —
     // a standard LLM-data quality signal (boilerplate / spam detector)
     "q_text_repetition" -> { (s, dir) =>
@@ -594,6 +603,13 @@ object PipelineQueries {
         SELECT lang, count(*) AS n_sampled FROM documents
         WHERE ${hash32Sql("lang || '#' || CAST(doc_id AS VARCHAR)")} % 100 < 20
         GROUP BY lang ORDER BY lang""",
+      "q_sample_group" -> s"""
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+            AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
       "q_pipeline_e2e" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         q0 AS (SELECT doc_id, text, toks,

@@ -132,6 +132,16 @@ class ScaleSpec extends AnyFunSuite {
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
       "split assignment must not shuffle")
+    // fixed-size group sample: the partial WindowGroupLimit prunes each
+    // partition to k rows per group BEFORE the single exchange — at scale
+    // the shuffle moves ~k rows per (group, partition), not whole groups
+    val samp = graft.ops.Splits.sampleGroupK(
+      Tables.documents(spark, dir), "lang", "doc_id", 40)
+    val sampPlan = samp.queryExecution.executedPlan.toString
+    assert(sampPlan.contains("WindowGroupLimit") && sampPlan.contains("Partial"),
+      s"group sample must plan a partial WindowGroupLimit:\n$sampPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(sampPlan).size == 1,
+      s"group sample must shuffle exactly once:\n$sampPlan")
     // approx profile: no Expand (the exact multi-distinct's row inflation),
     // and the sketch stays within its error envelope on real data
     val approx = graft.ops.Profiling.columnStatsApprox(
