@@ -34,6 +34,35 @@ object Splits {
     df.withColumn(labelCol, label)
   }
 
+  /** Sequence-packing offsets — the concat-then-chunk prep of LLM training
+    * (documents are concatenated in a deterministic order and cut into
+    * fixed-token-budget bins; a doc belongs to the bin where it STARTS).
+    * Packing is per md5-hard SHARD, not global: a global concatenation
+    * order would be one window partition = one task at any scale, while
+    * shards pack independently and in parallel (each training worker later
+    * reads its shard's bins). Emits `shard`, `start_off` (the document's
+    * offset in its shard's concatenation, exclusive running sum of
+    * `sizeCol`) and `bin` (= floor(start_off / budget)). One shuffle on the
+    * shard key; deterministic — no RNG, stable across partitionings and
+    * engines.
+    */
+  def packSequences(
+      df: DataFrame, keyCol: String, sizeCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0,
+      s"budget and shard count must be positive, got $budget / $nShards")
+    val shard = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("start_off",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("bin", floor(col("start_off") / budget).cast("long"))
+  }
+
   /** Deterministic fixed-size per-group sample — the balanced training-mix
     * op (k documents per source/language/domain regardless of group skew):
     * rows rank within their group by the md5 hash of their key (a

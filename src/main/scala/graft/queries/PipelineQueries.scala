@@ -88,6 +88,16 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // sequence packing: concat-then-chunk offsets for LLM training — docs
+    // packed into 4096-char bins within 8 md5 shards (per-shard windows,
+    // never a single global order)
+    "q_pack_sequences" -> { (s, dir) =>
+      graft.ops.Splits.packSequences(
+        Tables.documents(s, dir), "doc_id", "n_chars", 4096L, 8)
+        .select(col("doc_id"), col("shard"), col("start_off"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic FIXED-SIZE per-group sample: exactly k docs per language
     // by md5-hash order — the balanced training-mix op (rate sampling above
     // keeps group skew; this equalizes it)
@@ -603,6 +613,19 @@ object PipelineQueries {
         SELECT lang, count(*) AS n_sampled FROM documents
         WHERE ${hash32Sql("lang || '#' || CAST(doc_id AS VARCHAR)")} % 100 < 20
         GROUP BY lang ORDER BY lang""",
+      "q_pack_sequences" -> s"""
+        SELECT doc_id, shard, start_off,
+               CAST(floor(start_off / 4096.0) AS BIGINT) AS bin
+        FROM (
+          SELECT doc_id,
+                 ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                 CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 8
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off
+          FROM documents)
+        ORDER BY doc_id""",
       "q_sample_group" -> s"""
         SELECT doc_id, lang, sample_rank FROM (
           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
