@@ -776,15 +776,26 @@ object Similarity {
     * anything this writer did not stage. Staging also keeps half-written
     * files out of `lists/` entirely, so a concurrent vacuum never sees them
     * as sweepable orphans mid-write.
+    *
+    * The nonce is a UUID: collision-resistant across JVMs/hosts, so two
+    * writers can never share a stage dir or promote colliding destination
+    * names (a time-derived nonce could collide across machines and silently
+    * mix the writers' files). And a promote that finds ZERO staged data
+    * files for a non-empty input fails loudly: it means something external
+    * (a concurrent vacuum's stage sweep, a manual cleanup) deleted the
+    * staging directory between the write and the listing — committing would
+    * publish touched partitions with NO files, silently dropping the
+    * pre-existing rows merged into them.
     */
   private def stageAndPromote(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      rows: DataFrame): Seq[String] = {
+      rows: DataFrame, afterStage: () => Unit = () => ()): Seq[String] = {
     val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
     val stageDir = new org.apache.hadoop.fs.Path(path, s"stage_$nonce")
     rows.write.mode("overwrite").partitionBy("cent_id").parquet(stageDir.toString)
+    afterStage() // test seam: the write-to-listing window a stage sweep hits
     val promoted = dataFilesUnder(fs, stageDir).map { rel =>
       val slash = rel.lastIndexOf('/')
       val (dir, name) = (rel.substring(0, slash), rel.substring(slash + 1))
@@ -795,6 +806,12 @@ object Similarity {
         throw new java.io.IOException(s"failed to promote staged file $rel into $listsRoot")
       destRel
     }
+    if (promoted.isEmpty && !rows.isEmpty)
+      throw new java.io.IOException(
+        s"staged write under $stageDir produced no data files for a " +
+          "non-empty input: the staging directory was deleted externally " +
+          "(concurrent vacuum or manual cleanup) — aborting the commit " +
+          "instead of publishing an empty touched-partition set")
     fs.delete(stageDir, true)
     promoted
   }
@@ -901,14 +918,15 @@ object Similarity {
   private[graft] def appendIvfInt8IndexImpl(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int, assignKernel: Boolean, beforeFlip: () => Unit): Unit = {
+      maxBucket: Int, assignKernel: Boolean, beforeFlip: () => Unit,
+      afterStage: () => Unit = () => ()): Unit = {
     val cents = loadCentroids(spark, path)
     val assign = assignExpr(cents, assignKernel)
     val newRows = batch.select(
       col(idCol).as("neighbor_id"),
       int8Codes(asDouble(col(vecCol))).as("q"),
       assign(asDouble(col(vecCol))).as("cent_id"))
-    appendListsIndexImpl(spark, path, newRows, maxBucket, beforeFlip)
+    appendListsIndexImpl(spark, path, newRows, maxBucket, beforeFlip, afterStage)
   }
 
   /** The append half of the commit protocol, shared by every persisted lists
@@ -918,7 +936,8 @@ object Similarity {
     */
   private def appendListsIndexImpl(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      newRows: DataFrame, maxBucket: Int, beforeFlip: () => Unit): Unit = {
+      newRows: DataFrame, maxBucket: Int, beforeFlip: () => Unit,
+      afterStage: () => Unit = () => ()): Unit = {
     val touched = newRows.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)) // <= nCents values, a driver-side build
     if (touched.isEmpty) return
@@ -951,7 +970,7 @@ object Similarity {
     val merged = Dedup.capBuckets(
       existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
       .localCheckpoint(true)
-    val newFiles = stageAndPromote(spark, path, merged)
+    val newFiles = stageAndPromote(spark, path, merged, afterStage)
     beforeFlip()
     commitManifest(spark, path, IndexManifest(
       manifest.version + 1,
@@ -1078,19 +1097,31 @@ object Similarity {
     * Vacuum is a WRITER under the single-writer contract: a promoted but
     * not-yet-committed part file is indistinguishable from a crash orphan,
     * so a vacuum racing an append could delete the appender's files in the
-    * window between its promote and its flip. Two guards make the race
+    * window between its promote and its flip. Three guards make the race
     * loud in BOTH directions: vacuum ends by re-publishing the manifest at
     * version + 1 (through the fenced [[commitManifest]]) — so an append
-    * whose files the sweep may have eaten fails its own flip, and a vacuum
-    * overlapped by a completed commit fails ITS flip with
-    * [[ConcurrentIndexWriteException]]. (In-flight writes themselves live
-    * in `stage_*` dirs vacuum only sweeps as crash leftovers — an active
-    * writer's staged files are exposed only during the brief promote.)
+    * whose PROMOTED files the sweep may have eaten fails its own flip, and
+    * a vacuum overlapped by a completed commit fails ITS flip with
+    * [[ConcurrentIndexWriteException]]; and a sweep that ate an append's
+    * STAGING directory (before its promote — a window the appender's fence
+    * cannot see, because vacuum commits its version bump only afterwards)
+    * aborts the append inside [[stageAndPromote]], which refuses to promote
+    * zero data files for a non-empty input. Defense in depth on top of
+    * that: vacuum only sweeps `stage_*` dirs older than `stageGraceMs`
+    * (default 1 h), so a LIVE writer's in-flight staging is never deleted
+    * in the first place — only genuine crash leftovers are.
     * Run vacuum only when no append/rebuild is in flight.
     */
   def vacuumIvfInt8Index(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    vacuumIvfInt8IndexImpl(spark, path, beforeFence = () => ())
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      stageGraceMs: Long = DEFAULT_STAGE_GRACE_MS): Unit =
+    vacuumIvfInt8IndexImpl(spark, path, beforeFence = () => (),
+      stageGraceMs = stageGraceMs)
+
+  /** how old a `stage_*` dir must be before vacuum treats it as a crash
+    * leftover rather than a possibly-live writer's in-flight staging
+    */
+  val DEFAULT_STAGE_GRACE_MS: Long = 60L * 60 * 1000
 
   /** index-type-agnostic alias: the sweep only reads the manifest and the
     * `lists/` + `centroids*` layout, which int8 and PQ indexes share — one
@@ -1106,7 +1137,8 @@ object Similarity {
     */
   private[graft] def vacuumIvfInt8IndexImpl(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      beforeFence: () => Unit): Unit =
+      beforeFence: () => Unit,
+      stageGraceMs: Long = DEFAULT_STAGE_GRACE_MS): Unit =
     readManifest(spark, path).foreach { m =>
       val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
       val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1119,9 +1151,15 @@ object Similarity {
         .map(_.getPath)
         .filterNot(p => keepDirs.contains(p.getName))
         .foreach(p => fs.delete(p, true))
-      // crashed writers' staging leftovers (committed writers delete theirs)
+      // crashed writers' staging leftovers (committed writers delete theirs).
+      // Only dirs older than the grace window: a younger stage_* may be a
+      // LIVE writer mid-write — sweeping it would turn its append into a
+      // loud failure (stageAndPromote aborts on an empty promote) where
+      // leaving it costs only disk until the next vacuum.
+      val cutoff = System.currentTimeMillis() - stageGraceMs
       fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("stage_"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("stage_")
+          && s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, true))
       beforeFence()
       // vacuum IS a commit: re-publishing the same manifest at version + 1

@@ -427,6 +427,59 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Similarity.vacuumIvfInt8Index(spark, path)
   }
 
+  test("vacuum stage sweep honors the grace window (live staging spared)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_vacgrace_scalespec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter($"vec_id" < 137), "vec_id", "embedding", path, 8)
+    // a FRESH stage dir (a possibly-live writer mid-write) must survive a
+    // default-grace vacuum; once older than the grace window it is a crash
+    // leftover and is swept
+    val stageRoot = new java.io.File(s"$path/stage_testgrace")
+    val stageSub = new java.io.File(stageRoot, "cent_id=0")
+    assert(stageSub.mkdirs())
+    java.nio.file.Files.writeString(
+      stageSub.toPath.resolve("part-x.parquet"), "stub")
+    graft.ops.Similarity.vacuumIvfInt8Index(spark, path)
+    assert(stageRoot.exists(), "a stage dir younger than the grace window must survive vacuum")
+    assert(stageRoot.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000))
+    graft.ops.Similarity.vacuumIvfInt8Index(spark, path)
+    assert(!stageRoot.exists(), "a stage dir older than the grace window must be swept")
+  }
+
+  test("a swept staging directory aborts the append instead of committing empty partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_ivf_stagesweep_scalespec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    def version(): Long =
+      scala.io.Source.fromFile(s"$path/_COMMIT").getLines()
+        .collectFirst { case l if l.startsWith("v ") => l.drop(2).toLong }.get
+    def search() = graft.ops.Similarity.searchIvfInt8Index(
+      spark, path, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    graft.ops.Similarity.writeIvfInt8Index(
+      emb.filter($"vec_id" < 137), "vec_id", "embedding", path, 8)
+    val before = search()
+    // an external sweep (e.g. a zero-grace vacuum) eats the staging dir in
+    // the window between the staged write and the promote listing: the
+    // append must fail LOUDLY — the silent alternative is a manifest whose
+    // touched partitions carry no files, dropping the merged-in base rows
+    val ex = intercept[java.io.IOException] {
+      graft.ops.Similarity.appendIvfInt8IndexImpl(
+        spark, emb.filter($"vec_id" >= 137 && $"vec_id" < 200),
+        "vec_id", "embedding", path,
+        graft.ops.Similarity.DEFAULT_MAX_BUCKET, assignKernel = false,
+        beforeFlip = () => (),
+        afterStage = () => new java.io.File(path).listFiles()
+          .filter(_.getName.startsWith("stage_"))
+          .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d)))
+    }
+    assert(ex.getMessage.contains("aborting the commit"))
+    assert(version() == 0L, "the aborted append must not have committed")
+    assert(search() == before, "the index must be untouched by the aborted append")
+  }
+
   test("flagship chain stays one fused SQL execution") {
     // the bench's headline shape (Define → Filter → Define → Histo + Count)
     // must keep riding the booking registry as ONE SQL execution — the
