@@ -295,6 +295,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Exact-cosine re-rank of an approximate shortlist — the standard
+    * production tail of EVERY approximate ANN path here (projected-space,
+    * PQ/ADC, IVF+PQ, and their persisted/streaming forms): the approximate
+    * stage returns `k' > k` candidates per query cheaply in the compressed
+    * domain, and only those rows are joined back to the raw vectors for an
+    * exact ranking — recall of the exact top-k recovered up to whatever the
+    * shortlist missed, at a cost proportional to queries × k', never the
+    * corpus.
+    *
+    * `shortlist` carries (`query_id`, `neighbor_id`) — the output shape of
+    * every ANN op in this file, so any of them composes directly. Scale
+    * posture: the shortlist (queries × k' rows) is broadcast, so the
+    * raw-vector fetch is one broadcast hash semi-join riding the corpus
+    * scan — the corpus is never shuffled; the query side is broadcast like
+    * every ANN op's. Ranking discipline identical to [[bruteForceTopK]]:
+    * cosine rounded to 6 decimals, id tiebreak.
+    */
+  def rerankTopK(
+      shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(shortlist.select(col("query_id"), col("neighbor_id")))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim", cosineR6(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Per-bucket candidate cap (skew guard): a degenerate bucket holding a
     * large fraction of the corpus (near-constant embeddings) would otherwise
     * turn the bucket self-join quadratic. Candidates are capped to the

@@ -107,6 +107,20 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // exact re-rank over an approximate shortlist — the production tail of
+    // every compressed-domain ANN path: PQ returns k' = 4k candidates per
+    // query (ADC, 32x-compressed scan), then ONLY those k' rows are joined
+    // back to the raw vectors for an exact cosine top-k. Cost of the exact
+    // stage is queries x k' rows, never the corpus.
+    "q_ann_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val shortlist = Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+        4 * PQ_TOPK, PQ_M, PQ_CODES, DIM, trainIters = 1)
+      Similarity.rerankTopK(shortlist, emb, qs, "vec_id", "embedding", PQ_TOPK)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // coarse ANN over the projected space — the randomProject consumer: the
     // rank stage moves 8 doubles per vector instead of 64 (the 100 TB
     // pattern: project once at ingest, search the small vectors; re-rank the
@@ -546,6 +560,38 @@ object ExtQueries {
         SELECT query_id, neighbor_id, adist, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adist, neighbor_id) AS rank FROM p)
+        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
+
+      // exact re-rank: the q_ann_pq chain kept as a shortlist CTE at
+      // k' = 4k, then joined back to the raw vectors for an exact cosine
+      // top-k — fully SQL-expressible end to end
+      "q_ann_rerank" -> s"""
+        $embBase,
+        ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
+        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+        qsub AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
+                   s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
+                 FROM n WHERE vec_id < 10),
+        p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                round(${(0 until PQ_M).map(s =>
+                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
+                  AS adist
+              FROM qsub q CROSS JOIN cdd x
+                ${(0 until PQ_M).map(s =>
+                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
+              WHERE q.vec_id <> x.vec_id),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS rk FROM p)
+               WHERE rk <= ${4 * PQ_TOPK}),
+        rr AS (SELECT sl.query_id, sl.neighbor_id, ${cosSql("q", "c")} AS cos_sim
+               FROM sl JOIN n q ON q.vec_id = sl.query_id
+                       JOIN n c ON c.vec_id = sl.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rr)
         WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
 
       // IVF+PQ: coarse stage CTEs (cents/inv/qp) + the PQ training/encode

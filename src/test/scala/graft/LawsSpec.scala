@@ -234,6 +234,30 @@ object LawsSpec extends Properties("graft") {
   property("int8 quantized top-k recall@5 >= 0.8 vs float ranking") =
     Prop.secure(int8Recall >= 0.8)
 
+  // the exact re-rank tail must never LOSE recall vs the raw approximate
+  // ranking it shortlists from: anything the PQ top-k got right is in the
+  // k' = 4k shortlist too, and the exact cosine ranks it at least as well
+  private lazy val rerankRecalls: (Double, Double) = {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    val pqRaw = pairs(graft.ops.Similarity.pqTopK(
+      emb, q, "vec_id", "embedding", 5, 4, 16, 64, trainIters = 1))
+    val shortlist = graft.ops.Similarity.pqTopK(
+      emb, q, "vec_id", "embedding", 20, 4, 16, 64, trainIters = 1)
+    val reranked = pairs(graft.ops.Similarity.rerankTopK(
+      shortlist, emb, q, "vec_id", "embedding", 5))
+    ((truth intersect reranked).size.toDouble / truth.size,
+      (truth intersect pqRaw).size.toDouble / truth.size)
+  }
+
+  property("exact re-rank of PQ shortlist (k'=4k) recall@5 >= raw PQ recall@5") =
+    Prop.secure(rerankRecalls._1 >= rerankRecalls._2)
+
   // the broadcast-matrix kernel must reproduce the literal-struct ranking
   // bit-for-bit for ANY centroid set — including exact rounded-cosine ties
   // (2-decimal vectors collide often), where the smaller cent id must win
