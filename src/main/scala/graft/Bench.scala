@@ -123,6 +123,16 @@ object Bench {
       "q_text_quality" -> sink("q_text_quality"),
       "q_sessionize" -> sink("q_sessionize"))
 
+    // round-9/10 hot paths — benched for wall-time + plan-shape coverage
+    // (a plan regression here must show in the artifact of record), but
+    // kept OUT of `total` like the scale/layout rows, so the headline
+    // number stays comparable across rounds
+    val coverage: Seq[(String, () => Unit)] = Seq(
+      "q_ann_ivf_pq" -> sink("q_ann_ivf_pq"),
+      "q_ann_rerank" -> sink("q_ann_rerank"),
+      "q_pack_sequences" -> sink("q_pack_sequences"),
+      "q_sample_group" -> sink("q_sample_group"))
+
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
     // JSON: a contended run on a shared box is otherwise indistinguishable
@@ -182,6 +192,7 @@ object Bench {
     }
 
     val results = headline.map { case (name, run) => name -> samples3(name, run) }
+    val coverageResults = coverage.map { case (name, run) => name -> samples3(name, run) }
 
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds)
@@ -227,14 +238,17 @@ object Bench {
 
     // plan-shape section: per benched query, how many shuffles + broadcasts —
     // comparable across rounds even when the box makes wall-clock useless
-    val plansJson = headline.collect { case (name, _) if SparkEntry.queries.contains(name) =>
-      val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
-      s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+    val plansJson = (headline ++ coverage).collect {
+      case (name, _) if SparkEntry.queries.contains(name) =>
+        val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
+        s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
     }.mkString("{", ",", "}")
 
-    val qs = results.map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
+    val qs = (results ++ coverageResults)
+      .map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
       .mkString("{", ",", "}")
-    val raw = (results ++ Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
+    val raw = (results ++ coverageResults ++
+      Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
       "q_join_plain_layout" -> plainTs, "q_join_bcast_bucketed" -> bucketTs))
       .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
