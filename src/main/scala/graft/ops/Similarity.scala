@@ -100,37 +100,67 @@ object Similarity {
     array_min(array(structs: _*)).getField("key")
   }
 
-  /** deterministic Lloyd under squared L2 — [[lloydCentroids]]' discipline
-    * (smallest-id init, R6 assignment + rounded means, empty cluster keeps
-    * its previous centroid) with the L2 argmin, for PQ codebook training
+  /** Deterministic Lloyd under squared L2 for ALL `m` subspaces in ONE job
+    * per iteration: the subspaces are independent column slices of the same
+    * scan, so per-iteration training cost is one corpus pass + one
+    * (subspace, centroid, dim) aggregation instead of m sequential
+    * assignment+mean jobs — at production iters × m the m-fold scan
+    * reduction is the whole training bill. Discipline matches
+    * [[lloydCentroids]]: smallest-id init (ONE collect of full vectors,
+    * sliced driver-side — bit-identical to per-subspace inits over the same
+    * ids), R6 assignment keys, empty cluster keeps its previous centroid.
+    * Means come from EXACT scaled-long sums (the
+    * [[graft.ops.TextOps.unigramLogProb]] discipline): a double `avg`
+    * accumulates in partition-dependent order, and a mean within float
+    * noise of a .5e-6 rounding boundary could round differently across
+    * partitionings/engines — integer sums cannot, making training
+    * order-independent by construction rather than by measured luck.
     */
-  private def lloydL2(
-      base: DataFrame, nCents: Int, iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col("id")).limit(nCents)
+  private def lloydL2All(
+      base: DataFrame, m: Int, sub: Int, nCodes: Int, iters: Int)
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    val init = base.orderBy(col("id")).limit(nCodes)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(s =>
+      init.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) })
     var t = 0
     while (t < iters) {
-      val means: Map[Long, Seq[Double]] = base
-        .withColumn("cent_id", nearestL2(cents, col("__v"), usePos = false))
-        .select(col("cent_id"), posexplode(col("__v")).as(Seq("dim", "x")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cv"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+      // one scan evaluates all m assignment argmins; the exploded frame keys
+      // each component by (subspace, that subspace's assigned centroid)
+      val assigns = array((0 until m).map { s =>
+        nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = false)
+      }: _*)
+      val sIdx = (col("dim") / lit(sub)).cast("int")
+      val means: Map[(Int, Long), Seq[Double]] = base
+        .select(col("__v"), assigns.as("__a"))
+        .select(posexplode(col("__v")).as(Seq("dim", "x")), col("__a"))
+        .select(sIdx.as("s"), (col("dim") % sub).as("subdim"),
+          element_at(col("__a"), sIdx + 1).as("cent_id"), col("x"))
+        .groupBy(col("s"), col("cent_id"), col("subdim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 1e6).cast("long")).as("__s6"))
+        .withColumn("m",
+          round(col("__s6").cast("double") / (col("n") * lit(1e6)), 6))
+        .groupBy(col("s"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("subdim"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq).toMap
+      books = books.zipWithIndex.map { case (bk, s) =>
+        bk.map { case (cid, prev) => (cid, means.getOrElse((s, cid), prev)) }
+      }
       t += 1
     }
-    cents
+    books
   }
 
   /** PQ codebooks: the vector space split into `m` contiguous subspaces of
-    * `dim/m` dims, each with `nCodes` centroids trained independently by
-    * [[lloydL2]]. Codebook state is m × nCodes × (dim/m) doubles — tiny,
-    * driver-side, the broadcast-build pattern; training cost is `iters`
-    * scans per subspace (on a sample at 100 TB, the [[ivfTopK]]
-    * `trainSample` pattern applies identically).
+    * `dim/m` dims, each with `nCodes` centroids trained by [[lloydL2All]] —
+    * all m subspaces in one job per Lloyd iteration (OpsSpec pins the job
+    * count as independent of m). Codebook state is m × nCodes × (dim/m)
+    * doubles — tiny, driver-side, the broadcast-build pattern; training
+    * cost is `iters` corpus scans TOTAL (on a sample at 100 TB, the
+    * [[ivfTopK]] `trainSample` pattern applies identically).
     */
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -138,10 +168,7 @@ object Similarity {
     val sub = dim / m
     require(m * sub == dim, s"PQ needs m to divide dim, got m=$m dim=$dim")
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-    (0 until m).map { s =>
-      lloydL2(base.select(col("id"),
-        slice(col("__v"), s * sub + 1, sub).as("__v")), nCodes, iters)
-    }
+    lloydL2All(base, m, sub, nCodes, iters)
   }
 
   /** Product-quantization ANN top-k with asymmetric distance (ADC) — the
@@ -377,14 +404,14 @@ object Similarity {
     * argmax expression the index build uses (zero shuffle), then recomputes
     * each centroid as the per-dimension mean of its members, ROUNDED to 6
     * decimals — fixed iteration count + rounded assignment keys and means are
-    * what keep the whole training loop SQL-reproducible. One residual caveat:
-    * `avg` sums in partition-dependent order (unlike the left-to-right-folded
-    * dot products), so a mean landing within float-noise (~1e-15) of a
-    * .xxxxxx5 rounding boundary could in principle round differently across
-    * partitionings/engines and cascade through later iterations — accepted as
-    * a measured-zero-frequency risk here (OpsSpec pins partition invariance on
-    * the test corpus) rather than paying a sorted-fold per dimension per
-    * iteration. An empty cluster keeps its previous centroid. Centroid state is nCents×dim
+    * what keep the whole training loop SQL-reproducible. Means come from
+    * EXACT scaled-long sums (round(x·10⁶) summed as integers, divided and
+    * re-rounded — the [[graft.ops.TextOps.unigramLogProb]] discipline): a
+    * double `avg` accumulates in partition-dependent order, so a mean within
+    * float noise of a .xxxxxx5 rounding boundary could round differently
+    * across partitionings/engines and cascade through later iterations —
+    * integer sums make training order-independent by construction.
+    * An empty cluster keeps its previous centroid. Centroid state is nCents×dim
     * doubles fetched driver-side like any broadcast build; per-iteration
     * corpus work is one scan plus one (cent_id, dim) aggregation — at 100 TB
     * that is `iters` extra passes over the embedding column, the standard
@@ -402,7 +429,10 @@ object Similarity {
         .withColumn("cent_id", nearestCent(cents, col("__v")))
         .select(col("cent_id"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
-        .agg(round(avg(col("x")), 6).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 1e6).cast("long")).as("__s6"))
+        .withColumn("m",
+          round(col("__s6").cast("double") / (col("n") * lit(1e6)), 6))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))

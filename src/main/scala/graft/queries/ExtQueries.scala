@@ -408,7 +408,9 @@ object ExtQueries {
         bst$s AS (SELECT vec_id, code FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY d, code) AS rn FROM asn$s) WHERE rn = 1),
-        mn$s AS (SELECT code, dim, round(avg(x), 6) AS m FROM (
+        mn$s AS (SELECT code, dim,
+                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000.0), 6) AS m FROM (
                    SELECT b.code, unnest(range(1, ${PQ_SUB + 1})) AS dim,
                           unnest(v.v) AS x
                    FROM bst$s b JOIN ns$s v ON v.vec_id = b.vec_id)
@@ -684,7 +686,9 @@ object ExtQueries {
                     SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY ccos DESC, cent_id) AS rn FROM asn$t)
                   WHERE rn = 1),
-        mn$t AS (SELECT cent_id, dim, round(avg(x), 6) AS m FROM (
+        mn$t AS (SELECT cent_id, dim,
+                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000.0), 6) AS m FROM (
                    SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
                           unnest(v.v) AS x
                    FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)

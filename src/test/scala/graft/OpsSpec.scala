@@ -368,6 +368,49 @@ class OpsSpec extends AnyFunSuite {
       books.forall(_.forall(_._2.length == 16)))
   }
 
+  test("PQ training costs one job per Lloyd iteration, independent of m") {
+    // the m subspaces are independent column slices of one scan, so training
+    // must run ONE assignment+means job per iteration for ALL subspaces —
+    // not m sequential jobs (at production iters x m that is the whole
+    // training bill). AQE off in a dedicated session (it splits one action
+    // into per-stage jobs); a job group isolates the count from concurrent
+    // suites; the one init collect happens in-group for both runs alike.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val emb = graft.Tables.embeddings(s2, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    def jobsFor(m: Int): Int = {
+      val group = s"graft_pq_jobs_${m}_${System.nanoTime()}"
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (group == js.properties.getProperty("spark.jobGroup.id") &&
+              !js.stageInfos.forall(_.name.contains("withThreadLocalCaptured"))) {
+            jobs.incrementAndGet()
+            ()
+          }
+      }
+      s2.sparkContext.addSparkListener(listener)
+      try {
+        s2.sparkContext.setJobGroup(group, "pq training job count")
+        graft.ops.Similarity.pqCodebooks(emb, "vec_id", "embedding", m, 16, 64, 2)
+        s2.sparkContext.clearJobGroup()
+        var last = -1
+        var cur = jobs.get()
+        while (cur != last) { Thread.sleep(200); last = cur; cur = jobs.get() }
+        cur
+      } finally s2.sparkContext.removeSparkListener(listener)
+    }
+    val j2 = jobsFor(2)
+    val j4 = jobsFor(4)
+    assert(j4 == j2,
+      s"training job count must not grow with m: m=2 took $j2 jobs, m=4 took $j4")
+    assert(j4 <= 1 + 2 + 1,
+      s"expected <= init + one job per iteration (+1 slack), saw $j4")
+  }
+
   test("IVF+PQ: candidates only from probed lists; partition-invariant") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def run(df: org.apache.spark.sql.DataFrame) = graft.ops.Similarity.ivfPqTopK(
