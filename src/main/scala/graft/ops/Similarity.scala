@@ -77,6 +77,70 @@ object Similarity {
     df.select(col(idCol) +: comps: _*)
   }
 
+  // ---- OPQ-lite rotation ---------------------------------------------------
+
+  /** deterministic ±1 sign for the OPQ rotation's diagonal, md5-derived like
+    * every other pseudo-random constant here (distinct `opq_` seed prefix)
+    */
+  private def opqSign(i: Int): Int =
+    if (hash32Local(s"opq_$i") % 2 == 0) 1 else -1
+
+  /** deterministic input permutation for the OPQ rotation: indices 0..dim-1
+    * ordered by their md5 hash (`opqp_` seed prefix) — a SQL-regenerable
+    * shuffle that scatters input coordinates across all index-bit positions
+    */
+  private[graft] def opqPerm(dim: Int): Seq[Int] =
+    (0 until dim).sortBy(i => (hash32Local(s"opqp_$i"), i))
+
+  /** Deterministic OPQ-lite rotation: R = H·D·P — an md5-derived input
+    * permutation P, then an md5-derived ±1 diagonal D, then the dim×dim
+    * Walsh–Hadamard matrix H (dim a power of two). All three factors are
+    * orthogonal, so L2 distances and norms are preserved and PQ in the
+    * rotated space approximates the SAME metric. This is the learning-free
+    * rotation family FAISS uses to initialize OPQ: H·D spreads energy
+    * concentrated in a few input dimensions across ALL output dimensions,
+    * and P matters structurally — without it, a signal confined to input
+    * dims whose indices share a zero bit (e.g. dims 0..3 of 8) maps
+    * IDENTICALLY into Hadamard halves (rows j and j+dim/2 have equal parity
+    * on those inputs), leaving every PQ subspace the same map of the signal
+    * and recovering nothing; the permutation scatters the signal across the
+    * index-bit space so distinct subspaces see genuinely different
+    * projections and the nCodes^m effective cells come back. Rotated
+    * component j folds v[perm(i)] · (±1/√dim) left-to-right — for the
+    * gate's dim 64 every factor is exactly ±2^-3, so products are
+    * IEEE-identical however an engine associates sign and scale, and the R6
+    * rounding makes the whole rotation SQL-reproducible. Pure scan-level
+    * codegen'd expressions: zero shuffle, no UDF. Emits `idCol` plus `rv`
+    * (array<double>, the rotated vector).
+    */
+  def rotateHD(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require((dim & (dim - 1)) == 0, s"Hadamard rotation needs a power-of-2 dim, got $dim")
+    val inv = 1.0 / math.sqrt(dim.toDouble)
+    val perm = opqPerm(dim)
+    val v = asDouble(col(vecCol))
+    val comps = (0 until dim).map { j =>
+      // row for the dot against the UNPERMUTED vector: coefficient of
+      // v[perm(i)] is s_i · had(i,j) · inv
+      val coef = Array.ofDim[Double](dim)
+      (0 until dim).foreach { i =>
+        val had = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1 else -1
+        coef(perm(i)) = opqSign(i) * had * inv
+      }
+      round(dot(v, array(coef.map(lit).toIndexedSeq: _*)), 6)
+    }
+    df.select(col(idCol), array(comps: _*).as("rv"))
+  }
+
+  /** OPQ-lite ANN: [[pqTopK]] over [[rotateHD]]-rotated vectors — identical
+    * training/encode/ADC machinery, better codebooks on anisotropic inputs
+    * (LawsSpec pins recall ≥ plain PQ on an energy-concentrated fixture).
+    */
+  def opqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, nCodes: Int, dim: Int, trainIters: Int = 1): DataFrame =
+    pqTopK(rotateHD(corpus, idCol, vecCol, dim),
+      rotateHD(queries, idCol, vecCol, dim), idCol, "rv", k, m, nCodes, dim, trainIters)
+
   // ---- product quantization (PQ) -----------------------------------------
 
   /** squared L2 distance expanded through the codegen'd dot kernel

@@ -83,6 +83,19 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // OPQ-lite: the same PQ/ADC machinery over a deterministic randomized-
+    // Hadamard rotation (H x md5-derived sign diagonal — exactly orthogonal,
+    // so the metric is unchanged): energy concentrated in a few dims is
+    // spread across all subspaces, recovering the nCodes^m effective cells
+    // anisotropic inputs waste. Rotation factors are exactly +/-2^-3, so the
+    // oracle reproduces the rotation bit-for-bit.
+    "q_ann_opq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        PQ_TOPK, PQ_M, PQ_CODES, DIM, trainIters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IVF + PQ: the full production composition — coarse inverted-file
     // routing (nprobe/nCents of the index scanned) over PQ-coded lists
     // (32x compression); pruning and compression multiply
@@ -427,6 +440,51 @@ object ExtQueries {
                     FROM ns$s x CROSS JOIN bk$s b) WHERE rn = 1)"""
     }
 
+    // the in-memory PQ/ADC search tail (coded corpus, query subspaces, ADC
+    // ranking) — shared verbatim by q_ann_pq (over raw vectors) and
+    // q_ann_opq (over rotated vectors): only the `n` CTE feeding it differs
+    val pqAdcTail = s"""
+        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+        qn AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
+                 s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
+               FROM n WHERE vec_id < 10),
+        p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                round(${(0 until PQ_M).map(s =>
+                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
+                  AS adist
+              FROM qn q CROSS JOIN cdd x
+                ${(0 until PQ_M).map(s =>
+                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
+              WHERE q.vec_id <> x.vec_id)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank FROM p)
+        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank"""
+
+    // the rotated twin of embBase: n carries H·D·P-rotated vectors. The
+    // permutation CTEs regenerate opqPerm (indices ordered by md5 hash,
+    // 'opqp_' prefix); `inv[k+1]` is coordinate k's Hadamard index, so the
+    // fold runs over ORIGINAL coordinates k ascending — the same order the
+    // Spark dot folds — with sign diagonal = md5('opq_'||i) parity and
+    // Hadamard sign = bit_count(i&j) parity. Every factor is exactly
+    // +/-0.125 for dim 64, so the rotation is bit-for-bit reproducible.
+    val opqBase = s"""
+      WITH ph AS (SELECT i, CAST(('0x' || substring(md5('opqp_' || i),1,8)) AS BIGINT) AS h
+                  FROM range(0, $DIM) t(i)),
+      pr AS (SELECT i, row_number() OVER (ORDER BY h, i) - 1 AS r FROM ph),
+      ip AS (SELECT list(r ORDER BY i) AS inv FROM pr),
+      e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+             FROM embeddings),
+      e AS (SELECT vec_id, list_transform(range(0, $DIM), j ->
+              round(list_sum(list_transform(range(0, $DIM), k ->
+                v0[k+1] * (CASE WHEN ((CAST(('0x' || substring(md5('opq_' || inv[k+1]),1,8)) AS BIGINT) % 2)
+                                  + bit_count(inv[k+1] & CAST(j AS BIGINT))) % 2 = 0
+                            THEN 0.125 ELSE -0.125 END))), 6)) AS v
+            FROM e0 CROSS JOIN ip),
+      n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
+
     // IVF coarse stage (centroids, full assignment, inverted lists, probes) —
     // shared by every IVF query
     val ivfCoarseCtes = s"""
@@ -545,24 +603,16 @@ object ExtQueries {
       "q_ann_pq" -> s"""
         $embBase,
         ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
-        cdd AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
-                FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
-                  JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
-        qn AS (SELECT vec_id, ${(0 until PQ_M).map(s =>
-                 s"v[${s * PQ_SUB + 1}:${(s + 1) * PQ_SUB}] AS s$s").mkString(", ")}
-               FROM n WHERE vec_id < 10),
-        p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-                round(${(0 until PQ_M).map(s =>
-                  s"round(${pqSqSql(s"q.s$s", s"b$s.cv")}, 6)").mkString(" + ")}, 6)
-                  AS adist
-              FROM qn q CROSS JOIN cdd x
-                ${(0 until PQ_M).map(s =>
-                  s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
-              WHERE q.vec_id <> x.vec_id)
-        SELECT query_id, neighbor_id, adist, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY adist, neighbor_id) AS rank FROM p)
-        WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
+        $pqAdcTail""",
+
+      // OPQ-lite: identical PQ chain over the randomized-Hadamard-rotated
+      // vectors — the rotation unrolled inline (sign diagonal from md5
+      // parity, Hadamard sign from bit_count(i&j) parity, factor exactly
+      // +/-0.125 for dim 64, R6-rounded components)
+      "q_ann_opq" -> s"""
+        $opqBase,
+        ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
+        $pqAdcTail""",
 
       // exact re-rank: the q_ann_pq chain kept as a shortlist CTE at
       // k' = 4k, then joined back to the raw vectors for an exact cosine

@@ -258,6 +258,47 @@ object LawsSpec extends Properties("graft") {
   property("exact re-rank of PQ shortlist (k'=4k) recall@5 >= raw PQ recall@5") =
     Prop.secure(rerankRecalls._1 >= rerankRecalls._2)
 
+  // OPQ's rotation earns its keep exactly where plain PQ wastes codes: when
+  // the energy sits entirely in one subspace, that subspace's nCodes cells
+  // are all the resolution PQ has (the other subspace's codes quantize a
+  // constant). The Hadamard rotation spreads the signal across both
+  // subspaces, recovering nCodes^2 effective cells. Deterministic fixture
+  // (seeded grid signal in dims 0-3, zeros in dims 4-7) -> stable outcome.
+  private lazy val opqRecalls: (Double, Double) = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      val sig = Seq.fill(4)(math.rint(rnd.nextDouble() * 200 - 100) / 100)
+      (i, (sig ++ Seq.fill(4)(0.0)).map(_.toFloat).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 10)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth in the metric PQ approximates — exact squared L2,
+    // computed driver-side on the 300-row fixture (cosine truth would
+    // compare against a DIFFERENT ranking and mask the rotation's effect)
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = (0L until 10L).flatMap { qi =>
+      rows.collect { case (id, _) if id != qi => (id, sq(vecs(qi), vecs(id))) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(p => (qi, p._1))
+    }.toSet
+    val plain = pairs(graft.ops.Similarity.pqTopK(
+      df, q, "vec_id", "embedding", 5, 2, 8, 8, trainIters = 1))
+    val opq = pairs(graft.ops.Similarity.opqTopK(
+      df, q, "vec_id", "embedding", 5, 2, 8, 8, trainIters = 1))
+    val r = ((truth intersect opq).size.toDouble / truth.size,
+      (truth intersect plain).size.toDouble / truth.size)
+    println(s"[laws] OPQ recall@5 = ${r._1}, plain PQ recall@5 = ${r._2}, " +
+      s"opq==plain sets: ${opq == plain}, |opq∩plain| = ${(opq intersect plain).size}")
+    r
+  }
+
+  property("OPQ rotation recall@5 >= plain PQ recall@5 on anisotropic vectors") =
+    Prop.secure(opqRecalls._1 >= opqRecalls._2)
+
   // the broadcast-matrix kernel must reproduce the literal-struct ranking
   // bit-for-bit for ANY centroid set — including exact rounded-cosine ties
   // (2-decimal vectors collide often), where the smaller cent id must win
