@@ -623,18 +623,21 @@ object Similarity {
     val inverted = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(col("id").as("neighbor_id"), col("__q").as("__cq"), col("cent_id"))
-    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
+    quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
   }
 
-  /** shared probe + quantized ranking stage of [[ivfInt8TopK]] and
-    * [[searchIvfInt8Index]]: probes select nprobe centroids on floats, meet
-    * the quantized lists through the cent_id equi-join, rank in the integer
-    * domain. `inverted` carries (neighbor_id, __cq array<int>, cent_id).
+  /** shared probe + quantized ranking stage of every scalar-quantized IVF
+    * search ([[ivfInt8TopK]], [[searchIvfInt8Index]], [[searchIvfF16Index]]):
+    * probes select nprobe centroids on floats, meet the quantized lists
+    * through the cent_id equi-join, rank in the integer domain. `inverted`
+    * carries (neighbor_id, __cq array<int>, cent_id); `mkCodes` quantizes
+    * the query side with the SAME construction the lists were stored with.
     */
-  private def int8ProbeRank(
+  private def quantProbeRank(
       inverted: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
-      assignKernel: Boolean = false): DataFrame = {
+      assignKernel: Boolean = false,
+      mkCodes: Column => Column = int8Codes): DataFrame = {
     lazy val probeArr = slice(
       array_sort(array(cents.map { case (cid, cvec) =>
         struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
@@ -651,7 +654,7 @@ object Similarity {
     // dots per pair); same IEEE values, so ranking is unchanged
     val probes = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"),
-      int8Codes(asDouble(col(vecCol))).as("__qq"))
+      mkCodes(asDouble(col(vecCol))).as("__qq"))
       .withColumn("__qn", qnorm(col("__qq")))
       .withColumn("cent_id", explode(probeIds))
     val lists = inverted.withColumn("__cn", qnorm(col("__cq")))
@@ -987,7 +990,65 @@ object Similarity {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
       // partition-column inference reads cent_id as int; restore the long key
       .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
-    int8ProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
+    quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
+  }
+
+  /** Persist an int16-quantized inverted-file index — the 2-byte/dim middle
+    * rung of the storage ladder ([[int16Codes]]: 256× finer than int8 at 2×
+    * the bytes, 4× smaller than float64). Identical layout and crash-safe
+    * commit protocol to [[writeIvfInt8Index]] (lists partitioned by
+    * cent_id, nCents-row sidecar, manifest flip); lists store
+    * `array<smallint>` codes.
+    */
+  def writeIvfF16Index(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+      int16Codes(asDouble(col(vecCol))).cast("array<smallint>").as("__q"))
+    val cents = lloydCentroids(
+      sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
+    val assign = assignExpr(cents, assignKernel)
+    val lists = Dedup.capBuckets(
+      base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
+      .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+    import spark.implicits._
+    publishIndexLists(spark, path, lists, cents.toDF("cent_id", "cv").coalesce(1))
+  }
+
+  /** Search a persisted [[writeIvfF16Index]] index — the int8 search with
+    * 16-bit codes: float coarse stage from the sidecar, partition-pruned
+    * list scan, ranking entirely in the integer domain (dot terms bounded
+    * by 32767²·dim, exact in the long accumulator).
+    */
+  def searchIvfF16Index(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      assignKernel: Boolean = false): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    val inverted = readIndexLists(spark, path,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ShortType))
+      .select(col("neighbor_id"), col("q").cast("array<int>").as("__cq"),
+        col("cent_id").cast("long").as("cent_id"))
+    quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe,
+      assignKernel, int16Codes)
+  }
+
+  /** Append a batch to a persisted [[writeIvfF16Index]] index — the shared
+    * crash-safe append protocol with int16 encoding of the batch.
+    */
+  def appendIvfF16Index(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+    val cents = loadCentroids(spark, path)
+    val assign = assignExpr(cents, assignKernel)
+    val newRows = batch.select(
+      col(idCol).as("neighbor_id"),
+      int16Codes(asDouble(col(vecCol))).cast("array<smallint>").as("q"),
+      assign(asDouble(col(vecCol))).as("cent_id"))
+    appendListsIndexImpl(spark, path, newRows, maxBucket, () => ())
   }
 
   /** the nCents-row centroid sidecar of a persisted index, driver-side (the
@@ -1314,10 +1375,25 @@ object Similarity {
     * (diagnostics) and [[int8TopK]] (quantized-domain search) both build on
     * it, so the stored codes and the searched codes cannot drift.
     */
-  def int8Codes(v: Column): Column = {
+  def int8Codes(v: Column): Column = scalarCodes(v, 127)
+
+  /** Symmetric int16 quantization codes — the 2-byte/dim middle rung of the
+    * storage ladder between int8 (1 byte, coarser) and float64 (8 bytes,
+    * exact): per-vector scale max|x|/32767, q_i = round(x_i·32767/max)
+    * ∈ [-32767, 32767]. 256× finer resolution than int8 at 2× the bytes —
+    * the float16-class tradeoff, realized as integer codes so ranking stays
+    * in the exact integer domain (scales cancel for cosine, dot terms
+    * bounded by 32767²·dim ≪ 2⁶³) and the oracle stays bit-for-bit.
+    */
+  def int16Codes(v: Column): Column = scalarCodes(v, 32767)
+
+  /** the ONE symmetric scalar-quantization construction behind int8Codes
+    * and int16Codes: per-vector scale max|x|/maxCode, zero vector → zeros
+    */
+  private def scalarCodes(v: Column, maxCode: Int): Column = {
     val mx = array_max(transform(v, x => abs(x)))
     when(mx === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round(x * 127.0 / mx).cast("int")))
+      .otherwise(transform(v, x => round(x * maxCode.toDouble / mx).cast("int")))
   }
 
   /** Quantized-domain brute-force cosine top-k — the consumer of the int8
@@ -1355,17 +1431,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_q"), col("rank"))
   }
 
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeScalar(df, idCol, vecCol, 127)
+
+  /** [[quantizeInt8]]'s diagnostics for the 2-byte [[int16Codes]] domain —
+    * same columns; max_err shrinks ~256× (the resolution the extra byte buys)
+    */
+  def quantizeInt16(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeScalar(df, idCol, vecCol, 32767)
+
+  private def quantizeScalar(
+      df: DataFrame, idCol: String, vecCol: String, maxCode: Int): DataFrame = {
     val v = asDouble(col(vecCol))
     val mx = array_max(transform(v, x => abs(x)))
-    val q = int8Codes(v)
+    val q = scalarCodes(v, maxCode)
+    val mc = lit(maxCode.toDouble)
     df.select(
       col(idCol),
       size(v).cast("long").as("n_dims"),
-      round(mx / 127.0, 9).as("scale"),
+      round(mx / mc, 9).as("scale"),
       aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
       md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
-      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / lit(127.0)))), 9)
+      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / mc))), 9)
         .as("max_err"))
   }
 

@@ -201,6 +201,26 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // the 2-byte/dim rung of the storage ladder: int16 ("f16-class") codes
+    // between int8 (1 B, coarser) and float64 (8 B, exact) — same layout,
+    // same commit protocol, 256x finer resolution than int8; ranking stays
+    // in the exact integer domain (scales cancel for cosine)
+    "q_ann_f16_index" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_f16_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfF16Index(emb, "vec_id", "embedding", path, IVF_CENTS)
+      Similarity.searchIvfF16Index(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // int16 quantization diagnostics — q_embed_quantize's columns at the
+    // 2-byte resolution; max_err shrinks ~256x (what the extra byte buys)
+    "q_embed_quantize16" -> { (s, dir) =>
+      Similarity.quantizeInt16(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+
     // ONLINE retrieval: the same persisted-index search with the queries
     // arriving on a STREAM (foreachBatch per micro-batch, stateless — each
     // query ranks against the static index inside its own batch), results
@@ -384,16 +404,18 @@ object ExtQueries {
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
 
-    // int8 code CTEs (the q_embed_quantize construction): q = codes, qnrm =
-    // sqrt of the integer self-dot — shared by every quantized-domain query
-    val int8Ctes = s"""
+    // scalar-quantization code CTEs (the q_embed_quantize construction):
+    // q = codes, qnrm = sqrt of the integer self-dot — shared by every
+    // quantized-domain query; maxCode = 127 (int8) or 32767 (int16/"f16")
+    def quantCtes(maxCode: Int) = s"""
         q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
         qc AS (SELECT vec_id, CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-                     ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
+                     ELSE list_transform(v, x -> CAST(round(x*$maxCode.0/mx) AS INT)) END AS q
                FROM q0),
         qn AS (SELECT vec_id, q,
                  sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS qnrm
                FROM qc)"""
+    val int8Ctes = quantCtes(127)
     // int8 cosine between two qn-aliased rows: one integer dot, scales cancel
     def cosInt8Sql(a: String, b: String) =
       s"""round(CAST(list_sum(list_transform(range(1, ${DIM + 1}),
@@ -501,11 +523,12 @@ object ExtQueries {
                 FROM asg0 WHERE rn = 1),
         qp AS (SELECT vec_id AS query_id, cent_id FROM asg0
                WHERE rn <= $IVF_NPROBE AND vec_id < 10)"""
-    // shared by q_ann_ivf_int8 and q_ann_ivf_index (in-memory vs persisted)
-    val ivfInt8Sql = s"""
+    // shared by q_ann_ivf_int8 / q_ann_ivf_index (maxCode 127) and
+    // q_ann_f16_index (maxCode 32767) — in-memory vs persisted vs 16-bit
+    def ivfQuantSql(maxCode: Int) = s"""
         $embBase,
         $ivfCoarseCtes,
-        $int8Ctes,
+        ${quantCtes(maxCode)},
         p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id, qp.cent_id,
                 ${cosInt8Sql("a", "b")} AS cos_q
               FROM qp JOIN inv ON qp.cent_id = inv.cent_id
@@ -517,6 +540,23 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
+    val ivfInt8Sql = ivfQuantSql(127)
+
+    // the q_embed_quantize construction at either code width (127 = int8,
+    // 32767 = int16): codes, scale, digest, and the max dequantization error
+    def quantizeSql(maxCode: Int) = s"""
+        $embBase,
+        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
+        q1 AS (SELECT vec_id, v, mx,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v, x -> CAST(round(x*$maxCode.0/mx) AS INT)) END AS q
+               FROM q0)
+        SELECT vec_id, len(v)::BIGINT AS n_dims, round(mx/$maxCode.0, 9) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               md5(array_to_string(q, ',')) AS q_digest,
+               round(list_max(list_transform(range(1, ${DIM + 1}),
+                 i -> abs(v[i] - q[i]*mx/$maxCode.0))), 9) AS max_err
+        FROM q1 ORDER BY vec_id"""
 
     // shared by q_ann_ivf and q_ann_ivf_kernel (same semantics, different
     // physical assignment expression on the Spark side)
@@ -676,19 +716,8 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
-      "q_embed_quantize" -> s"""
-        $embBase,
-        q0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
-        q1 AS (SELECT vec_id, v, mx,
-                 CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-                      ELSE list_transform(v, x -> CAST(round(x*127.0/mx) AS INT)) END AS q
-               FROM q0)
-        SELECT vec_id, len(v)::BIGINT AS n_dims, round(mx/127.0, 9) AS scale,
-               CAST(list_sum(q) AS BIGINT) AS q_sum,
-               md5(array_to_string(q, ',')) AS q_digest,
-               round(list_max(list_transform(range(1, ${DIM + 1}),
-                 i -> abs(v[i] - q[i]*mx/127.0))), 9) AS max_err
-        FROM q1 ORDER BY vec_id""",
+      "q_embed_quantize" -> quantizeSql(127),
+      "q_embed_quantize16" -> quantizeSql(32767),
       // quantized-domain search: the same code construction as
       // q_embed_quantize, then THREE exact integer dots per pair (scales
       // cancel for cosine) — only the final divide/round are float ops
@@ -707,6 +736,8 @@ object ExtQueries {
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,
+      // the 16-bit index is the identical construction at maxCode 32767
+      "q_ann_f16_index" -> ivfQuantSql(32767),
       // streaming retrieval over the same persisted index and query set —
       // per-batch search unions to exactly the batch search's result
       "q_stream_ann" -> ivfInt8Sql,

@@ -368,6 +368,39 @@ class OpsSpec extends AnyFunSuite {
       books.forall(_.forall(_._2.length == 16)))
   }
 
+  test("int16 quantization error is far below int8's; f16 index search is deterministic") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e8 = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select($"vec_id", $"max_err".as("e8"))
+    val e16 = Similarity.quantizeInt16(emb, "vec_id", "embedding")
+      .select($"vec_id", $"max_err".as("e16"))
+    val j = e8.join(e16, "vec_id").collect()
+    assert(j.nonEmpty && j.forall(r => r.getAs[Double]("e16") <= r.getAs[Double]("e8")),
+      "the 2-byte codes must never dequantize worse than the 1-byte codes")
+    val ratios = j.map(r =>
+      r.getAs[Double]("e8") / math.max(r.getAs[Double]("e16"), 1e-12)).sorted
+    assert(ratios(ratios.length / 2) > 50,
+      s"median error ratio should reflect ~256x finer codes, got ${ratios(ratios.length / 2)}")
+    // build/search round-trip is deterministic (the gate pins values; this
+    // pins that two searches of the same stored index agree exactly)
+    val path = "/tmp/graft_f16_opsspec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    Similarity.writeIvfF16Index(emb, "vec_id", "embedding", path, 8)
+    def search() = Similarity.searchIvfF16Index(
+      spark, path, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val s1 = search()
+    assert(s1 == search() && s1.nonEmpty)
+    // appends ride the shared protocol and are searchable
+    Similarity.appendIvfF16Index(
+      spark, emb.filter($"vec_id" === 0).withColumn("vec_id", lit(900000L)),
+      "vec_id", "embedding", path)
+    val all = Similarity.searchIvfF16Index(
+      spark, path, emb.filter($"vec_id" < 10), "vec_id", "embedding", 100000, 8)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(all.contains(900000L), "appended vector must be searchable")
+  }
+
   test("PQ training costs one job per Lloyd iteration, independent of m") {
     // the m subspaces are independent column slices of one scan, so training
     // must run ONE assignment+means job per iteration for ALL subspaces —
