@@ -33,6 +33,36 @@ object TextOps {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
 
+  /** The in-repo subword vocabulary behind [[withVocabTokenCount]]: whole
+    * high-frequency corpus words plus BPE-merge-style pieces (a real
+    * tokenizer vocabulary is corpus-derived exactly like this, just larger).
+    * The Spark expression AND the DuckDB oracle are both generated from
+    * THIS list, so the two tokenizations cannot drift.
+    */
+  val tokenizerVocab: Seq[String] = Seq(
+    // whole high-frequency words
+    "join", "hash", "row", "batch", "scan", "small", "merge", "slow",
+    "order", "line", "data", "table", "agg", "value", "key", "spark",
+    "group", "part", "big", "sort", "fast", "the", "dup",
+    // subword pieces (BPE-merge style)
+    "cust", "omer", "col", "umn", "vec", "tor", "qu", "ery", "win", "dow",
+    "str", "eam", "fil", "ter", "ing", "er", "in", "on", "an", "at",
+    "or", "en", "es", "ed", "re", "de", "un", "st", "ar", "le")
+
+  /** Tokenizer-exact token counts — the upgrade of the [[bpeishTokens]]
+    * ESTIMATE to the real segmentation rule (greedy longest-match over a
+    * fixed vocabulary, WordPiece/BPE-inference style) that a packing or
+    * budgeting pipeline needs: `n_tokens_vocab` is what the documents cost
+    * in vocabulary tokens, not a regex proxy. One scan-level codegen'd
+    * kernel per row ([[graft.functions.VocabTokenCount]] — the vocabulary
+    * rides as a reference object, no UDF, zero shuffle).
+    */
+  def withVocabTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      graft.functions.VocabExprs.vocabTokenCount(col(textCol), tokenizerVocab)
+        .as("n_tokens_vocab"))
+
   /** word n-gram shingles (distinct), joined with single spaces */
   def shingles(toks: Column, n: Int): Column = array_distinct(shinglesAll(toks, n))
   def shingles(toksCol: String, n: Int): Column = shingles(col(toksCol), n)

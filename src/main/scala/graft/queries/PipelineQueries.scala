@@ -58,6 +58,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // tokenizer-exact token counts: greedy longest-match over the in-repo
+    // subword vocabulary (the WordPiece/BPE-inference rule) as one codegen'd
+    // kernel — the exact budget feeding packing/stats, not a regex estimate
+    "q_text_tokenize" -> { (s, dir) =>
+      TextOps.withVocabTokenCount(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // corpus-relative unigram log-probability — the model-free LM quality
     // signal: mean/min log10 token probability under the corpus's own
     // unigram distribution (low mean = unusual vocabulary)
@@ -448,6 +456,33 @@ object PipelineQueries {
                list_min(list_transform(grams, x -> ${hash32Sql("x")})) AS fingerprint,
                len(grams)::BIGINT AS n_grams
         FROM g ORDER BY doc_id""",
+      // the greedy longest-match tokenization unrolled as a recursive CTE:
+      // one step per consumed token (spaces advance without counting), the
+      // longest matching vocab length picked by max() — count-equivalent to
+      // the kernel's first-longest choice. VALUES generated from the SAME
+      // Scala vocabulary the Spark expression uses.
+      "q_text_tokenize" -> {
+        val values = TextOps.tokenizerVocab
+          .map(t => s"('$t', ${t.length})").mkString(", ")
+        s"""
+        WITH RECURSIVE vocab(tok, len) AS (SELECT * FROM (VALUES $values) v(tok, len)),
+        d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        steps AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM d
+          UNION ALL
+          SELECT s.doc_id,
+                 s.pos + CASE WHEN substring(d.text, CAST(s.pos AS INT), 1) = ' ' THEN 1
+                          ELSE coalesce((SELECT max(v.len) FROM vocab v
+                                         WHERE substring(d.text, CAST(s.pos AS INT), v.len) = v.tok), 1) END,
+                 s.cnt + CASE WHEN substring(d.text, CAST(s.pos AS INT), 1) = ' ' THEN 0 ELSE 1 END
+          FROM steps s JOIN d USING (doc_id)
+          WHERE s.pos <= d.n)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars, m.n_tokens_vocab
+        FROM d JOIN (SELECT doc_id, max(cnt) AS n_tokens_vocab
+                     FROM steps GROUP BY doc_id) m USING (doc_id)
+        ORDER BY d.doc_id"""
+      },
+
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",

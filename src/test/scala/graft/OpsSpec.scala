@@ -368,6 +368,31 @@ class OpsSpec extends AnyFunSuite {
       books.forall(_.forall(_._2.length == 16)))
   }
 
+  test("vocab tokenizer: greedy longest-match, space-skipping, hand-pinned") {
+    def count(vocab: Seq[String], texts: String*): Seq[Long] =
+      texts.toDF("t").select(
+        graft.functions.VocabExprs.vocabTokenCount($"t", vocab).as("n"))
+        .as[Long].collect().toSeq
+    // "aabcab": a | ab | c(fallback) | ab  -> 4 ("ab" wins over "a" at pos 1)
+    // "a b": two tokens, space skipped; "": zero; "  ": zero
+    assert(count(Seq("ab", "a", "bc"), "aabcab", "a b", "", "  ") ==
+      Seq(4L, 2L, 0L, 0L))
+    // longest match is not first match: "abc" must consume "abc", not "ab"+"c"
+    assert(count(Seq("ab", "abc"), "abc") == Seq(1L))
+    // the real vocabulary segments corpus words into subwords: "customer"
+    // = cust|omer (2), "query" = qu|ery (2), "window" = win|dow (2)
+    assert(count(graft.ops.TextOps.tokenizerVocab, "customer query window") ==
+      Seq(6L))
+    // and the gate shape: counts are positive and bounded by chars
+    val got = graft.ops.TextOps.withVocabTokenCount(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .collect()
+    assert(got.nonEmpty && got.forall { r =>
+      val (c, t) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens_vocab"))
+      t > 0 && t <= c
+    })
+  }
+
   test("int16 quantization error is far below int8's; f16 index search is deterministic") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val e8 = Similarity.quantizeInt8(emb, "vec_id", "embedding")
