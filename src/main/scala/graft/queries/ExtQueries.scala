@@ -237,6 +237,20 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // online retrieval over the 2-byte stored index: the q_stream_ann cell
+    // with the persisted int16 index — identical to the batch f16 search
+    // over the same query set, so the oracle is q_ann_f16_index's
+    "q_stream_f16" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_stream_f16_idx_$tag"
+      Similarity.writeIvfF16Index(emb, "vec_id", "embedding", path, IVF_CENTS)
+      graft.streaming.Streams.streamingF16Search(
+        emb.filter(col("vec_id") < 10), path, s"/tmp/graft_stream_f16_out_$tag",
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // online retrieval over the COMPRESSED stored index: the q_stream_ann
     // cell with the persisted IVF+PQ index — identical to the batch PQ
     // search over the same query set, so the oracle is q_ann_ivf_pq's
@@ -738,6 +752,8 @@ object ExtQueries {
       "q_ann_ivf_index" -> ivfInt8Sql,
       // the 16-bit index is the identical construction at maxCode 32767
       "q_ann_f16_index" -> ivfQuantSql(32767),
+      // streaming retrieval over the same persisted f16 index and query set
+      "q_stream_f16" -> ivfQuantSql(32767),
       // streaming retrieval over the same persisted index and query set —
       // per-batch search unions to exactly the batch search's result
       "q_stream_ann" -> ivfInt8Sql,

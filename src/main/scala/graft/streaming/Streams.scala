@@ -555,6 +555,18 @@ object Streams {
       graft.ops.Similarity.searchIvfPqIndex(
         b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
 
+  /** [[streamingAnnSearch]] over the persisted int16 ("f16-class") index
+    * ([[graft.ops.Similarity.writeIvfF16Index]]) — the 2-byte storage rung,
+    * same stateless per-batch semantics and retry-idempotent sink.
+    */
+  def streamingF16Search(
+      queries: DataFrame, indexPath: String, outDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      batches: Int = 4): DataFrame =
+    streamingSearch(queries, outDir, batches, b =>
+      graft.ops.Similarity.searchIvfF16Index(
+        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+
   /** the shared streaming-search harness: stage queries as `batches` files,
     * feed one file per trigger, run `searchFn` with full batch semantics per
     * micro-batch through the idempotent [[searchBatchSink]], read the union
