@@ -83,4 +83,92 @@ object Splits {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic mixture (down-)sampling — re-weight a multi-domain corpus
+    * to TARGET proportions, the data-mixing step of every pretraining
+    * pipeline ("30% web, 30% code, 40% books"). No domain is upsampled: the
+    * achievable scale is set by the binding domain (the one whose actual
+    * share falls shortest of its target), every other domain is hash-rate
+    * downsampled to match, and rows from domains outside `weights` are
+    * dropped.
+    *
+    * All arithmetic is EXACT integer math (BigInt cross-multiplication picks
+    * the binding domain; thresholds are integer floor-divisions in parts per
+    * million), so the row set is bit-reproducible across engines — no
+    * double-rounding boundary for the oracle to disagree on. The expensive
+    * part is scan-shaped for 100 TB: one map-side-combined count per domain
+    * (a handful of rows to the driver — the broadcast-build pattern), then a
+    * single pure scan-level filter `hash(key) % 1e6 < threshold(domain)`;
+    * zero data-scale shuffles, no window, no skew sensitivity. Rates are
+    * expectations, so realized counts carry binomial noise of O(sqrt(n)) —
+    * negligible at the scales where mixing matters; use [[sampleGroupK]]
+    * when exact per-group cardinalities are required.
+    */
+  def sampleMixture(
+      df: DataFrame, domainCol: String, keyCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"mixture weights must be positive, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate domain in $weights")
+    val wmap = weights.toMap
+    // one tiny counting job: |domains| rows — sidecar-sized by construction
+    val counts = df.filter(col(domainCol).isin(weights.map(_._1): _*))
+      .groupBy(col(domainCol).cast("string").as(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.forall { case (d, _) => counts.getOrElse(d, 0L) > 0L },
+      s"every target domain needs rows; missing: ${wmap.keySet -- counts.keySet}")
+    // binding domain d*: argmin n_d/w_d, compared by exact cross-multiplication
+    val (dStar, nStar) = weights
+      .map { case (d, _) => d -> counts(d) }
+      .minBy { case (d, n) => (BigInt(n) * wmap.values.map(BigInt(_)).product / wmap(d), d) }
+    // threshold_d = floor(1e6 * (n* · w_d) / (w* · n_d)) — parts per million
+    val thresholds = weights.map { case (d, w) =>
+      d -> ((BigInt(1000000) * BigInt(nStar) * BigInt(w)) /
+        (BigInt(wmap(dStar)) * BigInt(counts(d)))).toLong.min(1000000L)
+    }
+    val thresholdCol = thresholds.foldRight(lit(0L)) { case ((d, t), rest) =>
+      when(col(domainCol) === d, lit(t)).otherwise(rest)
+    }
+    df.filter(col(domainCol).isin(weights.map(_._1): _*))
+      .filter(pmod(
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(1000000L)) < thresholdCol)
+  }
+
+  /** Deterministic token-budget fill — select documents per domain until a
+    * token (or char) budget is reached, the "give me 50 B tokens of web and
+    * 20 B of code" selection step. Documents are taken in md5-hash order (a
+    * reproducible shuffle) and a document is included iff its domain-shard
+    * budget is not yet exhausted WHEN IT STARTS (the same belongs-where-it-
+    * starts convention as [[packSequences]]), so realized totals overshoot by
+    * at most one document per shard.
+    *
+    * Sharded for scale exactly like [[packSequences]]: the budget is split
+    * across `nShards` md5 shards (early shards get the remainder, one unit
+    * each), and the running sum runs per (domain, shard) — a corpus with 3
+    * domains still fills on nShards×3 parallel window partitions instead of
+    * 3 straggler tasks. One shuffle on (domain, shard); no RNG; stable
+    * across partitionings and engines. Emits `shard`, `start_off` (exclusive
+    * running sum within the domain-shard) and only the selected rows.
+    */
+  def takeTokenBudget(
+      df: DataFrame, domainCol: String, keyCol: String, sizeCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0,
+      s"budget and shard count must be positive, got $budget / $nShards")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("shard"))
+      .orderBy(h.asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // shard s gets floor(budget/nShards) + (1 if s < budget mod nShards)
+    val shardBudget = lit(budget / nShards) +
+      when(col("shard") < lit(budget % nShards), lit(1L)).otherwise(lit(0L))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("start_off",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("start_off") < shardBudget)
+  }
 }

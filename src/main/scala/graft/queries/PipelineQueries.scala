@@ -115,6 +115,26 @@ object PipelineQueries {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // mixture sampling: re-weight the corpus to target domain proportions
+    // (en 40 / de 20 / es 20 / fr 20, zh dropped) — counts job + pure
+    // scan-level hash-rate filter, exact integer thresholds
+    "q_sample_mixture" -> { (s, dir) =>
+      Splits.sampleMixture(Tables.documents(s, dir), "lang", "doc_id",
+        Seq("en" -> 40, "de" -> 20, "es" -> 20, "fr" -> 20))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // token-budget fill: 3002 chars per language, spread over 4 md5 shards
+    // (shards 0,1 get the remainder unit) — docs taken in hash order while
+    // the domain-shard budget is unexhausted at their start
+    "q_take_budget" -> { (s, dir) =>
+      Splits.takeTokenBudget(
+        Tables.documents(s, dir), "lang", "doc_id", "n_chars", 3002L, 4)
+        .select(col("doc_id"), col("lang"), col("shard"), col("start_off"))
+        .orderBy(col("doc_id"))
+    },
+
     // repetition detection: how dominant is the most-repeated word 3-gram —
     // a standard LLM-data quality signal (boilerplate / spam detector)
     "q_text_repetition" -> { (s, dir) =>
@@ -668,6 +688,39 @@ object PipelineQueries {
             AS sample_rank
           FROM documents)
         WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+      // binding domain d* = argmin n/w by exact cross-multiplication
+      // (tiebreak: domain name); threshold_d = floor-div in parts per million
+      "q_sample_mixture" -> s"""
+        WITH w(domain, wt) AS (VALUES ('en', 40), ('de', 20), ('es', 20), ('fr', 20)),
+        c AS (SELECT lang AS domain, count(*) AS n
+              FROM documents WHERE lang IN (SELECT domain FROM w) GROUP BY 1),
+        j AS (SELECT c.domain, c.n, w.wt FROM c JOIN w USING (domain)),
+        star AS (SELECT domain, n, wt FROM j j1 WHERE NOT EXISTS (
+          SELECT 1 FROM j j2 WHERE j2.n * j1.wt < j1.n * j2.wt
+            OR (j2.n * j1.wt = j1.n * j2.wt AND j2.domain < j1.domain))),
+        th AS (SELECT j.domain,
+                 least(CAST((1000000::HUGEINT * s.n * j.wt) // (s.wt * j.n)
+                   AS BIGINT), 1000000) AS thresh
+               FROM j, star s)
+        SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
+        WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
+        ORDER BY d.doc_id""",
+      // budget 3002 over 4 shards: floor 750 per shard, shards 0,1 take the
+      // remainder unit; a doc is in iff its shard budget is unexhausted at
+      // its start_off (belongs-where-it-starts, as q_pack_sequences)
+      "q_take_budget" -> s"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                     ${hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+                   FROM documents),
+        o AS (SELECT doc_id, lang, h % 4 AS shard,
+                CAST(coalesce(sum(n_chars) OVER (
+                  PARTITION BY lang, h % 4 ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+              FROM t)
+        SELECT doc_id, lang, shard, start_off FROM o
+        WHERE start_off < 750 + CASE WHEN shard < 2 THEN 1 ELSE 0 END
+        ORDER BY doc_id""",
       "q_pipeline_e2e" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         q0 AS (SELECT doc_id, text, toks,

@@ -80,6 +80,60 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling: proportions track targets, binding domain kept whole") {
+    // 400 a / 100 b / 100 c, targets 50/25/25: b and c are binding (n/w =
+    // 4 = 4), a (n/w = 8) halves. Binding domains keep ~all rows.
+    val df = ((0L until 400L).map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "b")) ++
+      (500L until 600L).map(i => (i, "c"))).toDF("id", "dom")
+    val out = graft.ops.Splits.sampleMixture(
+      df, "dom", "id", Seq("a" -> 50, "b" -> 25, "c" -> 25))
+    val n = out.groupBy($"dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ties on n/w: "b" < "c" lexicographically → b is d*, threshold 1e6 → all kept
+    assert(n("b") == 100L, s"binding domain must keep every row, got $n")
+    // a's threshold is exactly 500000 ppm; hash-rate realization is binomial
+    // around 200 of 400
+    assert(n("a") > 150L && n("a") < 250L, s"a should halve, got $n")
+    // partition invariance: identical row set at any partitioning
+    val ids1 = out.select($"id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.ops.Splits.sampleMixture(
+      df.repartition(7), "dom", "id", Seq("a" -> 50, "b" -> 25, "c" -> 25))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // domains outside the target mix are dropped
+    assert(!n.contains("z") && out.filter($"dom" === "z").count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.sampleMixture(df, "dom", "id", Seq("a" -> 50, "zz" -> 50))
+    }
+  }
+
+  test("token-budget fill: per-shard budgets respected, overshoot ≤ one doc") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "x" else "y", 10L + i % 7))
+      .toDF("id", "dom", "sz")
+    val out = graft.ops.Splits.takeTokenBudget(df, "dom", "id", "sz", 103L, 4)
+    val rows = out.select($"id", $"dom", $"shard", $"start_off")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // budget 103 over 4 shards: shards 0,1,2 get 26, shard 3 gets 25
+    val shardBudget = Map(0L -> 26L, 1L -> 26L, 2L -> 26L, 3L -> 25L)
+    rows.foreach { case (id, dom, sh, off) =>
+      assert(off < shardBudget(sh), s"doc $id in $dom/$sh starts at $off")
+    }
+    // every selected doc's start is below budget AND the selection is the
+    // complete hash-order prefix: re-derive and compare exactly
+    val sizes = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def h(id: Long) = graft.ops.TextOps.hash32Local(id.toString)
+    val expect = sizes.groupBy { case (id, dom, _) => (dom, h(id) % 4) }
+      .flatMap { case ((dom, sh), docs) =>
+        val sorted = docs.sortBy { case (id, _, _) => (h(id), id) }
+        val offs = sorted.scanLeft(0L) { case (acc, (_, _, sz)) => acc + sz }
+        sorted.zip(offs).collect {
+          case ((id, d, _), off) if off < shardBudget(sh) => (id, d, sh, off)
+        }
+      }.toSet
+    assert(rows.toSet == expect, "selection must equal the local re-derivation")
+  }
+
   test("minhash: identical docs share full signature; jaccard 1.0 via LSH") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")

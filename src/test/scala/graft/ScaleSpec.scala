@@ -142,6 +142,22 @@ class ScaleSpec extends AnyFunSuite {
       s"group sample must plan a partial WindowGroupLimit:\n$sampPlan")
     assert("Exchange hashpartitioning".r.findAllIn(sampPlan).size == 1,
       s"group sample must shuffle exactly once:\n$sampPlan")
+    // mixture sampling: after the tiny counts job, the selection itself is a
+    // pure scan-level hash-rate filter — zero exchanges at any corpus size
+    val mix = graft.ops.Splits.sampleMixture(
+      Tables.documents(spark, dir), "lang", "doc_id",
+      Seq("en" -> 40, "de" -> 20, "es" -> 20, "fr" -> 20))
+    assert(!mix.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixture sample must be scan-level (no shuffle)")
+    // token-budget fill: one shuffle on (domain, shard) — sharding keeps a
+    // few-domain corpus parallel instead of one window task per domain
+    val budg = graft.ops.Splits.takeTokenBudget(
+      Tables.documents(spark, dir), "lang", "doc_id", "n_chars", 3002L, 4)
+    val budgPlan = budg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(budgPlan).size == 1,
+      s"token-budget fill must shuffle exactly once:\n$budgPlan")
+    assert(budgPlan.contains("lang") && budgPlan.contains("shard"),
+      s"token-budget window must partition by (domain, shard):\n$budgPlan")
     // approx profile: no Expand (the exact multi-distinct's row inflation),
     // and the sketch stays within its error envelope on real data
     val approx = graft.ops.Profiling.columnStatsApprox(
