@@ -419,6 +419,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation op that closes the ANN family's loop: a pipeline that ships
+    * an IVF/PQ/LSH index should measure, on a held-out query sample, how
+    * much recall the pruning bought away. Both inputs are search RESULTS
+    * (`query_id`, `neighbor_id`, rank ≤ k — the shape every `*TopK` here
+    * emits), so cost is queries × k rows regardless of corpus size: the
+    * semi-join and the per-query count shuffle metric-sized data only, never
+    * the corpus. Emits one row per exact-side query: `n_hit` (approximate
+    * neighbors that are true top-k neighbors) and `recall` = n_hit / k,
+    * rounded to 6 (k-ths never land on a rounding boundary).
+    */
+  def recallAtK(
+      approx: DataFrame, exact: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "neighbor_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = exact.select(col(queryCol), col(idCol))
+      .join(approx.select(col(queryCol), col(idCol)), Seq(queryCol, idCol),
+        "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    exact.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** Per-bucket candidate cap (skew guard): a degenerate bucket holding a
     * large fraction of the corpus (near-constant embeddings) would otherwise
     * turn the bucket self-join quadratic. Candidates are capped to the

@@ -134,6 +134,19 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // recall@k of the IVF approximate path against exact brute force on the
+    // same query set — the evaluation op that closes the ANN loop: measure
+    // what nprobe/nCents pruning costs in recall, at queries x k cost
+    "q_ann_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        IVF_TOPK)
+      Similarity.recallAtK(approx, exact, IVF_TOPK).orderBy(col("query_id"))
+    },
+
     // coarse ANN over the projected space — the randomProject consumer: the
     // rank stage moves 8 doubles per vector instead of 64 (the 100 TB
     // pattern: project once at ingest, search the small vectors; re-rank the
@@ -764,6 +777,37 @@ object ExtQueries {
       // bit-identical by construction (the kernel variant changes only the
       // physical assignment expression), so the oracle is shared
       "q_ann_ivf_kernel" -> ivfSql,
+      // recall@k: the q_ann_ivf chain as the approximate side (ap), brute
+      // force as the exact side (xp), counted per query — k-ths never land
+      // on a round-6 boundary, so the ratio is engine-exact
+      "q_ann_recall" -> s"""
+        $embBase,
+        $ivfCoarseCtes,
+        ap0 AS (SELECT qp.query_id, inv.vec_id AS neighbor_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN n q ON q.vec_id = qp.query_id
+              JOIN n c ON c.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id),
+        ap AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank FROM ap0)
+               WHERE rank <= $IVF_TOPK),
+        xp0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        xp AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank FROM xp0)
+               WHERE rank <= $IVF_TOPK),
+        h AS (SELECT x.query_id, count(a.neighbor_id) AS n_hit
+              FROM xp x LEFT JOIN ap a
+                ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+              GROUP BY 1)
+        SELECT query_id, n_hit,
+               round(CAST(n_hit AS DOUBLE) / $IVF_TOPK, 6) AS recall
+        FROM h ORDER BY query_id""",
       // trained IVF: the Lloyd loop unrolled as one CTE per iteration —
       // assignment (rounded cosine, cent_id tiebreak) → per-dim rounded means
       // → empty clusters keep the previous centroid (coalesce). Identical

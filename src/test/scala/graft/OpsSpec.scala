@@ -1011,6 +1011,19 @@ class OpsSpec extends AnyFunSuite {
     } finally s2.sparkContext.removeSparkListener(listener)
   }
 
+  test("recall@k: full overlap 1.0, disjoint 0.0, absent queries still emitted") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    // q1: perfect; q2: one of three; q3: approx found nothing (empty lists)
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 21L), (2L, 98L), (2L, 99L)).toDF("query_id", "neighbor_id")
+    val got = graft.ops.Similarity.recallAtK(approx, exact, 3)
+      .orderBy($"query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 1L, 0.333333), (3L, 0L, 0.0)))
+  }
+
   test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference formulation: explode → hash32 per shingle → k min-aggregates
