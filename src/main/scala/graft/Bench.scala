@@ -194,6 +194,37 @@ object Bench {
     val results = headline.map { case (name, run) => name -> samples3(name, run) }
     val coverageResults = coverage.map { case (name, run) => name -> samples3(name, run) }
 
+    // serving probe: the ANN coverage rows above retrain codebooks and
+    // rebuild lists on every run (the offline cost); production searches a
+    // PRE-BUILT index. Build each persisted index once (cost reported), then
+    // time the online search alone — the number a 100 TB serving path
+    // actually pays per query batch. Parameters match the q_ann_*_index
+    // gates (16 lists, nprobe 2; PQ 4x16 over 64 dims).
+    val emb = Tables.embeddings(spark, sfDir)
+    val servePqPath = "/tmp/graft_bench_pq_idx"
+    val serveI8Path = "/tmp/graft_bench_i8_idx"
+    def timedBuild(f: () => Unit): Double =
+      try { val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => System.err.println(s"[bench] index build: $e"); -1.0 }
+    def rmrf(p: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    rmrf(servePqPath); rmrf(serveI8Path)
+    val buildPqSec = timedBuild(() => graft.ops.Similarity.writeIvfPqIndex(
+      emb, "vec_id", "embedding", servePqPath, 16, 4, 16, 64))
+    val buildI8Sec = timedBuild(() => graft.ops.Similarity.writeIvfInt8Index(
+      emb, "vec_id", "embedding", serveI8Path, 16))
+    def servePq() = graft.ops.Similarity.searchIvfPqIndex(
+      spark, servePqPath, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, 2)
+    def serveI8() = graft.ops.Similarity.searchIvfInt8Index(
+      spark, serveI8Path, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 2)
+    val serveResults = Seq(
+      "q_serve_pq_index" ->
+        samples3("q_serve_pq_index", () => servePq().write.format("noop").mode("overwrite").save()),
+      "q_serve_int8_index" ->
+        samples3("q_serve_int8_index", () => serveI8().write.format("noop").mode("overwrite").save()))
+
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds)
     val scaleP1s = samples3("scale_100m_p1", () => scaleFlagship(spark, 1))
@@ -238,16 +269,22 @@ object Bench {
 
     // plan-shape section: per benched query, how many shuffles + broadcasts —
     // comparable across rounds even when the box makes wall-clock useless
-    val plansJson = (headline ++ coverage).collect {
+    // serving plan shapes ride the same plans section as the gate queries
+    val servePlans = Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _)
+      .map { case (name, df) =>
+        val (sh, bc) = planCounts(df())
+        s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+      }
+    val plansJson = ((headline ++ coverage).collect {
       case (name, _) if SparkEntry.queries.contains(name) =>
         val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
         s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
-    }.mkString("{", ",", "}")
+    } ++ servePlans).mkString("{", ",", "}")
 
-    val qs = (results ++ coverageResults)
+    val qs = (results ++ coverageResults ++ serveResults)
       .map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
       .mkString("{", ",", "}")
-    val raw = (results ++ coverageResults ++
+    val raw = (results ++ coverageResults ++ serveResults ++
       Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
       "q_join_plain_layout" -> plainTs, "q_join_bcast_bucketed" -> bucketTs))
       .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
@@ -264,6 +301,7 @@ object Bench {
       f""""layout_write_sec":$layoutSec%.3f,""" +
       f""""plain":{${layoutJson(plainStats, plainEx, plainBc)}},""" +
       f""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}},""" +
+      f""""serving":{"build_pq_sec":$buildPqSec%.3f,"build_int8_sec":$buildI8Sec%.3f},""" +
       f""""plans":$plansJson,""" +
       f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")
