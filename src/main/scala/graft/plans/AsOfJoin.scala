@@ -4,29 +4,40 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.GraftSql
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** AS-OF JOIN as a first-class custom operator — the SURVEY §7 preference-
   * ladder (c) path (`LogicalPlan` + `Strategy` + `SparkPlan`): for every left
   * row, the single right row with the same key and the greatest timestamp
   * strictly below the left timestamp (inner semantics — unmatched left rows
   * drop), i.e. DuckDB's `ASOF JOIN ... ON l.key = r.key AND l.ts > r.ts`.
+  * With `forward = true` the direction flips: the single right row with the
+  * SMALLEST timestamp strictly above the left's (`l.ts < r.ts`). An optional
+  * `toleranceMicros` bounds the match gap (pandas `merge_asof` parity): the
+  * best candidate is by construction the only possible in-tolerance match,
+  * so out-of-tolerance rows simply drop.
   *
   * Physical execution is a co-partitioned streaming merge: EnsureRequirements
-  * hash-partitions both children on the key and sorts them by (key, ts); each
-  * partition pair then merges with O(1) state — ONE shuffle per side, no
-  * windowing, no buffering of whole groups. This is the shape that survives
-  * 100 TB: state per task is a single retained right row.
+  * hash-partitions both children on the key and sorts them by (key, ts) —
+  * ts DESCENDING in forward mode, which makes the forward merge the mirror
+  * image of the backward one (same one-retained-row state machine over the
+  * reversed comparator); each partition pair then merges with O(1) state —
+  * ONE shuffle per side, no windowing, no buffering of whole groups. This is
+  * the shape that survives 100 TB: state per task is a single retained right
+  * row.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
@@ -35,16 +46,23 @@ final case class AsOfJoinPlan(
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
+  // forward mode consumes timestamps largest-first so "the first right row
+  // after lts" is the last one consumed — the same merge loop serves both
+  // directions, only the sort direction and comparator flip
+  private def tsDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lAttrs = left.output
@@ -57,19 +75,36 @@ final case class AsOfJoinExec(
     // timestamp, ...), matching the sort order EnsureRequirements installed
     val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
       .asInstanceOf[Ordering[Any]]
-    val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
+    val tsOrdBase = PhysicalDataType.ordering(leftTs.dataType)
       .asInstanceOf[Ordering[Any]]
+    val fwd = forward
+    val tol = toleranceMicros
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val out = UnsafeProjection.create(lAttrs ++ rAttrs, lAttrs ++ rAttrs)
       val joined = new JoinedRow
+      // in forward mode the streams arrive ts-descending; negating the
+      // comparator makes "earlier in stream order" read as "less than" and
+      // the backward merge below works unchanged
+      def tsCmp(a: Any, b: Any): Int =
+        if (fwd) -tsOrdBase.compare(a, b) else tsOrdBase.compare(a, b)
+      // timestamps and longs are both physically Long — the only types the
+      // facade admits when a tolerance is set
+      def withinTol(lt: Any, ct: Any): Boolean = tol.forall { t =>
+        val gap =
+          if (fwd) ct.asInstanceOf[Long] - lt.asInstanceOf[Long]
+          else lt.asInstanceOf[Long] - ct.asInstanceOf[Long]
+        gap <= t
+      }
 
-      // both sides sorted by (key, ts); stream the right side keeping, for the
-      // current left row, the latest right row with rk == lk && rts < lts
+      // both sides sorted by (key, ts-in-stream-order); stream the right side
+      // keeping, for the current left row, the right row latest in stream
+      // order with rk == lk && rts strictly before lts in stream order
       var rHead: InternalRow = null          // next unconsumed right row
       var rHeadKey: Any = null
       var rHeadTs: Any = null
       var candidate: InternalRow = null      // best match for current left key
       var candidateKey: Any = null
+      var candidateTs: Any = null
       var candidateValid = false
 
       new Iterator[InternalRow] {
@@ -100,15 +135,17 @@ final case class AsOfJoinExec(
                 if (rHead == null) continue = false
                 else {
                   val kc = keyOrd.compare(rHeadKey, lk)
-                  if (kc < 0 || (kc == 0 && tsOrd.compare(rHeadTs, lt) < 0)) {
+                  if (kc < 0 || (kc == 0 && tsCmp(rHeadTs, lt) < 0)) {
                     if (kc == 0) {
-                      candidate = rHead; candidateKey = rHeadKey; candidateValid = true
+                      candidate = rHead; candidateKey = rHeadKey
+                      candidateTs = rHeadTs; candidateValid = true
                     }
                     rHead = null // consumed
                   } else continue = false
                 }
               }
-              if (candidateValid && keyOrd.compare(candidateKey, lk) == 0)
+              if (candidateValid && keyOrd.compare(candidateKey, lk) == 0 &&
+                  withinTol(lt, candidateTs))
                 nextRow = out(joined(l, candidate))
             }
           }
@@ -135,8 +172,8 @@ final case class AsOfJoinExec(
 /** Planner strategy mapping the logical node to the exec node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -148,14 +185,18 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-  /** left as-of right on long keys and micros timestamps (strictly earlier).
-    * Columns are named and resolved here against each side's output (injected
-    * Column objects would bypass the classic API's node conversion).
+  /** left as-of right (strictly earlier match; `forward = true` → strictly
+    * later). `toleranceMicros` bounds the gap — requires long or timestamp
+    * ts columns (physically Long). Columns are named and resolved here
+    * against each side's output (injected Column objects would bypass the
+    * classic API's node conversion).
     */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = GraftSql.logicalPlan(left)
@@ -171,6 +212,12 @@ object AsOfJoin {
       s"as-of: key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"as-of: ts types differ: ${lt.dataType} vs ${rt.dataType}")
-    GraftSql.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+    toleranceMicros.foreach { t =>
+      require(t >= 0, s"as-of: tolerance must be non-negative, got $t")
+      require(lt.dataType == TimestampType || lt.dataType == LongType,
+        s"as-of: tolerance needs long/timestamp ts columns, got ${lt.dataType}")
+    }
+    GraftSql.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
+      toleranceMicros, forward))
   }
 }

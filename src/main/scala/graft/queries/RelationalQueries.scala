@@ -228,6 +228,40 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     },
 
+    // as-of with a match tolerance (pandas merge_asof parity): same custom
+    // operator, matches farther than 1 day back drop — the best candidate is
+    // the only possible in-tolerance match, so this is exactly ASOF + filter
+    "q_asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOfJoin.join(clicks, views, "c_user", "v_user", "c_ts", "v_ts",
+        toleranceMicros = Some(86400000000L))
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"), col("v_ts").as("prev_view_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // FORWARD as-of: for each click, the EARLIEST strictly-later view — the
+    // mirror direction through the same streaming merge (both sides sorted
+    // ts-descending; identical O(1) state machine over the flipped comparator)
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOfJoin.join(clicks, views, "c_user", "v_user", "c_ts", "v_ts",
+        forward = true)
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"), col("v_ts").as("next_view_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // as-of join: for each click, the most recent strictly-earlier view by the
     // same user. Implemented shuffle-once: tag + union + prefix-max window —
     // the sort-merge as-of pattern that scales (no per-row probe, no range
@@ -347,6 +381,21 @@ object RelationalQueries {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts > v.ts
+      ORDER BY c.event_id""",
+    // the asof candidate is the latest earlier view, so bounding the gap is
+    // exactly a post-filter (any other view is farther away)
+    "q_asof_tolerance" -> """
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts > v.ts
+      WHERE epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000
+      ORDER BY c.event_id""",
+    "q_asof_forward" -> """
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS next_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts < v.ts
       ORDER BY c.event_id"""
   )
 }

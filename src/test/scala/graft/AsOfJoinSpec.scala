@@ -44,6 +44,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set((1, 100), (2, 101)))
   }
 
+  test("tolerance bounds the gap; forward flips the direction") {
+    val left = Seq(
+      (1L, 100L, "l1"),   // backward match r@90 (gap 10); forward match r@110
+      (1L, 500L, "l2"),   // backward match r@110 (gap 390 > tol → drops)
+      (2L, 100L, "l3")    // no right rows for key 2
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 90L, "r90"), (1L, 110L, "r110"), (1L, 600L, "r600")
+    ).toDF("rk", "rt", "rtag")
+
+    val tol = AsOfJoin.join(left, right, "k", "rk", "t", "rt",
+      toleranceMicros = Some(50L))
+      .select($"tag", $"rtag").as[(String, String)].collect().toSet
+    assert(tol == Set(("l1", "r90")), s"got $tol")
+
+    val fwd = AsOfJoin.join(left, right, "k", "rk", "t", "rt", forward = true)
+      .select($"tag", $"rtag").as[(String, String)].collect().toSet
+    // l1@100 → earliest later = r110; l2@500 → r600
+    assert(fwd == Set(("l1", "r110"), ("l2", "r600")), s"got $fwd")
+
+    val both = AsOfJoin.join(left, right, "k", "rk", "t", "rt",
+      toleranceMicros = Some(20L), forward = true)
+      .select($"tag", $"rtag").as[(String, String)].collect().toSet
+    // forward gaps: l1→r110 is 10 (keeps), l2→r600 is 100 (drops)
+    assert(both == Set(("l1", "r110")), s"got $both")
+
+    // equal-ts stays strict in forward mode too
+    val eq = AsOfJoin.join(
+      Seq((1L, 110L, "le")).toDF("k", "t", "tag"), right, "k", "rk", "t", "rt",
+      forward = true)
+      .select($"tag", $"rtag").as[(String, String)].collect().toSet
+    assert(eq == Set(("le", "r600")), s"got $eq")
+
+    // tolerance rejects non-numeric ts types loudly on the driver
+    intercept[IllegalArgumentException] {
+      AsOfJoin.join(
+        Seq((1L, "x", 1)).toDF("k", "t", "id"),
+        Seq((1L, "y", 2)).toDF("rk", "rt", "rid"),
+        "k", "rk", "t", "rt", toleranceMicros = Some(1L))
+    }
+  }
+
   test("plan: custom exec node, one exchange per side, partition-count invariant") {
     val left = (0L until 400L).map(i =>
       (i % 7, new Timestamp(1700000000000L + i * 60000), i)).toDF("k", "t", "v")
