@@ -625,6 +625,32 @@ object Similarity {
         < math.round(trainSample * 1000))
     else base
 
+  /** Centroid-stratified DIVERSITY sample — k representatives per trained-
+    * centroid cluster, the coverage-preserving downsample of an embedding
+    * corpus (uniform hash sampling over-draws dense regions; sampling per
+    * cluster keeps every region represented — the embedding-space analog of
+    * [[graft.ops.Splits.sampleGroupK]]'s per-language balance, and exactly
+    * that op applied to the cluster id).
+    *
+    * Shape at 100 TB: training is the usual sampled Lloyd sidecar
+    * ([[lloydCentroids]] + `trainSample`); assignment is the same zero-
+    * shuffle scan-level argmax every IVF op uses (`assignKernel = true` for
+    * production centroid counts); the per-cluster pick is one shuffle whose
+    * map-side `WindowGroupLimit` prunes to ~k rows per (cluster, partition)
+    * before the exchange — the sample of a petabyte corpus moves
+    * O(k × nCents × partitions), never the corpus.
+    */
+  def diverseSampleK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCents: Int, trainIters: Int = 0,
+      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
+    val assigned = base.withColumn("cent_id", assignExpr(cents, assignKernel)(col("__v")))
+    graft.ops.Splits.sampleGroupK(assigned, "cent_id", "id", k)
+      .select(col("id").as(idCol), col("cent_id"), col("sample_rank"))
+  }
+
   /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.
     * the actual 100 TB ANN architecture: the coarse stage (centroid
     * assignment + probe selection) runs on floats exactly like [[ivfTopK]],

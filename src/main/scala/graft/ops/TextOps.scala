@@ -233,6 +233,51 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("avg_logp"), col("min_logp"))
   }
 
+  /** Corpus-relative BIGRAM log-probability — the next rung above
+    * [[unigramLogProb]]: each document scored by the mean (and min) log₁₀
+    * CONDITIONAL probability p(w₂|w₁) = n(w₁w₂)/n(w₁) of its bigrams under
+    * the corpus's own bigram statistics. A document can have perfectly
+    * ordinary vocabulary (high unigram score) but implausible word ORDER —
+    * shuffled-word spam, keyword-stuffed SEO, template soup — which only a
+    * conditional score catches.
+    *
+    * Shape at 100 TB: bigram extraction is scan-level (an array transform
+    * over the token array — no posexplode self-join); three aggregations
+    * shuffle (bigram counts, unigram counts, the per-doc mean) and the two
+    * probability joins are plain equi-joins Spark sort-merges — a crawl's
+    * bigram vocabulary is far too large to assume broadcastable. Per-token
+    * probabilities are rounded to 6 decimals and the per-doc mean uses exact
+    * scaled-long sums (the [[unigramLogProb]] discipline), so the score is
+    * SQL-reproducible. Documents with < 2 tokens drop (no bigrams — the
+    * guard also keeps `sequence()` off its descending-step surprise).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksD = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val bigs = toksD
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toksD.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val bg = bigs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val lp = bg.join(uni, Seq("w1"))
+      .withColumn("logp",
+        round(log10(col("n2").cast("double") / col("n1").cast("double")), 6))
+      .select(col("w1"), col("w2"), col("logp"))
+    bigs.join(lp, Seq("w1", "w2"))
+      .withColumn("lp6", round(col("logp") * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp6")).as("__s"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .withColumn("avg_logp",
+        round(col("__s").cast("double") / (col("n_bigrams") * lit(1e6)), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("min_logp"))
+  }
+
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */

@@ -33,6 +33,7 @@ object ExtQueries {
   private val IVF_NPROBE = 2
   private val IVF_TOPK = 3
   private val IVF_TRAIN_ITERS = 2
+  private val DIVERSE_K = 5  // representatives per cluster (q_sample_diverse)
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
   private val PQ_CODES = 16  // codebook size per subspace
   private val PQ_SUB = 16    // DIM / PQ_M
@@ -307,6 +308,14 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // diversity sample: k representatives per trained-centroid cluster —
+    // coverage-preserving embedding downsample (dense regions don't dominate)
+    "q_sample_diverse" -> { (s, dir) =>
+      Similarity.diverseSampleK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        DIVERSE_K, IVF_CENTS, trainIters = IVF_TRAIN_ITERS)
+        .orderBy(col("cent_id"), col("sample_rank"))
+    },
+
     "q_multimodal" -> { (s, dir) =>
       val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(withMedia, "doc_id").toDF()
@@ -430,6 +439,50 @@ object ExtQueries {
       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
+
+    // trained-centroid chain shared by q_ann_ivf_trained and
+    // q_sample_diverse: embBase → ct0 init (smallest-id vectors) → `iters`
+    // Lloyd rounds (exact scaled-long means) → cnf (trained centroids +
+    // norms) → ac (vector×centroid cosines) → asg0 (per-vector centroid
+    // ranking; rn = 1 is the assignment, rn <= nprobe are the probes).
+    // dotOverCent is alias-bound (x = vector row, c = centroid row from the
+    // enclosing FROM), identical for every iteration — hence one val.
+    val dotOverCent =
+      s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6)"
+    def trainedAsgCtes(iters: Int): String = {
+      val chain = (0 until iters).map { t =>
+        s"""
+        cn$t AS (SELECT cent_id, cv,
+                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM ct$t),
+        asn$t AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
+                  FROM n x CROSS JOIN cn$t c),
+        bst$t AS (SELECT vec_id, cent_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS rn FROM asn$t)
+                  WHERE rn = 1),
+        mn$t AS (SELECT cent_id, dim,
+                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000.0), 6) AS m FROM (
+                   SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
+                          unnest(v.v) AS x
+                   FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)
+                 GROUP BY cent_id, dim),
+        gl$t AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM mn$t GROUP BY cent_id),
+        ct${t + 1} AS (SELECT c.cent_id, coalesce(g.cv, c.cv) AS cv
+                       FROM ct$t c LEFT JOIN gl$t g USING (cent_id))"""
+      }.mkString(",")
+      s"""
+        $embBase,
+        ct0 AS (SELECT vec_id AS cent_id, v AS cv FROM n ORDER BY vec_id LIMIT $IVF_CENTS),
+        $chain,
+        cnf AS (SELECT cent_id, cv,
+                  sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+                FROM ct$iters),
+        ac AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
+               FROM n x CROSS JOIN cnf c),
+        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS rn FROM ac)"""
+    }
 
     // scalar-quantization code CTEs (the q_embed_quantize construction):
     // q = codes, qnrm = sqrt of the integer self-dot — shared by every
@@ -812,43 +865,8 @@ object ExtQueries {
       // assignment (rounded cosine, cent_id tiebreak) → per-dim rounded means
       // → empty clusters keep the previous centroid (coalesce). Identical
       // rounding on both sides makes the whole training loop exact.
-      "q_ann_ivf_trained" -> {
-        // alias-bound (x = vector row, c = centroid row from the enclosing
-        // FROM), identical for every iteration — hence a val, not per-CTE
-        val dotOverCent =
-          s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> x.v[i]*c.cv[i]))/(x.nrm*c.cnrm), 6)"
-        val trainCtes = (0 until IVF_TRAIN_ITERS).map { t =>
-          s"""
-        cn$t AS (SELECT cent_id, cv,
-                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM ct$t),
-        asn$t AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
-                  FROM n x CROSS JOIN cn$t c),
-        bst$t AS (SELECT vec_id, cent_id FROM (
-                    SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY ccos DESC, cent_id) AS rn FROM asn$t)
-                  WHERE rn = 1),
-        mn$t AS (SELECT cent_id, dim,
-                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
-                     / (count(*) * 1000000.0), 6) AS m FROM (
-                   SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
-                          unnest(v.v) AS x
-                   FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)
-                 GROUP BY cent_id, dim),
-        gl$t AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM mn$t GROUP BY cent_id),
-        ct${t + 1} AS (SELECT c.cent_id, coalesce(g.cv, c.cv) AS cv
-                       FROM ct$t c LEFT JOIN gl$t g USING (cent_id))"""
-        }.mkString(",")
-        s"""
-        $embBase,
-        ct0 AS (SELECT vec_id AS cent_id, v AS cv FROM n ORDER BY vec_id LIMIT $IVF_CENTS),
-        $trainCtes,
-        cnf AS (SELECT cent_id, cv,
-                  sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
-                FROM ct$IVF_TRAIN_ITERS),
-        ac AS (SELECT x.vec_id, c.cent_id, $dotOverCent AS ccos
-               FROM n x CROSS JOIN cnf c),
-        asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cent_id) AS rn FROM ac),
+      "q_ann_ivf_trained" -> s"""
+        ${trainedAsgCtes(IVF_TRAIN_ITERS)},
         inv AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
                   ORDER BY vec_id) AS rk
                 FROM asg0 WHERE rn = 1),
@@ -864,8 +882,18 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cent_id, cos_sim, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
-        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
-      },
+        WHERE rank <= $IVF_TOPK ORDER BY query_id, rank""",
+      // diversity sample: k per trained-centroid cluster in md5-hash order —
+      // the final assignment (rn = 1) feeds the q_sample_group window shape
+      "q_sample_diverse" -> s"""
+        ${trainedAsgCtes(IVF_TRAIN_ITERS)},
+        asg AS (SELECT vec_id, cent_id FROM asg0 WHERE rn = 1),
+        sel AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
+                  ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT),
+                           vec_id) AS sample_rank
+                FROM asg)
+        SELECT vec_id, cent_id, sample_rank FROM sel
+        WHERE sample_rank <= $DIVERSE_K ORDER BY cent_id, sample_rank""",
       "q_embed_neardup" -> s"""
         $embBase,
         b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),

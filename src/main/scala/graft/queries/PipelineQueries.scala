@@ -74,6 +74,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus-relative BIGRAM conditional log-probability — catches
+    // implausible word ORDER (shuffled spam, keyword stuffing) that the
+    // unigram score cannot: p(w2|w1) under the corpus's own statistics
+    "q_text_bigram" -> { (s, dir) =>
+      TextOps.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
     "q_text_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -434,6 +442,24 @@ object PipelineQueries {
                  / (count(*) * 1000000.0), 6) AS avg_logp,
                round(min(logp), 6) AS min_logp
         FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""",
+      "q_text_bigram" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        b AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+              FROM t WHERE len(toks) >= 2),
+        uni AS (SELECT tok AS w1, count(*) AS n1
+                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        bg AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+        lp AS (SELECT w1, w2,
+                 round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
+               FROM bg JOIN uni USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_logp,
+               round(min(logp), 6) AS min_logp
+        FROM b JOIN lp USING (w1, w2)
         GROUP BY doc_id ORDER BY doc_id""",
       "q_text_quality" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),

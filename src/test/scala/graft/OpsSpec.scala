@@ -1024,6 +1024,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 1.0), (2L, 1L, 0.333333), (3L, 0L, 0.0)))
   }
 
+  test("bigramLogProb: conditional math exact, <2-token docs drop") {
+    // corpus: "a b" ×2, "a c" ×1, "x" (no bigram) → n(a)=3, n(a b)=2, n(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def lp(n2: Long, n1: Long) =
+      math.round(math.log10(n2.toDouble / n1.toDouble) * 1e6) / 1e6
+    // doc 1,2: p(b|a)=2/3; doc 3: p(c|a)=1/3; doc 4 has no bigrams → absent
+    assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
+  }
+
   test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference formulation: explode → hash32 per shingle → k min-aggregates

@@ -20,8 +20,9 @@ SFDIR = f"/root/testdata/{SF}"
 OUT = Path(f"/tmp/graft_verify_{SF}")
 
 if "--skip-verify" not in sys.argv:
+    only = " " + " ".join(ONLY) if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}"],
+        ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}{only}"],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write("\n".join(
         l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error]" in l.lower()
