@@ -279,6 +279,35 @@ object Dedup {
     * expression per doc ([[graft.functions.Simhash32]]) — shuffle-free map,
     * replacing the explode → 32 conditional sums → groupBy shape.
     */
+  /** Substring-level duplicate candidates via winnowing fingerprints
+    * ([[TextOps.winnowedFingerprints]]): documents sharing ≥ `minShared`
+    * selected fingerprints share (with the winnowing guarantee) local
+    * substrings of length ≥ k + w − 1 — the boilerplate/quotation/mirror
+    * detector that whole-document signatures dilute (a shared paragraph in
+    * two otherwise-different pages moves a MinHash estimate by its global
+    * Jaccard share, but deterministically plants identical winnowed
+    * fingerprints).
+    *
+    * Scale shape is the LSH one: fingerprint extraction is scan-level
+    * (~2/(w+1) of gram count per doc); candidates come from a keyed
+    * self-join on the fingerprint value with anchor-capped buckets
+    * ([[capBuckets]]) — never all-pairs; one shuffle on `fp`, one on the
+    * pair aggregate.
+    */
+  def substringDupCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextOps.winnowedFingerprints(col(textCol), k, w)).as("fp"))
+    val capped = capBuckets(fps, Seq("fp"), "id", maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__w"))
       .filter(size(col("__w")) > 0) // no tokens → no simhash (as before)

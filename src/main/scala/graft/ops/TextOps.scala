@@ -278,6 +278,32 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("min_logp"))
   }
 
+  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every char k-gram, then keep the minimum hash of each
+    * sliding window of `w` consecutive positions. Guarantees every shared
+    * substring of length ≥ k + w − 1 contributes at least one IDENTICAL
+    * fingerprint to both documents — position-robust local fingerprints,
+    * which is what substring-level duplicate detection needs (whole-doc
+    * MinHash dilutes a shared paragraph; [[withFingerprint]]'s single min is
+    * the degenerate w = ∞ case). Documents shorter than k + w − 1 chars
+    * winnow their full gram list (one window); documents shorter than k
+    * yield an empty set.
+    *
+    * Entirely scan-level (one array expression chain per row, zero shuffle,
+    * codegen'd): the selected-set size is ~2/(w+1) of the gram count, the
+    * published density bound.
+    */
+  def winnowedFingerprints(c: Column, k: Int, w: Int): Column = {
+    val hs = when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)), i => hash32(c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    when(size(hs) > 0,
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        j => array_min(slice(hs, j + 1, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */

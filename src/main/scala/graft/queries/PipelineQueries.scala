@@ -18,6 +18,9 @@ object PipelineQueries {
   private val NGRAM = 3       // word-shingle width
   private val CGRAM = 8       // char-gram width for fingerprints
   private val HAMMING = 10    // simhash near-dup threshold
+  private val WINNOW_K = 16   // winnowing char-gram width
+  private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
+  private val WINNOW_MS = 4L  // min shared fingerprints for a candidate pair
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -321,6 +324,16 @@ object PipelineQueries {
     "q_dedup_simhash" -> { (s, dir) =>
       val sim = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
       Dedup.simhashPairs(sim, "doc_id", HAMMING)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // substring-level duplicate candidates via winnowing (MOSS): docs
+    // sharing >= WINNOW_MS selected fingerprints share local substrings of
+    // length >= k+w-1 — the boilerplate/quotation detector whole-doc
+    // signatures dilute
+    "q_dedup_winnow" -> { (s, dir) =>
+      Dedup.substringDupCandidates(Tables.documents(s, dir), "doc_id", "text",
+        WINNOW_K, WINNOW_W, WINNOW_MS)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -829,6 +842,24 @@ object PipelineQueries {
           WHERE a.id < b.id AND a.rk <= $MAXB
           GROUP BY 1, 2, 3)
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $HAMMING
+        ORDER BY id_a, id_b""",
+      "q_dedup_winnow" -> s"""
+        WITH g AS (SELECT doc_id,
+                     list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
+                       i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
+                   FROM documents WHERE length(text) >= $WINNOW_K),
+        f AS (SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
+                j -> list_min(list_slice(hs, j+1, j+$WINNOW_W)))) AS fps
+              FROM g WHERE len(hs) > 0),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        c AS (SELECT doc_id, fp, row_number() OVER (PARTITION BY fp
+                ORDER BY doc_id) AS rk FROM e),
+        cc AS (SELECT doc_id, fp FROM c WHERE rk <= $MAXB),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              FROM cc a JOIN cc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $WINNOW_MS
         ORDER BY id_a, id_b""",
       "q_text_redact" -> {
         val em = TextOps.EMAIL_RE

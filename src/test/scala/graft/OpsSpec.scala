@@ -1037,6 +1037,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }
 
+  test("winnowing guarantee: docs sharing a >=k+w-1 substring share a fingerprint") {
+    val shared = "the quick brown fox jumps over" // 30 chars >= 16+8-1
+    val a = "AAAA " + shared + " 1111"
+    val b = "zzzz a different prefix " + shared + " and tail"
+    val docs = Seq((1L, a), (2L, b), (3L, "completely unrelated content qq"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select($"doc_id", TextOps.winnowedFingerprints($"text", 16, 8).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // below-k docs yield empty sets, not nulls or errors
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+      .select(TextOps.winnowedFingerprints($"text", 16, 8)).as[Seq[Long]].head
+    assert(short.isEmpty)
+    // the pair surfaces as a candidate; the unrelated doc pairs with nobody
+    val got = Dedup.substringDupCandidates(docs, "doc_id", "text", 16, 8, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("one-pass minhash/simhash expressions equal the explode+groupBy formulation, shuffle-free") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // reference formulation: explode → hash32 per shingle → k min-aggregates
