@@ -356,6 +356,28 @@ object ExtQueries {
         .orderBy(col("bin"))
     },
 
+    // snapshot CDC: commit two versions of a per-(user, event_type) rollup
+    // (v1 = first 4 days; v2 = everything minus simulated account deletions)
+    // then diff them — inserts, deletes and updates all exercised
+    "q_snapshot_diff" -> { (s, dir) =>
+      val out = s"/tmp/graft_snap_diff_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ev = Tables.events(s, dir)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      Streams.commitSnapshot(
+        agg(ev.filter(col("ts") < lit("2024-01-05").cast("timestamp"))), out, 1, retain = 5)
+      Streams.commitSnapshot(agg(ev.filter(col("user_id") % 10 =!= 3)), out, 2, retain = 5)
+      Streams.diffSnapshots(s, out, 1, 2, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("change_type"),
+          coalesce(col("old_n_events"), lit(-1L)).as("old_n_events"),
+          coalesce(col("new_n_events"), lit(-1L)).as("new_n_events"),
+          coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -941,6 +963,28 @@ object ExtQueries {
                  / CAST(100.0 AS DOUBLE) AS w,
                count(*) AS n_fills
         FROM events GROUP BY 1 ORDER BY bin""",
+      "q_snapshot_diff" -> """
+        WITH a AS (SELECT user_id, event_type, count(*) AS n_events,
+                     CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS cents
+                   FROM events WHERE ts < TIMESTAMP '2024-01-05' GROUP BY 1, 2),
+        b AS (SELECT user_id, event_type, count(*) AS n_events,
+                CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS cents
+              FROM events WHERE user_id % 10 <> 3 GROUP BY 1, 2),
+        j AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                     coalesce(a.event_type, b.event_type) AS event_type,
+                     a.n_events AS o_n, b.n_events AS n_n,
+                     a.cents AS o_c, b.cents AS n_c
+              FROM a FULL JOIN b ON a.user_id = b.user_id
+               AND a.event_type = b.event_type),
+        c AS (SELECT *, CASE WHEN o_n IS NULL THEN 'insert'
+                             WHEN n_n IS NULL THEN 'delete'
+                             WHEN o_n <> n_n OR o_c <> n_c THEN 'update'
+                             ELSE 'unchanged' END AS change_type FROM j)
+        SELECT user_id, event_type, change_type,
+               coalesce(o_n, -1) AS old_n_events, coalesce(n_n, -1) AS new_n_events,
+               coalesce(o_c, -1) AS old_cents, coalesce(n_c, -1) AS new_cents
+        FROM c WHERE change_type <> 'unchanged'
+        ORDER BY user_id, event_type""",
       "q_stream_sink" -> """
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,

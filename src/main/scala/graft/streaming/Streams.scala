@@ -208,6 +208,48 @@ object Streams {
     spark.read.parquet(s"$outDir/$v")
   }
 
+  /** Keyed diff of two DataFrames with identical schemas — the CDC primitive:
+    * full-outer join on `keyCols`, each key classified `insert` (new only),
+    * `delete` (old only) or `update` (both, any value column differs);
+    * unchanged keys are dropped. Value columns come back twice as
+    * `old_<c>` / `new_<c>` (NULL on the missing side — gate queries coalesce
+    * to sentinels per the no-NULL output rule).
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key — the canonical
+    * snapshot-diff plan. Two 100 TB snapshots bucketed/sorted by the key
+    * diff with zero additional shuffle; the change-type classification and
+    * value comparison are scan-level struct equality (no per-column join
+    * fan-out).
+    */
+  def diffFrames(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(a.schema == b.schema,
+      s"snapshot schemas differ: ${a.schema.simpleString} vs ${b.schema.simpleString}")
+    val vals = a.columns.filterNot(keyCols.contains).toSeq
+    require(vals.nonEmpty, "diff needs at least one non-key column")
+    val aa = a.select(keyCols.map(col) :+ struct(vals.map(col): _*).as("__old"): _*)
+    val bb = b.select(keyCols.map(col) :+ struct(vals.map(col): _*).as("__new"): _*)
+    aa.join(bb, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(col("__old") =!= col("__new"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        vals.flatMap(c => Seq(
+          col(s"__old.$c").as(s"old_$c"), col(s"__new.$c").as(s"new_$c"))): _*)
+  }
+
+  /** [[diffFrames]] across two committed versions of a [[commitSnapshot]]
+    * directory — "what changed between snapshot v1 and v2" (both must still
+    * be inside the retain window).
+    */
+  def diffSnapshots(
+      spark: SparkSession, outDir: String, v1: Long, v2: Long,
+      keyCols: Seq[String]): DataFrame =
+    diffFrames(readSnapshot(spark, outDir, Some(v1)),
+      readSnapshot(spark, outDir, Some(v2)), keyCols)
+
   /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running
     * (event count, cents) kept in `GroupState`, emitted in Update mode each
     * batch — exercises the real streaming state store. Commutative state

@@ -1037,6 +1037,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }
 
+  test("diffFrames: insert/delete/update classified, unchanged dropped, schema mismatch rejected") {
+    val v1 = Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")).toDF("k", "n", "s")
+    val v2 = Seq((2L, 20L, "y"), (3L, 31L, "z"), (4L, 40L, "w")).toDF("k", "n", "s")
+    val got = Streams.diffFrames(v1, v2, Seq("k")).orderBy($"k")
+      .select($"k", $"change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "delete"), (3L, "update"), (4L, "insert")))
+    intercept[IllegalArgumentException] {
+      Streams.diffFrames(v1, v2.withColumnRenamed("s", "t"), Seq("k"))
+    }
+  }
+
   test("winnowing guarantee: docs sharing a >=k+w-1 substring share a fingerprint") {
     val shared = "the quick brown fox jumps over" // 30 chars >= 16+8-1
     val a = "AAAA " + shared + " 1111"
