@@ -278,6 +278,40 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("min_logp"))
   }
 
+  /** Hashed-feature linear classifier inference — the fastText-shaped
+    * quality-filter step of a pretraining pipeline (score every document
+    * with a linear model over hashed word uni+bigrams; keep/drop on the
+    * margin sign). The hashing trick (feature → `hash % nBuckets`, no
+    * vocabulary table) is the production-relevant plumbing: inference is
+    * ONE scan-level expression chain per row — no joins, no UDFs, no
+    * broadcast model table — so it runs at scan speed on 100 TB and the
+    * model "weights" ride inside the expression.
+    *
+    * Weights here are md5-derived from `seed` (the LSH-hyperplane
+    * construction — a stand-in for shipped trained weights, which would
+    * arrive as a bucket→weight lookup in the same expression). Weight
+    * arithmetic is EXACT: per-bucket weights are integer thousandths in
+    * [−1000, 1000] and the per-doc sum is a long, so the margin is
+    * bit-reproducible in any engine regardless of summation order (the
+    * scaled-long discipline; no float accumulation anywhere).
+    */
+  def withClassifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, seed: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val feats = concat(toks, shinglesAll(toks, 2))
+    val wsum = aggregate(
+      transform(feats, f =>
+        pmod(hash32(concat(lit(s"${seed}_"), pmod(hash32(f), lit(nBuckets.toLong)))),
+          lit(2001L)) - lit(1000L)),
+      lit(0L), (acc, w) => acc + w)
+    df.withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("margin", round(
+        wsum.cast("double") / (lit(1000.0) * greatest(col("n_feats"), lit(1L))), 6))
+      .withColumn("label", when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
+      .select(col(idCol), col("n_feats"), col("margin"), col("label"))
+  }
+
   /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash every char k-gram, then keep the minimum hash of each
     * sliding window of `w` consecutive positions. Guarantees every shared

@@ -18,6 +18,8 @@ object PipelineQueries {
   private val NGRAM = 3       // word-shingle width
   private val CGRAM = 8       // char-gram width for fingerprints
   private val HAMMING = 10    // simhash near-dup threshold
+  private val CLS_BUCKETS = 4096  // classifier hash buckets
+  private val CLS_SEED = "qf"     // classifier weight seed
   private val WINNOW_K = 16   // winnowing char-gram width
   private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
   private val WINNOW_MS = 4L  // min shared fingerprints for a candidate pair
@@ -74,6 +76,14 @@ object PipelineQueries {
     // unigram distribution (low mean = unusual vocabulary)
     "q_text_unigram" -> { (s, dir) =>
       TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // hashed-feature linear classifier inference (fastText-shape quality
+    // filter): scan-level hashing-trick scoring, exact integer weight sums
+    "q_text_classifier" -> { (s, dir) =>
+      TextOps.withClassifierScore(Tables.documents(s, dir), "doc_id", "text",
+        CLS_BUCKETS, CLS_SEED)
         .orderBy(col("doc_id"))
     },
 
@@ -456,6 +466,22 @@ object PipelineQueries {
                round(min(logp), 6) AS min_logp
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""",
+      "q_text_classifier" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        f AS (SELECT doc_id, list_concat(toks,
+                list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS feats
+              FROM t),
+        sc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+                 CAST(list_sum(list_transform(feats, x ->
+                   ${hash32Sql(s"'${CLS_SEED}_' || (${hash32Sql("x")} % $CLS_BUCKETS)")}
+                     % 2001 - 1000)) AS BIGINT) AS wsum
+               FROM f)
+        SELECT doc_id, n_feats,
+               round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) AS margin,
+               CASE WHEN round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) >= 0
+                    THEN 'keep' ELSE 'drop' END AS label
+        FROM sc ORDER BY doc_id""",
       "q_text_bigram" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (SELECT doc_id,

@@ -1037,6 +1037,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }
 
+  test("classifier inference is scan-level: no joins or exchanges in the plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+    // margins are symmetric-ish around 0: both labels must actually occur
+    val labels = df.groupBy($"label").count().collect().map(_.getString(0)).toSet
+    assert(labels == Set("keep", "drop"))
+  }
+
   test("diffFrames: insert/delete/update classified, unchanged dropped, schema mismatch rejected") {
     val v1 = Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")).toDF("k", "n", "s")
     val v2 = Seq((2L, 20L, "y"), (3L, 31L, "z"), (4L, 40L, "w")).toDF("k", "n", "s")
