@@ -89,4 +89,45 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join (range × range) — the shape [[rangeBucketed]]'s
+    * point-in-range cannot express: emit every (a, b) pair whose closed
+    * intervals [aLo, aHi] and [bLo, bHi] intersect (genomics region overlap,
+    * concurrent sessions, reservation conflicts). Same bucketization scheme:
+    * both sides explode to the buckets their interval touches (guarded
+    * against runaway spans exactly like [[rangeBucketed]]), pairs meet
+    * through an equi-join on the bucket, and each overlapping pair survives
+    * in EXACTLY one bucket — the one containing the overlap start
+    * max(aLo, bLo) — so no distinct pass at any scale. Cost is the honest
+    * interval-join cost: Σ span/width replicated rows per side plus pairs
+    * actually sharing a bucket; pick `bucketWidth` near the typical span.
+    * Column names must be disjoint (rename upstream — keeps the op free of
+    * silent alias surprises).
+    */
+  def intervalOverlapBucketed(
+      a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Double, maxBucketsPerRange: Int = 1 << 16): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlapBucketed: bucketWidth must be positive")
+    val clash = a.columns.toSet intersect b.columns.toSet
+    require(clash.isEmpty,
+      s"intervalOverlapBucketed: column names must be disjoint, both sides have $clash")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val bounded = df.filter(col(lo).isNotNull && col(hi).isNotNull)
+      val loB = floor(col(lo) / bucketWidth).cast("long")
+      val hiB = floor(col(hi) / bucketWidth).cast("long")
+      val guarded = when(hiB - loB < lit(maxBucketsPerRange.toLong),
+        sequence(loB, hiB))
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlapBucketed: interval spans >= $maxBucketsPerRange buckets "),
+          lit("(lo="), col(lo), lit(", hi="), col(hi),
+          lit(s", bucketWidth=$bucketWidth) — widen bucketWidth or clean the interval"))))
+      bounded.withColumn("__bucket", explode(guarded))
+    }
+    exploded(a, aLo, aHi).join(exploded(b, bLo, bHi), Seq("__bucket"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long")
+        === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Multimodal, Similarity}
+import graft.ops.{Joins, Multimodal, Similarity}
 import graft.streaming.Streams
 
 /** Similarity search, streaming, sessionization, multimodal plumbing —
@@ -381,6 +381,23 @@ object ExtQueries {
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // interval-OVERLAP join (range x range): concurrent sessions across two
+    // user groups — bucketized, each pair unique via its overlap-start bucket
+    "q_interval_join" -> { (s, dir) =>
+      val sess = Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
+      def side(pfx: String, lo: Int, hi: Int) = sess
+        .filter(col("user_id") >= lo && col("user_id") < hi)
+        .select(col("user_id").as(s"${pfx}_user"),
+          unix_micros(col("session_start")).as(s"${pfx}_lo"),
+          unix_micros(col("session_end")).as(s"${pfx}_hi"))
+      Joins.intervalOverlapBucketed(side("a", 0, 40), side("b", 40, 80),
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 1.8e9)
+        .withColumn("overlap_us",
+          least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+        .select(col("a_user"), col("b_user"), col("a_lo"), col("b_lo"), col("overlap_us"))
+        .orderBy(col("a_user"), col("a_lo"), col("b_user"), col("b_lo"))
     },
 
     // native streaming session windows (session_window + watermark, append
@@ -963,6 +980,25 @@ object ExtQueries {
                  / CAST(100.0 AS DOUBLE) AS w,
                count(*) AS n_fills
         FROM events GROUP BY 1 ORDER BY bin""",
+      "q_interval_join" -> s"""
+        WITH l AS (SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        f AS (SELECT *, CASE WHEN prev IS NULL
+                     OR ts - prev > INTERVAL '$GAP_MIN minutes' THEN 1 ELSE 0 END AS brk
+              FROM l),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        s AS (SELECT user_id, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+              FROM g GROUP BY user_id, sid),
+        a AS (SELECT user_id AS a_user, lo AS a_lo, hi AS a_hi FROM s
+              WHERE user_id >= 0 AND user_id < 40),
+        b AS (SELECT user_id AS b_user, lo AS b_lo, hi AS b_hi FROM s
+              WHERE user_id >= 40 AND user_id < 80)
+        SELECT a_user, b_user, a_lo, b_lo,
+               least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+        FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        ORDER BY a_user, a_lo, b_user, b_lo""",
       "q_snapshot_diff" -> """
         WITH a AS (SELECT user_id, event_type, count(*) AS n_events,
                      CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS cents

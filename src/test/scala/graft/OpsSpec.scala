@@ -1037,6 +1037,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }
 
+  test("interval overlap join: one row per overlapping pair even across many buckets") {
+    val a = Seq((1L, 0.0, 100.0), (2L, 300.0, 310.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 50.0, 400.0), (11L, 150.0, 200.0), (12L, 500.0, 600.0))
+      .toDF("b_id", "b_lo", "b_hi")
+    // bucketWidth 10 → the (1,10) overlap spans buckets 5..10 on a's side and
+    // the (2,10) overlap lives mid-interval; each pair must appear EXACTLY once
+    val got = graft.ops.Joins.intervalOverlapBucketed(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", 10.0)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 10L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapBucketed(
+        a, b.withColumnRenamed("b_lo", "a_lo"), "a_lo", "a_hi", "a_lo", "b_hi", 10.0)
+    }
+  }
+
   test("classifier inference is scan-level: no joins or exchanges in the plan") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val df = TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
