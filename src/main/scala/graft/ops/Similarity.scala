@@ -747,16 +747,22 @@ object Similarity {
   def writeIvfInt8Index(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      attrCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
-      int8Codes(asDouble(col(vecCol))).as("__q"))
+    // attrCols ride the lists as plain payload columns: they cost their
+    // storage width per row and buy FILTERED search — a metadata predicate
+    // Catalyst pushes into the list parquet scan (searchIvfInt8Index's
+    // listFilter), composing with partition pruning
+    val base = corpus.select(Seq(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+      int8Codes(asDouble(col(vecCol))).as("__q")) ++ attrCols.map(col): _*)
     val cents = lloydCentroids(
       sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
     val assign = assignExpr(cents, assignKernel)
     val lists = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
-      .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+      .select(Seq(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+        ++ attrCols.map(col): _*)
     import spark.implicits._
     publishIndexLists(spark, path, lists, cents.toDF("cent_id", "cv").coalesce(1))
   }
@@ -1037,12 +1043,21 @@ object Similarity {
   def searchIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = false): DataFrame = {
+      assignKernel: Boolean = false, listFilter: Option[Column] = None): DataFrame = {
     val cents = loadCentroids(spark, path)
-    val inverted = readIndexLists(spark, path,
+    val raw = readIndexLists(spark, path,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
-      // partition-column inference reads cent_id as int; restore the long key
-      .select(col("neighbor_id"), col("q").as("__cq"), col("cent_id").cast("long").as("cent_id"))
+      // partition-column inference reads cent_id as int; restore the long
+      // key. Attribute payload columns (attrCols at build time) pass through
+      // for listFilter to reference.
+      .withColumnRenamed("q", "__cq")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    // FILTERED ANN: the predicate lands before ranking, so top-k is taken
+    // among MATCHING rows (the vector-database `filter=` semantics). It
+    // sits directly over the parquet scan — Catalyst pushes it into the
+    // reader (PushedFilters), composing with cent_id partition pruning:
+    // search I/O is (nprobe/nCents) × selectivity of the index.
+    val inverted = listFilter.map(raw.filter).getOrElse(raw)
     quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
   }
 
@@ -1146,9 +1161,10 @@ object Similarity {
   def appendIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit =
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      attrCols: Seq[String] = Seq.empty): Unit =
     appendIvfInt8IndexImpl(spark, batch, idCol, vecCol, path, maxBucket,
-      assignKernel, beforeFlip = () => ())
+      assignKernel, beforeFlip = () => (), attrCols = attrCols)
 
   /** [[appendIvfInt8Index]] with a test seam: `beforeFlip` runs after this
     * append's part files are written but before its manifest flip — the
@@ -1160,13 +1176,17 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
       maxBucket: Int, assignKernel: Boolean, beforeFlip: () => Unit,
-      afterStage: () => Unit = () => ()): Unit = {
+      afterStage: () => Unit = () => (),
+      attrCols: Seq[String] = Seq.empty): Unit = {
     val cents = loadCentroids(spark, path)
     val assign = assignExpr(cents, assignKernel)
-    val newRows = batch.select(
+    // a batch appended to an attr-carrying index must carry the SAME
+    // attrCols the build wrote — otherwise the merged parquet schema gains
+    // nulls and a listFilter silently stops matching the new rows
+    val newRows = batch.select(Seq(
       col(idCol).as("neighbor_id"),
       int8Codes(asDouble(col(vecCol))).as("q"),
-      assign(asDouble(col(vecCol))).as("cent_id"))
+      assign(asDouble(col(vecCol))).as("cent_id")) ++ attrCols.map(col): _*)
     appendListsIndexImpl(spark, path, newRows, maxBucket, beforeFlip, afterStage)
   }
 

@@ -34,6 +34,7 @@ object ExtQueries {
   private val IVF_TOPK = 3
   private val IVF_TRAIN_ITERS = 2
   private val DIVERSE_K = 5  // representatives per cluster (q_sample_diverse)
+  private val FILTER_LABEL = 7 // metadata predicate for filtered ANN
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
   private val PQ_CODES = 16  // codebook size per subspace
   private val PQ_SUB = 16    // DIM / PQ_M
@@ -212,6 +213,21 @@ object ExtQueries {
       Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS)
       Similarity.searchIvfInt8Index(s, path, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // FILTERED ANN over the persisted index: attribute payload columns ride
+    // the lists (attrCols at build), the predicate pushes into the list
+    // parquet scan (PushedFilters + cent_id partition pruning), and top-k is
+    // taken among MATCHING rows — the vector-database `filter=` semantics
+    "q_ann_filtered" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_filtered_idx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS,
+        attrCols = Seq("label"))
+      Similarity.searchIvfInt8Index(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", IVF_TOPK, IVF_NPROBE,
+        listFilter = Some(col("label") === FILTER_LABEL))
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -644,7 +660,10 @@ object ExtQueries {
                WHERE rn <= $IVF_NPROBE AND vec_id < 10)"""
     // shared by q_ann_ivf_int8 / q_ann_ivf_index (maxCode 127) and
     // q_ann_f16_index (maxCode 32767) — in-memory vs persisted vs 16-bit
-    def ivfQuantSql(maxCode: Int) = s"""
+    // candJoin filters the CANDIDATE rows (the stored lists) — the filtered-
+    // ANN oracle hook: rk is computed on the unfiltered lists exactly like
+    // the build-time cap, then matching candidates rank among themselves
+    def ivfQuantSql(maxCode: Int, candJoin: String = "") = s"""
         $embBase,
         $ivfCoarseCtes,
         ${quantCtes(maxCode)},
@@ -654,6 +673,7 @@ object ExtQueries {
                 AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
               JOIN qn a ON a.vec_id = qp.query_id
               JOIN qn b ON b.vec_id = inv.vec_id
+              $candJoin
               WHERE qp.query_id <> inv.vec_id)
         SELECT query_id, neighbor_id, cent_id, cos_q, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -852,6 +872,8 @@ object ExtQueries {
         WHERE rank <= $TOPK ORDER BY query_id, rank""",
       // IVF coarse stage on floats + in-list ranking over int8 codes
       "q_ann_ivf_int8" -> ivfInt8Sql,
+      "q_ann_filtered" -> ivfQuantSql(127,
+        s"JOIN embeddings el ON el.vec_id = inv.vec_id AND el.label = $FILTER_LABEL"),
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,

@@ -1037,6 +1037,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, lp(2, 3)), (2L, 1L, lp(2, 3)), (3L, 1L, lp(1, 3))))
   }
 
+  test("filtered ANN: predicate pushed into the list scan, top-k among matching rows") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_test_filtered_idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, 8, attrCols = Seq("label"))
+    val got = Similarity.searchIvfInt8Index(spark, path, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 3, 2, listFilter = Some($"label" === 7))
+    // every neighbor actually has the filtered label
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(1)) == 7))
+    // the predicate reaches the parquet reader, not a post-scan filter only
+    val plan = got.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("interval overlap join: one row per overlapping pair even across many buckets") {
     val a = Seq((1L, 0.0, 100.0), (2L, 300.0, 310.0)).toDF("a_id", "a_lo", "a_hi")
     val b = Seq((10L, 50.0, 400.0), (11L, 150.0, 200.0), (12L, 500.0, 600.0))
