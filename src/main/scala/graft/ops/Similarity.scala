@@ -1227,7 +1227,11 @@ object Similarity {
       if (touchedFiles.isEmpty) newRows.limit(0) // all-new partitions
       else spark.read.option("basePath", listsRoot.toString)
         .parquet(touchedFiles.map(f => s"$path/lists/$f"): _*)
-        .select(col("neighbor_id"), col("q"), col("cent_id").cast("long").as("cent_id"))
+        // restore the long key but KEEP attribute payload columns — a
+        // narrowing select here would break unionByName for attr-carrying
+        // indexes (the batch must carry the same attrCols; name alignment
+        // then makes the merge column-order-proof)
+        .withColumn("cent_id", col("cent_id").cast("long"))
     val merged = Dedup.capBuckets(
       existing.unionByName(newRows), Seq("cent_id"), "neighbor_id", maxBucket)
       .localCheckpoint(true)

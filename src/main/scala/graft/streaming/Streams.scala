@@ -236,8 +236,9 @@ object Streams {
           .otherwise(lit("unchanged")))
       .filter(col("change_type") =!= "unchanged")
       .select(keyCols.map(col) ++ Seq(col("change_type")) ++
-        vals.flatMap(c => Seq(
-          col(s"__old.$c").as(s"old_$c"), col(s"__new.$c").as(s"new_$c"))): _*)
+        vals.flatMap(c => Seq( // getField, not "__old.c": dotted names survive
+          col("__old").getField(c).as(s"old_$c"),
+          col("__new").getField(c).as(s"new_$c"))): _*)
   }
 
   /** [[diffFrames]] across two committed versions of a [[commitSnapshot]]

@@ -1054,6 +1054,17 @@ class OpsSpec extends AnyFunSuite {
     // the predicate reaches the parquet reader, not a post-scan filter only
     val plan = got.queryExecution.executedPlan.toString
     assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined, plan)
+    // append with the same attrCols merges by NAME (read-back keeps payload
+    // columns); the appended row is findable through the filter
+    val extra = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", lit(7).as("label"))
+    Similarity.appendIvfInt8Index(spark, extra, "vec_id", "embedding", path,
+      attrCols = Seq("label"))
+    val after = Similarity.searchIvfInt8Index(spark, path,
+      emb.filter($"vec_id" === 0), "vec_id", "embedding", 1, 2,
+      listFilter = Some($"label" === 7))
+    // vec 10000 is a copy of query vec 0 with label 7 → cosine 1.0, rank 1
+    assert(after.collect().head.getLong(1) == 10000L)
   }
 
   test("interval overlap join: one row per overlapping pair even across many buckets") {
