@@ -131,7 +131,9 @@ object Bench {
       "q_ann_ivf_pq" -> sink("q_ann_ivf_pq"),
       "q_ann_rerank" -> sink("q_ann_rerank"),
       "q_pack_sequences" -> sink("q_pack_sequences"),
-      "q_sample_group" -> sink("q_sample_group"))
+      "q_sample_group" -> sink("q_sample_group"),
+      "q_dedup_winnow" -> sink("q_dedup_winnow"),
+      "q_text_bigram" -> sink("q_text_bigram"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
@@ -213,17 +215,24 @@ object Bench {
     rmrf(servePqPath); rmrf(serveI8Path)
     val buildPqSec = timedBuild(() => graft.ops.Similarity.writeIvfPqIndex(
       emb, "vec_id", "embedding", servePqPath, 16, 4, 16, 64))
+    // the int8 index carries the label attribute so the filtered-search row
+    // measures the vector-DB `filter=` path over the same stored lists
     val buildI8Sec = timedBuild(() => graft.ops.Similarity.writeIvfInt8Index(
-      emb, "vec_id", "embedding", serveI8Path, 16))
+      emb, "vec_id", "embedding", serveI8Path, 16, attrCols = Seq("label")))
     def servePq() = graft.ops.Similarity.searchIvfPqIndex(
       spark, servePqPath, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, 2)
     def serveI8() = graft.ops.Similarity.searchIvfInt8Index(
       spark, serveI8Path, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 2)
+    def serveI8F() = graft.ops.Similarity.searchIvfInt8Index(
+      spark, serveI8Path, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 2,
+      listFilter = Some(col("label") === 7))
     val serveResults = Seq(
       "q_serve_pq_index" ->
         samples3("q_serve_pq_index", () => servePq().write.format("noop").mode("overwrite").save()),
       "q_serve_int8_index" ->
-        samples3("q_serve_int8_index", () => serveI8().write.format("noop").mode("overwrite").save()))
+        samples3("q_serve_int8_index", () => serveI8().write.format("noop").mode("overwrite").save()),
+      "q_serve_int8_filtered" ->
+        samples3("q_serve_int8_filtered", () => serveI8F().write.format("noop").mode("overwrite").save()))
 
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds)
@@ -270,7 +279,8 @@ object Bench {
     // plan-shape section: per benched query, how many shuffles + broadcasts —
     // comparable across rounds even when the box makes wall-clock useless
     // serving plan shapes ride the same plans section as the gate queries
-    val servePlans = Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _)
+    val servePlans = Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
+      "q_serve_int8_filtered" -> serveI8F _)
       .map { case (name, df) =>
         val (sh, bc) = planCounts(df())
         s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""

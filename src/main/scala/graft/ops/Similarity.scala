@@ -1257,11 +1257,12 @@ object Similarity {
   def writeIvfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, m: Int, nCodes: Int, dim: Int, trainIters: Int = 1,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, attrCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
     val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, dim, trainIters)
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-    val cents = lloydCentroids(base, nCents, 0)
+    val base = corpus.select(Seq(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      ++ attrCols.map(col): _*)
+    val cents = lloydCentroids(base.select(col("id"), col("__v")), nCents, 0)
     val assign = assignExpr(cents, assignKernel = false)
     val sub = dim / m
     val codes = array((0 until m).map { s =>
@@ -1270,7 +1271,8 @@ object Similarity {
     }: _*)
     val lists = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
-      .select(col("id").as("neighbor_id"), codes.as("q"), col("cent_id"))
+      .select(Seq(col("id").as("neighbor_id"), codes.as("q"), col("cent_id"))
+        ++ attrCols.map(col): _*)
     import spark.implicits._
     val sidecar = (
       cents.map { case (cid, cv) => ("coarse", cid, -1L, cv) } ++
@@ -1313,13 +1315,19 @@ object Similarity {
     */
   def searchIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      listFilter: Option[Column] = None): DataFrame = {
     val (cents, books) = loadPqSidecar(spark, path)
     val sub = books.head.head._2.length
-    val inverted = readIndexLists(spark, path,
+    // keep attribute payload columns for listFilter (the int8 twin's
+    // filtered-search semantics: predicate lands before ranking, pushed
+    // into the list parquet scan)
+    val raw = readIndexLists(spark, path,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
-      .select(col("neighbor_id"), col("q").cast("array<int>").as("__cq"),
-        col("cent_id").cast("long").as("cent_id"))
+      .withColumn("q", col("q").cast("array<int>"))
+      .withColumnRenamed("q", "__cq")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val inverted = listFilter.map(raw.filter).getOrElse(raw)
     val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
     adcRanked(
       broadcast(probes).join(inverted, Seq("cent_id"))
@@ -1338,7 +1346,7 @@ object Similarity {
   def appendIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, attrCols: Seq[String] = Seq.empty): Unit = {
     val (cents, books) = loadPqSidecar(spark, path)
     val sub = books.head.head._2.length
     val assign = assignExpr(cents, assignKernel = false)
@@ -1346,9 +1354,11 @@ object Similarity {
       nearestL2(books(s), slice(asDouble(col(vecCol)), s * sub + 1, sub),
         usePos = true).cast("int")
     }: _*)
-    val newRows = batch.select(
+    // same attrCols contract as the int8 append: a batch into an
+    // attr-carrying index must carry the columns the build wrote
+    val newRows = batch.select(Seq(
       col(idCol).as("neighbor_id"), codes.as("q"),
-      assign(asDouble(col(vecCol))).as("cent_id"))
+      assign(asDouble(col(vecCol))).as("cent_id")) ++ attrCols.map(col): _*)
     appendListsIndexImpl(spark, path, newRows, maxBucket, () => ())
   }
 

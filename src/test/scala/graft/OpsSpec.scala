@@ -1067,6 +1067,22 @@ class OpsSpec extends AnyFunSuite {
     assert(after.collect().head.getLong(1) == 10000L)
   }
 
+  test("filtered ANN parity: the PQ index honors the same listFilter semantics") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_test_filtered_pq_idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path, 8, 4, 16, 64,
+      attrCols = Seq("label"))
+    val got = Similarity.searchIvfPqIndex(spark, path, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 3, 2, listFilter = Some($"label" === 7))
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(1)) == 7))
+  }
+
   test("interval overlap join: one row per overlapping pair even across many buckets") {
     val a = Seq((1L, 0.0, 100.0), (2L, 300.0, 310.0)).toDF("a_id", "a_lo", "a_hi")
     val b = Seq((10L, 50.0, 400.0), (11L, 150.0, 200.0), (12L, 500.0, 600.0))
