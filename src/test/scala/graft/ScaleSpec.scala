@@ -172,6 +172,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 ops keep their scale shape: diff one join, winnow capped join, scan-level fingerprints") {
+    val dir = "/root/testdata/sf0.001"
+    // snapshot diff: ONE full-outer sort-merge join on the key — the whole plan
+    val v1 = Tables.events(spark, dir).groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val v2 = Tables.events(spark, dir).filter($"user_id" % 2 === 0)
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val diffPlan = graft.streaming.Streams.diffFrames(v1, v2, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(diffPlan).isDefined,
+      s"diff must plan one full-outer sort-merge join:\n$diffPlan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(diffPlan).isEmpty,
+      "diff must never plan a nested-loop join")
+    // winnowing fingerprints: a scan-level expression chain — extraction
+    // itself adds no exchange; candidates then join keyed on fp
+    val fps = Tables.documents(spark, dir).select(
+      org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.winnowedFingerprints($"text", 16, 8)).as("fp"))
+    assert(!fps.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fingerprint extraction must not shuffle")
+    val cand = graft.ops.Dedup.substringDupCandidates(
+      Tables.documents(spark, dir), "doc_id", "text", 16, 8, 2L)
+    val candPlan = cand.queryExecution.executedPlan.toString
+    // tiny SF broadcasts the capped side; any KEYED join form is the claim
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(candPlan).isDefined &&
+      !candPlan.contains("CartesianProduct") &&
+      !candPlan.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidates must meet through a keyed join, never a product:\n$candPlan")
+  }
+
   test("IVF centroid assignment is a scan expression, never a join") {
     // the naive formulation (corpus × centroid-table cross join + argmin)
     // would plan a nested-loop join and explode every row C ways through a
