@@ -226,6 +226,13 @@ object PipelineQueries {
         .orderBy(col("sig"))
     },
 
+    // classifier scoring at INGEST time: the stateless scan-level scorer per
+    // micro-batch — no state store, no watermark; equals the batch op
+    "q_stream_classify" -> { (s, dir) =>
+      graft.streaming.Streams.streamingClassifierScore(s, dir, CLS_BUCKETS, CLS_SEED)
+        .orderBy(col("doc_id"))
+    },
+
     // streaming incremental ingestion: stream-static left_anti against the
     // corpus digest set + within-stream watermarked dedup; delay > replay
     // span, so the emitted set equals the batch incremental-dedup digests
@@ -437,6 +444,24 @@ object PipelineQueries {
     // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
     // smaller-id side of a candidate pair must rank <= MAXB in its bucket
     val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
+    // shared by q_text_classifier (batch) and q_stream_classify (the
+    // stateless streaming cell emits identical rows)
+    val classifierSql = s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        f AS (SELECT doc_id, list_concat(toks,
+                list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS feats
+              FROM t),
+        sc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+                 CAST(list_sum(list_transform(feats, x ->
+                   ${hash32Sql(s"'${CLS_SEED}_' || (${hash32Sql("x")} % $CLS_BUCKETS)")}
+                     % 2001 - 1000)) AS BIGINT) AS wsum
+               FROM f)
+        SELECT doc_id, n_feats,
+               round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) AS margin,
+               CASE WHEN round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) >= 0
+                    THEN 'keep' ELSE 'drop' END AS label
+        FROM sc ORDER BY doc_id"""
     val EMB_MAXB = graft.ops.Similarity.DEFAULT_MAX_BUCKET
     val bandsCte = s"""bands0 AS ($bandSelects),
         bands AS (SELECT *, row_number() OVER (PARTITION BY band, bkey
@@ -466,22 +491,9 @@ object PipelineQueries {
                round(min(logp), 6) AS min_logp
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""",
-      "q_text_classifier" -> s"""
-        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        f AS (SELECT doc_id, list_concat(toks,
-                list_transform(range(1, greatest(len(toks)-1, 0)+1),
-                  i -> toks[i] || ' ' || toks[i+1])) AS feats
-              FROM t),
-        sc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
-                 CAST(list_sum(list_transform(feats, x ->
-                   ${hash32Sql(s"'${CLS_SEED}_' || (${hash32Sql("x")} % $CLS_BUCKETS)")}
-                     % 2001 - 1000)) AS BIGINT) AS wsum
-               FROM f)
-        SELECT doc_id, n_feats,
-               round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) AS margin,
-               CASE WHEN round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) >= 0
-                    THEN 'keep' ELSE 'drop' END AS label
-        FROM sc ORDER BY doc_id""",
+      "q_text_classifier" -> classifierSql,
+      // the streaming cell is stateless, so its rows equal the batch op's
+      "q_stream_classify" -> classifierSql,
       "q_text_bigram" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (SELECT doc_id,

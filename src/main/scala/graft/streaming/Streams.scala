@@ -554,6 +554,31 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming classifier scoring — the quality-filter cell at INGEST time:
+    * the fastText-shaped scan-level scorer
+    * ([[graft.ops.TextOps.withClassifierScore]]) applied per micro-batch.
+    * Stateless (one codegen'd expression chain per row — no joins, no model
+    * table), so it needs no state store and no watermark: state is zero
+    * regardless of stream length, and a firehose scores at scan speed with
+    * results identical to the batch op over the same rows.
+    */
+  def streamingClassifierScore(
+      spark: SparkSession, sfDir: String, nBuckets: Int, seed: String): DataFrame = {
+    val name = s"graft_sclass_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df =>
+        graft.ops.TextOps.withClassifierScore(df, "doc_id", "text", nBuckets, seed))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming similarity search — ONLINE retrieval against a static
     * persisted IVF index ([[graft.ops.Similarity.writeIvfInt8Index]]):
     * query vectors arrive on a stream, each micro-batch is searched with
