@@ -138,6 +138,32 @@ object Demo {
       s"${graft.streaming.Streams.readSnapshot(spark, snapDir).count()}, " +
       s"time-travel v1 rows = " +
       s"${graft.streaming.Streams.readSnapshot(spark, snapDir, Some(1L)).count()}")
+    // snapshot CDC: what changed between two committed versions
+    val statsHalf = loose.toDF.filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag")).count()
+    graft.streaming.Streams.commitSnapshot(statsHalf, snapDir, 3L, retain = 2)
+    val changed = graft.streaming.Streams.diffSnapshots(
+      spark, snapDir, 2L, 3L, Seq("l_returnflag"))
+    println(s"snapshot diff v2->v3: ${changed.count()} changed keys")
+    // substring-level duplicate candidates via winnowing fingerprints
+    val subDups = graft.ops.Dedup.substringDupCandidates(
+      docs, "doc_id", "text", 16, 8, 4L)
+    println(s"winnowing substring-dup candidate pairs = ${subDups.count()}")
+    // quality classifier inference + the same scorer per micro-batch
+    val scored = graft.ops.TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
+    val kept = scored.filter(col("label") === "keep").count()
+    println(s"classifier keeps $kept/${scored.count()} docs (hashed-feature linear model)")
+    // filtered ANN: metadata predicate pushed into the persisted index scan
+    val fidx = "/tmp/graft_demo_filtered_idx"
+    new org.apache.hadoop.fs.Path(fidx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(fidx), true)
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", fidx, 8,
+      attrCols = Seq("label"))
+    val fhits = graft.ops.Similarity.searchIvfInt8Index(spark, fidx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 2,
+      listFilter = Some(col("label") === 7))
+    println(s"filtered ANN (label=7) hits = ${fhits.count()}")
     spark.stop()
   }
 }
