@@ -1071,16 +1071,19 @@ object Similarity {
   def writeIvfF16Index(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      attrCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
+    val base = corpus.select(Seq(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int16Codes(asDouble(col(vecCol))).cast("array<smallint>").as("__q"))
+      ++ attrCols.map(col): _*)
     val cents = lloydCentroids(
       sampleForTraining(base, trainSample).select(col("id"), col("__v")), nCents, trainIters)
     val assign = assignExpr(cents, assignKernel)
     val lists = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
-      .select(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+      .select(Seq(col("id").as("neighbor_id"), col("__q").as("q"), col("cent_id"))
+        ++ attrCols.map(col): _*)
     import spark.implicits._
     publishIndexLists(spark, path, lists, cents.toDF("cent_id", "cv").coalesce(1))
   }
@@ -1093,12 +1096,17 @@ object Similarity {
   def searchIvfF16Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = false): DataFrame = {
+      assignKernel: Boolean = false, listFilter: Option[Column] = None): DataFrame = {
     val cents = loadCentroids(spark, path)
-    val inverted = readIndexLists(spark, path,
+    // same filtered-search semantics as the int8/PQ twins: payload columns
+    // pass through, the predicate lands before ranking and pushes into the
+    // list parquet scan
+    val raw = readIndexLists(spark, path,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ShortType))
-      .select(col("neighbor_id"), col("q").cast("array<int>").as("__cq"),
-        col("cent_id").cast("long").as("cent_id"))
+      .withColumn("q", col("q").cast("array<int>"))
+      .withColumnRenamed("q", "__cq")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val inverted = listFilter.map(raw.filter).getOrElse(raw)
     quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe,
       assignKernel, int16Codes)
   }
@@ -1109,13 +1117,14 @@ object Similarity {
   def appendIvfF16Index(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false): Unit = {
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      attrCols: Seq[String] = Seq.empty): Unit = {
     val cents = loadCentroids(spark, path)
     val assign = assignExpr(cents, assignKernel)
-    val newRows = batch.select(
+    val newRows = batch.select(Seq(
       col(idCol).as("neighbor_id"),
       int16Codes(asDouble(col(vecCol))).cast("array<smallint>").as("q"),
-      assign(asDouble(col(vecCol))).as("cent_id"))
+      assign(asDouble(col(vecCol))).as("cent_id")) ++ attrCols.map(col): _*)
     appendListsIndexImpl(spark, path, newRows, maxBucket, () => ())
   }
 

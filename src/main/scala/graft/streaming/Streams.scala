@@ -232,7 +232,9 @@ object Streams {
       .withColumn("change_type",
         when(col("__old").isNull, lit("insert"))
           .when(col("__new").isNull, lit("delete"))
-          .when(col("__old") =!= col("__new"), lit("update"))
+          // null-safe struct compare: a null VALUE field on both sides is
+          // unchanged, a null vs non-null field is an update
+          .when(!(col("__old") <=> col("__new")), lit("update"))
           .otherwise(lit("unchanged")))
       .filter(col("change_type") =!= "unchanged")
       .select(keyCols.map(col) ++ Seq(col("change_type")) ++
