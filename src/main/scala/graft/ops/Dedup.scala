@@ -298,8 +298,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long,
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(TextOps.winnowedFingerprints(col(textCol), k, w)).as("fp"))
+    // Two-step binding (gram hashes projected to their own column first) so
+    // the gram array is hashed once per row, not once per winnow window —
+    // see the PERFORMANCE note on [[TextOps.winnowedFingerprints]].
+    val fps = df
+      .select(col(idCol).as("id"), TextOps.gramHashes(col(textCol), k).as("__hs"))
+      .select(col("id"), explode(TextOps.winnowSelect(col("__hs"), w)).as("fp"))
     val capped = capBuckets(fps, Seq("fp"), "id", maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

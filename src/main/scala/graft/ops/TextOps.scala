@@ -327,16 +327,31 @@ object TextOps {
     * codegen'd): the selected-set size is ~2/(w+1) of the gram count, the
     * published density bound.
     */
-  def winnowedFingerprints(c: Column, k: Int, w: Int): Column = {
-    val hs = when(length(c) >= k,
+  def gramHashes(c: Column, k: Int): Column =
+    when(length(c) >= k,
       transform(sequence(lit(1), length(c) - (k - 1)), i => hash32(c.substr(i, lit(k)))))
       .otherwise(array().cast("array<long>"))
+
+  def winnowSelect(hs: Column, w: Int): Column =
     when(size(hs) > 0,
       array_distinct(transform(
         sequence(lit(0), greatest(size(hs) - w, lit(0))),
         j => array_min(slice(hs, j + 1, lit(w))))))
       .otherwise(array().cast("array<long>"))
-  }
+
+  /** Convenience composition of [[gramHashes]] + [[winnowSelect]].
+    *
+    * PERFORMANCE: always bind the gram hashes to their OWN projected column
+    * (`withColumn("__hs", gramHashes(...))` then `winnowSelect(col("__hs"),
+    * w)`) when applying to a real corpus — higher-order `transform` lambdas
+    * evaluate interpreted with no CSE across lambda boundaries, so this
+    * single-expression form re-hashes the ENTIRE gram array once per window
+    * (O(len²) md5 per row; measured 300× slower at 300-char docs).
+    * [[graft.ops.Dedup.substringDupCandidates]] does the two-step binding;
+    * this form is for short strings and tests.
+    */
+  def winnowedFingerprints(c: Column, k: Int, w: Int): Column =
+    winnowSelect(gramHashes(c, k), w)
 
   /** Document fingerprint: min 32-bit hash over distinct char n-grams (the
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
