@@ -153,6 +153,13 @@ object Demo {
     val scored = graft.ops.TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
     val kept = scored.filter(col("label") === "keep").count()
     println(s"classifier keeps $kept/${scored.count()} docs (hashed-feature linear model)")
+    // trained variant: learn bucket weights from the corpus's lang labels,
+    // serve them scan-level as a literal array inside the same expression
+    val model = graft.ops.TextOps.collectClassifierModel(
+      graft.ops.TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", 4096), 4096)
+    val trained = graft.ops.TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, 4096)
+    val tkept = trained.filter(col("label") === "keep").count()
+    println(s"trained classifier keeps $tkept/${trained.count()} docs (lang=en weights, bias=${model.bias})")
     // filtered ANN: metadata predicate pushed into the persisted index scan
     val fidx = "/tmp/graft_demo_filtered_idx"
     new org.apache.hadoop.fs.Path(fidx)

@@ -298,8 +298,7 @@ object TextOps {
   def withClassifierScore(
       df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, seed: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val feats = concat(toks, shinglesAll(toks, 2))
+    val feats = clsFeatures(col(textCol))
     val wsum = aggregate(
       transform(feats, f =>
         pmod(hash32(concat(lit(s"${seed}_"), pmod(hash32(f), lit(nBuckets.toLong)))),
@@ -309,6 +308,98 @@ object TextOps {
       .withColumn("margin", round(
         wsum.cast("double") / (lit(1000.0) * greatest(col("n_feats"), lit(1L))), 6))
       .withColumn("label", when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
+      .select(col(idCol), col("n_feats"), col("margin"), col("label"))
+  }
+
+  /** Hashed uni+bigram feature array — the shared feature extractor of
+    * [[withClassifierScore]] (seed-derived weights) and the trained pair
+    * [[trainClassifierWeights]]/[[withTrainedClassifierScore]]. Token
+    * occurrences count multiplicity (a repeated word contributes each time),
+    * matching fastText's bag-of-features.
+    */
+  private def clsFeatures(c: Column): Column = {
+    val toks = tokens(c)
+    concat(toks, shinglesAll(toks, 2))
+  }
+
+  /** TRAIN per-bucket classifier weights from a labeled corpus — the other
+    * half of [[withClassifierScore]]'s promise that "shipped trained weights
+    * would arrive as a bucket→weight lookup in the same expression".
+    *
+    * Shape: explode hashed features, ONE groupBy over `nBuckets` keys
+    * (sidecar-sized output: the model IS the (bucket, wt) table, ~nBuckets
+    * rows regardless of corpus size — the IVF-centroid pattern). Weight is a
+    * Laplace-smoothed calibrated probability in integer thousandths,
+    * `(2000·(pos_b+1)) div (n_b+2) − 1000` ∈ (−1000, 1000) — PURE integer
+    * arithmetic (no log, no float), so any engine reproduces it bit-for-bit
+    * from the same counts; positive-heavy buckets score positive.
+    *
+    * Returns (bucket: long, wt: long). 100 TB posture: training cost is one
+    * scan + one shuffle of (bucket, flag) pairs with map-side partial
+    * aggregation; apply `trainSample` upstream for sampled training.
+    */
+  def trainClassifierWeights(
+      df: DataFrame, textCol: String, posCol: Column, nBuckets: Int): DataFrame =
+    df.select(posCol.as("__pos"), explode(clsFeatures(col(textCol))).as("__f"))
+      .select(col("__pos"), pmod(hash32(col("__f")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("np"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"), col("np"), col("n"),
+        expr("(2000 * (np + 1)) div (n + 2) - 1000").as("wt"))
+
+  /** The trained model: dense bucket→weight array (unseen buckets weigh 0)
+    * plus the BIAS — the same integer-thousandth construction applied to the
+    * global positive rate of feature occurrences. The decision rule is
+    * `Σ w_f > bias·n_feats` (mean feature weight above the class prior), an
+    * EXACT integer comparison: without the bias, any label whose prior isn't
+    * 50% pushes every bucket's weight to the same side of zero and a
+    * margin≥0 threshold degenerates to the majority class.
+    */
+  final case class ClassifierModel(weights: Array[Long], bias: Long)
+
+  /** Driver-side packaging of [[trainClassifierWeights]]' output into a
+    * [[ClassifierModel]]. Sidecar-sized collect (nBuckets rows — the
+    * broadcast-build pattern, not a data-scale collect); the bias needs no
+    * extra corpus scan because the weight table keeps its counts.
+    */
+  def collectClassifierModel(weights: DataFrame, nBuckets: Int): ClassifierModel = {
+    val rows = weights.select(col("bucket"), col("np"), col("n"), col("wt")).collect()
+    val arr = Array.fill(nBuckets)(0L)
+    var npTot = 0L; var nTot = 0L
+    rows.foreach { r =>
+      arr(r.getLong(0).toInt) = r.getLong(3)
+      npTot += r.getLong(1); nTot += r.getLong(2)
+    }
+    ClassifierModel(arr, 2000L * (npTot + 1) / (nTot + 2) - 1000L)
+  }
+
+  /** SERVE a trained hashed-feature linear model: identical scan-level
+    * expression chain to [[withClassifierScore]], but the per-bucket weight
+    * comes from `element_at` on a literal array (the trained model rides the
+    * plan as one ~nBuckets·8-byte constant — no join, no UDF, no broadcast
+    * table; inference stays at scan speed on 100 TB). Margin arithmetic is
+    * the same exact scaled-long discipline: integer-thousandth weights
+    * summed as a long, one float division at the very end.
+    */
+  def withTrainedClassifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      model: ClassifierModel, nBuckets: Int): DataFrame = {
+    require(model.weights.length == nBuckets,
+      s"weights.length=${model.weights.length} must equal nBuckets=$nBuckets")
+    val feats = clsFeatures(col(textCol))
+    val wlit = lit(model.weights)
+    val wsum = aggregate(
+      transform(feats, f =>
+        element_at(wlit, (pmod(hash32(f), lit(nBuckets.toLong)) + lit(1L)).cast("int"))),
+      lit(0L), (acc, w) => acc + w)
+    df.withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("__wsum", wsum)
+      .withColumn("margin", round(
+        col("__wsum").cast("double") / (lit(1000.0) * greatest(col("n_feats"), lit(1L))), 6))
+      .withColumn("label",
+        when(col("__wsum") > lit(model.bias) * col("n_feats"), lit("keep"))
+          .otherwise(lit("drop")))
       .select(col(idCol), col("n_feats"), col("margin"), col("label"))
   }
 

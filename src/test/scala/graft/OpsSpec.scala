@@ -1110,6 +1110,45 @@ class OpsSpec extends AnyFunSuite {
     assert(labels == Set("keep", "drop"))
   }
 
+  test("trained classifier: integer weight math pinned, serving scan-level, labels separate") {
+    val B = 64
+    // 4 docs, disjoint vocab per class: positives say "good", negatives "bad"
+    val docs = Seq(
+      (1L, "good good stuff", true), (2L, "good stuff here", true),
+      (3L, "bad noise junk", false), (4L, "bad junk mess", false))
+      .toDF("doc_id", "text", "pos")
+    val w = TextOps.trainClassifierWeights(docs, "text", $"pos", B)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // weight of the bucket "good" hashes to: np=4 occurrences all positive…
+    // unless another token collides in 64 buckets; recompute expected counts
+    // from the same features driver-side to stay collision-proof
+    val feats = docs.collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+").toSeq
+      val f = toks ++ toks.sliding(2).map(_.mkString(" "))
+      (f.map(t => math.floorMod(TextOps.hash32Local(t), B.toLong)), r.getBoolean(2))
+    }
+    val byBucket = feats.flatMap { case (bs, p) => bs.map(_ -> p) }
+      .groupBy(_._1).map { case (b, xs) =>
+        val np = xs.count(_._2); val n = xs.size
+        b -> ((2000L * (np + 1)) / (n + 2) - 1000L)
+      }
+    assert(w == byBucket)
+    // bias = global prior in the same integer construction (6 of 12…
+    // occurrences positive here, so near 0; recompute exactly)
+    val model = TextOps.collectClassifierModel(
+      TextOps.trainClassifierWeights(docs, "text", $"pos", B), B)
+    val occ = feats.flatMap { case (bs, p) => bs.map(_ => p) }
+    val expBias = 2000L * (occ.count(identity) + 1) / (occ.size + 2) - 1000L
+    assert(model.bias == expBias)
+    // serving: scan-level (no join/exchange), and the disjoint vocab separates
+    val scored = TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, B)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"trained serving must be scan-level:\n$plan")
+    val got = scored.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "keep", 2L -> "keep", 3L -> "drop", 4L -> "drop"))
+  }
+
   test("diffFrames: insert/delete/update classified, unchanged dropped, schema mismatch rejected") {
     val v1 = Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")).toDF("k", "n", "s")
     val v2 = Seq((2L, 20L, "y"), (3L, 31L, "z"), (4L, 40L, "w")).toDF("k", "n", "s")
