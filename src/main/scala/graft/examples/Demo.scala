@@ -149,6 +149,10 @@ object Demo {
     val subDups = graft.ops.Dedup.substringDupCandidates(
       docs, "doc_id", "text", 16, 8, 4L)
     println(s"winnowing substring-dup candidate pairs = ${subDups.count()}")
+    // and the removal step: first copy kept, later docs' duplicated spans cut
+    val rmStats = graft.ops.Dedup.removeDuplicateSubstrings(docs, "doc_id", "text", 16, 8)
+      .agg(sum(col("n_removed")), sum(when(col("n_spans") > 0, 1L).otherwise(0L))).head()
+    println(s"substring removal: ${rmStats.getLong(0)} chars cut across ${rmStats.getLong(1)} docs")
     // quality classifier inference + the same scorer per micro-batch
     val scored = graft.ops.TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
     val kept = scored.filter(col("label") === "keep").count()

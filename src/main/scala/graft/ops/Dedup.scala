@@ -312,6 +312,81 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Duplicate-substring REMOVAL (the step after
+    * [[substringDupCandidates]]' detection): keep the FIRST copy of every
+    * duplicated span, cut the others — the exact-substring-dedup semantic of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models Better"
+    * (their suffix-array pass; here winnowing-approximated so it stays
+    * relational and distributed).
+    *
+    * Mechanics: winnow-selected fingerprints WITH positions
+    * ([[TextOps.winnowSelectPos]], scan-level, ~2/(w+1) density); a
+    * fingerprint's OWNER is the min doc id containing it; every selected
+    * occurrence in a later doc marks its k-gram `[pos, pos+k)` for removal;
+    * per-doc overlapping gram spans merge by gaps-and-islands (running
+    * lag(e) window over the HANDFUL of marked positions per doc — never the
+    * text); the kept text is rebuilt array-natively from the merged spans
+    * (one projection, no per-char work).
+    *
+    * Returns every input row: (id, n_spans, n_removed, cleaned). Owners and
+    * untouched docs come back verbatim (n_spans = 0).
+    *
+    * Approximate by construction, in the honest directions: winnowing only
+    * SELECTS ~2/(w+1) of grams, so a duplicated substring shorter than
+    * k+w−1 may survive (winnow guarantee is one-way), and only the selected
+    * occurrences of a shared span are cut (removal is a subset of the true
+    * duplicated chars — it never removes more than one winnowed gram-span
+    * per island boundary beyond the overlap). A 2⁻³² hash collision can cut
+    * a non-duplicated k-gram; at corpus scale that is dominated by the
+    * benefit, and the removal is always a valid k-char-aligned cut.
+    *
+    * Scale shape: shuffle 1 on `fp` (owner = min id, map-side partial min);
+    * join fps↔owners co-partitioned on the same key; shuffle 2 on `id` for
+    * the island window + span aggregation; shuffle 3 the sort-merge join of
+    * sidecar-per-doc spans back to the text. Text never rides the fp
+    * shuffle.
+    */
+  def removeDuplicateSubstrings(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"), TextOps.gramHashes(col(textCol), k).as("__hs"))
+      .select(col("id"), explode(TextOps.winnowSelectPos(col("__hs"), w)).as("f"))
+      .select(col("id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
+    val owners = fps.groupBy(col("fp")).agg(min(col("id")).as("owner"))
+    val rem = fps.join(owners, Seq("fp"))
+      .filter(col("id") > col("owner"))
+      .select(col("id"), col("pos"), (col("pos") + lit((k - 1).toLong)).as("e"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = rem
+      .withColumn("prev_e", lag(col("e"), 1).over(wOrd))
+      .withColumn("isl", sum(
+        when(col("prev_e").isNull || col("pos") > col("prev_e"), 1L).otherwise(0L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val text = col("__text")
+    val sp = col("spans")
+    val prevEnd = (i: Column) =>
+      when(i === 0, lit(0L)).otherwise(element_at(sp, i)("e"))
+    val gaps = transform(sequence(lit(0), size(sp) - 1),
+      i => text.substr((prevEnd(i) + 1L).cast("int"),
+        greatest(element_at(sp, i + 1)("s") - prevEnd(i) - 1L, lit(0L)).cast("int")))
+    val tail = text.substr((element_at(sp, size(sp))("e") + 1L).cast("int"),
+      length(text).cast("int"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("spans",
+        coalesce(sp, array().cast("array<struct<s:long,e:long>>")))
+      .select(col("id"),
+        size(sp).cast("long").as("n_spans"),
+        aggregate(sp, lit(0L), (acc, x) => acc + (x("e") - x("s") + 1L)).as("n_removed"),
+        when(size(sp) === 0, text)
+          .otherwise(concat(array_join(gaps, ""), tail)).as("cleaned"))
+  }
+
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), array_distinct(tokens(col(textCol))).as("__w"))
       .filter(size(col("__w")) > 0) // no tokens → no simhash (as before)

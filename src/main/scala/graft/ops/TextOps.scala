@@ -430,6 +430,25 @@ object TextOps {
         j => array_min(slice(hs, j + 1, lit(w))))))
       .otherwise(array().cast("array<long>"))
 
+  /** [[winnowSelect]] variant that keeps each selected fingerprint's GRAM
+    * POSITION (1-based char offset of the k-gram it hashes): window j keeps
+    * (min hash of grams j+1..j+w, position of that min). The positions are
+    * what substring REMOVAL needs — a shared fingerprint certifies a
+    * duplicated k-gram starting exactly there. Same density bound and the
+    * same two-step binding discipline as [[winnowSelect]] (pass a column
+    * bound to [[gramHashes]], never the raw expression).
+    */
+  def winnowSelectPos(hs: Column, w: Int): Column =
+    when(size(hs) > 0,
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        j => {
+          val s = slice(hs, j + 1, lit(w))
+          val m = array_min(s)
+          struct(m.as("fp"), (j.cast("long") + array_position(s, m)).as("pos"))
+        })))
+      .otherwise(array().cast("array<struct<fp:long,pos:long>>"))
+
   /** Convenience composition of [[gramHashes]] + [[winnowSelect]].
     *
     * PERFORMANCE: always bind the gram hashes to their OWN projected column

@@ -361,6 +361,18 @@ object PipelineQueries {
     // sharing >= WINNOW_MS selected fingerprints share local substrings of
     // length >= k+w-1 — the boilerplate/quotation detector whole-doc
     // signatures dilute
+    // duplicate-substring REMOVAL: keep the first copy of a duplicated
+    // span, cut later docs' winnow-selected occurrences (Lee et al. exact-
+    // substring-dedup semantic, winnowing-approximated so it stays
+    // relational); cleaned text rebuilt array-natively from merged spans
+    "q_dedup_substring_rm" -> { (s, dir) =>
+      Dedup.removeDuplicateSubstrings(Tables.documents(s, dir), "doc_id", "text",
+        WINNOW_K, WINNOW_W)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_dedup_winnow" -> { (s, dir) =>
       Dedup.substringDupCandidates(Tables.documents(s, dir), "doc_id", "text",
         WINNOW_K, WINNOW_W, WINNOW_MS)
@@ -945,6 +957,52 @@ object PipelineQueries {
               GROUP BY 1, 2)
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $WINNOW_MS
         ORDER BY id_a, id_b""",
+      // removal mirror: fingerprints WITH positions, owner = min doc per fp,
+      // later docs' selected occurrences -> k-gram spans -> gaps-and-islands
+      // merge -> text rebuilt from the gaps (string_agg ordered by span)
+      "q_dedup_substring_rm" -> s"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        g AS (SELECT doc_id,
+                list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
+                  i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
+              FROM d WHERE length(text) >= $WINNOW_K),
+        f AS (SELECT doc_id, list_transform(
+                range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
+                j -> {'fp': list_min(list_slice(hs, j+1, j+$WINNOW_W)),
+                      'pos': j + list_position(list_slice(hs, j+1, j+$WINNOW_W),
+                               list_min(list_slice(hs, j+1, j+$WINNOW_W)))}) AS fs
+              FROM g WHERE len(hs) > 0),
+        -- struct list_distinct is unimplemented in DuckDB: dedup after unnest
+        fps AS (SELECT DISTINCT doc_id, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
+                FROM (SELECT doc_id, unnest(fs) AS u FROM f)),
+        own AS (SELECT fp, min(doc_id) AS owner FROM fps GROUP BY fp),
+        rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
+                FROM fps JOIN own USING (fp) WHERE fps.doc_id > own.owner),
+        sp0 AS (SELECT doc_id, pos, e,
+                  lag(e) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
+                FROM rem),
+        isl AS (SELECT doc_id, pos, e,
+                  sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+                FROM sp0),
+        sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e
+               FROM isl GROUP BY doc_id, isl),
+        gsp AS (SELECT doc_id, s, e,
+                  lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+                FROM sp),
+        agg AS (SELECT gsp.doc_id,
+                  count(*)::BIGINT AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
+                  string_agg(substring(d.text, CAST(coalesce(prev_e, 0) + 1 AS INT),
+                      CAST(greatest(s - coalesce(prev_e, 0) - 1, 0) AS INT)),
+                    '' ORDER BY s)
+                    || substring(d.text, CAST(max(e) + 1 AS INT)) AS cleaned
+                FROM gsp JOIN d USING (doc_id) GROUP BY gsp.doc_id, d.text)
+        SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.n_removed, 0) AS n_removed,
+               coalesce(a.cleaned, d.text) AS cleaned
+        FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
       "q_text_redact" -> {
         val em = TextOps.EMAIL_RE
         val ph = TextOps.PHONE_RE

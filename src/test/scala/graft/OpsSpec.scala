@@ -1110,6 +1110,32 @@ class OpsSpec extends AnyFunSuite {
     assert(labels == Set("keep", "drop"))
   }
 
+  test("duplicate-substring removal: owner keeps text, later doc loses the shared span") {
+    val shared = "0123456789abcdefghijklmnop" // 26 chars >= k+w-1 = 23
+    val d1 = s"first unique prefix $shared and first tail"
+    val d2 = s"second totally different opening $shared closing words here"
+    val d3 = "no overlap at all in this one, completely distinct text body"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSubstrings(docs, "doc_id", "text", 16, 8)
+      .orderBy($"id").collect()
+    // owner and the distinct doc come back verbatim
+    assert(got(0).getString(3) == d1 && got(0).getLong(1) == 0L)
+    assert(got(2).getString(3) == d3 && got(2).getLong(1) == 0L)
+    // doc 2: winnow guarantee => at least one shared-selected gram cut, the
+    // cut stays inside the shared block, and lengths reconcile
+    val r2 = got(1)
+    assert(r2.getLong(1) >= 1L && r2.getLong(2) >= 16L)
+    val cleaned = r2.getString(3)
+    assert(cleaned.length == d2.length - r2.getLong(2))
+    assert(!cleaned.contains(shared))
+    assert(cleaned.startsWith("second totally different opening"))
+    assert(cleaned.endsWith(" closing words here"))
+    // removal is deterministic under repartitioning
+    val again = Dedup.removeDuplicateSubstrings(docs.repartition(7), "doc_id", "text", 16, 8)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(again == got.map(_.toSeq).toSeq)
+  }
+
   test("trained classifier: integer weight math pinned, serving scan-level, labels separate") {
     val B = 64
     // 4 docs, disjoint vocab per class: positives say "good", negatives "bad"

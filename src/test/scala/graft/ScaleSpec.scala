@@ -202,6 +202,20 @@ class ScaleSpec extends AnyFunSuite {
       !candPlan.contains("CartesianProduct") &&
       !candPlan.contains("BroadcastNestedLoopJoin"),
       s"winnow candidates must meet through a keyed join, never a product:\n$candPlan")
+    // substring removal: keyed joins only, and the document TEXT must not
+    // ride the fp-keyed shuffle — only (id, fp, pos) goes there; text joins
+    // back by id at the end
+    val rm = graft.ops.Dedup.removeDuplicateSubstrings(
+      Tables.documents(spark, dir), "doc_id", "text", 16, 8)
+    val rmPlan = rm.queryExecution.executedPlan.toString
+    assert(!rmPlan.contains("CartesianProduct") &&
+      !rmPlan.contains("BroadcastNestedLoopJoin"),
+      s"substring removal must never plan a product join:\n$rmPlan")
+    val fpExchanges = "Exchange hashpartitioning\\(fp[^)]*\\), [^\n]*".r
+      .findAllIn(rmPlan).toList
+    assert(fpExchanges.nonEmpty, s"expected an fp-keyed exchange:\n$rmPlan")
+    assert(!fpExchanges.exists(_.contains("__text")),
+      s"text must not ride the fp shuffle:\n${fpExchanges.mkString("\n")}")
   }
 
   test("IVF centroid assignment is a scan expression, never a join") {
