@@ -145,6 +145,15 @@ object Demo {
     val changed = graft.streaming.Streams.diffSnapshots(
       spark, snapDir, 2L, 3L, Seq("l_returnflag"))
     println(s"snapshot diff v2->v3: ${changed.count()} changed keys")
+    // persisted bigram LM: corpus statistics committed once as a versioned
+    // artifact, scoring joins the stored table
+    val lmDir = "/tmp/graft_demo_bigram_lm"
+    graft.streaming.Streams.commitSnapshot(
+      graft.ops.TextOps.bigramLmTable(docs, "text"), lmDir, 1L)
+    val lmScored = graft.ops.TextOps.scoreWithBigramLm(docs, "doc_id", "text",
+      graft.streaming.Streams.readSnapshot(spark, lmDir))
+    println(s"persisted bigram LM: ${graft.streaming.Streams.readSnapshot(spark, lmDir).count()} " +
+      s"bigrams, ${lmScored.count()} docs scored")
     // substring-level duplicate candidates via winnowing fingerprints
     val subDups = graft.ops.Dedup.substringDupCandidates(
       docs, "doc_id", "text", 16, 8, 4L)

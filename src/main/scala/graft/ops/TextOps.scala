@@ -251,22 +251,58 @@ object TextOps {
     * SQL-reproducible. Documents with < 2 tokens drop (no bigrams — the
     * guard also keeps `sequence()` off its descending-step surprise).
     */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toksD = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-    val bigs = toksD
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithBigramLm(docs, idCol, textCol,
+      bigramLmTable(docs, textCol))
+
+  /** Per-doc exploded bigrams (doc_id, w1, w2) — shared by LM training and
+    * scoring. Scan-level array transform; docs with < 2 tokens drop (no
+    * bigrams — the guard also keeps `sequence()` off its descending-step
+    * surprise).
+    */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("toks")) - 2),
         i => struct(element_at(col("toks"), i + 1).as("w1"),
           element_at(col("toks"), i + 2).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The bigram LM TABLE (w1, w2, n2, n1, logp) — the corpus statistics
+    * [[bigramLogProb]] consumes, exposed so they can be computed ONCE and
+    * persisted as a versioned artifact
+    * ([[graft.streaming.Streams.commitSnapshot]]) instead of recomputed per
+    * scoring run: at 100 TB the two counting shuffles dominate scoring, and
+    * an indexed LM amortizes them across every downstream corpus. Counts
+    * ride along (not just logp) so future increments can merge counts
+    * rather than rebuild.
+    */
+  def bigramLmTable(docs: DataFrame, textCol: String): DataFrame = {
+    val toksD = docs.select(tokens(col(textCol)).as("toks"))
     val uni = toksD.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    val bg = bigs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    val lp = bg.join(uni, Seq("w1"))
+    val bg = docs.select(lit(0L).as("doc_id"), col(textCol))
+      .transform(d => docBigrams(d, "doc_id", textCol))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    bg.join(uni, Seq("w1"))
       .withColumn("logp",
         round(log10(col("n2").cast("double") / col("n1").cast("double")), 6))
-      .select(col("w1"), col("w2"), col("logp"))
+      .select(col("w1"), col("w2"), col("n2"), col("n1"), col("logp"))
+  }
+
+  /** Score docs against a (possibly persisted) bigram LM table — the
+    * serving half of [[bigramLmTable]]. Sort-merge joins on the bigram key
+    * (an LM over a crawl is far too large to assume broadcastable); exact
+    * scaled-long mean, identical output schema to [[bigramLogProb]]. OOV
+    * bigrams (absent from the LM) drop from the count — the scored corpus
+    * is assumed ⊆ the LM corpus; smoothing is a caller-side extension of
+    * the table.
+    */
+  def scoreWithBigramLm(
+      docs: DataFrame, idCol: String, textCol: String, lm: DataFrame): DataFrame = {
+    val bigs = docBigrams(docs, idCol, textCol)
+    val lp = lm.select(col("w1"), col("w2"), col("logp"))
     bigs.join(lp, Seq("w1", "w2"))
       .withColumn("lp6", round(col("logp") * 1e6).cast("long"))
       .groupBy(col("doc_id"))

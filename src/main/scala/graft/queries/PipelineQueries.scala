@@ -108,6 +108,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the same score through a PERSISTED bigram LM: corpus statistics are
+    // computed once, committed as a versioned snapshot artifact (atomic
+    // _LATEST flip, time travel), and scoring joins the stored table — at
+    // 100 TB the two counting shuffles amortize across every scoring run
+    "q_text_bigram_lm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val lmDir = s"/tmp/graft_bigram_lm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.streaming.Streams.commitSnapshot(
+        TextOps.bigramLmTable(docs, "text"), lmDir, 1L)
+      TextOps.scoreWithBigramLm(docs, "doc_id", "text",
+        graft.streaming.Streams.readSnapshot(s, lmDir))
+        .orderBy(col("doc_id"))
+    },
+
     // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
     "q_text_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -469,6 +483,24 @@ object PipelineQueries {
     // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
     // smaller-id side of a candidate pair must rank <= MAXB in its bucket
     val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
+    val bigramSql = s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        b AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+              FROM t WHERE len(toks) >= 2),
+        uni AS (SELECT tok AS w1, count(*) AS n1
+                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        bg AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+        lp AS (SELECT w1, w2,
+                 round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
+               FROM bg JOIN uni USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_logp,
+               round(min(logp), 6) AS min_logp
+        FROM b JOIN lp USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id"""
     // shared by q_text_classifier (batch) and q_stream_classify (the
     // stateless streaming cell emits identical rows)
     val classifierSql = s"""
@@ -552,24 +584,10 @@ object PipelineQueries {
         FROM base ORDER BY doc_id""",
       // the streaming cell is stateless, so its rows equal the batch op's
       "q_stream_classify" -> classifierSql,
-      "q_text_bigram" -> s"""
-        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        b AS (SELECT doc_id,
-                unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-                unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
-              FROM t WHERE len(toks) >= 2),
-        uni AS (SELECT tok AS w1, count(*) AS n1
-                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
-        bg AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
-        lp AS (SELECT w1, w2,
-                 round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
-               FROM bg JOIN uni USING (w1))
-        SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
-                 / (count(*) * 1000000.0), 6) AS avg_logp,
-               round(min(logp), 6) AS min_logp
-        FROM b JOIN lp USING (w1, w2)
-        GROUP BY doc_id ORDER BY doc_id""",
+      "q_text_bigram" -> bigramSql,
+      // identical rows through the persisted LM artifact: the LM is built
+      // from the same corpus, so the relational recompute is the oracle
+      "q_text_bigram_lm" -> bigramSql,
       "q_text_quality" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         c AS (SELECT doc_id,

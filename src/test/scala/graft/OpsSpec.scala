@@ -1110,6 +1110,35 @@ class OpsSpec extends AnyFunSuite {
     assert(labels == Set("keep", "drop"))
   }
 
+  test("persisted bigram LM: scoring matches in-line compute; versions time-travel") {
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("bigram_lm").toString
+    val c1 = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "a dog sat on a log")).toDF("doc_id", "text")
+    Streams.commitSnapshot(TextOps.bigramLmTable(c1, "text"), dir, 1L, retain = 2)
+    val viaLm = TextOps.scoreWithBigramLm(c1, "doc_id", "text",
+      Streams.readSnapshot(spark, dir)).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val inline = TextOps.bigramLogProb(c1, "doc_id", "text").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaLm == inline)
+    // corpus grows, LM v2 committed: scores shift, but v1 is still readable
+    // and reproduces the original scores exactly (time travel)
+    val c2 = c1.union(Seq((4L, "the cat sat on the cat")).toDF("doc_id", "text"))
+    Streams.commitSnapshot(TextOps.bigramLmTable(c2, "text"), dir, 2L, retain = 2)
+    val v2Scores = TextOps.scoreWithBigramLm(c1, "doc_id", "text",
+      Streams.readSnapshot(spark, dir)).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(v2Scores != inline) // "the cat" got more probable
+    val v1Again = TextOps.scoreWithBigramLm(c1, "doc_id", "text",
+      Streams.readSnapshot(spark, dir, Some(1L))).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(v1Again == inline)
+    // the LM table carries counts for future increments, not just logp
+    val lm = Streams.readSnapshot(spark, dir)
+    assert(lm.columns.toSeq == Seq("w1", "w2", "n2", "n1", "logp"))
+  }
+
   test("duplicate-substring removal: owner keeps text, later doc loses the shared span") {
     val shared = "0123456789abcdefghijklmnop" // 26 chars >= k+w-1 = 23
     val d1 = s"first unique prefix $shared and first tail"
