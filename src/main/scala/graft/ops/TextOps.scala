@@ -285,10 +285,50 @@ object TextOps {
     val bg = docs.select(lit(0L).as("doc_id"), col(textCol))
       .transform(d => docBigrams(d, "doc_id", textCol))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    bg.join(uni, Seq("w1"))
-      .withColumn("logp",
-        round(log10(col("n2").cast("double") / col("n1").cast("double")), 6))
-      .select(col("w1"), col("w2"), col("n2"), col("n1"), col("logp"))
+    lmFromCounts(uni, bg)
+  }
+
+  /** Assemble the LM table from its two count relations. LEFT join from the
+    * unigrams: a word with no outgoing bigram in this corpus (trailing-only
+    * or single-token-doc) keeps a MARKER row (w1, NULL, 0, n1, NULL) — the
+    * inner scoring join can never match a NULL w2, but without the marker
+    * the word's unigram count would be lost and [[mergeBigramLms]] could not
+    * equal a full rebuild.
+    */
+  private def lmFromCounts(uni: DataFrame, bg: DataFrame): DataFrame =
+    uni.join(bg, Seq("w1"), "left")
+      .select(col("w1"), col("w2"), coalesce(col("n2"), lit(0L)).as("n2"),
+        col("n1"),
+        when(col("w2").isNotNull,
+          round(log10(col("n2").cast("double") / col("n1").cast("double")), 6))
+          .as("logp"))
+
+  /** MERGE two bigram LM tables — the increment path for the persisted
+    * artifact: unigram and bigram counts are additive across disjoint
+    * corpora, so a nightly batch's LM folds into the stored one with two
+    * count-summing full-outer joins and a logp recompute, instead of
+    * re-scanning the whole history. `mergeBigramLms(lm(A), lm(B))` equals
+    * `bigramLmTable(A ∪ B)` EXACTLY (law-tested), because every stored
+    * field is an integer count and logp is a pure function of (n2, n1).
+    *
+    * The n1 column is denormalized per (w1, w2) row, so each side's per-w1
+    * count is first collapsed back to one row per w1 (`first` over the
+    * group is exact — all rows of a w1 carry the same n1).
+    */
+  def mergeBigramLms(a: DataFrame, b: DataFrame): DataFrame = {
+    def uni(lm: DataFrame) =
+      lm.groupBy(col("w1")).agg(first(col("n1")).as("n1"))
+    def bg(lm: DataFrame) =
+      lm.filter(col("w2").isNotNull).select(col("w1"), col("w2"), col("n2"))
+    val uniM = uni(a).withColumnRenamed("n1", "n1a")
+      .join(uni(b).withColumnRenamed("n1", "n1b"), Seq("w1"), "full_outer")
+      .select(col("w1"),
+        (coalesce(col("n1a"), lit(0L)) + coalesce(col("n1b"), lit(0L))).as("n1"))
+    val bgM = bg(a).withColumnRenamed("n2", "n2a")
+      .join(bg(b).withColumnRenamed("n2", "n2b"), Seq("w1", "w2"), "full_outer")
+      .select(col("w1"), col("w2"),
+        (coalesce(col("n2a"), lit(0L)) + coalesce(col("n2b"), lit(0L))).as("n2"))
+    lmFromCounts(uniM, bgM)
   }
 
   /** Score docs against a (possibly persisted) bigram LM table — the

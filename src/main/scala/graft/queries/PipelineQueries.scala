@@ -122,6 +122,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL LM maintenance: two half-corpus LMs merged (counts are
+    // additive; merge == full rebuild is law-tested) must score identically
+    // to the one-shot LM — the nightly-increment path of the artifact
+    "q_text_bigram_lm_inc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val lmA = TextOps.bigramLmTable(docs.filter(col("doc_id") % 2 === 0), "text")
+      val lmB = TextOps.bigramLmTable(docs.filter(col("doc_id") % 2 =!= 0), "text")
+      TextOps.scoreWithBigramLm(docs, "doc_id", "text",
+        TextOps.mergeBigramLms(lmA, lmB))
+        .orderBy(col("doc_id"))
+    },
+
     // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
     "q_text_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -588,6 +600,9 @@ object PipelineQueries {
       // identical rows through the persisted LM artifact: the LM is built
       // from the same corpus, so the relational recompute is the oracle
       "q_text_bigram_lm" -> bigramSql,
+      // merged half-corpus LMs == one-shot LM (counts additive), so the
+      // one-shot relational recompute is again the oracle
+      "q_text_bigram_lm_inc" -> bigramSql,
       "q_text_quality" -> s"""
         WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
         c AS (SELECT doc_id,

@@ -1139,6 +1139,24 @@ class OpsSpec extends AnyFunSuite {
     assert(lm.columns.toSeq == Seq("w1", "w2", "n2", "n1", "logp"))
   }
 
+  test("bigram LM merge law: merge of split-corpus LMs equals the full rebuild") {
+    // "solo" appears only as a trailing token in c1 — its unigram count
+    // survives only through the marker row; "xyz" is a single-token doc
+    val c1 = Seq((1L, "the cat sat solo"), (2L, "xyz")).toDF("doc_id", "text")
+    val c2 = Seq((3L, "solo runs fast"), (4L, "the cat ran")).toDF("doc_id", "text")
+    val merged = TextOps.mergeBigramLms(
+      TextOps.bigramLmTable(c1, "text"), TextOps.bigramLmTable(c2, "text"))
+      .orderBy($"w1", $"w2").collect().map(_.toSeq).toSeq
+    val full = TextOps.bigramLmTable(c1.union(c2), "text")
+      .orderBy($"w1", $"w2").collect().map(_.toSeq).toSeq
+    assert(merged == full)
+    // and the marker mechanism is actually exercised: c1's LM must carry
+    // bigram-less unigrams as (w1, NULL) rows that scoring can never match
+    val markers = TextOps.bigramLmTable(c1, "text")
+      .filter($"w2".isNull).select($"w1").as[String].collect().toSet
+    assert(markers.contains("solo") && markers.contains("xyz"))
+  }
+
   test("duplicate-substring removal: owner keeps text, later doc loses the shared span") {
     val shared = "0123456789abcdefghijklmnop" // 26 chars >= k+w-1 = 23
     val d1 = s"first unique prefix $shared and first tail"
