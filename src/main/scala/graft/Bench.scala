@@ -133,7 +133,10 @@ object Bench {
       "q_pack_sequences" -> sink("q_pack_sequences"),
       "q_sample_group" -> sink("q_sample_group"),
       "q_dedup_winnow" -> sink("q_dedup_winnow"),
-      "q_text_bigram" -> sink("q_text_bigram"))
+      "q_text_bigram" -> sink("q_text_bigram"),
+      "q_dedup_substring_rm" -> sink("q_dedup_substring_rm"),
+      "q_text_classifier_trained" -> sink("q_text_classifier_trained"),
+      "q_text_bigram_lm_inc" -> sink("q_text_bigram_lm_inc"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
