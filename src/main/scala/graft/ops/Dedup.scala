@@ -340,11 +340,12 @@ object Dedup {
     * a non-duplicated k-gram; at corpus scale that is dominated by the
     * benefit, and the removal is always a valid k-char-aligned cut.
     *
-    * Scale shape: shuffle 1 on `fp` (owner = min id, map-side partial min);
-    * join fps↔owners co-partitioned on the same key; shuffle 2 on `id` for
-    * the island window + span aggregation; shuffle 3 the sort-merge join of
-    * sidecar-per-doc spans back to the text. Text never rides the fp
-    * shuffle.
+    * Scale shape: shuffle 1 on `fp`, where ownership is a WINDOW min over
+    * the fp partition rather than a groupBy+self-join — the expensive
+    * winnow extraction is computed once, not once per join branch; shuffle
+    * 2 on `id` for the island window + span aggregation; shuffle 3 the
+    * sort-merge join of sidecar-per-doc spans back to the text. Text never
+    * rides the fp shuffle.
     */
   def removeDuplicateSubstrings(
       df: DataFrame, idCol: String, textCol: String,
@@ -353,8 +354,8 @@ object Dedup {
       .select(col(idCol).as("id"), TextOps.gramHashes(col(textCol), k).as("__hs"))
       .select(col("id"), explode(TextOps.winnowSelectPos(col("__hs"), w)).as("f"))
       .select(col("id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
-    val owners = fps.groupBy(col("fp")).agg(min(col("id")).as("owner"))
-    val rem = fps.join(owners, Seq("fp"))
+    val rem = fps
+      .withColumn("owner", min(col("id")).over(Window.partitionBy(col("fp"))))
       .filter(col("id") > col("owner"))
       .select(col("id"), col("pos"), (col("pos") + lit((k - 1).toLong)).as("e"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
