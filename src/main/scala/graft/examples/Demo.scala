@@ -162,6 +162,13 @@ object Demo {
     val rmStats = graft.ops.Dedup.removeDuplicateSubstrings(docs, "doc_id", "text", 16, 8)
       .agg(sum(col("n_removed")), sum(when(col("n_spans") > 0, 1L).otherwise(0L))).head()
     println(s"substring removal: ${rmStats.getLong(0)} chars cut across ${rmStats.getLong(1)} docs")
+    // span-level decontamination against a static reference corpus
+    val scrubStats = graft.ops.Dedup.scrubSubstrings(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text",
+      docs.filter(col("doc_id") < 50), "text", 16, 8)
+      .agg(sum(col("n_removed")), sum(when(col("n_spans") > 0, 1L).otherwise(0L))).head()
+    println(s"reference scrub: ${scrubStats.getLong(0)} contaminated chars cut " +
+      s"from ${scrubStats.getLong(1)} docs")
     // quality classifier inference + the same scorer per micro-batch
     val scored = graft.ops.TextOps.withClassifierScore(docs, "doc_id", "text", 4096, "qf")
     val kept = scored.filter(col("label") === "keep").count()

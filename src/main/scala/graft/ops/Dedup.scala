@@ -350,14 +350,55 @@ object Dedup {
   def removeDuplicateSubstrings(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
-    val fps = df
-      .select(col(idCol).as("id"), TextOps.gramHashes(col(textCol), k).as("__hs"))
-      .select(col("id"), explode(TextOps.winnowSelectPos(col("__hs"), w)).as("f"))
-      .select(col("id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
-    val rem = fps
+    val rem = winnowPosFps(df, idCol, textCol, k, w)
       .withColumn("owner", min(col("id")).over(Window.partitionBy(col("fp"))))
       .filter(col("id") > col("owner"))
       .select(col("id"), col("pos"), (col("pos") + lit((k - 1).toLong)).as("e"))
+    cutMarkedSpans(df, idCol, textCol, rem)
+  }
+
+  /** (id, fp, pos) rows of winnow-selected fingerprints with positions —
+    * the shared front end of the substring-removal family. Scan-level.
+    */
+  private def winnowPosFps(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.gramHashes(col(textCol), k).as("__hs"))
+      .select(col("id"), explode(TextOps.winnowSelectPos(col("__hs"), w)).as("f"))
+      .select(col("id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
+
+  /** SCRUB docs against a static REFERENCE corpus: cut every winnow-selected
+    * k-gram span whose fingerprint occurs anywhere in the reference — the
+    * span-level refinement of decontamination ([[graft.ops.Decontam]] FLAGS
+    * contaminated docs; this removes the contaminated characters and keeps
+    * the rest). The reference's fingerprint set stays a DataFrame joined
+    * left-semi on `fp` (an eval-benchmark reference is usually broadcast-
+    * sized, and Catalyst broadcasts it when it is — but nothing requires it
+    * to fit in memory, unlike a hash-set probe).
+    *
+    * Same output contract and honest approximations as
+    * [[removeDuplicateSubstrings]], with ownership replaced by reference
+    * membership (every doc is scrubbed; the reference keeps nothing).
+    */
+  def scrubSubstrings(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      k: Int, w: Int): DataFrame = {
+    val refFps = ref
+      .select(TextOps.gramHashes(col(refTextCol), k).as("__hs"))
+      .select(explode(TextOps.winnowSelect(col("__hs"), w)).as("fp"))
+      .distinct()
+    val rem = winnowPosFps(df, idCol, textCol, k, w)
+      .join(refFps, Seq("fp"), "left_semi")
+      .select(col("id"), col("pos"), (col("pos") + lit((k - 1).toLong)).as("e"))
+    cutMarkedSpans(df, idCol, textCol, rem)
+  }
+
+  /** Back end of the substring-removal family: merge marked k-gram spans
+    * (id, pos, e) per doc by gaps-and-islands, rebuild the kept text
+    * array-natively, return every input row (untouched docs verbatim).
+    */
+  private def cutMarkedSpans(
+      df: DataFrame, idCol: String, textCol: String, rem: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
     val spans = rem
       .withColumn("prev_e", lag(col("e"), 1).over(wOrd))

@@ -399,6 +399,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // span-level DECONTAMINATION: cut every winnow-selected span that
+    // duplicates a static reference corpus (the benchmark/eval set) — finer
+    // than q_decontaminate's doc-level flags; first 50 docs play reference
+    "q_dedup_scrub" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.scrubSubstrings(docs.filter(col("doc_id") >= 50), "doc_id", "text",
+        docs.filter(col("doc_id") < 50), "text", WINNOW_K, WINNOW_W)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // the same scrub as an ingest-time streaming cell (stateless per-batch
+    // vs the static reference; retry-idempotent batch=<id> sink)
+    "q_stream_scrub" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.Streams.streamingSubstringScrub(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), "text",
+        s"/tmp/graft_stream_scrub_$tag", "doc_id", "text", WINNOW_K, WINNOW_W)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_dedup_winnow" -> { (s, dir) =>
       Dedup.substringDupCandidates(Tables.documents(s, dir), "doc_id", "text",
         WINNOW_K, WINNOW_W, WINNOW_MS)
@@ -495,6 +520,64 @@ object PipelineQueries {
     // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
     // smaller-id side of a candidate pair must rank <= MAXB in its bucket
     val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
+    // shared relational machinery of the substring-removal family: winnowed
+    // (fp, pos) extraction over CTE `d`, and the islands-merge + text-rebuild
+    // tail over CTEs `d` (doc_id, text) and `rem` (doc_id, pos, e)
+    val winnowPosHead = s"""
+        g AS (SELECT doc_id,
+                list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
+                  i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
+              FROM d WHERE length(text) >= $WINNOW_K),
+        f AS (SELECT doc_id, list_transform(
+                range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
+                j -> {'fp': list_min(list_slice(hs, j+1, j+$WINNOW_W)),
+                      'pos': j + list_position(list_slice(hs, j+1, j+$WINNOW_W),
+                               list_min(list_slice(hs, j+1, j+$WINNOW_W)))}) AS fs
+              FROM g WHERE len(hs) > 0),
+        -- struct list_distinct is unimplemented in DuckDB: dedup after unnest
+        fps AS (SELECT DISTINCT doc_id, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
+                FROM (SELECT doc_id, unnest(fs) AS u FROM f))"""
+    val winnowCutTail = s"""
+        sp0 AS (SELECT doc_id, pos, e,
+                  lag(e) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
+                FROM rem),
+        isl AS (SELECT doc_id, pos, e,
+                  sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+                FROM sp0),
+        sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e
+               FROM isl GROUP BY doc_id, isl),
+        gsp AS (SELECT doc_id, s, e,
+                  lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+                FROM sp),
+        agg AS (SELECT gsp.doc_id,
+                  count(*)::BIGINT AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
+                  string_agg(substring(d.text, CAST(coalesce(prev_e, 0) + 1 AS INT),
+                      CAST(greatest(s - coalesce(prev_e, 0) - 1, 0) AS INT)),
+                    '' ORDER BY s)
+                    || substring(d.text, CAST(max(e) + 1 AS INT)) AS cleaned
+                FROM gsp JOIN d USING (doc_id) GROUP BY gsp.doc_id, d.text)
+        SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.n_removed, 0) AS n_removed,
+               coalesce(a.cleaned, d.text) AS cleaned
+        FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    val scrubSql = s"""
+        WITH dall AS (SELECT doc_id, text FROM documents),
+        d AS (SELECT doc_id, text FROM dall WHERE doc_id >= 50),
+        r AS (SELECT doc_id, text FROM dall WHERE doc_id < 50),
+        rg AS (SELECT list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
+                 i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
+               FROM r WHERE length(text) >= $WINNOW_K),
+        rf AS (SELECT DISTINCT unnest(list_transform(
+                 range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
+                 j -> list_min(list_slice(hs, j+1, j+$WINNOW_W)))) AS fp
+               FROM rg WHERE len(hs) > 0),
+        $winnowPosHead,
+        rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
+                FROM fps JOIN rf USING (fp)),
+        $winnowCutTail"""
     val bigramSql = s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (SELECT doc_id,
@@ -995,47 +1078,16 @@ object PipelineQueries {
       // merge -> text rebuilt from the gaps (string_agg ordered by span)
       "q_dedup_substring_rm" -> s"""
         WITH d AS (SELECT doc_id, text FROM documents),
-        g AS (SELECT doc_id,
-                list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
-                  i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
-              FROM d WHERE length(text) >= $WINNOW_K),
-        f AS (SELECT doc_id, list_transform(
-                range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
-                j -> {'fp': list_min(list_slice(hs, j+1, j+$WINNOW_W)),
-                      'pos': j + list_position(list_slice(hs, j+1, j+$WINNOW_W),
-                               list_min(list_slice(hs, j+1, j+$WINNOW_W)))}) AS fs
-              FROM g WHERE len(hs) > 0),
-        -- struct list_distinct is unimplemented in DuckDB: dedup after unnest
-        fps AS (SELECT DISTINCT doc_id, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
-                FROM (SELECT doc_id, unnest(fs) AS u FROM f)),
+        $winnowPosHead,
         own AS (SELECT fp, min(doc_id) AS owner FROM fps GROUP BY fp),
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN own USING (fp) WHERE fps.doc_id > own.owner),
-        sp0 AS (SELECT doc_id, pos, e,
-                  lag(e) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
-                FROM rem),
-        isl AS (SELECT doc_id, pos, e,
-                  sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS UNBOUNDED PRECEDING) AS isl
-                FROM sp0),
-        sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e
-               FROM isl GROUP BY doc_id, isl),
-        gsp AS (SELECT doc_id, s, e,
-                  lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
-                FROM sp),
-        agg AS (SELECT gsp.doc_id,
-                  count(*)::BIGINT AS n_spans,
-                  CAST(sum(e - s + 1) AS BIGINT) AS n_removed,
-                  string_agg(substring(d.text, CAST(coalesce(prev_e, 0) + 1 AS INT),
-                      CAST(greatest(s - coalesce(prev_e, 0) - 1, 0) AS INT)),
-                    '' ORDER BY s)
-                    || substring(d.text, CAST(max(e) + 1 AS INT)) AS cleaned
-                FROM gsp JOIN d USING (doc_id) GROUP BY gsp.doc_id, d.text)
-        SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
-               coalesce(a.n_removed, 0) AS n_removed,
-               coalesce(a.cleaned, d.text) AS cleaned
-        FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+        $winnowCutTail""",
+      // scrub mirror: the reference's DISTINCT fingerprint VALUES replace
+      // ownership — every selected occurrence matching the reference is cut
+      "q_dedup_scrub" -> scrubSql,
+      // per-doc vs a static reference => batching-invariant; same oracle
+      "q_stream_scrub" -> scrubSql,
       "q_text_redact" -> {
         val em = TextOps.EMAIL_RE
         val ph = TextOps.PHONE_RE

@@ -642,6 +642,22 @@ object Streams {
     * micro-batch through the idempotent [[searchBatchSink]], read the union
     * back (empty stream → `searchFn` of zero queries, i.e. the search schema)
     */
+  /** Streaming substring SCRUB — span-level decontamination at ingest:
+    * arriving docs have every winnow-selected k-gram span that duplicates a
+    * STATIC reference corpus cut out before they land
+    * ([[graft.ops.Dedup.scrubSubstrings]] per micro-batch). Scrubbing is
+    * per-doc against a fixed reference, so each doc needs only its own
+    * micro-batch — no state store, no watermark, and output is independent
+    * of how docs were batched. Rides the generic staged-stream harness:
+    * one file per trigger, retry-idempotent `batch=<id>` sink.
+    */
+  def streamingSubstringScrub(
+      docs: DataFrame, ref: DataFrame, refTextCol: String,
+      outDir: String, idCol: String, textCol: String,
+      k: Int, w: Int, batches: Int = 4): DataFrame =
+    streamingSearch(docs, outDir, batches,
+      b => graft.ops.Dedup.scrubSubstrings(b, idCol, textCol, ref, refTextCol, k, w))
+
   private def streamingSearch(
       queries: DataFrame, outDir: String, batches: Int,
       searchFn: DataFrame => DataFrame): DataFrame = {

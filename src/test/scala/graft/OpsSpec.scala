@@ -1183,6 +1183,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map(_.toSeq).toSeq)
   }
 
+  test("substring scrub vs reference: contaminated span cut, reference not needed at serve") {
+    val evalQ = "which regiment fought at the bridge of arnhem in 1944?"
+    val ref = Seq((100L, s"benchmark question: $evalQ end")).toDF("rid", "rtext")
+    val d1 = s"a crawl page quoting $evalQ plus commentary around it"
+    val docs = Seq(
+      (1L, d1),
+      (2L, "a completely unrelated document with its own distinct content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubSubstrings(docs, "doc_id", "text", ref, "rtext", 16, 8)
+      .orderBy($"id").collect()
+    // contaminated doc: the eval question can no longer be found verbatim
+    assert(got(0).getLong(1) >= 1L)
+    assert(!got(0).getString(3).contains(evalQ))
+    assert(got(0).getString(3).length == d1.length - got(0).getLong(2))
+    // clean doc untouched; EVERY doc is scrubbed (no ownership exemption)
+    assert(got(1).getLong(1) == 0L &&
+      got(1).getString(3) == "a completely unrelated document with its own distinct content")
+  }
+
   test("trained classifier: integer weight math pinned, serving scan-level, labels separate") {
     val B = 64
     // 4 docs, disjoint vocab per class: positives say "good", negatives "bad"
