@@ -180,6 +180,11 @@ object Demo {
     val trained = graft.ops.TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, 4096)
     val tkept = trained.filter(col("label") === "keep").count()
     println(s"trained classifier keeps $tkept/${trained.count()} docs (lang=en weights, bias=${model.bias})")
+    val ev = graft.ops.TextOps.evaluateClassifier(trained, "doc_id", "label",
+      docs.select(col("doc_id"), (col("lang") === "en").as("truth")), "truth").head()
+    println(s"classifier eval: accuracy=${ev.getAs[Double]("accuracy")} " +
+      s"(tp=${ev.getAs[Long]("tp")} fp=${ev.getAs[Long]("fp")} " +
+      s"fn=${ev.getAs[Long]("fn")} tn=${ev.getAs[Long]("tn")})")
     // filtered ANN: metadata predicate pushed into the persisted index scan
     val fidx = "/tmp/graft_demo_filtered_idx"
     new org.apache.hadoop.fs.Path(fidx)

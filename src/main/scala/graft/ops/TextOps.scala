@@ -479,6 +479,30 @@ object TextOps {
       .select(col(idCol), col("n_feats"), col("margin"), col("label"))
   }
 
+  /** Evaluate a keep/drop classifier against ground truth — the op that
+    * closes the train→serve→evaluate loop (the classifier's analog of
+    * `Similarity.recallAtK`): confusion counts plus accuracy, ONE
+    * equi-join of predictions to truth and one global aggregate. Inputs
+    * are scored rows (metric-sized work: the join moves two small columns
+    * per doc, the aggregate is a single partial-combined row). Counts are
+    * exact longs; accuracy is one float division at the end (round 6).
+    */
+  def evaluateClassifier(
+      scored: DataFrame, idCol: String, labelCol: String,
+      truth: DataFrame, truthCol: String): DataFrame = {
+    val keep = col(labelCol) === "keep"
+    val t = col(truthCol)
+    scored.join(truth, Seq(idCol))
+      .agg(
+        sum(when(keep && t, 1L).otherwise(0L)).as("tp"),
+        sum(when(keep && !t, 1L).otherwise(0L)).as("fp"),
+        sum(when(!keep && t, 1L).otherwise(0L)).as("fn"),
+        sum(when(!keep && !t, 1L).otherwise(0L)).as("tn"))
+      .withColumn("n", col("tp") + col("fp") + col("fn") + col("tn"))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / col("n"), 6))
+  }
+
   /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash every char k-gram, then keep the minimum hash of each
     * sliding window of `w` consecutive positions. Guarantees every shared

@@ -100,6 +100,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // train→serve→evaluate closure: confusion counts + accuracy of the
+    // trained classifier against its own training labels (resubstitution)
+    "q_text_classifier_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      TextOps.evaluateClassifier(
+        TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, CLS_BUCKETS),
+        "doc_id", "label",
+        docs.select(col("doc_id"), (col("lang") === "en").as("truth")), "truth")
+    },
+
     // corpus-relative BIGRAM conditional log-probability — catches
     // implausible word ORDER (shuffled spam, keyword stuffing) that the
     // unigram score cannot: p(w2|w1) under the corpus's own statistics
@@ -578,6 +591,34 @@ object PipelineQueries {
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN rf USING (fp)),
         $winnowCutTail"""
+    val trainedClassifierSql = s"""
+        WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        f AS (SELECT doc_id, lang, list_concat(toks,
+                list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS feats
+              FROM t),
+        fb AS (SELECT doc_id, (lang = 'en') AS pos,
+                 unnest(list_transform(feats, x ->
+                   ${hash32Sql("x")} % $CLS_BUCKETS)) AS bucket
+               FROM f),
+        w AS (SELECT bucket,
+                (2000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
+                  // (count(*) + 2) - 1000 AS wt
+              FROM fb GROUP BY bucket),
+        bias AS (SELECT (2000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
+                   // (count(*) + 2) - 1000 AS b
+                 FROM fb),
+        sc AS (SELECT fb.doc_id, count(*)::BIGINT AS nf,
+                 CAST(sum(w.wt) AS BIGINT) AS wsum
+               FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id),
+        base AS (SELECT d.doc_id, coalesce(sc.nf, 0) AS n_feats,
+                   coalesce(sc.wsum, 0) AS wsum
+                 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+        SELECT doc_id, n_feats,
+               round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) AS margin,
+               CASE WHEN wsum > (SELECT b FROM bias) * n_feats
+                    THEN 'keep' ELSE 'drop' END AS label
+        FROM base ORDER BY doc_id"""
     val bigramSql = s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (SELECT doc_id,
@@ -649,34 +690,22 @@ object PipelineQueries {
       // Weight math is integer-only ((2000·(np+1)) // (n+2) − 1000), so the
       // two engines cannot drift; scoring docs all appear in training, so
       // the weight join is never partial (left join guards empty-feat docs)
-      "q_text_classifier_trained" -> s"""
-        WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-        f AS (SELECT doc_id, lang, list_concat(toks,
-                list_transform(range(1, greatest(len(toks)-1, 0)+1),
-                  i -> toks[i] || ' ' || toks[i+1])) AS feats
-              FROM t),
-        fb AS (SELECT doc_id, (lang = 'en') AS pos,
-                 unnest(list_transform(feats, x ->
-                   ${hash32Sql("x")} % $CLS_BUCKETS)) AS bucket
-               FROM f),
-        w AS (SELECT bucket,
-                (2000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
-                  // (count(*) + 2) - 1000 AS wt
-              FROM fb GROUP BY bucket),
-        bias AS (SELECT (2000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
-                   // (count(*) + 2) - 1000 AS b
-                 FROM fb),
-        sc AS (SELECT fb.doc_id, count(*)::BIGINT AS nf,
-                 CAST(sum(w.wt) AS BIGINT) AS wsum
-               FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id),
-        base AS (SELECT d.doc_id, coalesce(sc.nf, 0) AS n_feats,
-                   coalesce(sc.wsum, 0) AS wsum
-                 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
-        SELECT doc_id, n_feats,
-               round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6) AS margin,
-               CASE WHEN wsum > (SELECT b FROM bias) * n_feats
-                    THEN 'keep' ELSE 'drop' END AS label
-        FROM base ORDER BY doc_id""",
+      "q_text_classifier_trained" -> trainedClassifierSql,
+      // evaluation: confusion counts + accuracy of the trained predictions
+      // against the very labels they were trained on (resubstitution) —
+      // the oracle nests the full trained chain as a derived table
+      "q_text_classifier_eval" -> s"""
+        WITH pred AS ($trainedClassifierSql),
+        j AS (SELECT p.label, d.lang FROM pred p JOIN documents d USING (doc_id)),
+        c AS (SELECT
+                CAST(sum(CASE WHEN label = 'keep' AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN label = 'keep' AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN label = 'drop' AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN label = 'drop' AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM j)
+        SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+               round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+        FROM c""",
       // the streaming cell is stateless, so its rows equal the batch op's
       "q_stream_classify" -> classifierSql,
       "q_text_bigram" -> bigramSql,
