@@ -100,6 +100,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the trained model served at INGEST: offline-trained weights ride the
+    // same scan-level expression over the document stream (stateless cell)
+    "q_stream_classify_trained" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      graft.streaming.Streams.streamingTrainedClassify(s, dir, model, CLS_BUCKETS)
+        .orderBy(col("doc_id"))
+    },
+
     // train→serve→evaluate closure: confusion counts + accuracy of the
     // trained classifier against its own training labels (resubstitution)
     "q_text_classifier_eval" -> { (s, dir) =>
@@ -691,6 +702,8 @@ object PipelineQueries {
       // two engines cannot drift; scoring docs all appear in training, so
       // the weight join is never partial (left join guards empty-feat docs)
       "q_text_classifier_trained" -> trainedClassifierSql,
+      // stateless streaming cell over the same trained model => same rows
+      "q_stream_classify_trained" -> trainedClassifierSql,
       // evaluation: confusion counts + accuracy of the trained predictions
       // against the very labels they were trained on (resubstitution) —
       // the oracle nests the full trained chain as a derived table

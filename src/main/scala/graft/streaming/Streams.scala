@@ -581,6 +581,33 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming TRAINED-classifier scoring — the production quality-filter
+    * deployment: the model is trained OFFLINE (batch
+    * [[graft.ops.TextOps.trainClassifierWeights]] →
+    * [[graft.ops.TextOps.ClassifierModel]]) and served at ingest as the
+    * same scan-level literal-array expression the batch scorer uses. The
+    * cell is stateless (no state store, no watermark, no shuffle), so it
+    * drops straight into the append-mode stream — unlike the seed-derived
+    * [[streamingClassifierScore]], the weights here came from data.
+    */
+  def streamingTrainedClassify(
+      spark: SparkSession, sfDir: String,
+      model: graft.ops.TextOps.ClassifierModel, nBuckets: Int): DataFrame = {
+    val name = s"graft_stclass_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df => graft.ops.TextOps.withTrainedClassifierScore(
+        df, "doc_id", "text", model, nBuckets))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming similarity search — ONLINE retrieval against a static
     * persisted IVF index ([[graft.ops.Similarity.writeIvfInt8Index]]):
     * query vectors arrive on a stream, each micro-batch is searched with
