@@ -479,6 +479,36 @@ object TextOps {
       .select(col(idCol), col("n_feats"), col("margin"), col("label"))
   }
 
+  /** Chunk documents into fixed-size overlapping windows with offsets —
+    * the step before embedding in a retrieval/pretraining pipeline (long
+    * docs exceed encoder context; overlap keeps boundary-straddling
+    * content findable). Entirely scan-level: one array transform + explode
+    * per doc, zero shuffle; chunk count is
+    * `(max(len−overlap, 0) + step − 1) div step` (step = size − overlap),
+    * so the final chunk is the only short one and a doc shorter than
+    * `size` yields exactly one chunk (empty text none). Offsets are
+    * 1-based char positions, so `substr(start, size)` reconstructs every
+    * chunk from the original — provenance for span-level citations.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && size > overlap,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val len = length(col(textCol)).cast("long")
+    val n = floor((greatest(len - overlap, lit(0L)) + (step - 1)).cast("double") / step)
+      .cast("long")
+    val chunks = when(n > 0, transform(sequence(lit(1L), n),
+      i => struct(i.as("chunk_idx"),
+        ((i - 1L) * step + 1L).as("start"),
+        col(textCol).substr(((i - 1L) * step + 1L).cast("int"), lit(size)).as("chunk"))))
+      .otherwise(array().cast("array<struct<chunk_idx:long,start:long,chunk:string>>"))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"), col("c.chunk").as("chunk"))
+  }
+
   /** Evaluate a keep/drop classifier against ground truth — the op that
     * closes the train→serve→evaluate loop (the classifier's analog of
     * `Similarity.recallAtK`): confusion counts plus accuracy, ONE

@@ -19,6 +19,8 @@ object PipelineQueries {
   private val CGRAM = 8       // char-gram width for fingerprints
   private val HAMMING = 10    // simhash near-dup threshold
   private val CLS_BUCKETS = 4096  // classifier hash buckets
+  private val CHUNK_SIZE = 120    // chunking window (chars)
+  private val CHUNK_OVERLAP = 20  // chunk overlap (chars)
   private val CLS_SEED = "qf"     // classifier weight seed
   private val WINNOW_K = 16   // winnowing char-gram width
   private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
@@ -156,6 +158,14 @@ object PipelineQueries {
       TextOps.scoreWithBigramLm(docs, "doc_id", "text",
         TextOps.mergeBigramLms(lmA, lmB))
         .orderBy(col("doc_id"))
+    },
+
+    // fixed-size overlapping chunking with 1-based offsets — the step
+    // before embedding (scan-level, zero shuffle; provenance via start)
+    "q_text_chunk" -> { (s, dir) =>
+      TextOps.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        CHUNK_SIZE, CHUNK_OVERLAP)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
     // top-3 TF-IDF terms per doc (deterministic tiebreak on term)
@@ -696,6 +706,21 @@ object PipelineQueries {
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""",
       "q_text_classifier" -> classifierSql,
+      "q_text_chunk" -> s"""
+        WITH n AS (SELECT doc_id, text,
+                     (greatest(length(text) - $CHUNK_OVERLAP, 0)
+                       + ${CHUNK_SIZE - CHUNK_OVERLAP - 1})
+                       // ${CHUNK_SIZE - CHUNK_OVERLAP} AS n
+                   FROM documents),
+        c AS (SELECT doc_id, text,
+                unnest(range(1, n + 1)) AS chunk_idx
+              FROM n)
+        SELECT doc_id, chunk_idx,
+               CAST((chunk_idx - 1) * ${CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS BIGINT) AS start,
+               substring(text,
+                 CAST((chunk_idx - 1) * ${CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT),
+                 $CHUNK_SIZE) AS chunk
+        FROM c ORDER BY doc_id, chunk_idx""",
       // trained twin: weights are recomputed relationally here (group-by +
       // join); the Spark op ships the identical weights as a literal array.
       // Weight math is integer-only ((2000·(np+1)) // (n+2) − 1000), so the

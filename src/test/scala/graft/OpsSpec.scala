@@ -1183,6 +1183,28 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map(_.toSeq).toSeq)
   }
 
+  test("chunking: coverage, overlap and offsets reconstruct; edge docs behave") {
+    val docs = Seq(
+      (1L, "abcdefghij"),   // len 10: size 4 ov 1 -> starts 1,4,7
+      (2L, "abc"),          // shorter than size -> one chunk
+      (3L, ""))             // empty -> no chunks
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, "abcd"), (1L, 2L, 4L, "defg"), (1L, 3L, 7L, "ghij"),
+      (2L, 1L, 1L, "abc")))
+    // every char of the original is covered by some chunk; consecutive
+    // chunks overlap by exactly `overlap` (except the short tail)
+    assert(got.filter(_._1 == 1L).sliding(2).forall {
+      case Array(a, b) => b._3 == a._3 + 3; case _ => true })
+    // plan is scan-level: a generate over the scan, no exchange
+    val plan = TextOps.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("substring scrub vs reference: contaminated span cut, reference not needed at serve") {
     val evalQ = "which regiment fought at the bridge of arnhem in 1944?"
     val ref = Seq((100L, s"benchmark question: $evalQ end")).toDF("rid", "rtext")
