@@ -145,6 +145,9 @@ object Demo {
     val changed = graft.streaming.Streams.diffSnapshots(
       spark, snapDir, 2L, 3L, Seq("l_returnflag"))
     println(s"snapshot diff v2->v3: ${changed.count()} changed keys")
+    // chunking: the step before embedding (offsets give span provenance)
+    val chunks = graft.ops.TextOps.chunkDocuments(docs, "doc_id", "text", 120, 20)
+    println(s"chunking: ${chunks.count()} chunks from ${docs.count()} docs (size 120, overlap 20)")
     // persisted bigram LM: corpus statistics committed once as a versioned
     // artifact, scoring joins the stored table
     val lmDir = "/tmp/graft_demo_bigram_lm"

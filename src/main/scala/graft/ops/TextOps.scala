@@ -497,8 +497,13 @@ object TextOps {
       s"need size > overlap >= 0, got size=$size overlap=$overlap")
     val step = size - overlap
     val len = length(col(textCol)).cast("long")
-    val n = floor((greatest(len - overlap, lit(0L)) + (step - 1)).cast("double") / step)
-      .cast("long")
+    // floor of ONE chunk for any non-empty doc: without it a doc shorter
+    // than `overlap` computes zero chunks and silently vanishes (caught by
+    // the reassembly law in LawsSpec)
+    val n = when(len > 0, greatest(
+      floor((greatest(len - overlap, lit(0L)) + (step - 1)).cast("double") / step)
+        .cast("long"),
+      lit(1L))).otherwise(lit(0L))
     val chunks = when(n > 0, transform(sequence(lit(1L), n),
       i => struct(i.as("chunk_idx"),
         ((i - 1L) * step + 1L).as("start"),

@@ -708,9 +708,11 @@ object PipelineQueries {
       "q_text_classifier" -> classifierSql,
       "q_text_chunk" -> s"""
         WITH n AS (SELECT doc_id, text,
-                     (greatest(length(text) - $CHUNK_OVERLAP, 0)
-                       + ${CHUNK_SIZE - CHUNK_OVERLAP - 1})
-                       // ${CHUNK_SIZE - CHUNK_OVERLAP} AS n
+                     CASE WHEN length(text) > 0 THEN greatest(
+                       (greatest(length(text) - $CHUNK_OVERLAP, 0)
+                         + ${CHUNK_SIZE - CHUNK_OVERLAP - 1})
+                         // ${CHUNK_SIZE - CHUNK_OVERLAP}, 1)
+                     ELSE 0 END AS n
                    FROM documents),
         c AS (SELECT doc_id, text,
                 unnest(range(1, n + 1)) AS chunk_idx

@@ -395,6 +395,51 @@ object LawsSpec extends Properties("graft") {
       got.forall(r => (0 until k).forall(i => deinter(r.getLong(5), i) == r.getInt(i)))
     }
 
+  // chunking laws: (1) chunk count is (max(len-ov,0)+step-1) div step with a
+  // floor of one for non-empty docs; (2) offsets reconstruct — every chunk
+  // equals substring(start, size) of the original; (3) concatenating chunks
+  // with the overlap dropped recovers the document exactly (full coverage,
+  // no gaps) — the property an embedding pipeline's provenance relies on
+  property("chunking covers exactly: counts, offset reconstruction, lossless reassembly") =
+    Prop.forAll(Gen.choose(0, 300), Gen.choose(2, 40), Gen.choose(0, 20)) { (len, size0, ov0) =>
+      val ov = math.min(ov0, size0 - 1)
+      val text = (0 until len).map(i => ('a' + i % 26).toChar).mkString
+      val doc = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ops.TextOps.chunkDocuments(doc, "doc_id", "text", size0, ov)
+        .orderBy(col("chunk_idx"))
+        .collect().map(r => (r.getLong(2), r.getString(3)))
+      val step = size0 - ov
+      val expectedN = if (len == 0) 0 else math.max((len - ov + step - 1) / step, 1)
+      val countOk = chunks.length == expectedN
+      val offsetsOk = chunks.forall { case (s, c) =>
+        c == text.substring(s.toInt - 1, math.min(s.toInt - 1 + size0, len)) }
+      val reassembled = chunks.zipWithIndex.map {
+        case ((_, c), 0) => c
+        case ((_, c), _) => c.drop(ov)
+      }.mkString
+      countOk && offsetsOk && reassembled == text
+    }
+
+  // LM merge is associative-with-rebuild: merging any doc-split's two LMs
+  // equals the LM of the whole corpus, bit-for-bit — counts are additive
+  // and logp is a pure function of them (marker rows carry bigram-less
+  // unigrams across the merge)
+  property("bigram LM merge equals full rebuild for any corpus split") =
+    Prop.forAll(Gen.choose(2, 24), Gen.choose(1, 5)) { (n, mod) =>
+      val docs = (0 until n).map { i =>
+        (i.toLong, (0 to i % 4).map(j => s"w${(i + j) % 7}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val a = docs.filter(col("doc_id") % mod === 0)
+      val b = docs.filter(col("doc_id") % mod =!= 0)
+      val merged = graft.ops.TextOps.mergeBigramLms(
+        graft.ops.TextOps.bigramLmTable(a, "text"),
+        graft.ops.TextOps.bigramLmTable(b, "text"))
+        .orderBy(col("w1"), col("w2")).collect().map(_.toSeq).toSeq
+      val full = graft.ops.TextOps.bigramLmTable(docs, "text")
+        .orderBy(col("w1"), col("w2")).collect().map(_.toSeq).toSeq
+      merged == full
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
