@@ -73,6 +73,29 @@ object Splits {
     * group map-side before the exchange). Emits the input columns plus
     * `sample_rank` (1-based position in the group's hash order).
     */
+  /** Per-domain quantile filtering — the CCNet/RefinedWeb normalization
+    * step: keep rows whose score sits at or above the `minPct` percent-rank
+    * WITHIN their domain, so a lenient domain cannot flood the corpus and a
+    * strict one is not wiped out (a single global threshold does both).
+    * `percent_rank` is (rank−1)/(n−1) — pure integer arithmetic per group
+    * divided once, so any engine reproduces the kept set exactly; ties
+    * share a rank and cross the threshold together.
+    *
+    * Scale shape: one shuffle on the domain key, then a per-domain
+    * SPILLABLE sort window. With few, huge domains that sort is the
+    * bottleneck — there, trade exactness for shape: compute an
+    * `approx_percentile` threshold per domain (tiny agg), broadcast it
+    * back and filter scan-side. This op is the exact form the gate can
+    * oracle; the approx variant is the same two lines with the join.
+    */
+  def quantileFilter(
+      df: DataFrame, byCol: String, scoreCol: String, minPct: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("pct_rank", percent_rank().over(
+        Window.partitionBy(col(byCol)).orderBy(col(scoreCol))))
+      .filter(col("pct_rank") >= minPct)
+  }
+
   def sampleGroupK(
       df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")

@@ -160,6 +160,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-domain quality-quantile filter (CCNet-style normalization): keep
+    // docs at/above the 25th quality percentile WITHIN their source —
+    // exact integer-rank percent_rank, so the kept set is engine-exact
+    "q_filter_quantile" -> { (s, dir) =>
+      Splits.quantileFilter(
+        TextOps.withQuality(Tables.documents(s, dir), "text"),
+        "source", "quality_score", 0.25)
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("pct_rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // fixed-size overlapping chunking with 1-based offsets — the step
     // before embedding (scan-level, zero shuffle; provenance via start)
     "q_text_chunk" -> { (s, dir) =>
@@ -706,6 +718,24 @@ object PipelineQueries {
         FROM toks JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""",
       "q_text_classifier" -> classifierSql,
+      "q_filter_quantile" -> s"""
+        WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+        c AS (SELECT doc_id, source,
+                len(toks)::BIGINT AS n_tokens,
+                len(list_distinct(toks))::BIGINT AS n_unique,
+                len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','for','on','with')))::BIGINT AS n_stop
+              FROM t),
+        s AS (SELECT doc_id, source,
+                0.4 * (n_unique::DOUBLE / greatest(n_tokens, 1))
+                  + 0.3 * (n_stop::DOUBLE / greatest(n_tokens, 1))
+                  + 0.3 * least(n_tokens::DOUBLE / 100.0, 1.0) AS quality_score
+              FROM c),
+        r AS (SELECT doc_id, source, quality_score,
+                percent_rank() OVER (PARTITION BY source
+                  ORDER BY quality_score) AS pct_rank
+              FROM s)
+        SELECT doc_id, source, quality_score, pct_rank
+        FROM r WHERE pct_rank >= 0.25 ORDER BY doc_id""",
       "q_text_chunk" -> s"""
         WITH n AS (SELECT doc_id, text,
                      CASE WHEN length(text) > 0 THEN greatest(

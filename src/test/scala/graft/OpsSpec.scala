@@ -1183,6 +1183,17 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map(_.toSeq).toSeq)
   }
 
+  test("quantile filter normalizes per domain: each keeps its own top share") {
+    // domain b's WORST score beats domain a's best — a global threshold
+    // would keep all of b and none of a; the per-domain filter keeps the
+    // top half of each (percent_rank over 4 rows: 0, 1/3, 2/3, 1)
+    val df = ((1 to 4).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 10L + i, 100.0 + i))).toDF("src", "id", "score")
+    val kept = graft.ops.Splits.quantileFilter(df, "src", "score", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 13L, 14L))
+  }
+
   test("chunking: coverage, overlap and offsets reconstruct; edge docs behave") {
     val docs = Seq(
       (1L, "abcdefghij"),   // len 10: size 4 ov 1 -> starts 1,4,7
