@@ -110,6 +110,10 @@ object Demo {
     val hits = graft.ops.Similarity.searchIvfInt8Index(
       spark, idx, qs, "vec_id", "embedding", k = 2, nprobe = 2).count()
     println(s"persisted-index (build+append) hits = $hits")
+    // list-balance stats: the operational retrain signal for the index
+    val istats = graft.ops.Similarity.ivfInt8IndexStats(spark, idx)
+      .agg(org.apache.spark.sql.functions.count(lit(1)), max(col("share"))).head()
+    println(s"index stats: ${istats.getLong(0)} lists, max share ${istats.getDouble(1)}")
     // compressed-search family: JL projection, PQ-ADC, and the IVF+PQ
     // composition (pruning x compression)
     val pq = graft.ops.Similarity.pqTopK(

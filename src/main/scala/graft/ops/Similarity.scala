@@ -1040,6 +1040,28 @@ object Similarity {
     * the scan reads `nprobe/nCents` of the stored (already 4×-compressed)
     * index. Ranking identical to [[ivfInt8TopK]].
     */
+  /** List-balance statistics of a persisted int8 index — the operational
+    * "retrain or not" signal: IVF search cost is `nprobe/nCents` of the
+    * data ONLY while lists stay balanced, and drift (appends routed through
+    * stale centroids) shows up here first as a rising share on a few lists.
+    * One pass over the committed lists (reader-isolated via the manifest,
+    * same as search), one `cent_id` group: per-list count plus its share of
+    * the corpus. Counts are exact longs; the share is one division rounded
+    * to 6 (engine-exact — same integers, same op).
+    */
+  def ivfInt8IndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val lists = readIndexLists(spark, path,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val perCent = lists.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = perCent.agg(sum(col("n_vectors")).as("__tot"))
+    perCent.crossJoin(broadcast(tot)) // 1-row scalar attach
+      .select(col("cent_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("__tot"), 6).as("share"))
+  }
+
   def searchIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,

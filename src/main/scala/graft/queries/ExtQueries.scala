@@ -216,6 +216,17 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // list-balance statistics of the persisted index (the operational
+    // "retrain or not" signal: IVF cost is nprobe/nCents only while lists
+    // stay balanced); reads the committed lists through the manifest
+    "q_ann_index_stats" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS)
+      Similarity.ivfInt8IndexStats(s, path)
+        .orderBy(col("cent_id"))
+    },
+
     // FILTERED ANN over the persisted index: attribute payload columns ride
     // the lists (attrCols at build), the predicate pushes into the list
     // parquet scan (PushedFilters + cent_id partition pruning), and top-k is
@@ -877,6 +888,17 @@ object ExtQueries {
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,
+      // stored list sizes == assignment group sizes (build is uncapped; the
+      // anchor cap applies at search), so the coarse chain is the oracle
+      "q_ann_index_stats" -> s"""
+        $embBase,
+        $ivfCoarseCtes,
+        pc AS (SELECT cent_id, count(*)::BIGINT AS n_vectors
+               FROM inv GROUP BY cent_id),
+        t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot FROM pc)
+        SELECT cent_id, n_vectors,
+               round(CAST(n_vectors AS DOUBLE) / (SELECT tot FROM t), 6) AS share
+        FROM pc ORDER BY cent_id""",
       // the 16-bit index is the identical construction at maxCode 32767
       "q_ann_f16_index" -> ivfQuantSql(32767),
       // streaming retrieval over the same persisted f16 index and query set
