@@ -32,5 +32,23 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+
+  /** [[documents]] with INGEST PARALLELIZED: the driver-generated parquet
+    * has a single row group, so a plain scan is one task and every
+    * scan-level expression chain downstream runs on one core — for the
+    * md5-heavy text operators (winnowing, hashed-feature classification)
+    * that serializes the whole map stage. One narrow hash repartition of
+    * the raw docs (~hundreds of KB here) buys full-width map stages;
+    * deterministic (hash of doc_id, not round-robin) so results and laws
+    * are unaffected. At production scale the scan already yields thousands
+    * of splits and this shuffle would be pure waste — use the plain reader
+    * there; this is the documented small-input lever, applied only in the
+    * expensive text queries' glue.
+    */
+  def documentsParallel(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    documents(spark, sfDir)
+      .repartition(p, org.apache.spark.sql.functions.col("doc_id"))
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

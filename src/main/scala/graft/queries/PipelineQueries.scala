@@ -84,7 +84,7 @@ object PipelineQueries {
     // hashed-feature linear classifier inference (fastText-shape quality
     // filter): scan-level hashing-trick scoring, exact integer weight sums
     "q_text_classifier" -> { (s, dir) =>
-      TextOps.withClassifierScore(Tables.documents(s, dir), "doc_id", "text",
+      TextOps.withClassifierScore(Tables.documentsParallel(s, dir), "doc_id", "text",
         CLS_BUCKETS, CLS_SEED)
         .orderBy(col("doc_id"))
     },
@@ -94,7 +94,8 @@ object PipelineQueries {
     // pure integer math — bit-exact in any engine), then served through the
     // same scan-level expression with the model as a literal array
     "q_text_classifier_trained" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // md5-heavy map stage over a single-row-group input: parallelize ingest
+      val docs = Tables.documentsParallel(s, dir)
       val model = TextOps.collectClassifierModel(
         TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
         CLS_BUCKETS)
@@ -105,7 +106,7 @@ object PipelineQueries {
     // the trained model served at INGEST: offline-trained weights ride the
     // same scan-level expression over the document stream (stateless cell)
     "q_stream_classify_trained" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsParallel(s, dir)
       val model = TextOps.collectClassifierModel(
         TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
         CLS_BUCKETS)
@@ -116,7 +117,7 @@ object PipelineQueries {
     // train→serve→evaluate closure: confusion counts + accuracy of the
     // trained classifier against its own training labels (resubstitution)
     "q_text_classifier_eval" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsParallel(s, dir)
       val model = TextOps.collectClassifierModel(
         TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
         CLS_BUCKETS)
@@ -438,7 +439,7 @@ object PipelineQueries {
     // substring-dedup semantic, winnowing-approximated so it stays
     // relational); cleaned text rebuilt array-natively from merged spans
     "q_dedup_substring_rm" -> { (s, dir) =>
-      Dedup.removeDuplicateSubstrings(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.removeDuplicateSubstrings(Tables.documentsParallel(s, dir), "doc_id", "text",
         WINNOW_K, WINNOW_W)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
           col("cleaned"))
@@ -449,7 +450,8 @@ object PipelineQueries {
     // duplicates a static reference corpus (the benchmark/eval set) — finer
     // than q_decontaminate's doc-level flags; first 50 docs play reference
     "q_dedup_scrub" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // winnow hashing is the dominant map cost: parallelize ingest
+      val docs = Tables.documentsParallel(s, dir)
       Dedup.scrubSubstrings(docs.filter(col("doc_id") >= 50), "doc_id", "text",
         docs.filter(col("doc_id") < 50), "text", WINNOW_K, WINNOW_W)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
@@ -471,7 +473,7 @@ object PipelineQueries {
     },
 
     "q_dedup_winnow" -> { (s, dir) =>
-      Dedup.substringDupCandidates(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.substringDupCandidates(Tables.documentsParallel(s, dir), "doc_id", "text",
         WINNOW_K, WINNOW_W, WINNOW_MS)
         .orderBy(col("id_a"), col("id_b"))
     },
