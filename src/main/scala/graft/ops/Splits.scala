@@ -96,6 +96,26 @@ object Splits {
       .filter(col("pct_rank") >= minPct)
   }
 
+  /** The skew-safe sibling of [[quantileFilter]] for FEW, HUGE domains: the
+    * per-domain threshold comes from `approx_percentile` (one tiny
+    * aggregate — no per-domain sort window, so a single giant domain is a
+    * map-side-combined agg, not one straggler sort task), broadcast back
+    * and applied scan-side. Trades exactness at the boundary (rows within
+    * the sketch's rank error of the cut may flip) for a shape that cannot
+    * straggle; use [[quantileFilter]] when domains are plentiful or the
+    * kept set must be engine-exact.
+    */
+  def quantileFilterApprox(
+      df: DataFrame, byCol: String, scoreCol: String, minPct: Double,
+      accuracy: Int = 10000): DataFrame = {
+    val thresholds = df.groupBy(col(byCol))
+      .agg(percentile_approx(col(scoreCol), lit(minPct), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thresholds), Seq(byCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   def sampleGroupK(
       df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")

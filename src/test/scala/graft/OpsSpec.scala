@@ -1194,6 +1194,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 13L, 14L))
   }
 
+  test("approx quantile filter: agrees with exact away from the boundary, no sort window") {
+    val df = ((1 to 200).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("b", 1000L + i, 50.0 + i))).toDF("src", "id", "score")
+    val exact = graft.ops.Splits.quantileFilter(df, "src", "score", 0.25)
+      .select($"id").as[Long].collect().toSet
+    val approx = graft.ops.Splits.quantileFilterApprox(df, "src", "score", 0.25)
+      .select($"id").as[Long].collect().toSet
+    // high-accuracy sketch on small groups: boundary slack of a few ranks
+    assert((exact diff approx).size + (approx diff exact).size <= 4,
+      s"approx kept set drifted: ${(exact diff approx)} / ${(approx diff exact)}")
+    // the scale claim: no per-domain sort window — threshold agg + broadcast join
+    val plan = graft.ops.Splits.quantileFilterApprox(df, "src", "score", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx variant must not sort per domain:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"threshold must broadcast:\n$plan")
+  }
+
   test("chunking: coverage, overlap and offsets reconstruct; edge docs behave") {
     val docs = Seq(
       (1L, "abcdefghij"),   // len 10: size 4 ov 1 -> starts 1,4,7
