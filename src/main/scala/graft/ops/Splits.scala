@@ -73,6 +73,35 @@ object Splits {
     * group map-side before the exchange). Emits the input columns plus
     * `sample_rank` (1-based position in the group's hash order).
     */
+  /** Deterministic training-order shuffle — the LAST prep step: a training
+    * run wants the corpus in pseudo-random order (no source/time runs), in
+    * `nShards` shards a data loader can consume independently, and
+    * REPRODUCIBLY (same seed ⇒ same order, across runs, machines and
+    * engines — an RNG-based `orderBy(rand())` is none of these). Order key
+    * is `hash32(seed ∥ key)`: shard = key mod nShards, `ord` ranks within
+    * the shard (md5 tiebreak on the key itself for hash collisions, so the
+    * order is total and engine-exact).
+    *
+    * Scale shape: the order key is scan-level; ranking is one shuffle on
+    * `shard` + a per-shard sort window — shards pack independently, so
+    * parallelism is nShards (size it ≥ cluster cores); no global sort
+    * anywhere. Pair with `SnapshotPartitioned(Seq("shard"))` so each loader
+    * reads exactly its shard's directory in `ord` order.
+    */
+  def trainingOrder(
+      df: DataFrame, keyCol: String, nShards: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    val h = graft.ops.TextOps.hash32(
+      concat(lit(s"${seed}_"), col(keyCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol)))
+        .cast("long"))
+      .drop("__h")
+  }
+
   /** Per-domain quantile filtering — the CCNet/RefinedWeb normalization
     * step: keep rows whose score sits at or above the `minPct` percent-rank
     * WITHIN their domain, so a lenient domain cannot flood the corpus and a

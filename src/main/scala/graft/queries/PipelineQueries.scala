@@ -378,6 +378,15 @@ object PipelineQueries {
 
     // deterministic train/val/test split: md5-bucket assignment, pure scan
     // expression, zero shuffles
+    // deterministic training-order shuffle: seeded md5 order in nShards
+    // independently-consumable shards (reproducible across runs/engines —
+    // the final prep step before a training job reads the corpus)
+    "q_train_order" -> { (s, dir) =>
+      Splits.trainingOrder(Tables.documents(s, dir), "doc_id", 8, "ep0")
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_split" -> { (s, dir) =>
       Splits.assign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -858,6 +867,14 @@ object PipelineQueries {
       "q_dedup_exact" -> """
         SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY digest""",
+      "q_train_order" -> s"""
+        WITH h AS (SELECT doc_id,
+                     ${hash32Sql("'ep0_' || CAST(doc_id AS VARCHAR)")} AS hh
+                   FROM documents)
+        SELECT doc_id, hh % 8 AS shard,
+               row_number() OVER (PARTITION BY hh % 8
+                 ORDER BY hh, doc_id) AS ord
+        FROM h ORDER BY doc_id""",
       "q_split" -> """
         SELECT doc_id,
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -1194,6 +1194,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 13L, 14L))
   }
 
+  test("training order: total, reproducible, partition-invariant, seed-sensitive") {
+    val df = (0L until 120L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    def order(d: org.apache.spark.sql.DataFrame, seed: String) =
+      graft.ops.Splits.trainingOrder(d, "doc_id", 4, seed)
+        .select($"doc_id", $"shard", $"ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = order(df, "ep0")
+    // reproducible across runs and partitionings
+    assert(order(df.repartition(7), "ep0") == a)
+    // total within each shard: ords are 1..n with no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq) }
+    // a different seed (epoch) produces a different permutation
+    assert(order(df, "ep1") != a)
+    // order is decorrelated from the key order: the first 10 by ord in
+    // shard 0 are not simply the 10 smallest ids
+    val s0 = a.filter(_._2 == 0L).sortBy(_._3).take(10).map(_._1)
+    assert(s0 != s0.sorted)
+  }
+
   test("approx quantile filter: agrees with exact away from the boundary, no sort window") {
     val df = ((1 to 200).map(i => ("a", i.toLong, i.toDouble)) ++
       (1 to 100).map(i => ("b", 1000L + i, 50.0 + i))).toDF("src", "id", "score")
