@@ -651,6 +651,49 @@ object Similarity {
       .select(col("id").as(idCol), col("cent_id"), col("sample_rank"))
   }
 
+  /** SEMANTIC dedup (the SemDeDup shape: cluster, then drop in-cluster
+    * near-duplicates, keeping the earliest copy): every vector whose cosine
+    * to an EARLIER (lower-id) member of its trained-centroid cluster reaches
+    * `minCos` is dropped; the survivors are the semantically-deduplicated
+    * corpus. Unlike [[nearDupPairs]] (which reports candidate PAIRS) or
+    * [[diverseSampleK]] (fixed k per cluster regardless of redundancy), this
+    * keeps everything that is NOT redundant — dense duplicate clumps
+    * collapse to one representative, sparse regions survive untouched.
+    *
+    * Keep-first is deterministic and single-pass: a vector is dropped iff
+    * ANY earlier in-cluster member is near, whether or not that member was
+    * itself dropped. Consequence (spec-pinned): the kept set is pairwise
+    * sub-threshold within each cluster among capped owners.
+    *
+    * Shape at 100 TB: training is the sampled Lloyd sidecar; assignment is
+    * the zero-shuffle scan-level argmax (`assignKernel = true` at production
+    * centroid counts); the pairwise stage is the published SemDeDup cost
+    * model — one shuffle on `cent_id`, Σ|cluster|·min(|cluster|, maxBucket)
+    * comparisons. nCents is the knob: scale it with the corpus so the
+    * expected cluster stays constant-sized, and the owner side is
+    * anchor-capped (same [[DEFAULT_MAX_BUCKET]] discipline as every other
+    * candidate generator) so one degenerate cluster cannot go quadratic.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
+      assignKernel: Boolean = false,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
+    val assigned = base.withColumn("cent_id", assignExpr(cents, assignKernel)(col("__v")))
+    val owners = graft.ops.Dedup.capBuckets(assigned, Seq("cent_id"), "id", maxBucket)
+      .select(col("cent_id"), col("id").as("__id_a"), col("__v").as("__va"))
+    val dropped = assigned
+      .select(col("cent_id"), col("id").as("__id_b"), col("__v").as("__vb"))
+      .join(owners, Seq("cent_id"))
+      .filter(col("__id_a") < col("__id_b") &&
+        cosineR6(col("__va"), col("__vb")) >= minCos)
+      .select(col("__id_b").as("id"))
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cent_id"))
+  }
+
   /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.
     * the actual 100 TB ANN architecture: the coarse stage (centroid
     * assignment + probe selection) runs on floats exactly like [[ivfTopK]],

@@ -34,6 +34,7 @@ object ExtQueries {
   private val IVF_TOPK = 3
   private val IVF_TRAIN_ITERS = 2
   private val DIVERSE_K = 5  // representatives per cluster (q_sample_diverse)
+  private val SEMDEDUP_COS = 0.3  // in-cluster near-dup threshold (q_dedup_semantic)
   private val FILTER_LABEL = 7 // metadata predicate for filtered ANN
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
   private val PQ_CODES = 16  // codebook size per subspace
@@ -341,6 +342,15 @@ object ExtQueries {
       Similarity.diverseSampleK(Tables.embeddings(s, dir), "vec_id", "embedding",
         DIVERSE_K, IVF_CENTS, trainIters = IVF_TRAIN_ITERS)
         .orderBy(col("cent_id"), col("sample_rank"))
+    },
+
+    // SEMANTIC dedup (SemDeDup shape): drop every vector with an earlier
+    // near-cosine member in its trained-centroid cluster; survivors are the
+    // redundancy-free corpus (dense clumps collapse, sparse regions survive)
+    "q_dedup_semantic" -> { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        SEMDEDUP_COS, IVF_CENTS, trainIters = IVF_TRAIN_ITERS)
+        .orderBy(col("vec_id"))
     },
 
     "q_multimodal" -> { (s, dir) =>
@@ -977,6 +987,27 @@ object ExtQueries {
                 FROM asg)
         SELECT vec_id, cent_id, sample_rank FROM sel
         WHERE sample_rank <= $DIVERSE_K ORDER BY cent_id, sample_rank""",
+      // semantic dedup: final assignment (rn = 1) -> within-cluster pairs
+      // against the first maxBucket owners (anchor cap, rk) -> drop any
+      // vector with an earlier near-cosine owner. The dropped set is a
+      // join CTE (DuckDB can't correlate outer columns into list lambdas,
+      // so NOT EXISTS with the cosine inside is unbindable); NOT IN over
+      // never-null ids = the left_anti
+      "q_dedup_semantic" -> s"""
+        ${trainedAsgCtes(IVF_TRAIN_ITERS)},
+        asg AS (SELECT a.vec_id, a.cent_id, n.v, n.nrm,
+                  row_number() OVER (PARTITION BY a.cent_id
+                    ORDER BY a.vec_id) AS rk
+                FROM (SELECT vec_id, cent_id FROM asg0 WHERE rn = 1) a
+                JOIN n ON n.vec_id = a.vec_id),
+        drp AS (SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+                  AND a.vec_id < b.vec_id
+                  AND a.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+                WHERE ${cosSql("a", "b")} >= $SEMDEDUP_COS)
+        SELECT vec_id, cent_id FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+        ORDER BY vec_id""",
       "q_embed_neardup" -> s"""
         $embBase,
         b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),

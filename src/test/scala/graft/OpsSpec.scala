@@ -1386,4 +1386,33 @@ class OpsSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect().map(_.toSeq).toSeq
     assert(sig(1) == sig(8))
   }
+
+  test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.3
+    def run(t: Double) =
+      Similarity.semanticDedup(emb, "vec_id", "embedding", t, 4, trainIters = 1)
+    // an unreachable threshold drops nothing -> the full deterministic
+    // assignment (same training), from which the dropped set derives
+    val all = run(2.0).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = run(tau).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(all.keySet) && kept.size < all.size)
+    kept.foreach { case (id, c) => assert(all(id) == c) }
+    val vecs = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cosR6(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // law 1: keep-first leaves no near pair among the kept, per cluster
+    for ((a, ca) <- kept; (b, cb) <- kept if ca == cb && a < b)
+      assert(cosR6(vecs(a), vecs(b)) < tau, s"kept near pair ($a,$b)")
+    // law 2: every dropped vector has an earlier in-cluster member at >= tau
+    for ((b, cb) <- all if !kept.contains(b)) {
+      val owners = all.filter { case (a, ca) => ca == cb && a < b }
+      assert(owners.exists { case (a, _) => cosR6(vecs(a), vecs(b)) >= tau },
+        s"dropped $b has no earlier near owner")
+    }
+  }
 }
