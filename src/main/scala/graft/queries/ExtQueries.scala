@@ -415,6 +415,27 @@ object ExtQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // snapshot MERGE: apply a change batch (updates + inserts + deletes) to
+    // the committed table and commit ONE new version — the write-side
+    // complement of q_snapshot_diff. v0 = docs with doc_id % 3 != 0; the
+    // merge doubles n_chars for evens (update present / insert missing),
+    // deletes multiples of 7 (evens win the overlap: delete-then-reinsert)
+    "q_snapshot_upsert" -> { (s, dir) =>
+      val out = s"/tmp/graft_snap_upsert_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir)
+      def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+      Streams.upsertSnapshot(proj(docs.filter(col("doc_id") % 3 =!= 0)),
+        out, Seq("doc_id"), retain = 5)
+      Streams.upsertSnapshot(
+        proj(docs.filter(col("doc_id") % 2 === 0))
+          .withColumn("n_chars", col("n_chars") * 2),
+        out, Seq("doc_id"),
+        deletes = Some(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))),
+        retain = 5)
+      Streams.readSnapshot(s, out).orderBy(col("doc_id"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -1096,6 +1117,16 @@ object ExtQueries {
                coalesce(o_c, -1) AS old_cents, coalesce(n_c, -1) AS new_cents
         FROM c WHERE change_type <> 'unchanged'
         ORDER BY user_id, event_type""",
+      // upsert = carried (not upserted, not deleted) UNION the change batch;
+      // evens survive the %7 delete because the batch re-inserts them
+      "q_snapshot_upsert" -> """
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id""",
       "q_stream_sink" -> """
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,

@@ -253,6 +253,71 @@ object Streams {
     diffFrames(readSnapshot(spark, outDir, Some(v1)),
       readSnapshot(spark, outDir, Some(v2)), keyCols)
 
+  /** Current committed version of a [[commitSnapshot]] directory (the
+    * `_LATEST` pointer), `None` before the first commit.
+    */
+  def latestVersion(spark: SparkSession, outDir: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, "_LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.stripPrefix("v_").toLong)
+    }
+  }
+
+  /** Keyed UPSERT (MERGE) into a [[commitSnapshot]] directory — the
+    * write-side complement of [[diffSnapshots]]'s CDC read: apply a change
+    * batch to the current snapshot and commit the result as ONE new
+    * immutable version through the same atomic pointer flip, so readers see
+    * the whole merge or none of it (and time travel across the retain
+    * window still reaches the pre-merge state).
+    *
+    * Semantics, in order: `deletes` keys are dropped from the current
+    * snapshot first, then `batch` rows replace same-key rows and append new
+    * keys — a key in both `deletes` and `batch` ends up with the batch row
+    * (the CDC "delete then re-insert"). `batch` must be unique per key (two
+    * batch rows with one key would both land — this op applies a change
+    * set, it does not resolve intra-batch conflicts). First call on an
+    * empty directory commits `batch` as version 0.
+    *
+    * Scale shape: ONE left_anti sort-merge join on the key against the
+    * carried-over side (Catalyst broadcasts it when the batch is small) +
+    * an optional second anti for `deletes` + a union — the current snapshot
+    * is read and written exactly once, never shuffled twice; cost is
+    * O(snapshot + batch), the rewrite floor for an unbucketed copy-forward
+    * table. Returns the committed version.
+    */
+  def upsertSnapshot(
+      batch: Dataset[Row], outDir: String, keyCols: Seq[String],
+      deletes: Option[DataFrame] = None, retain: Int = 1): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = batch.sparkSession
+    val cur = latestVersion(spark, outDir)
+    val merged = cur match {
+      case None => batch.toDF
+      case Some(v) =>
+        val c = readSnapshot(spark, outDir, Some(v))
+        // names + types, nullability-insensitive: a parquet read-back is
+        // nullable even when the writing frame was not
+        require(c.schema.map(f => (f.name, f.dataType)) ==
+            batch.schema.map(f => (f.name, f.dataType)),
+          s"upsert schema mismatch: ${c.schema.simpleString} vs ${batch.schema.simpleString}")
+        val afterDel = deletes match {
+          case Some(d) => c.join(d.select(keyCols.map(col): _*), keyCols, "left_anti")
+          case None => c
+        }
+        afterDel.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(batch.toDF)
+    }
+    val v = cur.getOrElse(-1L) + 1
+    commitSnapshot(merged, outDir, v, retain)
+    v
+  }
+
   /** Stateful streaming aggregation via `mapGroupsWithState`: per-user running
     * (event count, cents) kept in `GroupState`, emitted in Update mode each
     * batch — exercises the real streaming state store. Commutative state

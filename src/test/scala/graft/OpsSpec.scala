@@ -1387,6 +1387,25 @@ class OpsSpec extends AnyFunSuite {
     assert(sig(1) == sig(8))
   }
 
+  test("upsertSnapshot: merge semantics, version chain, time travel, schema guard") {
+    val out = s"/tmp/graft_upsert_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "n")
+    assert(Streams.upsertSnapshot(base, out, Seq("k"), retain = 5) == 0L)
+    // update k=2, insert k=4, delete k=1 and k=2 (batch wins the k=2 overlap)
+    val batch = Seq((2L, "B", 99L), (4L, "d", 40L)).toDF("k", "s", "n")
+    val dels = Seq(1L, 2L).toDF("k")
+    assert(Streams.upsertSnapshot(batch, out, Seq("k"), Some(dels), retain = 5) == 1L)
+    val got = Streams.readSnapshot(spark, out).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, "B", 99L), (3L, "c", 30L), (4L, "d", 40L)))
+    // time travel: v0 is the pre-merge state
+    assert(Streams.readSnapshot(spark, out, Some(0L)).count() == 3)
+    // schema mismatch fails loudly instead of committing garbage
+    intercept[IllegalArgumentException] {
+      Streams.upsertSnapshot(Seq((9L, "x")).toDF("k", "s"), out, Seq("k"))
+    }
+  }
+
   test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val tau = 0.3
