@@ -436,6 +436,18 @@ object ExtQueries {
       Streams.readSnapshot(s, out).orderBy(col("doc_id"))
     },
 
+    // data skipping: commit a range-laid-out snapshot with a per-file
+    // min/max stats sidecar, then range-read through it — only files whose
+    // [min, max] intersects the range are opened (ScaleSpec pins the prune)
+    "q_snapshot_skip" -> { (s, dir) =>
+      val out = s"/tmp/graft_snap_skip_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      Streams.commitSnapshotStats(docs, out, 0, Seq("doc_id"), layoutParts = 8)
+      Streams.readSnapshotRange(s, out, "doc_id", 100L, 199L)
+        .orderBy(col("doc_id"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -1126,6 +1138,11 @@ object ExtQueries {
         UNION ALL
         SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id""",
+      // skipping must be invisible in the result: same rows as a plain range
+      "q_snapshot_skip" -> """
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id BETWEEN 100 AND 199
         ORDER BY doc_id""",
       "q_stream_sink" -> """
         SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 400.0 THEN 8

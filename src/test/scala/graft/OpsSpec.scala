@@ -1406,6 +1406,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("data skipping: range read equals full filter, prunes files, handles empty/null") {
+    val out = s"/tmp/graft_skip_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = spark.range(0, 1000).select($"id",
+      when($"id" % 13 === 0, lit(null).cast("long")).otherwise($"id" % 7).as("m"))
+    Streams.commitSnapshotStats(df.toDF, out, 0, Seq("id"), layoutParts = 8)
+    val (kept, total) = Streams.rangeFileSelection(spark, out, "id", 100L, 199L)
+    assert(total == 8, s"expected 8 laid-out files, got $total")
+    assert(kept.nonEmpty && kept.size <= 2, s"range should touch <=2 of 8 files, kept ${kept.size}")
+    val got = Streams.readSnapshotRange(spark, out, "id", 100L, 199L)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val want = Streams.readSnapshot(spark, out)
+      .filter($"id" >= 100L && $"id" <= 199L).orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 100)
+    // a range outside every file reads nothing but keeps the schema
+    val none = Streams.readSnapshotRange(spark, out, "id", -50L, -10L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "m"))
+  }
+
   test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val tau = 0.3
