@@ -448,6 +448,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // point-lookup skipping: bloom sidecar over a high-cardinality column
+    // UNCORRELATED with the range layout (md5 of the text) — min/max can't
+    // prune an equality on it, the per-file bitmap can
+    "q_snapshot_point" -> { (s, dir) =>
+      val out = s"/tmp/graft_snap_point_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("text")).as("text_md5"), length(col("text")).cast("long").as("n_chars"))
+      Streams.commitSnapshotStats(docs, out, 0, Seq("doc_id"), layoutParts = 8,
+        bloomCols = Seq("text_md5"), bloomBits = 1 << 16)
+      val key = docs.filter(col("doc_id") === 123).select(col("text_md5")).head.getString(0)
+      Streams.readSnapshotPoint(s, out, "text_md5", key).orderBy(col("doc_id"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -1138,6 +1151,13 @@ object ExtQueries {
         UNION ALL
         SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id""",
+      // bloom skipping must be invisible too: same rows as the plain equality
+      "q_snapshot_point" -> """
+        SELECT doc_id, lang, md5(text) AS text_md5,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 123)
         ORDER BY doc_id""",
       // skipping must be invisible in the result: same rows as a plain range
       "q_snapshot_skip" -> """

@@ -348,7 +348,9 @@ object Streams {
     */
   def commitSnapshotStats(
       batch: Dataset[Row], outDir: String, version: Long,
-      statCols: Seq[String], layoutParts: Int = 0, retain: Int = 1): Unit = {
+      statCols: Seq[String], layoutParts: Int = 0, retain: Int = 1,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 20,
+      bloomHashes: Int = 2): Unit = {
     require(retain >= 1, s"snapshot retention must keep >= 1 previous version, got $retain")
     require(statCols.nonEmpty, "data skipping needs at least one stat column")
     val spark = batch.sparkSession
@@ -366,8 +368,87 @@ object Streams {
       .groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/_stats")
+    bloomCols.foreach { c =>
+      writeBloomSidecar(written, vdir, c, bloomBits, bloomHashes)
+    }
     flipLatestAndPrune(
       spark.sparkContext.hadoopConfiguration, outDir, version, retain)
+  }
+
+  /** Per-file BLOOM sidecar (`v_<version>/_bloom_<col>/`) for point-lookup
+    * file skipping — min/max prunes ranges on the layout column; a point
+    * lookup on a second, layout-uncorrelated column needs membership bits.
+    * The bloom is a real k-hash packed bitmap built entirely from native
+    * codegen'd functions (no UDAF, no driver loop): k seeded `xxhash64`
+    * probes per row → (word, bit) pairs → `bit_or` per (file, word) → one
+    * sparse `map<word -> bits>` row per file. Sparse map, not a dense
+    * array: a file whose keys occupy few of the `nBits` buckets stores
+    * only the occupied words, and a saturated file degrades to ~nBits/8
+    * bytes — never wrong, just unselective. Size `nBits` ≥ ~10× the
+    * expected distinct keys per file for a useful false-positive rate.
+    */
+  private def writeBloomSidecar(
+      written: DataFrame, vdir: String, c: String,
+      nBits: Int, nHashes: Int): Unit = {
+    require(nBits > 64 && nHashes >= 1, s"bad bloom shape: $nBits bits / $nHashes hashes")
+    val probes = array((0 until nHashes).map(i =>
+      pmod(xxhash64(lit(i), col(c)), lit(nBits.toLong))): _*)
+    written
+      .select(col("_metadata.file_path").as("file"), explode(probes).as("h"))
+      .select(col("file"), (col("h") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").as("b"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("b")).as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("words"))
+      .withColumn("n_bits", lit(nBits))
+      .withColumn("n_hashes", lit(nHashes))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$vdir/_bloom_$c")
+  }
+
+  /** Point-lookup pruning decision for `bloomCol = key` from the bloom
+    * sidecar: (surviving files, total) — a file survives only if ALL k of
+    * the key's bits are set in its bitmap. The probe hashes are computed
+    * by the SAME Spark expressions that built the sidecar (a 1-row
+    * select), so build and probe can never drift; `key` must carry the
+    * column's type. False positives cost an extra file read; the residual
+    * filter keeps the result exact. False negatives are impossible.
+    */
+  def pointFileSelection(
+      spark: SparkSession, outDir: String, bloomCol: String, key: Any,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val v = version.orElse(latestVersion(spark, outDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $outDir"))
+    val bloom = spark.read.parquet(s"$outDir/v_$v/_bloom_$bloomCol")
+    val head = bloom.select(col("n_bits"), col("n_hashes")).head
+    val (nBits, nHashes) = (head.getInt(0), head.getInt(1))
+    val probeRow = spark.range(1).select((0 until nHashes).map(i =>
+      pmod(xxhash64(lit(i), lit(key)), lit(nBits.toLong)).as(s"h$i")): _*).head
+    val checks = (0 until nHashes).map { i =>
+      val h = probeRow.getLong(i)
+      coalesce(element_at(col("words"), lit((h / 64).toInt)), lit(0L))
+        .bitwiseAND(lit(1L << (h % 64).toInt)) =!= 0L
+    }
+    val total = bloom.count().toInt
+    val kept = bloom.filter(checks.reduce(_ && _))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Point read through the bloom sidecar: open only files that might
+    * contain the key, then apply the exact equality — identical rows to
+    * filtering the full snapshot, I/O ∝ files that truly (or falsely,
+    * at the sidecar's fpp) contain the key.
+    */
+  def readSnapshotPoint(
+      spark: SparkSession, outDir: String, bloomCol: String, key: Any,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, outDir))
+    val (kept, _) = pointFileSelection(spark, outDir, bloomCol, key, v)
+    val base =
+      if (kept.isEmpty) readSnapshot(spark, outDir, v).limit(0)
+      else spark.read.parquet(kept: _*)
+    base.filter(col(bloomCol) === lit(key))
   }
 
   /** File-level pruning decision for a closed range `[lo, hi]` on `statCol`:

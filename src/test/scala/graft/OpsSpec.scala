@@ -1424,6 +1424,23 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "m"))
   }
 
+  test("bloom skipping: point read equals full filter, prunes files, never false-negative") {
+    val out = s"/tmp/graft_bloom_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = spark.range(0, 1000).select($"id", md5($"id".cast("string")).as("k"))
+    Streams.commitSnapshotStats(df.toDF, out, 0, Seq("id"), layoutParts = 8,
+      bloomCols = Seq("k"), bloomBits = 1 << 16)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest("777".getBytes).map("%02x".format(_)).mkString // id 777's k
+    val (kept, total) = Streams.pointFileSelection(spark, out, "k", key)
+    assert(total == 8 && kept.nonEmpty && kept.size <= 2,
+      s"point lookup should touch <=2 of 8 files, kept ${kept.size}")
+    val got = Streams.readSnapshotPoint(spark, out, "k", key)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((777L, key)))
+    // a key absent from the table: usually zero files survive, always zero rows
+    assert(Streams.readSnapshotPoint(spark, out, "k", "no such key").count() == 0)
+  }
+
   test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val tau = 0.3
