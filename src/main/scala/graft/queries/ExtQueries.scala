@@ -461,6 +461,28 @@ object ExtQueries {
       Streams.readSnapshotPoint(s, out, "text_md5", key).orderBy(col("doc_id"))
     },
 
+    // partition-pruned MERGE: manifest-owned partitioned table; the change
+    // batch rewrites ONLY the partitions it touches (en + the new xx) —
+    // de/es/fr/zh keep their v0 files (OpsSpec pins the single-dir write)
+    "q_part_upsert" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_upsert_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
+      val batch = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") * 2)
+        .unionByName(Tables.documents(s, dir).filter(col("doc_id") < 5)
+          .select((col("doc_id") + 10000).as("doc_id"), lit("xx").as("lang"),
+            length(col("text")).cast("long").as("n_chars")))
+      val dels = docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"))
+      graft.streaming.PartitionedSnapshot.upsert(
+        batch, out, Seq("doc_id"), "lang", Some(dels))
+      graft.streaming.PartitionedSnapshot.read(s, out)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -1151,6 +1173,24 @@ object ExtQueries {
         UNION ALL
         SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id""",
+      // partitioned merge: untouched langs carry over; en evens doubled and
+      // re-inserted over the %7 delete, en odd %7 gone; xx is the new
+      // partition (ids offset by 10000)
+      "q_part_upsert" -> """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents WHERE lang <> 'en'
+          UNION ALL
+          SELECT doc_id, lang, CAST(length(text) AS BIGINT)
+          FROM documents
+          WHERE lang = 'en' AND doc_id % 2 <> 0 AND doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT)
+          FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 10000, 'xx', CAST(length(text) AS BIGINT)
+          FROM documents WHERE doc_id < 5)
         ORDER BY doc_id""",
       // bloom skipping must be invisible too: same rows as the plain equality
       "q_snapshot_point" -> """

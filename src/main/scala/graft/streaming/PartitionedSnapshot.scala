@@ -1,0 +1,230 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-owned PARTITIONED snapshot table: the incremental sibling of
+  * [[Streams.commitSnapshot]]'s whole-table versions. A version's data
+  * directory `d_<v>/<partCol>=<value>/` holds only the partitions that
+  * version REWROTE; a JSON manifest maps every live partition value to the
+  * version that owns it, and the `_LATEST` pointer flips atomically to the
+  * new manifest. Merge I/O is therefore proportional to the TOUCHED
+  * partitions, never the table — the property that makes keyed maintenance
+  * of a 100 TB corpus affordable (cf. the reference's whole-frame Snapshot,
+  * TDataFrame.hxx; this is the maintenance layer it has no analog for).
+  *
+  * Same deployment contract as the IVF index commit protocol
+  * ([[graft.ops.Similarity]]): single writer; readers are never torn
+  * because data and manifest are immutable once the pointer flips, and a
+  * crashed commit leaves only an unreferenced `d_<v>` directory (swept by
+  * [[vacuum]] behind the same mtime grace window discipline).
+  *
+  * Reads group live partitions by owning version — ONE parquet read per
+  * live version (`basePath` keeps the partition column), unioned by name.
+  * Version count is the read-amplification knob: [[rewriteAll]] re-bases
+  * everything into a single version when the chain grows long.
+  */
+object PartitionedSnapshot {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** owners: partition value (as string, the hive dir-name form) -> version */
+  private[streaming] case class Manifest(version: Long, owners: Map[String, Long])
+
+  private def manifestPath(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"m_$v.json")
+
+  private def writeManifest(
+      spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val fs = fsOf(spark, dir)
+    // flat line-oriented format, no JSON library needed: version, then
+    // one "<ownerVersion>\t<partitionValue>" line per live partition
+    val body = (s"version=${m.version}" +:
+      m.owners.toSeq.sortBy(_._1).map { case (p, v) => s"$v\t$p" }).mkString("\n")
+    val out = fs.create(manifestPath(dir, m.version), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_LATEST.tmp_${m.version}")
+    val o2 = fs.create(tmp, true)
+    try o2.write(s"m_${m.version}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o2.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_LATEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[streaming] def readManifest(
+      spark: SparkSession, dir: String): Option[Manifest] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_LATEST")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    val v = name.stripPrefix("m_").toLong
+    val mIn = fs.open(manifestPath(dir, v))
+    val lines = try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList
+    finally mIn.close()
+    val owners = lines.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(ov, part) = l.split("\t", 2)
+      part -> ov.toLong
+    }.toMap
+    Some(Manifest(v, owners))
+  }
+
+  /** Hive dir-name form of a partition value — must match what
+    * `write.partitionBy` produces so manifest keys and directory names
+    * agree (null becomes the hive default partition name).
+    */
+  private def partDirName(v: Any): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
+
+  /** Apply a change batch to the table: `deletes` keys drop first, then
+    * `batch` rows replace same-key rows / append new keys — exactly
+    * [[Streams.upsertSnapshot]]'s semantics, but only the partitions
+    * present in `batch` or `deletes` are read, merged and rewritten.
+    * `partCol` must be one of `batch`'s columns (and, for deletes, one of
+    * the delete frame's — a delete must name its partition; that is what
+    * keeps the touched set knowable without scanning the table).
+    * Returns the committed version.
+    */
+  def upsert(
+      batch: Dataset[Row], tableDir: String, keyCols: Seq[String],
+      partCol: String, deletes: Option[DataFrame] = None): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(batch.columns.contains(partCol), s"batch must carry $partCol")
+    deletes.foreach(d => require(
+      d.columns.contains(partCol) && keyCols.forall(d.columns.contains),
+      s"deletes must carry $partCol and the key columns"))
+    val spark = batch.sparkSession
+    val cur = readManifest(spark, tableDir)
+    val v = cur.map(_.version + 1).getOrElse(0L)
+
+    // touched partition values: batch ∪ deletes — bounded by the change
+    // set's partition count (the broadcast-build pattern, not a data scan)
+    val touchedDf = batch.select(col(partCol)).union(
+      deletes.map(_.select(col(partCol))).getOrElse(batch.select(col(partCol)).limit(0)))
+    val touched = touchedDf.distinct().collect().map(r => partDirName(r.get(0))).toSet
+
+    val currentTouched: Option[DataFrame] = cur.flatMap { m =>
+      val live = m.owners.filter { case (p, _) => touched.contains(p) }
+      if (live.isEmpty) None
+      else Some(readPartitions(spark, tableDir, live))
+    }
+    val merged = currentTouched match {
+      case None => batch.toDF
+      case Some(c) =>
+        require(c.schema.map(f => (f.name, f.dataType)).toSet ==
+            batch.schema.map(f => (f.name, f.dataType)).toSet,
+          s"upsert schema mismatch: ${c.schema.simpleString} vs ${batch.schema.simpleString}")
+        val afterDel = deletes match {
+          case Some(d) => c.join(
+            d.select((keyCols :+ partCol).distinct.map(col): _*), keyCols, "left_anti")
+          case None => c
+        }
+        afterDel.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(batch.toDF, allowMissingColumns = false)
+    }
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(s"$tableDir/d_$v")
+
+    // partitions actually written (a fully-deleted partition writes no dir
+    // and must leave the manifest); everything else carries its old owner
+    val fs = fsOf(spark, tableDir)
+    val writtenParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.stripPrefix(s"$partCol="))
+      .toSet
+    val prevOwners = cur.map(_.owners).getOrElse(Map.empty)
+    val owners = prevOwners.filter { case (p, _) => !touched.contains(p) } ++
+      writtenParts.map(_ -> v)
+    writeManifest(spark, tableDir, Manifest(v, owners))
+    v
+  }
+
+  /** ONE read per owning version (basePath preserves the partition
+    * column), restricted to that version's live leaf dirs, then a
+    * by-name union — never a per-partition read fan-out.
+    */
+  private def readPartitions(
+      spark: SparkSession, tableDir: String,
+      owners: Map[String, Long]): DataFrame = {
+    val byVersion = owners.groupBy(_._2).toSeq.sortBy(_._1)
+    val parts = byVersion.map { case (v, ps) =>
+      val base = s"$tableDir/d_$v"
+      val pc = partColName(spark, tableDir, v)
+      val leaves = ps.keys.toSeq.sorted.map(p => s"$base/$pc=$p")
+      spark.read.option("basePath", base).parquet(leaves: _*)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** partition column name of a version dir, discovered from its layout */
+  private def partColName(
+      spark: SparkSession, tableDir: String, v: Long): String = {
+    val fs = fsOf(spark, tableDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .find(_.contains("="))
+      .map(_.split("=", 2)(0))
+      .getOrElse(throw new IllegalStateException(s"no partition dirs under d_$v"))
+  }
+
+  /** Read the table (optionally a subset of partition values): resolve the
+    * manifest, touch only the owning leaf directories. A partition-value
+    * predicate therefore never opens an unrelated partition's files — the
+    * manifest IS the partition index.
+    */
+  def read(
+      spark: SparkSession, tableDir: String,
+      partValues: Option[Set[String]] = None): DataFrame = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    val live = partValues match {
+      case Some(ps) => m.owners.filter { case (p, _) => ps.contains(p) }
+      case None => m.owners
+    }
+    require(live.nonEmpty, s"no live partitions selected under $tableDir")
+    readPartitions(spark, tableDir, live)
+  }
+
+  /** Re-base the whole table into one fresh version — the read-amplification
+    * reset after many incremental commits (live-version count returns to 1).
+    */
+  def rewriteAll(spark: SparkSession, tableDir: String, partCol: String): Long = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    val v = m.version + 1
+    read(spark, tableDir).write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$tableDir/d_$v")
+    val fs = fsOf(spark, tableDir)
+    val writtenParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).map(_.stripPrefix(s"$partCol="))
+    writeManifest(spark, tableDir, Manifest(v, writtenParts.map(_ -> v).toMap))
+    v
+  }
+
+  /** Delete version directories no partition references any more, behind an
+    * mtime grace window (same discipline as the index vacuum: never sweep
+    * a directory a racing writer might still be staging).
+    */
+  def vacuum(
+      spark: SparkSession, tableDir: String,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val m = readManifest(spark, tableDir).getOrElse(return)
+    val liveVersions = m.owners.values.toSet + m.version
+    val fs = fsOf(spark, tableDir)
+    val now = System.currentTimeMillis()
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_"))
+      .filter(s => !liveVersions.contains(s.getPath.getName.stripPrefix("d_").toLong))
+      .filter(s => now - s.getModificationTime > graceMs)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import graft.streaming.Streams
+import graft.streaming.{PartitionedSnapshot, Streams}
 
 /** Edge-case and invariance tests for the pipeline operator library. */
 class OpsSpec extends AnyFunSuite {
@@ -1439,6 +1439,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((777L, key)))
     // a key absent from the table: usually zero files survive, always zero rows
     assert(Streams.readSnapshotPoint(spark, out, "k", "no such key").count() == 0)
+  }
+
+  test("partitioned upsert: only touched partitions rewrite; reads prune; rewriteAll+vacuum") {
+    val out = s"/tmp/graft_part_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L), (4L, "fr", 40L))
+      .toDF("k", "lang", "n")
+    assert(PartitionedSnapshot.upsert(base, out, Seq("k"), "lang") == 0L)
+    // v1 touches ONLY en: update k=2, insert k=5, delete k=1
+    val batch = Seq((2L, "en", 99L), (5L, "en", 50L)).toDF("k", "lang", "n")
+    val dels = Seq((1L, "en")).toDF("k", "lang")
+    assert(PartitionedSnapshot.upsert(batch, out, Seq("k"), "lang", Some(dels)) == 1L)
+    val d1 = new java.io.File(s"$out/d_1").list().filter(_.startsWith("lang=")).toSeq
+    assert(d1 == Seq("lang=en"), s"v1 must rewrite only en, wrote $d1")
+    def all() = PartitionedSnapshot.read(spark, out)
+      .select($"k", $"lang", $"n").orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = Seq((2L, "en", 99L), (3L, "de", 30L), (4L, "fr", 40L), (5L, "en", 50L))
+    assert(all() == want)
+    // partition-restricted read resolves through the manifest only
+    val de = PartitionedSnapshot.read(spark, out, Some(Set("de")))
+      .select($"k").as[Long].collect().toSeq
+    assert(de == Seq(3L))
+    // re-base collapses the version chain; vacuum sweeps the orphans
+    assert(PartitionedSnapshot.rewriteAll(spark, out, "lang") == 2L)
+    PartitionedSnapshot.vacuum(spark, out, graceMs = 0L)
+    assert(!new java.io.File(s"$out/d_0").exists && !new java.io.File(s"$out/d_1").exists)
+    assert(all() == want)
   }
 
   test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
