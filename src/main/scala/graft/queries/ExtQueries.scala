@@ -483,6 +483,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CDC stream applied at ingest: op-tagged change rows (upsert/delete)
+    // upsert the versioned snapshot per micro-batch; disjoint keys make the
+    // final table batching-invariant — it equals q_snapshot_upsert's
+    "q_stream_upsert" -> { (s, dir) =>
+      Streams.streamingUpsert(s, dir,
+        s"/tmp/graft_stream_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy(col("doc_id"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -569,6 +578,15 @@ object ExtQueries {
   )
 
   def oracles: Map[String, String] = {
+    // shared final state of the batch MERGE and the streaming CDC apply
+    val upsertFinalSql = """
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id"""
     // hyperplane j, dim d: (hash32(j||'_'||d) % 2001 - 1000)/1000.0
     def planeSql(j: Int) =
       s"""list_transform(range(0, $DIM), d ->
@@ -1165,15 +1183,11 @@ object ExtQueries {
         FROM c WHERE change_type <> 'unchanged'
         ORDER BY user_id, event_type""",
       // upsert = carried (not upserted, not deleted) UNION the change batch;
-      // evens survive the %7 delete because the batch re-inserts them
-      "q_snapshot_upsert" -> """
-        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-        FROM documents
-        WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0 AND doc_id % 7 <> 0
-        UNION ALL
-        SELECT doc_id, lang, 2 * CAST(length(text) AS BIGINT) AS n_chars
-        FROM documents WHERE doc_id % 2 = 0
-        ORDER BY doc_id""",
+      // evens survive the %7 delete because the batch re-inserts them.
+      // The streaming CDC apply converges to the same final table
+      // (disjoint keys -> batching-invariant), so it shares the oracle.
+      "q_snapshot_upsert" -> upsertFinalSql,
+      "q_stream_upsert" -> upsertFinalSql,
       // partitioned merge: untouched langs carry over; en evens doubled and
       // re-inserted over the %7 delete, en odd %7 gone; xx is the new
       // partition (ids offset by 10000)

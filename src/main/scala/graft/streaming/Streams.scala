@@ -435,6 +435,56 @@ object Streams {
     (kept, total)
   }
 
+  /** CDC-apply at INGEST: replay the documents table as a change stream —
+    * rows tagged `op` = upsert (`u`, evens with doubled length) or delete
+    * (`d`, odd multiples of 7) — and apply each micro-batch to the
+    * versioned snapshot through [[upsertSnapshot]]: one committed version
+    * per batch, each an atomic pointer flip, so a reader at ANY moment sees
+    * a consistent table, never a half-applied batch. The change set is
+    * disjoint per key (a key is upsert or delete, never both), so the
+    * final table is identical for every batching — the same
+    * batching-invariance discipline as the other stateless streaming cells.
+    * A retried batch re-merges the same rows into the same values (an
+    * extra version with identical content): idempotent by value.
+    *
+    * Scale shape: per batch, upsert cost is O(snapshot + batch) — see
+    * [[upsertSnapshot]]; for partition-local change streams, the same
+    * foreachBatch body over [[PartitionedSnapshot.upsert]] drops that to
+    * O(touched partitions).
+    */
+  def streamingUpsert(
+      spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def proj(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"))
+    // v0: the batch-committed base (docs with doc_id % 3 != 0)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    upsertSnapshot(proj(docs.filter(col("doc_id") % 3 =!= 0)), outDir,
+      Seq("doc_id"), retain = 5)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val changes = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .withColumn("op",
+        when(col("doc_id") % 2 === 0, lit("u"))
+          .when(col("doc_id") % 7 === 0, lit("d")))
+      .filter(col("op").isNotNull)
+    val q = changes.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val ups = proj(b.filter(col("op") === "u").toDF)
+          .withColumn("n_chars", col("n_chars") * 2)
+        val dels = b.filter(col("op") === "d").select(col("doc_id"))
+        if (!b.isEmpty)
+          upsertSnapshot(ups, outDir, Seq("doc_id"), Some(dels), retain = 5)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    readSnapshot(spark, outDir)
+  }
+
   /** Point read through the bloom sidecar: open only files that might
     * contain the key, then apply the exact equality — identical rows to
     * filtering the full snapshot, I/O ∝ files that truly (or falsely,
