@@ -136,7 +136,9 @@ object Bench {
       "q_text_bigram" -> sink("q_text_bigram"),
       "q_dedup_substring_rm" -> sink("q_dedup_substring_rm"),
       "q_text_classifier_trained" -> sink("q_text_classifier_trained"),
-      "q_text_bigram_lm_inc" -> sink("q_text_bigram_lm_inc"))
+      "q_text_bigram_lm_inc" -> sink("q_text_bigram_lm_inc"),
+      "q_dedup_semantic" -> sink("q_dedup_semantic"),
+      "q_part_upsert" -> sink("q_part_upsert"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the

@@ -203,6 +203,32 @@ object Demo {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 2,
       listFilter = Some(col("label") === 7))
     println(s"filtered ANN (label=7) hits = ${fhits.count()}")
+    // semantic dedup: collapse in-cluster near-duplicates, keep the earliest
+    val sem = graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding",
+      0.3, 4, trainIters = 1)
+    println(s"semantic dedup keeps ${sem.count()}/${emb.count()} vectors (tau=0.3)")
+    // table maintenance: merge a change batch, then read through data skipping
+    val tbl = s"/tmp/graft_demo_table_${java.util.UUID.randomUUID().toString.take(8)}"
+    val snap = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"))
+    graft.streaming.Streams.commitSnapshotStats(snap, tbl, 0, Seq("doc_id"),
+      layoutParts = 4, bloomCols = Seq("lang"), bloomBits = 1 << 12)
+    val (keptFiles, totFiles) = graft.streaming.Streams.rangeFileSelection(
+      spark, tbl, "doc_id", 0L, 9L)
+    println(s"data skipping: doc_id in [0,9] touches ${keptFiles.size}/$totFiles files")
+    val v = graft.streaming.Streams.upsertSnapshot(
+      snap.filter(col("doc_id") < 10).withColumn("n_chars", col("n_chars") * 2),
+      tbl, Seq("doc_id"), retain = 5)
+    println(s"snapshot merge committed v$v, " +
+      s"rows=${graft.streaming.Streams.readSnapshot(spark, tbl).count()}")
+    // partitioned table: the change batch rewrites only its own partition
+    val ptbl = s"/tmp/graft_demo_ptable_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.streaming.PartitionedSnapshot.upsert(snap, ptbl, Seq("doc_id"), "lang")
+    val pv = graft.streaming.PartitionedSnapshot.upsert(
+      snap.filter(col("lang") === "en").limit(5)
+        .withColumn("n_chars", lit(0L)), ptbl, Seq("doc_id"), "lang")
+    println(s"partitioned upsert v$pv touched only lang=en; table rows = " +
+      s"${graft.streaming.PartitionedSnapshot.read(spark, ptbl).count()}")
     spark.stop()
   }
 }
