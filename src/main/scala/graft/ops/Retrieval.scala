@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) and HYBRID (lexical × vector, reciprocal-rank-fusion)
+  * retrieval over the document corpus — the search ops a training-data
+  * pipeline runs for hard-negative mining, eval-set matching and manual
+  * corpus inspection. (Not in the reference — it has no text retrieval at
+  * all; this extends the mandated text-analysis family.)
+  *
+  * Determinism discipline (the [[TextOps.unigramLogProb]] rules): every
+  * per-term contribution is rounded to 6 decimals, per-document totals are
+  * EXACT scaled-long sums (a float sum accumulated in partition-dependent
+  * order could land on a rounding boundary), ranking orders by the exact
+  * long total with id tiebreaks — bit-reproducible across engines, which is
+  * what lets an approximate-looking scoring function carry an exact DuckDB
+  * oracle.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k per query. One corpus tokenization feeds tf
+    * ((doc, term) counts — one shuffle), dl (per-doc length) and df
+    * (document frequency, derived from tf); N and Σdl are a 1-row
+    * aggregate broadcast inside the plan (the broadcast-build pattern).
+    * Query terms are DISTINCT (standard BM25 drops query-side tf) and the
+    * query frame is dim-sized, so the scoring join broadcasts the query
+    * terms onto the tf table and never shuffles the corpus side again; df
+    * is first semi-joined down to the query's terms, keeping the idf
+    * sidecar query-sized at any corpus scale.
+    *
+    * All floating-point arithmetic is kept IN-ENGINE with identical
+    * literals on the Spark and oracle sides (IEEE ops are correctly
+    * rounded, so identical expression trees give identical doubles;
+    * pre-folding constants driver-side could differ by an ulp).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(sum(col("dl")).cast("double").as("__sumdl"),
+      count(lit(1)).as("__ndocs"))
+    val qtoks = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(array_distinct(TextOps.tokens(col(qTextCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+    // df restricted to the query's terms before broadcasting it back in
+    val qdf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qtoks.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+    val matched = tf
+      .join(broadcast(qtoks), Seq("tok"))
+      .join(broadcast(qdf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+    val pruned =
+      if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
+      else matched
+    val avgdl = col("__sumdl") / col("__ndocs").cast("double")
+    val idf6 = round(log10(
+      (col("__ndocs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val tfn = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    pruned
+      .withColumn("__c6", round(round(idf6 * tfn, 6) * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c6")).as("__s"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("score", round(col("__s").cast("double") / lit(1e6), 6))
+      .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked result lists (per query):
+    * rrf = Σ_systems 1/(rrfK + rank), a missing side contributing 0 — the
+    * standard score-free way to combine retrieval systems with
+    * incomparable score scales (lexical BM25 × vector cosine here).
+    * Ranks are small integers and IEEE division is correctly rounded, so
+    * the fused double is engine-exact with no rounding discipline needed;
+    * ties break by id. Inputs carry (query_id, <id>, rank) — the output
+    * shape of [[bm25TopK]] and every ANN op, so any pair composes.
+    * Scale: both inputs are (queries × k)-sized — the fusion join is
+    * dim-sized regardless of corpus scale.
+    */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, idColA: String, idColB: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    val aa = a.select(col("query_id"), col(idColA).as("doc_id"), col("rank").as("__ra"))
+    val bb = b.select(col("query_id"), col(idColB).as("doc_id"), col("rank").as("__rb"))
+    def contrib(r: Column) =
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    aa.join(bb, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", contrib(col("__ra")) + contrib(col("__rb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"),
+        col("rank"))
+  }
+
+  /** Hybrid search: BM25 over the text × exact cosine over the embeddings,
+    * fused by RRF — each leg retrieves a `kEach` shortlist, fusion keeps
+    * `k`. Corpus cost is one BM25 pass + one brute-force (or, in
+    * production, any persisted-index) ANN pass; the fusion itself is
+    * dim-sized. `docs` and `embeddings` share the id namespace.
+    */
+  def hybridTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, eIdCol: String, vecCol: String,
+      queryIds: DataFrame, k: Int, kEach: Int): DataFrame = {
+    val qdocs = docs.join(broadcast(queryIds), docs(idCol) === queryIds("qid"))
+      .select(docs(idCol), col(textCol))
+    val qemb = embeddings.join(broadcast(queryIds), embeddings(eIdCol) === queryIds("qid"))
+      .select(embeddings(eIdCol), col(vecCol))
+    val lex = bm25TopK(docs, idCol, textCol, qdocs, idCol, textCol,
+      kEach, excludeSelf = true)
+    val vec = Similarity.bruteForceTopK(embeddings, qemb, eIdCol, vecCol, kEach)
+    rrfFuse(lex, vec, "doc_id", "neighbor_id", k)
+  }
+}

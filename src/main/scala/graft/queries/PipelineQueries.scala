@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Splits, TextOps}
+import graft.ops.{Dedup, Retrieval, Splits, TextOps}
 
 /** Training-data pipeline queries over `documents`: text analysis and the
   * dedup family. Oracles replicate each deterministic computation (md5-based
@@ -25,6 +25,10 @@ object PipelineQueries {
   private val WINNOW_K = 16   // winnowing char-gram width
   private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
   private val WINNOW_MS = 4L  // min shared fingerprints for a candidate pair
+  private val BM25_TOPK = 10  // bm25 results per query
+  private val HYBRID_KEACH = 20 // per-leg shortlist for hybrid fusion
+  private val HYBRID_TOPK = 10  // fused results per query
+  private val NQUERIES = 3L     // retrieval queries: doc_id < 3
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -562,6 +566,29 @@ object PipelineQueries {
         .filter(col("jaccard") >= 0.02)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Okapi BM25 lexical retrieval: the first 3 docs as queries against the
+    // whole corpus (self excluded) — per-term contributions rounded to 6,
+    // per-doc totals exact scaled-long sums, ranked by the exact total
+    "q_text_bm25" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // HYBRID retrieval: BM25 (text) × exact cosine (embeddings) fused by
+    // reciprocal-rank fusion — the score-free combination of incomparable
+    // scales; each leg shortlists 20, fusion keeps 10
+    "q_search_hybrid" -> { (s, dir) =>
+      Retrieval.hybridTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        s.range(0, NQUERIES).select(col("id").as("qid")),
+        HYBRID_TOPK, HYBRID_KEACH)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -577,6 +604,41 @@ object PipelineQueries {
     // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
     // smaller-id side of a candidate pair must rank <= MAXB in its bucket
     val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
+    // BM25 chain shared by q_text_bm25 and q_search_hybrid: tokenize →
+    // tf/dl/df stats → query terms (first NQUERIES docs, self excluded) →
+    // per-term rounded-6 contributions as scaled longs → exact-sum rank
+    // (`br`). Arithmetic literal-for-literal identical to Retrieval.bm25TopK.
+    val bm25Ctes = s"""
+        WITH tn AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        t AS (SELECT doc_id, tok FROM tn WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS ndocs FROM dl),
+        q AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
+              WHERE doc_id < $NQUERIES),
+        dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dft.df,
+                     g.sumdl, g.ndocs
+              FROM q JOIN tf ON q.tok = tf.tok
+              JOIN dft ON dft.tok = tf.tok
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN g
+              WHERE tf.doc_id <> q.query_id),
+        sc AS (SELECT query_id, doc_id,
+                 CAST(round(
+                   round(
+                     round(log10((CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)), 6)
+                     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (sumdl / CAST(ndocs AS DOUBLE))))))
+                   , 6) * 1e6) AS BIGINT) AS c6
+               FROM m),
+        ba AS (SELECT query_id, doc_id, sum(c6) AS s, count(*) AS n_terms
+               FROM sc GROUP BY 1, 2),
+        br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id) AS rank FROM ba)"""
     // shared relational machinery of the substring-removal family: winnowed
     // (fp, pos) extraction over CTE `d`, and the islands-merge + text-rebuild
     // tail over CTEs `d` (doc_id, text) and `rem` (doc_id, pos, e)
@@ -1276,7 +1338,46 @@ object PipelineQueries {
         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
-        ORDER BY id_a, id_b"""
+        ORDER BY id_a, id_b""",
+      // BM25: identical in-engine arithmetic on both sides (same literals,
+      // same parenthesization — IEEE ops are correctly rounded, so the
+      // doubles agree bit-for-bit); per-term contributions rounded to 6,
+      // per-doc totals exact scaled-long sums, rank by the exact total
+      "q_text_bm25" -> s"""
+        $bm25Ctes
+        SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
+               n_terms, rank
+        FROM br WHERE rank <= $BM25_TOPK ORDER BY query_id, rank""",
+      // hybrid = BM25 rank list × exact-cosine rank list, RRF-fused
+      // (1/(60+rank) contributions, missing side 0); ranks on the unrounded
+      // fused double (deterministic: small-int divisions), id tiebreak
+      "q_search_hybrid" -> s"""
+        $bm25Ctes,
+        lr AS (SELECT query_id, doc_id, rank FROM br WHERE rank <= $HYBRID_KEACH),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                round(list_sum(list_transform(range(1, 65), i -> q.v[i]*c.v[i]))
+                  / (q.nrm*c.nrm), 6) AS cos
+              FROM n q JOIN n c ON q.vec_id < $NQUERIES AND q.vec_id <> c.vec_id),
+        vr0 AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, doc_id) AS rank FROM p),
+        vr AS (SELECT * FROM vr0 WHERE rank <= $HYBRID_KEACH),
+        f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     (CASE WHEN l.rank IS NULL THEN 0.0
+                           ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(l.rank AS DOUBLE)) END
+                      + CASE WHEN v.rank IS NULL THEN 0.0
+                             ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(v.rank AS DOUBLE)) END)
+                       AS rrf
+              FROM lr l FULL JOIN vr v
+                ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rank FROM f)
+        SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
+        FROM fr WHERE rank <= $HYBRID_TOPK ORDER BY query_id, rank"""
     )
   }
 }

@@ -1468,6 +1468,27 @@ class OpsSpec extends AnyFunSuite {
     assert(all() == want)
   }
 
+  test("bm25: tf raises the score of a positive-idf term; ranking deterministic") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple apple cherry"), (3L, "banana cherry"),
+      (4L, "durian fig grape"), (5L, "fig grape banana")).toDF("doc_id", "text")
+    val q = Seq((9L, "apple")).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", q, "doc_id", "text", 10)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // df(apple)=2 of N=5 -> idf = log10(3.5/2.5) > 0; doc 2 (tf=2) outranks doc 1
+    assert(got.map(_._1) == Seq(2L, 1L))
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > 0.0)
+  }
+
+  test("rrfFuse: both-list docs outrank single-list docs at comparable ranks") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 4L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.ops.Retrieval.rrfFuse(a, b, "doc_id", "doc_id", 10)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    // doc2 = 1/62+1/61, doc1 = 1/61, doc4 = 1/62, doc3 = 1/63
+    assert(got == Seq(2L, 1L, 4L, 3L))
+  }
+
   test("semanticDedup: kept pairwise sub-threshold in-cluster; dropped have earlier near owner") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val tau = 0.3
