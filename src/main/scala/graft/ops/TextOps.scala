@@ -269,6 +269,44 @@ object TextOps {
           element_at(col("toks"), i + 2).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
+  /** Top-k COLLOCATIONS by pointwise mutual information — the vocabulary-
+    * analysis tool that surfaces multi-word units ("new york", template
+    * phrases, boilerplate n-grams) a curation pipeline should treat as
+    * single tokens or boilerplate markers. PMI = log₁₀(p(w₁w₂) / (p(w₁·)
+    * p(·w₂))) with position-specific marginals taken from the bigram table
+    * itself (self-consistent — no separate unigram pass); `minCount` keeps
+    * the classic low-frequency PMI explosion out (a 1-occurrence pair of
+    * rare words maxes the score).
+    *
+    * Shape at 100 TB: one corpus-scan bigram count (scan-level extraction,
+    * one shuffle), two marginal re-aggregations over the BIGRAM-VOCAB-sized
+    * table (not the corpus), a 1-row total broadcast inside the plan, and a
+    * `TakeOrderedAndProject` top-k (per-partition heaps, no global sort).
+    * Products are computed in doubles (counts can reach 10¹²; long products
+    * would overflow), the PMI rounds to 6, ranking compares the exact
+    * scaled long with (w1, w2) tiebreaks.
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    val bg = docs.select(lit(0L).as("doc_id"), col(textCol))
+      .transform(d => docBigrams(d, "doc_id", textCol))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val left = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n_left"))
+    val right = bg.groupBy(col("w2")).agg(sum(col("n12")).as("n_right"))
+    val tot = bg.agg(sum(col("n12")).cast("double").as("__tot"))
+    bg.filter(col("n12") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log10(
+        (col("n12").cast("double") * col("__tot")) /
+          (col("n_left").cast("double") * col("n_right").cast("double"))), 6))
+      .withColumn("__p6", round(col("pmi") * lit(1e6)).cast("long"))
+      .orderBy(col("__p6").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n12"), col("n_left"), col("n_right"),
+        col("pmi"))
+  }
+
   /** The bigram LM TABLE (w1, w2, n2, n1, logp) — the corpus statistics
     * [[bigramLogProb]] consumes, exposed so they can be computed ONCE and
     * persisted as a versioned artifact

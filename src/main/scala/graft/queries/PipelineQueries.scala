@@ -25,6 +25,8 @@ object PipelineQueries {
   private val WINNOW_K = 16   // winnowing char-gram width
   private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
   private val WINNOW_MS = 4L  // min shared fingerprints for a candidate pair
+  private val PMI_MIN = 3L    // collocation min bigram count
+  private val PMI_TOPK = 50   // collocations reported
   private val BM25_TOPK = 10  // bm25 results per query
   private val HYBRID_KEACH = 20 // per-leg shortlist for hybrid fusion
   private val HYBRID_TOPK = 10  // fused results per query
@@ -566,6 +568,14 @@ object PipelineQueries {
         .filter(col("jaccard") >= 0.02)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // PMI collocations: top multi-word units by pointwise mutual
+    // information (position-specific marginals from the bigram table,
+    // min-count guard against the rare-pair PMI explosion)
+    "q_text_pmi" -> { (s, dir) =>
+      TextOps.pmiCollocations(Tables.documents(s, dir), "text", PMI_MIN, PMI_TOPK)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
     },
 
     // Okapi BM25 lexical retrieval: the first 3 docs as queries against the
@@ -1339,6 +1349,28 @@ object PipelineQueries {
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
         ORDER BY id_a, id_b""",
+      // PMI: marginals re-aggregated from the bigram counts; double
+      // products (long products overflow at crawl scale), rounded-6 log10,
+      // exact scaled-long ranking with (w1, w2) tiebreaks
+      "q_text_pmi" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        b AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+        lft AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n_left FROM bg GROUP BY 1),
+        rgt AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n_right FROM bg GROUP BY 1),
+        tot AS (SELECT CAST(sum(n12) AS DOUBLE) AS tt FROM bg),
+        p AS (SELECT bg.w1, bg.w2, bg.n12, lft.n_left, rgt.n_right,
+                round(log10((CAST(bg.n12 AS DOUBLE) * tot.tt)
+                  / (CAST(lft.n_left AS DOUBLE) * CAST(rgt.n_right AS DOUBLE))), 6)
+                  AS pmi
+              FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+              WHERE bg.n12 >= $PMI_MIN)
+        SELECT w1, w2, n12, n_left, n_right, pmi FROM p
+        ORDER BY CAST(round(pmi*1e6) AS BIGINT) DESC, w1, w2
+        LIMIT $PMI_TOPK""",
       // BM25: identical in-engine arithmetic on both sides (same literals,
       // same parenthesization — IEEE ops are correctly rounded, so the
       // doubles agree bit-for-bit); per-term contributions rounded to 6,
