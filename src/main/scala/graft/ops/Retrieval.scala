@@ -34,6 +34,12 @@ object Retrieval {
     * literals on the Spark and oracle sides (IEEE ops are correctly
     * rounded, so identical expression trees give identical doubles;
     * pre-folding constants driver-side could differ by an ulp).
+    *
+    * Compute-once at production scale: tf/dl/df are corpus STATISTICS — a
+    * 100 TB deployment persists them once (the
+    * [[TextOps.bigramLmTable]]-as-versioned-artifact pattern) and scores
+    * every query batch against the stored tables instead of re-deriving
+    * them per call, which this one-shot convenience form does.
     */
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String,

@@ -569,4 +569,30 @@ class ScaleSpec extends AnyFunSuite {
         s"flagship Histo+Count chain must be ONE SQL execution, got ${execs.size()}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("retrieval + semantic-dedup ops keep their scale shape") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    // semantic dedup: the pairwise stage must be a KEYED join on cent_id —
+    // never a cartesian/nested-loop pass over the corpus
+    val sem = graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding",
+      0.3, 4, trainIters = 1)
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct"),
+      s"semanticDedup pair stage must join on cent_id:\n$semPlan")
+    // bm25: query-side joins broadcast (corpus side never reshuffles for
+    // the query terms), no cartesian anywhere; top-k is a rank window
+    val lex = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter($"doc_id" < 3), "doc_id", "text", 10, excludeSelf = true)
+    val lexPlan = lex.queryExecution.executedPlan.toString
+    assert(lexPlan.contains("BroadcastHashJoin"),
+      s"bm25 query joins must broadcast:\n$lexPlan")
+    assert(!lexPlan.contains("CartesianProduct"),
+      s"bm25 must not plan a cartesian:\n$lexPlan")
+    // PMI top-k: per-partition heaps, never a global sort
+    val pmi = graft.ops.TextOps.pmiCollocations(docs, "text", 2L, 20)
+    assert(pmi.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "pmiCollocations must plan TakeOrderedAndProject")
+  }
 }
