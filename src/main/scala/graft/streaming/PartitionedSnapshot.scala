@@ -129,12 +129,26 @@ object PartitionedSnapshot {
         afterDel.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(batch.toDF, allowMissingColumns = false)
     }
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(s"$tableDir/d_$v")
+    val fs0 = fsOf(spark, tableDir)
+    val dpath = new org.apache.hadoop.fs.Path(s"$tableDir/d_$v")
+    // exists-guard (single-writer contract, violations loud): a concurrent
+    // writer derived the same next version, or a crashed commit left its
+    // data dir — abort instead of overwriting either
+    if (fs0.exists(dpath))
+      throw new IllegalStateException(
+        s"version dir $dpath already exists: concurrent writer or crashed-" +
+          "commit leftover (vacuum after the grace window, then retry)")
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(dpath.toString)
+    // flip-time fence: the manifest must still be the one this merge read
+    val nowV = readManifest(spark, tableDir).map(_.version)
+    if (nowV != cur.map(_.version))
+      throw new IllegalStateException(
+        s"concurrent table writer detected under $tableDir: read manifest " +
+          s"${cur.map(_.version)} but found $nowV at flip time")
 
     // partitions actually written (a fully-deleted partition writes no dir
     // and must leave the manifest); everything else carries its old owner
-    val fs = fsOf(spark, tableDir)
-    val writtenParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
+    val writtenParts = fs0.listStatus(dpath)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol="))
@@ -200,9 +214,19 @@ object PartitionedSnapshot {
     val m = readManifest(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $tableDir"))
     val v = m.version + 1
-    read(spark, tableDir).write.mode("overwrite").partitionBy(partCol)
-      .parquet(s"$tableDir/d_$v")
     val fs = fsOf(spark, tableDir)
+    val dpath = new org.apache.hadoop.fs.Path(s"$tableDir/d_$v")
+    if (fs.exists(dpath))
+      throw new IllegalStateException(
+        s"version dir $dpath already exists: concurrent writer or crashed-" +
+          "commit leftover (vacuum after the grace window, then retry)")
+    read(spark, tableDir).write.mode("overwrite").partitionBy(partCol)
+      .parquet(dpath.toString)
+    val nowV = readManifest(spark, tableDir).map(_.version)
+    if (nowV != Some(m.version))
+      throw new IllegalStateException(
+        s"concurrent table writer detected under $tableDir: read manifest " +
+          s"${m.version} but found $nowV at flip time")
     val writtenParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol=")).map(_.stripPrefix(s"$partCol="))

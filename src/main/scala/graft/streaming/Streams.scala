@@ -294,6 +294,13 @@ object Streams {
     * set, it does not resolve intra-batch conflicts). First call on an
     * empty directory commits `batch` as version 0.
     *
+    * Single-writer contract, violations LOUD (the index-protocol
+    * discipline): two racing writers would derive the SAME next version —
+    * the second to reach the version directory fails the pre-write
+    * exists-guard, and a writer that loses the race between its read and
+    * its flip fails the flip-time fence instead of silently dropping the
+    * other writer's merge.
+    *
     * Scale shape: ONE left_anti sort-merge join on the key against the
     * carried-over side (Catalyst broadcasts it when the batch is small) +
     * an optional second anti for `deletes` + a union — the current snapshot
@@ -324,7 +331,24 @@ object Streams {
           .unionByName(batch.toDF)
     }
     val v = cur.getOrElse(-1L) + 1
-    commitSnapshot(merged, outDir, v, retain)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vpath = new org.apache.hadoop.fs.Path(s"$outDir/v_$v")
+    // exists-guard: a concurrent writer (or a crashed commit's leftover)
+    // already owns this version directory — abort instead of clobbering it
+    if (fs.exists(vpath))
+      throw new IllegalStateException(
+        s"snapshot version dir $vpath already exists: concurrent writer or " +
+          "crashed-commit leftover (inspect and delete it to retry)")
+    merged.write.mode("overwrite").parquet(vpath.toString)
+    // flip-time fence: the pointer must still be where we read it
+    val now = latestVersion(spark, outDir)
+    if (now != cur)
+      throw new IllegalStateException(
+        s"concurrent snapshot writer detected under $outDir: " +
+          s"read version $cur but found $now at flip time")
+    flipLatestAndPrune(
+      spark.sparkContext.hadoopConfiguration, outDir, v, retain)
     v
   }
 

@@ -1466,6 +1466,22 @@ class OpsSpec extends AnyFunSuite {
     PartitionedSnapshot.vacuum(spark, out, graceMs = 0L)
     assert(!new java.io.File(s"$out/d_0").exists && !new java.io.File(s"$out/d_1").exists)
     assert(all() == want)
+    // single-writer guard: a leftover/concurrent next-version dir aborts
+    // the commit loudly instead of being clobbered
+    assert(new java.io.File(s"$out/d_3").mkdirs())
+    intercept[IllegalStateException] {
+      PartitionedSnapshot.upsert(batch, out, Seq("k"), "lang")
+    }
+  }
+
+  test("upsertSnapshot: a leftover next-version dir aborts instead of clobbering") {
+    val out = s"/tmp/graft_upguard_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, 10L)).toDF("k", "n")
+    Streams.upsertSnapshot(base, out, Seq("k"), retain = 5)
+    assert(new java.io.File(s"$out/v_1").mkdirs())
+    intercept[IllegalStateException] {
+      Streams.upsertSnapshot(Seq((2L, 20L)).toDF("k", "n"), out, Seq("k"))
+    }
   }
 
   test("bm25: tf raises the score of a positive-idf term; ranking deterministic") {
