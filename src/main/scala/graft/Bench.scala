@@ -138,7 +138,9 @@ object Bench {
       "q_text_classifier_trained" -> sink("q_text_classifier_trained"),
       "q_text_bigram_lm_inc" -> sink("q_text_bigram_lm_inc"),
       "q_dedup_semantic" -> sink("q_dedup_semantic"),
-      "q_part_upsert" -> sink("q_part_upsert"))
+      "q_part_upsert" -> sink("q_part_upsert"),
+      "q_text_bm25" -> sink("q_text_bm25"),
+      "q_search_hybrid" -> sink("q_search_hybrid"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
