@@ -45,32 +45,53 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false): DataFrame =
+    bm25TopKStored(bm25StatsTable(docs, idCol, textCol),
+      queries, qIdCol, qTextCol, k, k1, b, excludeSelf)
+
+  /** The BM25 corpus-statistics TABLE — one row per (doc, term):
+    * (tok, doc_id, tf, dl, df, n_docs, sumdl), every scoring input
+    * denormalized onto the row (the [[TextOps.bigramLmTable]] shape). At
+    * 100 TB this is THE deployment artifact: compute once (one corpus
+    * tokenization + one (doc, term) shuffle; dl and df re-aggregate the
+    * (doc, term)-sized table, never the corpus again; the two global
+    * scalars ride a 1-row in-plan broadcast), persist it versioned
+    * ([[graft.streaming.Streams.commitSnapshot]]) and score every query
+    * batch — online or streaming — against the stored table.
+    */
+  def bm25StatsTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val g = dl.agg(sum(col("dl")).cast("double").as("__sumdl"),
-      count(lit(1)).as("__ndocs"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val g = dl.agg(sum(col("dl")).cast("double").as("sumdl"),
+      count(lit(1)).as("n_docs"))
+    tf.join(dl, Seq("doc_id")).join(df, Seq("tok")).crossJoin(broadcast(g))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("sumdl"))
+  }
+
+  /** Score a query batch against a (possibly persisted) [[bm25StatsTable]]
+    * — the corpus is never touched: the only big side is the stats table,
+    * and the query terms broadcast onto it.
+    */
+  def bm25TopKStored(
+      stats: DataFrame, queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     val qtoks = queries
       .select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextOps.tokens(col(qTextCol)))).as("tok"))
       .filter(col("tok") =!= "")
-    // df restricted to the query's terms before broadcasting it back in
-    val qdf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .join(broadcast(qtoks.select(col("tok")).distinct()), Seq("tok"), "left_semi")
-    val matched = tf
-      .join(broadcast(qtoks), Seq("tok"))
-      .join(broadcast(qdf), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(g))
+    val matched = stats.join(broadcast(qtoks), Seq("tok"))
     val pruned =
       if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
       else matched
-    val avgdl = col("__sumdl") / col("__ndocs").cast("double")
+    val avgdl = col("sumdl") / col("n_docs").cast("double")
     val idf6 = round(log10(
-      (col("__ndocs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5))), 6)
     val tfn = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") +

@@ -589,6 +589,37 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // the production form: BM25 statistics computed ONCE, persisted as a
+    // versioned artifact, queries scored against the stored table — the
+    // corpus is never re-tokenized at serve time
+    "q_text_bm25_stored" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val statsDir = s"/tmp/graft_bm25_stats_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.streaming.Streams.commitSnapshot(
+        Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
+      Retrieval.bm25TopKStored(
+        graft.streaming.Streams.readSnapshot(s, statsDir),
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // the streaming form: query docs arrive on a stream and score per
+    // micro-batch against the static stored stats (stateless; ranking
+    // never crosses batches, so batching cannot change the result)
+    "q_stream_bm25" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val statsDir = s"/tmp/graft_bm25_sstats_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.streaming.Streams.commitSnapshot(
+        Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
+      graft.streaming.Streams.streamingBm25Search(
+        docs.filter(col("doc_id") < NQUERIES).select(col("doc_id"), col("text")),
+        graft.streaming.Streams.readSnapshot(s, statsDir),
+        s"/tmp/graft_stream_bm25_${java.util.UUID.randomUUID().toString.take(8)}",
+        "doc_id", "text", BM25_TOPK, excludeSelf = true, batches = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // HYBRID retrieval: BM25 (text) × exact cosine (embeddings) fused by
     // reciprocal-rank fusion — the score-free combination of incomparable
     // scales; each leg shortlists 20, fusion keeps 10
@@ -649,6 +680,11 @@ object PipelineQueries {
                FROM sc GROUP BY 1, 2),
         br AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY s DESC, doc_id) AS rank FROM ba)"""
+    val bm25FinalSql = s"""
+        $bm25Ctes
+        SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
+               n_terms, rank
+        FROM br WHERE rank <= $BM25_TOPK ORDER BY query_id, rank"""
     // shared relational machinery of the substring-removal family: winnowed
     // (fp, pos) extraction over CTE `d`, and the islands-merge + text-rebuild
     // tail over CTEs `d` (doc_id, text) and `rem` (doc_id, pos, e)
@@ -1374,12 +1410,12 @@ object PipelineQueries {
       // BM25: identical in-engine arithmetic on both sides (same literals,
       // same parenthesization — IEEE ops are correctly rounded, so the
       // doubles agree bit-for-bit); per-term contributions rounded to 6,
-      // per-doc totals exact scaled-long sums, rank by the exact total
-      "q_text_bm25" -> s"""
-        $bm25Ctes
-        SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
-               n_terms, rank
-        FROM br WHERE rank <= $BM25_TOPK ORDER BY query_id, rank""",
+      // per-doc totals exact scaled-long sums, rank by the exact total.
+      // The stored-stats and streaming forms score the SAME statistics
+      // (persist + stream are result-invariant), so all three share it.
+      "q_text_bm25" -> bm25FinalSql,
+      "q_text_bm25_stored" -> bm25FinalSql,
+      "q_stream_bm25" -> bm25FinalSql,
       // hybrid = BM25 rank list × exact-cosine rank list, RRF-fused
       // (1/(60+rank) contributions, missing side 0); ranks on the unrounded
       // fused double (deterministic: small-int divisions), id tiebreak

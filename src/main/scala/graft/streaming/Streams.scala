@@ -973,6 +973,22 @@ object Streams {
       graft.ops.Similarity.searchIvfF16Index(
         b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
 
+  /** Streaming BM25 — ONLINE lexical retrieval against a static (persisted)
+    * [[graft.ops.Retrieval.bm25StatsTable]]: query documents arrive on a
+    * stream, each micro-batch scores with full batch semantics against the
+    * stored statistics (stateless stream-static — per-query ranking never
+    * crosses batches), results land in the same retry-idempotent
+    * `batch=<id>` sink every streaming search here uses. The lexical twin
+    * of [[streamingAnnSearch]].
+    */
+  def streamingBm25Search(
+      queries: DataFrame, stats: DataFrame, outDir: String,
+      qIdCol: String, qTextCol: String, k: Int,
+      excludeSelf: Boolean = false, batches: Int = 4): DataFrame =
+    streamingSearch(queries, outDir, batches, b =>
+      graft.ops.Retrieval.bm25TopKStored(stats, b, qIdCol, qTextCol, k,
+        excludeSelf = excludeSelf))
+
   /** the shared streaming-search harness: stage queries as `batches` files,
     * feed one file per trigger, run `searchFn` with full batch semantics per
     * micro-batch through the idempotent [[searchBatchSink]], read the union
