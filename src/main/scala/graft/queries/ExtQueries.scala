@@ -492,6 +492,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // metadata-only partition drop (the O(1) daily retention op) + the
+    // manifest-resolved per-partition stats that prove it: en vanishes
+    // without touching a data file, every survivor still owned by v0
+    "q_part_drop" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_drop_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
+      graft.streaming.PartitionedSnapshot.dropPartitions(s, out, Set("en"))
+      graft.streaming.PartitionedSnapshot.partitionStats(s, out)
+        .orderBy(col("lang"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Streams.sessionize(Tables.events(s, dir), GAP_MIN).toDF()
         .orderBy(col("user_id"), col("session_start"))
@@ -1188,6 +1201,12 @@ object ExtQueries {
       // (disjoint keys -> batching-invariant), so it shares the oracle.
       "q_snapshot_upsert" -> upsertFinalSql,
       "q_stream_upsert" -> upsertFinalSql,
+      // a metadata drop leaves survivors bit-identical under their original
+      // owner version (0) — the oracle is just the partition rollup
+      "q_part_drop" -> """
+        SELECT lang, count(*) AS n_rows, CAST(0 AS BIGINT) AS owner_version
+        FROM documents WHERE lang <> 'en'
+        GROUP BY lang ORDER BY lang""",
       // partitioned merge: untouched langs carry over; en evens doubled and
       // re-inserted over the %7 delete, en odd %7 gone; xx is the new
       // partition (ids offset by 10000)

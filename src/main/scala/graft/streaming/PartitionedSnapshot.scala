@@ -234,6 +234,48 @@ object PartitionedSnapshot {
     v
   }
 
+  /** METADATA-ONLY partition drop: commit a new manifest without the named
+    * partitions — no data file is read or written (the dropped versions'
+    * files become unreferenced and [[vacuum]] reclaims them later). This is
+    * the O(1) retention op a date-partitioned 100 TB table runs daily
+    * ("drop everything older than N days"); a row-level delete through
+    * [[upsert]] would rewrite the partition instead. Same single-writer
+    * fence as every commit here. Returns the committed version.
+    */
+  def dropPartitions(
+      spark: SparkSession, tableDir: String, partValues: Set[String]): Long = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    val remaining = m.owners.filter { case (p, _) => !partValues.contains(p) }
+    require(remaining.nonEmpty,
+      s"dropping ${partValues.size} partitions would empty the table under $tableDir")
+    val v = m.version + 1
+    val nowV = readManifest(spark, tableDir).map(_.version)
+    if (nowV != Some(m.version))
+      throw new IllegalStateException(
+        s"concurrent table writer detected under $tableDir: read manifest " +
+          s"${m.version} but found $nowV at flip time")
+    writeManifest(spark, tableDir, Manifest(v, remaining))
+    v
+  }
+
+  /** Per-partition row counts + owning version, resolved through the
+    * manifest — the operational balance/retention signal (the partitioned-
+    * table analog of the index family's list-balance stats). One read per
+    * live version; counts aggregate partition-locally.
+    */
+  def partitionStats(spark: SparkSession, tableDir: String): DataFrame = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    val pc = partColName(spark, tableDir, m.owners.values.max)
+    val byVersion = m.owners.groupBy(_._2).toSeq.sortBy(_._1)
+    byVersion.map { case (v, ps) =>
+      readPartitions(spark, tableDir, ps)
+        .groupBy(col(pc)).agg(count(lit(1)).as("n_rows"))
+        .withColumn("owner_version", lit(v))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Delete version directories no partition references any more, behind an
     * mtime grace window (same discipline as the index vacuum: never sweep
     * a directory a racing writer might still be staging).

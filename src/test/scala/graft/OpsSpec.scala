@@ -1474,6 +1474,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropPartitions: metadata-only, survivors untouched, cannot empty the table") {
+    val out = s"/tmp/graft_drop_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L)).toDF("k", "lang", "n")
+    PartitionedSnapshot.upsert(base, out, Seq("k"), "lang")
+    assert(PartitionedSnapshot.dropPartitions(spark, out, Set("en")) == 1L)
+    // no new data dir was written — the drop is pure manifest
+    assert(!new java.io.File(s"$out/d_1").exists)
+    val got = PartitionedSnapshot.read(spark, out).select($"k").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    val stats = PartitionedSnapshot.partitionStats(spark, out)
+      .orderBy($"lang").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq(("de", 1L, 0L), ("fr", 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.dropPartitions(spark, out, Set("de", "fr"))
+    }
+  }
+
   test("upsertSnapshot: a leftover next-version dir aborts instead of clobbering") {
     val out = s"/tmp/graft_upguard_spec_${java.util.UUID.randomUUID().toString.take(8)}"
     val base = Seq((1L, 10L)).toDF("k", "n")
