@@ -229,6 +229,15 @@ object Demo {
         .withColumn("n_chars", lit(0L)), ptbl, Seq("doc_id"), "lang")
     println(s"partitioned upsert v$pv touched only lang=en; table rows = " +
       s"${graft.streaming.PartitionedSnapshot.read(spark, ptbl).count()}")
+    // metadata-only retention: drop a partition without touching data files
+    graft.streaming.PartitionedSnapshot.dropPartitions(spark, ptbl, Set("en"))
+    println(s"after dropping lang=en: rows = " +
+      s"${graft.streaming.PartitionedSnapshot.read(spark, ptbl).count()}")
+    // hybrid retrieval: BM25 (text) x exact cosine (embeddings), RRF-fused
+    val hybrid = graft.ops.Retrieval.hybridTopK(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      spark.range(0, 2).select(col("id").as("qid")), 5, 15)
+    println(s"hybrid search (2 queries, top-5): ${hybrid.count()} fused hits")
     spark.stop()
   }
 }
