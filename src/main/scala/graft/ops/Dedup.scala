@@ -204,6 +204,27 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
+  /** The deduplicated CORPUS from near-duplicate clustering — the
+    * keep-one-per-component closure of the MinHash family (pairs →
+    * components → canonical corpus; the lexical sibling of
+    * [[graft.ops.Similarity.semanticDedup]]'s embedding-space form): LSH
+    * candidates at `minJaccard`, connected components, keep each
+    * component's canonical (minimum-id, = its component label) member plus
+    * every singleton. Scale shape is the parts': banded candidate
+    * generation (never all-pairs), pairs-only O(log n) clustering, and ONE
+    * left_anti of the corpus against the dropped-id set (ids only — text
+    * never joins back).
+    */
+  def canonicalCorpus(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
+      shingleN: Int, minJaccard: Double): DataFrame = {
+    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+    val dropped = connectedComponents(pairs)
+      .filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(dropped, docs(idCol) === dropped("id"), "left_anti")
+  }
+
   /** [[connectedComponents]] plus the number of alternating rounds it took —
     * the observable the log-convergence tests pin.
     */

@@ -309,6 +309,15 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // the corpus-producing closure of the cluster chain: keep each
+    // duplicate component's canonical (min-id) member plus all singletons
+    "q_dedup_canonical" -> { (s, dir) =>
+      Dedup.canonicalCorpus(Tables.documents(s, dir), "doc_id", "text",
+        K, BAND, NGRAM, 0.2)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // streaming NEAR-dup dedup: the MinHash signature computed on the stream
     // (codegen'd map, no state), dropDuplicatesWithinWatermark keyed on the
     // full signature; delay > replay span, so the emitted set equals batch
@@ -811,6 +820,28 @@ object PipelineQueries {
     val bandsCte = s"""bands0 AS ($bandSelects),
         bands AS (SELECT *, row_number() OVER (PARTITION BY band, bkey
                     ORDER BY doc_id) AS rk FROM bands0)"""
+    // the duplicate-cluster chain (LSH candidates -> jaccard-verified pairs
+    // -> recursive reachability), shared by q_dedup_clusters and
+    // q_dedup_canonical
+    val dupClusterCtes = s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        $bandsCte,
+        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band, bkey)
+                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM cands
+                  JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+                  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)"""
     val bitSums = (0 until 32).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
     val simExpr = (0 until 32).map(j =>
@@ -1064,25 +1095,17 @@ object PipelineQueries {
         ORDER BY d.doc_id"""
       },
       "q_dedup_clusters" -> s"""
-        WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
-        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
-        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
-        $bandsCte,
-        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b USING (band, bkey)
-                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
-        pairs AS (SELECT id_a, id_b FROM cands
-                  JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-                  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, label) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        $dupClusterCtes
         SELECT id, min(label) AS label FROM reach GROUP BY id ORDER BY id""",
+      // canonical corpus = everything except non-canonical component
+      // members (id <> its component's min label)
+      "q_dedup_canonical" -> s"""
+        $dupClusterCtes,
+        lbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
+        ORDER BY doc_id""",
       "q_text_repetition" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),
