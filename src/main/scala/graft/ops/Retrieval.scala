@@ -142,6 +142,26 @@ object Retrieval {
     * production, any persisted-index) ANN pass; the fusion itself is
     * dim-sized. `docs` and `embeddings` share the id namespace.
     */
+  /** The PRODUCTION hybrid: both legs serve from persisted artifacts — the
+    * int8 IVF index ([[Similarity.searchIvfInt8Index]]: partition-pruned
+    * list scans, integer-domain ranking) and the stored
+    * [[bm25StatsTable]] — so a query batch touches nprobe/nCents of the
+    * compressed lists plus the query terms' slice of the stats table, and
+    * NOTHING is recomputed from the corpus. The legs may shortlist at
+    * different depths (`kLex`, `kVec`); RRF doesn't care.
+    */
+  def hybridTopKStored(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      stats: DataFrame, queryDocs: DataFrame, queryEmb: DataFrame,
+      idCol: String, textCol: String, eIdCol: String, vecCol: String,
+      k: Int, kLex: Int, kVec: Int, nprobe: Int): DataFrame = {
+    val lex = bm25TopKStored(stats, queryDocs, idCol, textCol, kLex,
+      excludeSelf = true)
+    val vec = Similarity.searchIvfInt8Index(spark, indexPath, queryEmb,
+      eIdCol, vecCol, kVec, nprobe)
+    rrfFuse(lex, vec, "doc_id", "neighbor_id", k)
+  }
+
   def hybridTopK(
       docs: DataFrame, idCol: String, textCol: String,
       embeddings: DataFrame, eIdCol: String, vecCol: String,

@@ -35,6 +35,9 @@ object ExtQueries {
   private val IVF_TRAIN_ITERS = 2
   private val DIVERSE_K = 5  // representatives per cluster (q_sample_diverse)
   private val SEMDEDUP_COS = 0.3  // in-cluster near-dup threshold (q_dedup_semantic)
+  private val HYB_NQ = 3L    // persisted-hybrid queries: ids < 3
+  private val HYB_K = 10     // fused results per query
+  private val HYB_KLEX = 20  // lexical-leg shortlist (vector leg = IVF_TOPK)
   private val FILTER_LABEL = 7 // metadata predicate for filtered ANN
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
   private val PQ_CODES = 16  // codebook size per subspace
@@ -214,6 +217,27 @@ object ExtQueries {
       Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", path, IVF_CENTS)
       Similarity.searchIvfInt8Index(s, path, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", IVF_TOPK, IVF_NPROBE)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // the PRODUCTION hybrid: both legs serve from persisted artifacts —
+    // the committed int8 index (partition-pruned, integer-domain ranking)
+    // and the stored BM25 statistics — RRF-fused; nothing recomputed from
+    // the corpus at query time
+    "q_search_hybrid_stored" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val ipath = s"/tmp/graft_hyb_idx_$tag"
+      Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", ipath, IVF_CENTS)
+      val statsDir = s"/tmp/graft_hyb_stats_$tag"
+      Streams.commitSnapshot(
+        graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
+      graft.ops.Retrieval.hybridTopKStored(s, ipath,
+        Streams.readSnapshot(s, statsDir),
+        docs.filter(col("doc_id") < HYB_NQ), emb.filter(col("vec_id") < HYB_NQ),
+        "doc_id", "text", "vec_id", "embedding",
+        HYB_K, HYB_KLEX, IVF_TOPK, IVF_NPROBE)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -997,6 +1021,40 @@ object ExtQueries {
       // the persisted-index search is the same deterministic computation
       // (build + search split across a parquet round-trip), so oracle shared
       "q_ann_ivf_index" -> ivfInt8Sql,
+      // persisted hybrid: the int8-index chain (same CTEs as
+      // q_ann_ivf_index, queries narrowed to < HYB_NQ after ranking —
+      // per-query ranks are independent) fused with the shared BM25 chain
+      // (PipelineQueries.bm25RankCtes — one definition, no drift) by RRF
+      "q_search_hybrid_stored" -> s"""
+        $embBase,
+        $ivfCoarseCtes,
+        ${quantCtes(127)},
+        p AS (SELECT qp.query_id, inv.vec_id AS neighbor_id,
+                ${cosInt8Sql("a", "b")} AS cos_q
+              FROM qp JOIN inv ON qp.cent_id = inv.cent_id
+                AND inv.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+              JOIN qn a ON a.vec_id = qp.query_id
+              JOIN qn b ON b.vec_id = inv.vec_id
+              WHERE qp.query_id <> inv.vec_id),
+        ivr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_q DESC, neighbor_id) AS rank FROM p)
+                WHERE rank <= $IVF_TOPK AND query_id < $HYB_NQ),
+        ${PipelineQueries.bm25RankCtes(HYB_NQ)},
+        lr AS (SELECT query_id, doc_id, rank FROM br WHERE rank <= $HYB_KLEX),
+        f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     (CASE WHEN l.rank IS NULL THEN 0.0
+                           ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(l.rank AS DOUBLE)) END
+                      + CASE WHEN v.rank IS NULL THEN 0.0
+                             ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(v.rank AS DOUBLE)) END)
+                       AS rrf
+              FROM lr l FULL JOIN ivr v
+                ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rank FROM f)
+        SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
+        FROM fr WHERE rank <= $HYB_K ORDER BY query_id, rank""",
       // stored list sizes == assignment group sizes (build is uncapped; the
       // anchor cap applies at search), so the coarse chain is the oracle
       "q_ann_index_stats" -> s"""

@@ -34,6 +34,46 @@ object PipelineQueries {
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** The BM25 CTE chain WITHOUT the leading WITH, ending at `br` (per-query
+    * ranked, unlimited — callers apply their own rank cut): tokenize →
+    * tf/dl/df stats → query terms (first `nQueries` docs, self excluded) →
+    * per-term rounded-6 contributions as scaled longs → exact-sum rank.
+    * Arithmetic literal-for-literal identical to `Retrieval.bm25TopKStored`.
+    * Exposed package-wide so the persisted-hybrid oracle (ExtQueries) can
+    * splice the SAME chain instead of growing a drifting copy.
+    */
+  private[queries] def bm25RankCtes(nQueries: Long): String = s"""
+        tn AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        t AS (SELECT doc_id, tok FROM tn WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS ndocs FROM dl),
+        q AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
+              WHERE doc_id < $nQueries),
+        dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dft.df,
+                     g.sumdl, g.ndocs
+              FROM q JOIN tf ON q.tok = tf.tok
+              JOIN dft ON dft.tok = tf.tok
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN g
+              WHERE tf.doc_id <> q.query_id),
+        sc AS (SELECT query_id, doc_id,
+                 CAST(round(
+                   round(
+                     round(log10((CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)), 6)
+                     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (sumdl / CAST(ndocs AS DOUBLE))))))
+                   , 6) * 1e6) AS BIGINT) AS c6
+               FROM m),
+        ba AS (SELECT query_id, doc_id, sum(c6) AS s, count(*) AS n_terms
+               FROM sc GROUP BY 1, 2),
+        br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id) AS rank FROM ba)"""
   private def hash32Sql(x: String) = s"CAST(('0x' || substring(md5($x),1,8)) AS BIGINT)"
   private val shinglesSql =
     s"""list_distinct(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),
@@ -654,41 +694,9 @@ object PipelineQueries {
     // anchor-capped bands (mirror of Dedup.lshCandidates' skew guard): the
     // smaller-id side of a candidate pair must rank <= MAXB in its bucket
     val MAXB = graft.ops.Dedup.DEFAULT_MAX_BUCKET
-    // BM25 chain shared by q_text_bm25 and q_search_hybrid: tokenize →
-    // tf/dl/df stats → query terms (first NQUERIES docs, self excluded) →
-    // per-term rounded-6 contributions as scaled longs → exact-sum rank
-    // (`br`). Arithmetic literal-for-literal identical to Retrieval.bm25TopK.
-    val bm25Ctes = s"""
-        WITH tn AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-        t AS (SELECT doc_id, tok FROM tn WHERE tok <> ''),
-        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS ndocs FROM dl),
-        q AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
-              WHERE doc_id < $NQUERIES),
-        dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dft.df,
-                     g.sumdl, g.ndocs
-              FROM q JOIN tf ON q.tok = tf.tok
-              JOIN dft ON dft.tok = tf.tok
-              JOIN dl ON dl.doc_id = tf.doc_id
-              CROSS JOIN g
-              WHERE tf.doc_id <> q.query_id),
-        sc AS (SELECT query_id, doc_id,
-                 CAST(round(
-                   round(
-                     round(log10((CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                                 / (CAST(df AS DOUBLE) + 0.5)), 6)
-                     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
-                        / (CAST(tf AS DOUBLE)
-                           + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
-                               / (sumdl / CAST(ndocs AS DOUBLE))))))
-                   , 6) * 1e6) AS BIGINT) AS c6
-               FROM m),
-        ba AS (SELECT query_id, doc_id, sum(c6) AS s, count(*) AS n_terms
-               FROM sc GROUP BY 1, 2),
-        br AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY s DESC, doc_id) AS rank FROM ba)"""
+    // BM25 chain shared by q_text_bm25 / _stored / q_stream_bm25 /
+    // q_search_hybrid (and, cross-file, the persisted-hybrid oracle)
+    val bm25Ctes = s"WITH ${bm25RankCtes(NQUERIES)}"
     val bm25FinalSql = s"""
         $bm25Ctes
         SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
