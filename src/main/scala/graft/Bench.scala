@@ -239,7 +239,25 @@ object Bench {
       "q_serve_int8_index" ->
         samples3("q_serve_int8_index", () => serveI8().write.format("noop").mode("overwrite").save()),
       "q_serve_int8_filtered" ->
-        samples3("q_serve_int8_filtered", () => serveI8F().write.format("noop").mode("overwrite").save()))
+        samples3("q_serve_int8_filtered", () => serveI8F().write.format("noop").mode("overwrite").save()),
+      // persisted hybrid: stored int8 index x stored BM25 stats, RRF-fused —
+      // the full production serving path (stats built once, cost in the
+      // build number below)
+      "q_serve_hybrid" -> {
+        val statsPath = "/tmp/graft_bench_bm25_stats"
+        rmrf(statsPath)
+        val docs = Tables.documents(spark, sfDir)
+        val buildSec = timedBuild(() =>
+          graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(statsPath))
+        System.err.println(f"[bench] bm25 stats build: $buildSec%.3f s")
+        val stats = spark.read.parquet(statsPath)
+        samples3("q_serve_hybrid", () =>
+          graft.ops.Retrieval.hybridTopKStored(spark, serveI8Path, stats,
+            docs.filter(col("doc_id") < 3), emb.filter(col("vec_id") < 3),
+            "doc_id", "text", "vec_id", "embedding", 10, 20, 3, 2)
+            .write.format("noop").mode("overwrite").save())
+      })
 
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds)
