@@ -207,6 +207,12 @@ object Demo {
     val sem = graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding",
       0.3, 4, trainIters = 1)
     println(s"semantic dedup keeps ${sem.count()}/${emb.count()} vectors (tau=0.3)")
+    // the same SemDeDup semantics at ingest: id-ordered micro-batches
+    // against the distributed capped owner state
+    val ssem = graft.streaming.Streams.streamingSemanticDedup(spark, sfDir,
+      s"/tmp/graft_demo_ssem_${java.util.UUID.randomUUID().toString.take(8)}",
+      0.3, 4, trainIters = 1)
+    println(s"streaming semantic dedup admits ${ssem.count()} vectors (3 batches)")
     // table maintenance: merge a change batch, then read through data skipping
     val tbl = s"/tmp/graft_demo_table_${java.util.UUID.randomUUID().toString.take(8)}"
     val snap = docs.select(col("doc_id"), col("lang"),

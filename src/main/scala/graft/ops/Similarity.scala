@@ -608,7 +608,7 @@ object Similarity {
     * kernel (mandatory at production centroid counts) — one definition for
     * every index-building op
     */
-  private def assignExpr(
+  private[graft] def assignExpr(
       cents: Seq[(Long, Seq[Double])], assignKernel: Boolean): Column => Column =
     if (assignKernel)
       v => element_at(graft.functions.CentroidExprs.topCentroids(v, cents, 1), 1)
@@ -692,6 +692,46 @@ object Similarity {
       .select(col("__id_b").as("id"))
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cent_id"))
+  }
+
+  /** One micro-batch step of STREAMING semantic dedup — the incremental
+    * kernel under [[graft.streaming.Streams.streamingSemanticDedup]], factored
+    * here so the batch/streaming equivalence is by construction (same
+    * [[cosineR6]], same [[graft.ops.Dedup.capBuckets]] owner cap) and so the
+    * spec can replay a step and assert retry-idempotence.
+    *
+    * Contract: ids arrive in GLOBALLY INCREASING order across steps (every id
+    * in `batch` exceeds every id in `owners`). Under that contract the
+    * streamed union of `kept` over all steps equals [[semanticDedup]] on the
+    * concatenated corpus exactly: the owner cap keeps the `maxBucket`
+    * smallest ids per cluster, and ids only grow, so the capped owner set
+    * restricted to ids below any batch row is already final when that row is
+    * scored — no later arrival can retroactively become its owner.
+    *
+    * State is the owner frame itself: ≤ nCents × maxBucket rows (the
+    * SemDeDup state model — bounded by design, independent of stream
+    * length), kept DISTRIBUTED as a DataFrame; the caller truncates lineage
+    * per step (`localCheckpoint`) instead of collecting it to the driver.
+    * Duplicate-id re-delivery (a replayed micro-batch) is absorbed by the
+    * `dropDuplicates("id")` before the cap, so a retried step commits the
+    * same owners and the same kept set.
+    *
+    * Both frames carry (`id` long, `__v` array<double>, `cent_id`).
+    * Returns (kept batch rows, updated owner state).
+    */
+  def semanticDedupStep(
+      owners: DataFrame, batch: DataFrame, minCos: Double,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): (DataFrame, DataFrame) = {
+    val newOwners = graft.ops.Dedup.capBuckets(
+      owners.unionByName(batch).dropDuplicates("id"), Seq("cent_id"), "id", maxBucket)
+    val dropped = batch
+      .select(col("cent_id"), col("id").as("__id_b"), col("__v").as("__vb"))
+      .join(newOwners.select(
+        col("cent_id"), col("id").as("__id_a"), col("__v").as("__va")), Seq("cent_id"))
+      .filter(col("__id_a") < col("__id_b") &&
+        cosineR6(col("__va"), col("__vb")) >= minCos)
+      .select(col("__id_b").as("id")).distinct()
+    (batch.join(dropped, Seq("id"), "left_anti"), newOwners)
   }
 
   /** IVF search over QUANTIZED inverted lists — IVF + int8 composed, i.e.

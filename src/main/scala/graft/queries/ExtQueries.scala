@@ -377,6 +377,16 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     },
 
+    // streaming SEMANTIC dedup: the same SemDeDup semantics at ingest —
+    // id-ordered micro-batches scored against the distributed capped owner
+    // state; the admitted union equals batch semanticDedup (shared oracle)
+    "q_stream_semantic" -> { (s, dir) =>
+      Streams.streamingSemanticDedup(s, dir,
+        s"/tmp/graft_stream_sem_${java.util.UUID.randomUUID().toString.take(8)}",
+        SEMDEDUP_COS, IVF_CENTS, IVF_TRAIN_ITERS)
+        .orderBy(col("vec_id"))
+    },
+
     "q_multimodal" -> { (s, dir) =>
       val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(withMedia, "doc_id").toDF()
@@ -682,6 +692,29 @@ object ExtQueries {
         asg0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cent_id) AS rn FROM ac)"""
     }
+
+    // semantic dedup: final assignment (rn = 1) -> within-cluster pairs
+    // against the first maxBucket owners (anchor cap, rk) -> drop any
+    // vector with an earlier near-cosine owner. The dropped set is a
+    // join CTE (DuckDB can't correlate outer columns into list lambdas,
+    // so NOT EXISTS with the cosine inside is unbindable); NOT IN over
+    // never-null ids = the left_anti. Shared by the batch gate and the
+    // streaming gate (id-ordered replay converges to the batch kept set).
+    val semanticDedupSql = s"""
+        ${trainedAsgCtes(IVF_TRAIN_ITERS)},
+        asg AS (SELECT a.vec_id, a.cent_id, n.v, n.nrm,
+                  row_number() OVER (PARTITION BY a.cent_id
+                    ORDER BY a.vec_id) AS rk
+                FROM (SELECT vec_id, cent_id FROM asg0 WHERE rn = 1) a
+                JOIN n ON n.vec_id = a.vec_id),
+        drp AS (SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+                  AND a.vec_id < b.vec_id
+                  AND a.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
+                WHERE ${cosSql("a", "b")} >= $SEMDEDUP_COS)
+        SELECT vec_id, cent_id FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+        ORDER BY vec_id"""
 
     // scalar-quantization code CTEs (the q_embed_quantize construction):
     // q = codes, qnrm = sqrt of the integer self-dot — shared by every
@@ -1150,21 +1183,10 @@ object ExtQueries {
       // join CTE (DuckDB can't correlate outer columns into list lambdas,
       // so NOT EXISTS with the cosine inside is unbindable); NOT IN over
       // never-null ids = the left_anti
-      "q_dedup_semantic" -> s"""
-        ${trainedAsgCtes(IVF_TRAIN_ITERS)},
-        asg AS (SELECT a.vec_id, a.cent_id, n.v, n.nrm,
-                  row_number() OVER (PARTITION BY a.cent_id
-                    ORDER BY a.vec_id) AS rk
-                FROM (SELECT vec_id, cent_id FROM asg0 WHERE rn = 1) a
-                JOIN n ON n.vec_id = a.vec_id),
-        drp AS (SELECT DISTINCT b.vec_id
-                FROM asg a JOIN asg b ON a.cent_id = b.cent_id
-                  AND a.vec_id < b.vec_id
-                  AND a.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
-                WHERE ${cosSql("a", "b")} >= $SEMDEDUP_COS)
-        SELECT vec_id, cent_id FROM asg
-        WHERE vec_id NOT IN (SELECT vec_id FROM drp)
-        ORDER BY vec_id""",
+      "q_dedup_semantic" -> semanticDedupSql,
+      // the streaming form converges to the same kept set by construction
+      // (id-ordered batches against the capped owner state) — shared oracle
+      "q_stream_semantic" -> semanticDedupSql,
       "q_embed_neardup" -> s"""
         $embBase,
         b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),

@@ -800,6 +800,105 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming SEMANTIC dedup — the SemDeDup cell of the streaming dedup
+    * family (exact / near-dup / incremental all have streaming twins; the
+    * embedding-space one needs a GROWABLE kept-set, which is why it came
+    * last): vectors arriving on the stream are admitted only if no EARLIER
+    * arrival in their trained-centroid cluster is within `minCos` — the
+    * per-batch kernel is [[graft.ops.Similarity.semanticDedupStep]], so the
+    * admitted union over the stream equals batch
+    * [[graft.ops.Similarity.semanticDedup]] on the replayed corpus exactly
+    * (same rounded cosine, same owner cap; see the step's order contract).
+    *
+    * State design (the part `dropDuplicatesWithinWatermark` cannot express —
+    * membership is a COSINE predicate against a capped owner set, not key
+    * equality): the owner frame lives as a DISTRIBUTED DataFrame threaded
+    * through `foreachBatch`, `localCheckpoint`ed each step so lineage stays
+    * flat — never collected to the driver. Its size is ≤ nCents × maxBucket
+    * rows by construction (the SemDeDup state model), independent of stream
+    * length; at 100 TB the same loop runs with the owner frame as a bucketed
+    * table and centroids from the offline training job (here they are
+    * trained on the replayed corpus with the exact batch chain, which is
+    * what makes the gate oracle-shared with `q_dedup_semantic`).
+    *
+    * The sink is the retry-idempotent `batch=<id>` overwrite-dir pattern of
+    * every streaming search here, and the step itself absorbs a replayed
+    * micro-batch (duplicate ids dedup before the cap), so a retried batch
+    * commits the same owners and the same kept rows.
+    *
+    * Replay mechanics (harness glue, like [[streamingSearch]]'s staging):
+    * the corpus is staged as `batches` files in ascending-id slices with
+    * ascending mtimes, so `maxFilesPerTrigger=1` + `latestFirst=false`
+    * delivers micro-batches in id order — the step's contract. A real
+    * ingest stream satisfies it with any monotone id (sequence numbers,
+    * snowflake ids).
+    */
+  def streamingSemanticDedup(
+      spark: SparkSession, sfDir: String, outDir: String,
+      minCos: Double, nCents: Int, trainIters: Int, batches: Int = 3,
+      maxBucket: Int = graft.ops.Similarity.DEFAULT_MAX_BUCKET): DataFrame = {
+    import graft.ops.Similarity
+    val name = s"graft_ssem_${System.nanoTime()}"
+    val stage = s"$outDir-stage"
+    Seq(stage, outDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("__v"))
+    // production: centroids come from the offline training job / index
+    // sidecar; training them here with the exact batch chain is what makes
+    // the stream's result oracle-identical to batch semanticDedup
+    val cents = Similarity.lloydCentroids(base, nCents, trainIters)
+    val assign = Similarity.assignExpr(cents, assignKernel = false)
+
+    // stage ascending-id slices with ascending mtimes (replay glue only —
+    // the global ntile window is over the staged gate corpus, not a
+    // production-path operator)
+    val tiled = base.withColumn("__b", ntile(batches).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    (1 to batches).foreach { i =>
+      val tmp = java.nio.file.Paths.get(s"$stage-tmp$i")
+      tiled.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dest = java.nio.file.Paths.get(stage).resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 2000L))
+    }
+
+    val streamSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("__v", ArrayType(DoubleType))))
+    var owners = base.limit(0).withColumn("cent_id", lit(0L))
+    val q = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(stage)
+      .writeStream.outputMode("append").queryName(name)
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        if (!b.isEmpty) {
+          val assigned = b.toDF().withColumn("cent_id", assign(col("__v")))
+          val (kept, newOwners) =
+            Similarity.semanticDedupStep(owners, assigned, minCos, maxBucket)
+          kept.select(col("id").as("vec_id"), col("cent_id"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          owners = newOwners.localCheckpoint(true)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath))
+      owners.select(col("id").as("vec_id"), col("cent_id")).limit(0)
+    else spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
+  }
+
   /** The gram-hit predicate [[streamingDecontaminate]] applies per row: true
     * iff any word `n`-gram of `shinglesCol` appears in `heldout`'s distinct
     * gram set. The held grams are collected driver-side (benchmark sets are

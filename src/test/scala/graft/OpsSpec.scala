@@ -377,6 +377,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("streaming semantic dedup equals batch semanticDedup; step is retry-idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val got = Streams.streamingSemanticDedup(
+      spark, dir, "/tmp/graft_ssem_spec", minCos = 0.3, nCents = 4,
+      trainIters = 1, batches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.ops.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", 0.3, 4, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty,
+      s"streamed kept set must equal batch semanticDedup (${got.size} vs ${expected.size})")
+
+    // retry-idempotence of the step: re-delivering a batch whose ids are
+    // already in the owner state commits the same owners and the same kept
+    val base = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("__v"))
+      .withColumn("cent_id", $"id" % 2)
+    val b1 = base.filter($"id" < 20)
+    val (k1, o1) = graft.ops.Similarity.semanticDedupStep(
+      base.limit(0), b1, 0.3, maxBucket = 8)
+    val (k2, o2) = graft.ops.Similarity.semanticDedupStep(o1, b1, 0.3, maxBucket = 8)
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").collect().map(_.getLong(0)).toSet
+    assert(setOf(o1) == setOf(o2), "replayed step must commit the same owners")
+    assert(setOf(k1) == setOf(k2), "replayed step must keep the same rows")
+  }
+
   test("random projection is scan-level, deterministic, matches a local dot") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val proj = graft.ops.Similarity.randomProject(emb, "vec_id", "embedding", 8, 64)
