@@ -235,6 +235,11 @@ object Demo {
         .withColumn("n_chars", lit(0L)), ptbl, Seq("doc_id"), "lang")
     println(s"partitioned upsert v$pv touched only lang=en; table rows = " +
       s"${graft.streaming.PartitionedSnapshot.read(spark, ptbl).count()}")
+    // schema evolution: metadata-only addColumn; old files read the default
+    graft.streaming.PartitionedSnapshot.addColumn(spark, ptbl, "quality", "double", "0.5")
+    val nDefault = graft.streaming.PartitionedSnapshot.read(spark, ptbl)
+      .filter(col("quality") === 0.5).count()
+    println(s"schema evolution: quality=0.5 default on $nDefault pre-evolution rows")
     // metadata-only retention: drop a partition without touching data files
     graft.streaming.PartitionedSnapshot.dropPartitions(spark, ptbl, Set("en"))
     println(s"after dropping lang=en: rows = " +

@@ -526,6 +526,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // SCHEMA EVOLUTION on the partitioned table: metadata-only addColumn
+    // with a default (no data file touched), then an upsert that rewrites
+    // ONLY lang=en with real values — readers fill the default for every
+    // untouched partition's pre-evolution files
+    "q_part_evolve" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_evolve_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
+      graft.streaming.PartitionedSnapshot.addColumn(s, out, "quality", "double", "0.5")
+      val batch = docs.filter(col("lang") === "en")
+        .withColumn("quality", col("n_chars").cast("double") / 1000.0)
+      graft.streaming.PartitionedSnapshot.upsert(batch, out, Seq("doc_id"), "lang")
+      graft.streaming.PartitionedSnapshot.read(s, out)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // metadata-only partition drop (the O(1) daily retention op) + the
     // manifest-resolved per-partition stats that prove it: en vanishes
     // without touching a data file, every survivor still owned by v0
@@ -1305,6 +1323,15 @@ object ExtQueries {
           SELECT doc_id + 10000, 'xx', CAST(length(text) AS BIGINT)
           FROM documents WHERE doc_id < 5)
         ORDER BY doc_id""",
+      // schema evolution: pre-evolution partitions read the declared default
+      // (0.5); the rewritten lang=en partition carries writer values — the
+      // division is the same IEEE expression in both engines
+      "q_part_evolve" -> """
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN lang = 'en'
+                    THEN CAST(length(text) AS DOUBLE) / 1000.0
+                    ELSE 0.5 END AS quality
+        FROM documents ORDER BY doc_id""",
       // bloom skipping must be invisible too: same rows as the plain equality
       "q_snapshot_point" -> """
         SELECT doc_id, lang, md5(text) AS text_md5,

@@ -30,8 +30,17 @@ object PartitionedSnapshot {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A column added AFTER data was written (schema evolution): versions
+    * committed before it carry no such parquet column, and readers fill
+    * `defaultSql` (a constant SQL expression) cast to `dataType` instead —
+    * the Delta/Iceberg "add column with default" semantic, metadata-only.
+    */
+  case class AddedCol(name: String, dataType: String, defaultSql: String)
+
   /** owners: partition value (as string, the hive dir-name form) -> version */
-  private[streaming] case class Manifest(version: Long, owners: Map[String, Long])
+  private[streaming] case class Manifest(
+      version: Long, owners: Map[String, Long],
+      addedCols: Seq[AddedCol] = Nil)
 
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(dir, s"m_$v.json")
@@ -39,10 +48,12 @@ object PartitionedSnapshot {
   private def writeManifest(
       spark: SparkSession, dir: String, m: Manifest): Unit = {
     val fs = fsOf(spark, dir)
-    // flat line-oriented format, no JSON library needed: version, then
+    // flat line-oriented format, no JSON library needed: version, then one
+    // "#addcol\t<name>\t<type>\t<defaultSql>" line per evolved column, then
     // one "<ownerVersion>\t<partitionValue>" line per live partition
     val body = (s"version=${m.version}" +:
-      m.owners.toSeq.sortBy(_._1).map { case (p, v) => s"$v\t$p" }).mkString("\n")
+      (m.addedCols.map(c => s"#addcol\t${c.name}\t${c.dataType}\t${c.defaultSql}") ++
+        m.owners.toSeq.sortBy(_._1).map { case (p, v) => s"$v\t$p" })).mkString("\n")
     val out = fs.create(manifestPath(dir, m.version), true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -69,11 +80,17 @@ object PartitionedSnapshot {
     val mIn = fs.open(manifestPath(dir, v))
     val lines = try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList
     finally mIn.close()
-    val owners = lines.drop(1).filter(_.nonEmpty).map { l =>
+    val (colLines, ownerLines) =
+      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#addcol\t"))
+    val owners = ownerLines.map { l =>
       val Array(ov, part) = l.split("\t", 2)
       part -> ov.toLong
     }.toMap
-    Some(Manifest(v, owners))
+    val addedCols = colLines.map { l =>
+      val Array(_, name, dt, dflt) = l.split("\t", 4)
+      AddedCol(name, dt, dflt)
+    }
+    Some(Manifest(v, owners, addedCols))
   }
 
   /** Hive dir-name form of a partition value — must match what
@@ -110,10 +127,15 @@ object PartitionedSnapshot {
       deletes.map(_.select(col(partCol))).getOrElse(batch.select(col(partCol)).limit(0)))
     val touched = touchedDf.distinct().collect().map(r => partDirName(r.get(0))).toSet
 
+    // after evolution, writers write the FULL current schema: a batch
+    // missing an added column would silently regress it to the default
+    cur.toSeq.flatMap(_.addedCols).foreach(c => require(
+      batch.columns.contains(c.name),
+      s"batch must carry evolved column ${c.name} (added via addColumn)"))
     val currentTouched: Option[DataFrame] = cur.flatMap { m =>
       val live = m.owners.filter { case (p, _) => touched.contains(p) }
       if (live.isEmpty) None
-      else Some(readPartitions(spark, tableDir, live))
+      else Some(readPartitions(spark, tableDir, live, m.addedCols))
     }
     val merged = currentTouched match {
       case None => batch.toDF
@@ -157,23 +179,31 @@ object PartitionedSnapshot {
     val prevOwners = cur.map(_.owners).getOrElse(Map.empty)
     val owners = prevOwners.filter { case (p, _) => !touched.contains(p) } ++
       writtenParts.map(_ -> v)
-    writeManifest(spark, tableDir, Manifest(v, owners))
+    writeManifest(spark, tableDir,
+      Manifest(v, owners, cur.map(_.addedCols).getOrElse(Nil)))
     v
   }
 
   /** ONE read per owning version (basePath preserves the partition
     * column), restricted to that version's live leaf dirs, then a
-    * by-name union — never a per-partition read fan-out.
+    * by-name union — never a per-partition read fan-out. Versions written
+    * BEFORE a column was added ([[addColumn]]) lack its parquet column and
+    * get the declared default filled in scan-level — per VERSION, so a
+    * version that already materialized the column is never overwritten.
     */
   private def readPartitions(
       spark: SparkSession, tableDir: String,
-      owners: Map[String, Long]): DataFrame = {
+      owners: Map[String, Long],
+      addedCols: Seq[AddedCol] = Nil): DataFrame = {
     val byVersion = owners.groupBy(_._2).toSeq.sortBy(_._1)
     val parts = byVersion.map { case (v, ps) =>
       val base = s"$tableDir/d_$v"
       val pc = partColName(spark, tableDir, v)
       val leaves = ps.keys.toSeq.sorted.map(p => s"$base/$pc=$p")
-      spark.read.option("basePath", base).parquet(leaves: _*)
+      val df = spark.read.option("basePath", base).parquet(leaves: _*)
+      addedCols.filterNot(c => df.columns.contains(c.name)).foldLeft(df) {
+        (d, c) => d.withColumn(c.name, expr(c.defaultSql).cast(c.dataType))
+      }
     }
     parts.reduce(_.unionByName(_))
   }
@@ -204,7 +234,7 @@ object PartitionedSnapshot {
       case None => m.owners
     }
     require(live.nonEmpty, s"no live partitions selected under $tableDir")
-    readPartitions(spark, tableDir, live)
+    readPartitions(spark, tableDir, live, m.addedCols)
   }
 
   /** Re-base the whole table into one fresh version — the read-amplification
@@ -230,6 +260,9 @@ object PartitionedSnapshot {
     val writtenParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/d_$v"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol=")).map(_.stripPrefix(s"$partCol="))
+    // the rewrite materialized every evolved column's values into the data
+    // files (read() fills defaults), so the addcol metadata is retired —
+    // rewriteAll doubles as schema compaction
     writeManifest(spark, tableDir, Manifest(v, writtenParts.map(_ -> v).toMap))
     v
   }
@@ -255,7 +288,43 @@ object PartitionedSnapshot {
       throw new IllegalStateException(
         s"concurrent table writer detected under $tableDir: read manifest " +
           s"${m.version} but found $nowV at flip time")
-    writeManifest(spark, tableDir, Manifest(v, remaining))
+    writeManifest(spark, tableDir, Manifest(v, remaining, m.addedCols))
+    v
+  }
+
+  /** METADATA-ONLY schema evolution: add a column with a constant default —
+    * no data file is read or written (the Delta/Iceberg "add column"
+    * semantic; a backfill through [[upsert]] would rewrite the table).
+    * Readers fill `defaultSql` cast to `dataType` for every version written
+    * before this commit; later [[upsert]] batches MUST carry the column
+    * (enforced), so its real values only ever come from writers.
+    * [[rewriteAll]] materializes the defaults into data files and retires
+    * the metadata entry. Same single-writer fence as every commit here.
+    * Returns the committed version.
+    */
+  def addColumn(
+      spark: SparkSession, tableDir: String,
+      name: String, dataType: String, defaultSql: String): Long = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    require(!m.addedCols.exists(_.name == name),
+      s"column $name already added to $tableDir")
+    require(!readPartitions(spark, tableDir, m.owners, m.addedCols)
+        .columns.contains(name),
+      s"column $name already exists in $tableDir")
+    require(!name.contains("\t") && !dataType.contains("\t") &&
+      !defaultSql.contains("\t") && !defaultSql.contains("\n"),
+      "addColumn metadata must not contain tabs/newlines (manifest format)")
+    // the default must parse and be castable NOW, not at first read
+    expr(defaultSql).cast(dataType)
+    val v = m.version + 1
+    val nowV = readManifest(spark, tableDir).map(_.version)
+    if (nowV != Some(m.version))
+      throw new IllegalStateException(
+        s"concurrent table writer detected under $tableDir: read manifest " +
+          s"${m.version} but found $nowV at flip time")
+    writeManifest(spark, tableDir,
+      Manifest(v, m.owners, m.addedCols :+ AddedCol(name, dataType, defaultSql)))
     v
   }
 

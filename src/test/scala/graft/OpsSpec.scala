@@ -1520,6 +1520,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("addColumn: metadata-only; defaults fill old versions; rewriteAll materializes") {
+    val out = s"/tmp/graft_evolve_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L)).toDF("k", "lang", "n")
+    PartitionedSnapshot.upsert(base, out, Seq("k"), "lang")
+    assert(PartitionedSnapshot.addColumn(spark, out, "q", "double", "0.5") == 1L)
+    // pure metadata: no data dir for the evolution commit
+    assert(!new java.io.File(s"$out/d_1").exists)
+    def all() = PartitionedSnapshot.read(spark, out)
+      .select($"k", $"q").orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all() == Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)),
+      "pre-evolution files must read the declared default")
+    // a writer that ignores the evolved schema is rejected loudly
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.upsert(
+        Seq((4L, "en", 40L)).toDF("k", "lang", "n"), out, Seq("k"), "lang")
+    }
+    // a post-evolution upsert carries real values; only en rewrites
+    PartitionedSnapshot.upsert(
+      Seq((1L, "en", 11L, 0.9)).toDF("k", "lang", "n", "q"), out, Seq("k"), "lang")
+    assert(all() == Seq((1L, 0.9), (2L, 0.5), (3L, 0.5)))
+    // duplicate adds are rejected (both metadata and physical columns)
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.addColumn(spark, out, "q", "double", "0.0")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.addColumn(spark, out, "n", "long", "0")
+    }
+    // rewriteAll materializes the defaults into files and retires the
+    // metadata: read-back is unchanged with NO addcol entries left
+    PartitionedSnapshot.rewriteAll(spark, out, "lang")
+    assert(all() == Seq((1L, 0.9), (2L, 0.5), (3L, 0.5)))
+    val manifest = scala.io.Source.fromFile(
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("m_"))
+        .maxBy(_.getName.stripPrefix("m_").stripSuffix(".json").toLong)).mkString
+    assert(!manifest.contains("#addcol"), "rewriteAll must retire addcol metadata")
+  }
+
   test("upsertSnapshot: a leftover next-version dir aborts instead of clobbering") {
     val out = s"/tmp/graft_upguard_spec_${java.util.UUID.randomUUID().toString.take(8)}"
     val base = Seq((1L, 10L)).toDF("k", "n")
