@@ -249,6 +249,12 @@ object Demo {
       docs, "doc_id", "text", emb, "vec_id", "embedding",
       spark.range(0, 2).select(col("id").as("qid")), 5, 15)
     println(s"hybrid search (2 queries, top-5): ${hybrid.count()} fused hits")
+    // PRF query expansion: mine terms from the top feedback docs, re-score
+    val expanded = graft.ops.Retrieval.bm25ExpandedTopK(
+      graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text"),
+      docs.filter(col("doc_id") < 2), "doc_id", "text",
+      5, kFb = 3, nExp = 5, excludeSelf = true)
+    println(s"PRF-expanded BM25 (2 queries, top-5): ${expanded.count()} hits")
     spark.stop()
   }
 }

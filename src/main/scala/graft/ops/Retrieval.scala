@@ -73,6 +73,23 @@ object Retrieval {
         col("n_docs"), col("sumdl"))
   }
 
+  /** DISTINCT (query_id, tok) terms of a query frame — the ONE query-side
+    * tokenization (standard BM25 drops query-side tf via the distinct).
+    */
+  private def queryTerms(
+      queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame =
+    queries
+      .select(col(qIdCol).as("query_id"),
+        explode(array_distinct(TextOps.tokens(col(qTextCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** rounded-6 idf over a stats-table row's (df, n_docs) — the one
+    * definition shared by the scorer and the PRF expansion weight
+    */
+  private def idf6: Column = round(log10(
+    (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))), 6)
+
   /** Score a query batch against a (possibly persisted) [[bm25StatsTable]]
     * — the corpus is never touched: the only big side is the stats table,
     * and the query terms broadcast onto it.
@@ -80,19 +97,24 @@ object Retrieval {
   def bm25TopKStored(
       stats: DataFrame, queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame =
+    bm25ScoreTerms(stats, queryTerms(queries, qIdCol, qTextCol), k, k1, b, excludeSelf)
+
+  /** The scoring core over an EXPLICIT distinct (query_id, tok) term frame —
+    * what [[bm25TopKStored]] wraps with query tokenization and
+    * [[bm25ExpandedTopK]] feeds the expanded term set. The term frame must
+    * be distinct per (query_id, tok): a duplicate would double-count its
+    * contribution.
+    */
+  def bm25ScoreTerms(
+      stats: DataFrame, qterms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): DataFrame = {
-    val qtoks = queries
-      .select(col(qIdCol).as("query_id"),
-        explode(array_distinct(TextOps.tokens(col(qTextCol)))).as("tok"))
-      .filter(col("tok") =!= "")
-    val matched = stats.join(broadcast(qtoks), Seq("tok"))
+    val matched = stats.join(broadcast(qterms), Seq("tok"))
     val pruned =
       if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
       else matched
     val avgdl = col("sumdl") / col("n_docs").cast("double")
-    val idf6 = round(log10(
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))), 6)
     val tfn = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
@@ -106,6 +128,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .withColumn("score", round(col("__s").cast("double") / lit(1e6), 6))
       .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rank"))
+  }
+
+  /** Pseudo-relevance-feedback query EXPANSION (the RM3-lite loop): run
+    * BM25, treat each query's top `kFb` documents as pseudo-relevant, mine
+    * the `nExp` highest-weight NEW terms from them (weight = Σ_fbdocs
+    * round6(idf · tf/dl), an exact scaled-long sum — idf keeps corpus-wide
+    * noise terms out, tf/dl normalizes long documents; original query
+    * terms are excluded so expansion only ADDS vocabulary), append them to
+    * the query term set and re-score. The classic recall lever when query
+    * vocabulary doesn't match document vocabulary.
+    *
+    * Scale shape: pass 1 is a normal stored-stats scoring; the feedback
+    * frame is (queries × kFb) rows, so the term-mining join broadcasts it
+    * onto the stats table and touches only the feedback docs' rows; the
+    * expanded term frame stays query-sized (≤ |q terms| + nExp per query).
+    * Nothing new touches the corpus — two passes over the stats table IS
+    * the full cost, which is why PRF is affordable online.
+    *
+    * Determinism: expansion weights are exact scaled-long sums with tok
+    * tiebreaks; the expanded set is exactly (distinct query terms) ∪
+    * (mined terms, disjoint by the anti-join), so the second pass needs no
+    * dedup and the whole loop carries an exact oracle.
+    */
+  def bm25ExpandedTopK(
+      stats: DataFrame, queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, kFb: Int, nExp: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val fb = bm25ScoreTerms(stats, qt, kFb, k1, b, excludeSelf)
+      .select(col("query_id"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__w").desc, col("tok").asc)
+    val mined = stats.join(broadcast(fb), Seq("doc_id"))
+      .withColumn("__t6", round(
+        round(idf6 * (col("tf").cast("double") / col("dl").cast("double")), 6)
+          * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("tok")).agg(sum(col("__t6")).as("__w"))
+      .join(qt, Seq("query_id", "tok"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nExp)
+      .select(col("query_id"), col("tok"))
+    bm25ScoreTerms(stats, qt.unionByName(mined), k, k1, b, excludeSelf)
   }
 
   /** Reciprocal-rank fusion of two ranked result lists (per query):

@@ -28,6 +28,8 @@ object PipelineQueries {
   private val PMI_MIN = 3L    // collocation min bigram count
   private val PMI_TOPK = 50   // collocations reported
   private val BM25_TOPK = 10  // bm25 results per query
+  private val PRF_KFB = 5     // pseudo-relevant feedback docs per query
+  private val PRF_NEXP = 5    // expansion terms mined per query
   private val HYBRID_KEACH = 20 // per-leg shortlist for hybrid fusion
   private val HYBRID_TOPK = 10  // fused results per query
   private val NQUERIES = 3L     // retrieval queries: doc_id < 3
@@ -669,6 +671,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PRF query expansion (RM3-lite): top-5 feedback docs per query, 5
+    // mined expansion terms (idf·tf/dl weight, original terms excluded),
+    // re-scored — the recall lever when query vocabulary mismatches docs
+    "q_search_expand" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25ExpandedTopK(
+        Retrieval.bm25StatsTable(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, PRF_KFB, PRF_NEXP, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // HYBRID retrieval: BM25 (text) × exact cosine (embeddings) fused by
     // reciprocal-rank fusion — the score-free combination of incomparable
     // scales; each leg shortlists 20, fusion keeps 10
@@ -702,6 +716,60 @@ object PipelineQueries {
         SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
                n_terms, rank
         FROM br WHERE rank <= $BM25_TOPK ORDER BY query_id, rank"""
+    // PRF expansion: pass-1 ranking (br) -> feedback docs -> term weights
+    // (idf·tf/dl, rounded-6 scaled longs, original terms anti-joined out)
+    // -> top-nExp per query -> expanded term set -> the same scoring CTEs
+    // re-instantiated over q2. Arithmetic literal-identical to
+    // Retrieval.bm25ExpandedTopK.
+    val bm25ExpandSql = s"""
+        $bm25Ctes,
+        fb AS (SELECT query_id, doc_id FROM br WHERE rank <= $PRF_KFB),
+        tws AS (SELECT f.query_id, tf.tok,
+                  CAST(round(
+                    round(
+                      round(log10((CAST(g.ndocs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                                  / (CAST(dft.df AS DOUBLE) + 0.5)), 6)
+                      * (CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+                    , 6) * 1e6) AS BIGINT) AS t6
+                FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+                JOIN dft ON dft.tok = tf.tok
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN g),
+        tw AS (SELECT query_id, tok, sum(t6) AS tkw FROM tws GROUP BY 1, 2),
+        twx AS (SELECT tw.query_id, tw.tok, tw.tkw FROM tw
+                LEFT JOIN q ON q.query_id = tw.query_id AND q.tok = tw.tok
+                WHERE q.tok IS NULL),
+        ex AS (SELECT query_id, tok FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY tkw DESC, tok) AS rn FROM twx)
+               WHERE rn <= $PRF_NEXP),
+        q2 AS (SELECT query_id, tok FROM q
+               UNION ALL SELECT query_id, tok FROM ex),
+        m2 AS (SELECT q2.query_id, tf.doc_id, tf.tf, dl.dl, dft.df,
+                      g.sumdl, g.ndocs
+               FROM q2 JOIN tf ON q2.tok = tf.tok
+               JOIN dft ON dft.tok = tf.tok
+               JOIN dl ON dl.doc_id = tf.doc_id
+               CROSS JOIN g
+               WHERE tf.doc_id <> q2.query_id),
+        sc2 AS (SELECT query_id, doc_id,
+                  CAST(round(
+                    round(
+                      round(log10((CAST(ndocs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                  / (CAST(df AS DOUBLE) + 0.5)), 6)
+                      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                / (sumdl / CAST(ndocs AS DOUBLE))))))
+                    , 6) * 1e6) AS BIGINT) AS c6
+                FROM m2),
+        ba2 AS (SELECT query_id, doc_id, sum(c6) AS s, count(*) AS n_terms
+                FROM sc2 GROUP BY 1, 2),
+        br2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, doc_id) AS rank FROM ba2)
+        SELECT query_id, doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS score,
+               n_terms, rank
+        FROM br2 WHERE rank <= $BM25_TOPK ORDER BY query_id, rank"""
     // shared relational machinery of the substring-removal family: winnowed
     // (fp, pos) extraction over CTE `d`, and the islands-merge + text-rebuild
     // tail over CTEs `d` (doc_id, text) and `rem` (doc_id, pos, e)
@@ -1446,6 +1514,7 @@ object PipelineQueries {
       // (persist + stream are result-invariant), so all three share it.
       "q_text_bm25" -> bm25FinalSql,
       "q_text_bm25_stored" -> bm25FinalSql,
+      "q_search_expand" -> bm25ExpandSql,
       "q_stream_bm25" -> bm25FinalSql,
       // hybrid = BM25 rank list × exact-cosine rank list, RRF-fused
       // (1/(60+rank) contributions, missing side 0); ranks on the unrounded

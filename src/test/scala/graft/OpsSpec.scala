@@ -1580,6 +1580,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0)._2 > got(1)._2 && got(1)._2 > 0.0)
   }
 
+  test("PRF expansion recalls vocabulary-mismatched docs plain BM25 cannot") {
+    // query says "apple"; docs 4/5 never say it but co-occur with apple-docs
+    // via "cherry"/"banana" — the classic synonym-gap PRF closes
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"), (3L, "banana cherry kiwi"),
+      (4L, "cherry kiwi lemon"), (5L, "banana kiwi lemon"),
+      (6L, "mango papaya"), (7L, "papaya lemon")).toDF("doc_id", "text")
+    val q = Seq((9L, "apple")).toDF("doc_id", "text")
+    val stats = graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text")
+    val plain = graft.ops.Retrieval.bm25TopKStored(stats, q, "doc_id", "text", 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L, 2L), "plain BM25 sees only literal apple docs")
+    val expanded = graft.ops.Retrieval.bm25ExpandedTopK(
+      stats, q, "doc_id", "text", 10, kFb = 2, nExp = 3)
+    val gotIds = expanded.collect().map(_.getLong(1)).toSet
+    assert(plain.subsetOf(gotIds) && (gotIds -- plain).nonEmpty,
+      s"expansion must add docs beyond the literal matches, got $gotIds")
+    // expansion terms come from feedback docs 1/2 (banana, cherry), so the
+    // new recalls are their co-occurrence neighbors — never the papaya pool
+    assert(!gotIds.contains(6L), "unrelated docs must stay unrecalled")
+    // and the literal matches keep scoring above pure-expansion recalls
+    val ranked = expanded.orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(ranked.take(2).toSet == plain,
+      s"original-term docs must outrank expansion-only docs: $ranked")
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs at comparable ranks") {
     val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("query_id", "doc_id", "rank")
     val b = Seq((0L, 2L, 1), (0L, 4L, 2)).toDF("query_id", "doc_id", "rank")
