@@ -255,6 +255,12 @@ object Demo {
       docs.filter(col("doc_id") < 2), "doc_id", "text",
       5, kFb = 3, nExp = 5, excludeSelf = true)
     println(s"PRF-expanded BM25 (2 queries, top-5): ${expanded.count()} hits")
+    // MMR: diversify the ANN result page (skip near-duplicate neighbors)
+    val mmr = graft.ops.Similarity.mmrRerank(
+      graft.ops.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 10),
+      emb, "vec_id", "embedding", 5)
+    println(s"MMR diversified re-rank (2 queries): ${mmr.count()} picks")
     spark.stop()
   }
 }

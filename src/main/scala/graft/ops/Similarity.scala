@@ -419,6 +419,79 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance (MMR) DIVERSIFIED re-rank of a search
+    * shortlist — the redundancy-aware tail of the retrieval family: where
+    * [[rerankTopK]] re-orders by relevance alone, MMR greedily selects k
+    * results that are relevant AND non-redundant (pick the most relevant
+    * first; each next pick maximizes λ·rel − (1−λ)·max-sim-to-selected) —
+    * the standard move when near-duplicate corpus entries would otherwise
+    * fill the whole result page, and the selection rule behind diverse
+    * few-shot example picking.
+    *
+    * λ is fixed at 1/2, which makes the greedy ordering EXACT integer
+    * arithmetic: argmax(rel/2 − maxsim/2) = argmax(rel6 − maxsim6) over the
+    * scaled-long keys, so the whole sequential loop carries a bit-exact
+    * oracle (id tiebreaks; other λ would need rational weights to stay
+    * exact — same construction, not needed here).
+    *
+    * `shortlist` carries (`query_id`, `neighbor_id`, `cos_sim`) — the
+    * output shape of [[bruteForceTopK]]/[[rerankTopK]], whose exact cosine
+    * is the relevance. Scale shape: every frame in the loop is
+    * (queries × k′)-sized — candidates broadcast onto the corpus scan to
+    * fetch vectors (the [[rerankTopK]] fetch), pairwise sims are k′² per
+    * query, and the k−1 greedy steps are driver-sequenced jobs over those
+    * metric-sized frames (`localCheckpoint`ed so each step's plan stays
+    * flat) — the corpus is touched exactly once, k bounds the sequential
+    * depth, and everything partitions by `query_id` so a million-query
+    * batch parallelizes across the cluster.
+    */
+  def mmrRerank(
+      shortlist: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cand = shortlist.select(col("query_id"), col("neighbor_id").as("id"),
+      round(col("cos_sim") * lit(1e6)).cast("long").as("__rel6"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val cv = broadcast(cand).join(vecs, Seq("id"))
+      .select(col("query_id"), col("id"), col("__v"))
+    val x = cv.select(col("query_id"), col("id").as("a"), col("__v").as("__va"))
+    val y = cv.select(col("query_id"), col("id").as("b"), col("__v").as("__vb"))
+    val sims = x.join(y, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosineR6(col("__va"), col("__vb")) * lit(1e6)).cast("long").as("__sim6"))
+      .localCheckpoint(true)
+
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rel6").desc, col("id").asc)
+    var selAll = cand.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("id"), lit(1).as("mmr_rank"))
+      .localCheckpoint(true)
+    var t = 2
+    while (t <= k) {
+      val ms = sims
+        .join(selAll.select(col("query_id"), col("id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("__sim6")).as("__ms6"))
+        .withColumnRenamed("a", "id")
+      val wSc = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sc").desc, col("id").asc)
+      val pick = cand
+        .join(selAll.select(col("query_id"), col("id")), Seq("query_id", "id"), "left_anti")
+        .join(ms, Seq("query_id", "id"))
+        .withColumn("__sc", col("__rel6") - col("__ms6"))
+        .withColumn("__rn", row_number().over(wSc))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("id"), lit(t).as("mmr_rank"))
+      selAll = selAll.unionByName(pick).localCheckpoint(true)
+      t += 1
+    }
+    selAll.join(cand, Seq("query_id", "id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("__rel6").cast("double") / lit(1e6), 6).as("cos_sim"),
+        col("mmr_rank"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * evaluation op that closes the ANN family's loop: a pipeline that ships
     * an IVF/PQ/LSH index should measure, on a held-out query sample, how

@@ -43,6 +43,8 @@ object ExtQueries {
   private val PQ_CODES = 16  // codebook size per subspace
   private val PQ_SUB = 16    // DIM / PQ_M
   private val PQ_TOPK = 5
+  private val MMR_SHORT = 10 // MMR candidate shortlist per query
+  private val MMR_K = 5      // MMR selections per query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -138,6 +140,18 @@ object ExtQueries {
         4 * PQ_TOPK, PQ_M, PQ_CODES, DIM, trainIters = 1)
       Similarity.rerankTopK(shortlist, emb, qs, "vec_id", "embedding", PQ_TOPK)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // MMR diversified re-rank: greedy relevant-AND-non-redundant selection
+    // over the exact-cosine shortlist (lambda = 1/2 -> exact integer
+    // ordering rel6 - maxsim6) — near-duplicate results collapse to one
+    // representative instead of filling the page
+    "q_ann_mmr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val shortlist = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", MMR_SHORT)
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding", MMR_K)
+        .orderBy(col("query_id"), col("mmr_rank"))
     },
 
     // recall@k of the IVF approximate path against exact brute force on the
@@ -1019,6 +1033,54 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rr)
         WHERE rank <= $PQ_TOPK ORDER BY query_id, rank""",
+
+      // MMR: brute-force shortlist -> candidate pairwise sims -> the greedy
+      // selection UNROLLED one CTE trio per step (the trainedAsgCtes
+      // pattern); lambda = 1/2 makes each step's ordering the exact long
+      // key rel6 - maxsim6, so the sequential loop is bit-reproducible
+      "q_ann_mmr" -> {
+        val stages = (2 to MMR_K).map { t =>
+          s"""
+        ms$t AS (SELECT s.query_id, s.a, max(s.sim6) AS m FROM sims s
+                 JOIN sel${t - 1} x ON x.query_id = s.query_id AND x.id = s.b
+                 GROUP BY 1, 2),
+        pk$t AS (SELECT query_id, id, $t AS mmr_rank FROM (
+                   SELECT c.query_id, c.id,
+                          row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY (c.rel6 - m.m) DESC, c.id) AS rn
+                   FROM cand c
+                   JOIN ms$t m ON m.query_id = c.query_id AND m.a = c.id
+                   LEFT JOIN sel${t - 1} x
+                     ON x.query_id = c.query_id AND x.id = c.id
+                   WHERE x.id IS NULL) WHERE rn = 1),
+        sel$t AS (SELECT query_id, id, mmr_rank FROM sel${t - 1}
+                  UNION ALL SELECT query_id, id, mmr_rank FROM pk$t)"""
+        }.mkString(",")
+        s"""
+        $embBase,
+        bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      ${cosSql("q", "c")} AS cos_sim
+               FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        cand AS (SELECT query_id, neighbor_id AS id,
+                        CAST(round(cos_sim * 1e6) AS BIGINT) AS rel6 FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bf)
+                 WHERE rank <= $MMR_SHORT),
+        cv AS (SELECT s.query_id, s.id, n.v, n.nrm
+               FROM cand s JOIN n ON n.vec_id = s.id),
+        sims AS (SELECT x.query_id, x.id AS a, y.id AS b,
+                        CAST(round(${cosSql("x", "y")} * 1e6) AS BIGINT) AS sim6
+                 FROM cv x JOIN cv y
+                   ON x.query_id = y.query_id AND x.id <> y.id),
+        sel1 AS (SELECT query_id, id, 1 AS mmr_rank FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel6 DESC, id) AS rn FROM cand) WHERE rn = 1),
+        $stages
+        SELECT s.query_id, s.id AS neighbor_id,
+               round(CAST(c.rel6 AS DOUBLE) / 1e6, 6) AS cos_sim, s.mmr_rank
+        FROM sel$MMR_K s JOIN cand c ON c.query_id = s.query_id AND c.id = s.id
+        ORDER BY s.query_id, s.mmr_rank"""
+      },
 
       // IVF+PQ: coarse stage CTEs (cents/inv/qp) + the PQ training/encode
       // blocks, ranked by ADC within the probed lists only

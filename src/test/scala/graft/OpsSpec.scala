@@ -1606,6 +1606,25 @@ class OpsSpec extends AnyFunSuite {
       s"original-term docs must outrank expansion-only docs: $ranked")
   }
 
+  test("MMR re-rank skips the near-duplicate a relevance-only top-k keeps") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.9)),   // most relevant (cos .99856 to the query)
+      (2L, Seq(1.0, 0.88)),  // near-duplicate of 1 (sim .99993), second by rel
+      (3L, Seq(0.0, 1.0)),   // diverse (sim .669 to 1), third by rel (.707)
+      (100L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" === 100L)
+    val shortlist = graft.ops.Similarity.bruteForceTopK(
+      corpus.filter($"vec_id" < 100), qs, "vec_id", "embedding", 3)
+    val plain = shortlist.filter($"rank" <= 2).collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L, 2L), "relevance-only top-2 keeps the near-dup")
+    val mmr = graft.ops.Similarity.mmrRerank(shortlist, corpus, "vec_id", "embedding", 2)
+      .orderBy($"mmr_rank").collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(1L, 3L),
+      s"MMR must pick the diverse doc over the near-dup: ${mmr.mkString(",")}")
+    // rank-1 is always the relevance argmax; ranks are 1..k once per query
+    assert(mmr.head.getInt(3) == 1 && mmr.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs at comparable ranks") {
     val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("query_id", "doc_id", "rank")
     val b = Seq((0L, 2L, 1), (0L, 4L, 2)).toDF("query_id", "doc_id", "rank")
