@@ -558,6 +558,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // metadata-only COLUMN drop (addColumn's retirement twin): source
+    // disappears from every read with no data I/O; the post-drop upsert
+    // writes the narrow schema (and would be rejected if it carried src)
+    "q_part_dropcol" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_dropcol_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"), col("source"))
+      graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
+      graft.streaming.PartitionedSnapshot.dropColumn(s, out, "source")
+      graft.streaming.PartitionedSnapshot.upsert(
+        docs.drop("source").filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") * 3),
+        out, Seq("doc_id"), "lang")
+      graft.streaming.PartitionedSnapshot.read(s, out)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // metadata-only partition drop (the O(1) daily retention op) + the
     // manifest-resolved per-partition stats that prove it: en vanishes
     // without touching a data file, every survivor still owned by v0
@@ -1393,6 +1411,13 @@ object ExtQueries {
                CASE WHEN lang = 'en'
                     THEN CAST(length(text) AS DOUBLE) / 1000.0
                     ELSE 0.5 END AS quality
+        FROM documents ORDER BY doc_id""",
+      // a metadata column drop is invisible to the surviving columns; the
+      // post-drop upsert tripled en's n_chars
+      "q_part_dropcol" -> """
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 3 * CAST(length(text) AS BIGINT)
+                    ELSE CAST(length(text) AS BIGINT) END AS n_chars
         FROM documents ORDER BY doc_id""",
       // bloom skipping must be invisible too: same rows as the plain equality
       "q_snapshot_point" -> """

@@ -37,10 +37,13 @@ object PartitionedSnapshot {
     */
   case class AddedCol(name: String, dataType: String, defaultSql: String)
 
-  /** owners: partition value (as string, the hive dir-name form) -> version */
+  /** owners: partition value (as string, the hive dir-name form) -> version;
+    * droppedCols: columns retired by [[dropColumn]] — still physically
+    * present in old versions' files, projected out by every reader.
+    */
   private[streaming] case class Manifest(
       version: Long, owners: Map[String, Long],
-      addedCols: Seq[AddedCol] = Nil)
+      addedCols: Seq[AddedCol] = Nil, droppedCols: Seq[String] = Nil)
 
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(dir, s"m_$v.json")
@@ -49,10 +52,12 @@ object PartitionedSnapshot {
       spark: SparkSession, dir: String, m: Manifest): Unit = {
     val fs = fsOf(spark, dir)
     // flat line-oriented format, no JSON library needed: version, then one
-    // "#addcol\t<name>\t<type>\t<defaultSql>" line per evolved column, then
-    // one "<ownerVersion>\t<partitionValue>" line per live partition
+    // "#addcol\t<name>\t<type>\t<defaultSql>" / "#dropcol\t<name>" line per
+    // evolved column, then one "<ownerVersion>\t<partitionValue>" line per
+    // live partition
     val body = (s"version=${m.version}" +:
       (m.addedCols.map(c => s"#addcol\t${c.name}\t${c.dataType}\t${c.defaultSql}") ++
+        m.droppedCols.map(c => s"#dropcol\t$c") ++
         m.owners.toSeq.sortBy(_._1).map { case (p, v) => s"$v\t$p" })).mkString("\n")
     val out = fs.create(manifestPath(dir, m.version), true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -80,17 +85,19 @@ object PartitionedSnapshot {
     val mIn = fs.open(manifestPath(dir, v))
     val lines = try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList
     finally mIn.close()
-    val (colLines, ownerLines) =
-      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#addcol\t"))
+    val (metaLines, ownerLines) =
+      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
     val owners = ownerLines.map { l =>
       val Array(ov, part) = l.split("\t", 2)
       part -> ov.toLong
     }.toMap
-    val addedCols = colLines.map { l =>
+    val addedCols = metaLines.filter(_.startsWith("#addcol\t")).map { l =>
       val Array(_, name, dt, dflt) = l.split("\t", 4)
       AddedCol(name, dt, dflt)
     }
-    Some(Manifest(v, owners, addedCols))
+    val droppedCols = metaLines.filter(_.startsWith("#dropcol\t"))
+      .map(_.split("\t", 2)(1))
+    Some(Manifest(v, owners, addedCols, droppedCols))
   }
 
   /** Hive dir-name form of a partition value — must match what
@@ -128,14 +135,18 @@ object PartitionedSnapshot {
     val touched = touchedDf.distinct().collect().map(r => partDirName(r.get(0))).toSet
 
     // after evolution, writers write the FULL current schema: a batch
-    // missing an added column would silently regress it to the default
+    // missing an added column would silently regress it to the default,
+    // and one carrying a dropped column would silently resurrect it
     cur.toSeq.flatMap(_.addedCols).foreach(c => require(
       batch.columns.contains(c.name),
       s"batch must carry evolved column ${c.name} (added via addColumn)"))
+    cur.toSeq.flatMap(_.droppedCols).foreach(c => require(
+      !batch.columns.contains(c),
+      s"batch must not carry dropped column $c (retired via dropColumn)"))
     val currentTouched: Option[DataFrame] = cur.flatMap { m =>
       val live = m.owners.filter { case (p, _) => touched.contains(p) }
       if (live.isEmpty) None
-      else Some(readPartitions(spark, tableDir, live, m.addedCols))
+      else Some(readPartitions(spark, tableDir, live, m.addedCols, m.droppedCols))
     }
     val merged = currentTouched match {
       case None => batch.toDF
@@ -180,7 +191,8 @@ object PartitionedSnapshot {
     val owners = prevOwners.filter { case (p, _) => !touched.contains(p) } ++
       writtenParts.map(_ -> v)
     writeManifest(spark, tableDir,
-      Manifest(v, owners, cur.map(_.addedCols).getOrElse(Nil)))
+      Manifest(v, owners, cur.map(_.addedCols).getOrElse(Nil),
+        cur.map(_.droppedCols).getOrElse(Nil)))
     v
   }
 
@@ -194,13 +206,15 @@ object PartitionedSnapshot {
   private def readPartitions(
       spark: SparkSession, tableDir: String,
       owners: Map[String, Long],
-      addedCols: Seq[AddedCol] = Nil): DataFrame = {
+      addedCols: Seq[AddedCol] = Nil,
+      droppedCols: Seq[String] = Nil): DataFrame = {
     val byVersion = owners.groupBy(_._2).toSeq.sortBy(_._1)
     val parts = byVersion.map { case (v, ps) =>
       val base = s"$tableDir/d_$v"
       val pc = partColName(spark, tableDir, v)
       val leaves = ps.keys.toSeq.sorted.map(p => s"$base/$pc=$p")
       val df = spark.read.option("basePath", base).parquet(leaves: _*)
+        .drop(droppedCols: _*)
       addedCols.filterNot(c => df.columns.contains(c.name)).foldLeft(df) {
         (d, c) => d.withColumn(c.name, expr(c.defaultSql).cast(c.dataType))
       }
@@ -234,7 +248,7 @@ object PartitionedSnapshot {
       case None => m.owners
     }
     require(live.nonEmpty, s"no live partitions selected under $tableDir")
-    readPartitions(spark, tableDir, live, m.addedCols)
+    readPartitions(spark, tableDir, live, m.addedCols, m.droppedCols)
   }
 
   /** Re-base the whole table into one fresh version — the read-amplification
@@ -288,7 +302,8 @@ object PartitionedSnapshot {
       throw new IllegalStateException(
         s"concurrent table writer detected under $tableDir: read manifest " +
           s"${m.version} but found $nowV at flip time")
-    writeManifest(spark, tableDir, Manifest(v, remaining, m.addedCols))
+    writeManifest(spark, tableDir,
+      Manifest(v, remaining, m.addedCols, m.droppedCols))
     v
   }
 
@@ -309,7 +324,12 @@ object PartitionedSnapshot {
       throw new IllegalArgumentException(s"no committed table under $tableDir"))
     require(!m.addedCols.exists(_.name == name),
       s"column $name already added to $tableDir")
-    require(!readPartitions(spark, tableDir, m.owners, m.addedCols)
+    // a dropped name cannot be re-added: old files still physically carry
+    // it, so the default would not apply there and readers would resurrect
+    // stale values
+    require(!m.droppedCols.contains(name),
+      s"column $name was dropped from $tableDir; rewriteAll before re-adding")
+    require(!readPartitions(spark, tableDir, m.owners, m.addedCols, m.droppedCols)
         .columns.contains(name),
       s"column $name already exists in $tableDir")
     require(!name.contains("\t") && !dataType.contains("\t") &&
@@ -324,7 +344,44 @@ object PartitionedSnapshot {
         s"concurrent table writer detected under $tableDir: read manifest " +
           s"${m.version} but found $nowV at flip time")
     writeManifest(spark, tableDir,
-      Manifest(v, m.owners, m.addedCols :+ AddedCol(name, dataType, defaultSql)))
+      Manifest(v, m.owners, m.addedCols :+ AddedCol(name, dataType, defaultSql),
+        m.droppedCols))
+    v
+  }
+
+  /** METADATA-ONLY column drop — [[addColumn]]'s retirement twin: the
+    * column disappears from every read immediately, no data file is
+    * rewritten (old versions still physically carry it; [[rewriteAll]]
+    * materializes the narrow schema and retires the entry — until then the
+    * storage is the cost of laziness, exactly Delta's drop-column
+    * semantic). Later [[upsert]] batches must NOT carry the column
+    * (enforced — silently resurrecting it would be worse than rejecting),
+    * the partition column and the last data column cannot be dropped, and
+    * a dropped name cannot be re-added before a rewrite. Same
+    * single-writer fence as every commit here. Returns the committed
+    * version.
+    */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Long = {
+    val m = readManifest(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    val current = readPartitions(spark, tableDir, m.owners, m.addedCols, m.droppedCols)
+    require(current.columns.contains(name),
+      s"column $name does not exist in $tableDir")
+    val pc = partColName(spark, tableDir, m.owners.values.max)
+    require(name != pc, s"cannot drop partition column $pc")
+    require(current.columns.length > 2,
+      s"dropping $name would leave no data column in $tableDir")
+    val v = m.version + 1
+    val nowV = readManifest(spark, tableDir).map(_.version)
+    if (nowV != Some(m.version))
+      throw new IllegalStateException(
+        s"concurrent table writer detected under $tableDir: read manifest " +
+          s"${m.version} but found $nowV at flip time")
+    // an added (still-virtual-anywhere) column keeps its dropcol entry too:
+    // versions upserted after the add DO physically carry it
+    writeManifest(spark, tableDir,
+      Manifest(v, m.owners, m.addedCols.filterNot(_.name == name),
+        m.droppedCols :+ name))
     v
   }
 

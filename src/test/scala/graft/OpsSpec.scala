@@ -1558,6 +1558,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!manifest.contains("#addcol"), "rewriteAll must retire addcol metadata")
   }
 
+  test("dropColumn: metadata-only; guards partition/last/resurrected columns") {
+    val out = s"/tmp/graft_dropcol_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = Seq((1L, "en", 10L, "a"), (2L, "de", 20L, "b"))
+      .toDF("k", "lang", "n", "src")
+    PartitionedSnapshot.upsert(base, out, Seq("k"), "lang")
+    assert(PartitionedSnapshot.dropColumn(spark, out, "src") == 1L)
+    assert(!new java.io.File(s"$out/d_1").exists, "drop must write no data")
+    assert(PartitionedSnapshot.read(spark, out).columns.toSeq == Seq("k", "n", "lang"))
+    // a batch resurrecting the dropped column is rejected
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.upsert(base, out, Seq("k"), "lang")
+    }
+    // partition column and the last data column are protected
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.dropColumn(spark, out, "lang")
+    }
+    PartitionedSnapshot.dropColumn(spark, out, "n")
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.dropColumn(spark, out, "k")
+    }
+    // re-adding a dropped name needs a rewrite first (old files carry it)
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.addColumn(spark, out, "src", "string", "'x'")
+    }
+    PartitionedSnapshot.rewriteAll(spark, out, "lang")
+    assert(PartitionedSnapshot.addColumn(spark, out, "src", "string", "'x'") >= 0)
+    val got = PartitionedSnapshot.read(spark, out).orderBy($"k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("src"))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "x")))
+  }
+
   test("upsertSnapshot: a leftover next-version dir aborts instead of clobbering") {
     val out = s"/tmp/graft_upguard_spec_${java.util.UUID.randomUUID().toString.take(8)}"
     val base = Seq((1L, 10L)).toDF("k", "n")
