@@ -277,7 +277,9 @@ object Bench {
     // contention hits both alike and the ratio stays meaningful, and every
     // sample carries its task count + max task duration to separate
     // "unsplittable bucket scan straggled" from "box was busy".
-    val layoutSec = graft.examples.BucketedJoinExperiment.setupTables(spark, sfDir)
+    val layoutSec =
+      try graft.examples.BucketedJoinExperiment.setupTables(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] layout setup: $e"); -1.0 }
     def layoutNoop(df: => DataFrame): () => Unit =
       () => df.write.format("noop").mode("overwrite").save()
     val runPlain = layoutNoop(graft.examples.BucketedJoinExperiment.plain(spark, sfDir))
@@ -292,8 +294,11 @@ object Bench {
     }
     val plainStats = layoutRuns.map(_._1)
     val bucketStats = layoutRuns.map(_._2)
-    val (plainEx, plainBc) = planCounts(graft.examples.BucketedJoinExperiment.plain(spark, sfDir))
-    val (bucketEx, bucketBc) = planCounts(graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir))
+    def safePlanCounts(df: => DataFrame): (Int, Int) =
+      try planCounts(df)
+      catch { case e: Throwable => System.err.println(s"[bench] planCounts: $e"); (-1, -1) }
+    val (plainEx, plainBc) = safePlanCounts(graft.examples.BucketedJoinExperiment.plain(spark, sfDir))
+    val (bucketEx, bucketBc) = safePlanCounts(graft.examples.BucketedJoinExperiment.bucketed(spark, sfDir))
     def layoutJson(ss: Seq[(Double, Int, Double)], sh: Int, bc: Int): String =
       s""""shuffles":$sh,"broadcasts":$bc,""" +
         s""""tasks":${ss.map(_._2).mkString("[", ",", "]")},""" +
@@ -307,13 +312,26 @@ object Bench {
     val servePlans = Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
       "q_serve_int8_filtered" -> serveI8F _)
       .map { case (name, df) =>
-        val (sh, bc) = planCounts(df())
-        s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+        try {
+          val (sh, bc) = planCounts(df())
+          s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+        } catch { case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+          s""""$name":{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+        }
       }
+    // each plan probe individually guarded: an analysis error in ONE query
+    // must degrade to an `err` entry, never crash the whole artifact of
+    // record (r10's bench died here on a single AnalysisException)
     val plansJson = ((headline ++ coverage).collect {
       case (name, _) if SparkEntry.queries.contains(name) =>
-        val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
-        s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+        try {
+          val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
+          s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+        } catch { case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+          s""""$name":{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+        }
     } ++ servePlans).mkString("{", ",", "}")
 
     val qs = (results ++ coverageResults ++ serveResults)

@@ -21,15 +21,36 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and truncate to microseconds —
-    * the same truncation DuckDB applies — so `ts` is a normal timestamp.
+  /** events.parquet's `ts` encoding has drifted across generator versions:
+    * TIMESTAMP(NANOS) (readable only as long under the legacy conf, needing a
+    * nanos→micros truncation) and TIMESTAMP_NTZ micros (a first-class Spark
+    * type). Probe the type the scan actually yields and adapt — the engine's
+    * contract is a session-zone `TimestampType` column either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    adaptTs(apply(spark, sfDir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to `TimestampType`, whatever the
+    * on-file encoding. Works on batch and streaming frames alike. The
+    * session timezone is pinned to UTC by every entry point, so the NTZ
+    * cast is wall-clock-preserving and matches DuckDB's reading of the
+    * same file. Unknown encodings fail loudly — silent 1970-compressed
+    * timestamps (the round-10 regression) must never recur.
+    */
+  private[graft] def adaptTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as long: truncate like DuckDB
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other - extend Tables.adaptTs for this encoding")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
 

@@ -64,7 +64,13 @@ object Retrieval {
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl and df both DERIVE from tf (dl = Σ_term tf per doc; df = distinct
+    // docs per term): the corpus is tokenized and shuffled exactly once —
+    // aggregating `toks` again for dl would re-scan and re-shuffle the full
+    // token stream where these re-aggregate the much smaller (doc, term)
+    // frame; the tf sub-plan's exchange is identical in all three branches,
+    // so Catalyst's ReuseExchange ships the token shuffle once
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val g = dl.agg(sum(col("dl")).cast("double").as("sumdl"),
       count(lit(1)).as("n_docs"))

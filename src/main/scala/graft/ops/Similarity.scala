@@ -449,12 +449,23 @@ object Similarity {
       shortlist: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // contract hardening (ADVICE r10): duplicate (query_id, neighbor_id)
+    // shortlist rows would duplicate output rows through the final join, and
+    // a candidate with no corpus vector could win rank 1 (relevance-only
+    // argmax) yet never be picked later (it has no pairwise sims) — an
+    // inconsistent hybrid. Dedup here; require full vector coverage below.
     val cand = shortlist.select(col("query_id"), col("neighbor_id").as("id"),
       round(col("cos_sim") * lit(1e6)).cast("long").as("__rel6"))
+      .dropDuplicates("query_id", "id")
       .localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cv = broadcast(cand).join(vecs, Seq("id"))
       .select(col("query_id"), col("id"), col("__v"))
+      .localCheckpoint(true)
+    val missing = cand.count() - cv.count()
+    require(missing == 0,
+      s"mmrRerank: $missing shortlist candidate(s) have no vector in the " +
+        "corpus - the shortlist must come from the same corpus being re-ranked")
     val x = cv.select(col("query_id"), col("id").as("a"), col("__v").as("__va"))
     val y = cv.select(col("query_id"), col("id").as("b"), col("__v").as("__vb"))
     val sims = x.join(y, Seq("query_id")).filter(col("a") =!= col("b"))

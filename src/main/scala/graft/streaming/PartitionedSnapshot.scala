@@ -85,8 +85,19 @@ object PartitionedSnapshot {
     val mIn = fs.open(manifestPath(dir, v))
     val lines = try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList
     finally mIn.close()
+    // meta detection is STRICT: only the two known meta prefixes are meta;
+    // any other '#'-leading line fails loudly instead of being silently
+    // filtered. (Owner lines are "<version>\t<partValue>" so they lead with
+    // a digit even when the partition VALUE starts with '#' — this guard is
+    // for format drift, where silent data loss would be the failure mode.)
     val (metaLines, ownerLines) =
-      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
+      lines.drop(1).filter(_.nonEmpty).partition(l =>
+        l.startsWith("#addcol\t") || l.startsWith("#dropcol\t"))
+    ownerLines.find(_.startsWith("#")).foreach { l =>
+      throw new IllegalStateException(
+        s"unrecognized manifest meta line under $dir: '$l' - refusing to " +
+          "silently drop it (newer writer format?)")
+    }
     val owners = ownerLines.map { l =>
       val Array(ov, part) = l.split("\t", 2)
       part -> ov.toLong
@@ -329,14 +340,39 @@ object PartitionedSnapshot {
     // stale values
     require(!m.droppedCols.contains(name),
       s"column $name was dropped from $tableDir; rewriteAll before re-adding")
-    require(!readPartitions(spark, tableDir, m.owners, m.addedCols, m.droppedCols)
-        .columns.contains(name),
-      s"column $name already exists in $tableDir")
+    // physical-existence check only applies when live partitions exist (an
+    // upsert can delete every partition; the evolve is then metadata-only)
+    if (m.owners.nonEmpty)
+      require(!readPartitions(spark, tableDir, m.owners, m.addedCols, m.droppedCols)
+          .columns.contains(name),
+        s"column $name already exists in $tableDir")
     require(!name.contains("\t") && !dataType.contains("\t") &&
       !defaultSql.contains("\t") && !defaultSql.contains("\n"),
       "addColumn metadata must not contain tabs/newlines (manifest format)")
-    // the default must parse and be castable NOW, not at first read
-    expr(defaultSql).cast(dataType)
+    // the default must parse, be castable, and be CONSTANT now, not at first
+    // read: a non-foldable default (rand(), current_timestamp()) would make
+    // pre-evolution reads nondeterministic and rewriteAll would freeze one
+    // arbitrary sampling of it
+    val analyzedDefault = spark.range(1).select(expr(defaultSql).cast(dataType))
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head match {
+        // the projected expression is Alias-wrapped, and Alias does not
+        // forward foldable — inspect the aliased child
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+    require(analyzedDefault.foldable,
+      s"addColumn default must be a constant expression, got: $defaultSql")
+    // foldable is per-QUERY constancy: current_timestamp() folds to a
+    // literal at each read's optimization, so two reads see two values —
+    // the same nondeterminism-across-reads rand() has. Reject the dynamic
+    // family explicitly.
+    val dynamicFns = Set("current_timestamp", "now", "current_date",
+      "localtimestamp", "current_timezone", "current_user", "current_database",
+      "current_catalog", "session_user", "user")
+    require(!analyzedDefault.exists(e => dynamicFns.contains(e.prettyName)),
+      s"addColumn default must not depend on evaluation time/session: $defaultSql")
     val v = m.version + 1
     val nowV = readManifest(spark, tableDir).map(_.version)
     if (nowV != Some(m.version))
@@ -364,6 +400,9 @@ object PartitionedSnapshot {
   def dropColumn(spark: SparkSession, tableDir: String, name: String): Long = {
     val m = readManifest(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table under $tableDir"))
+    require(m.owners.nonEmpty,
+      s"table under $tableDir has no live partitions; dropColumn needs the " +
+        "physical schema to validate against - upsert data first")
     val current = readPartitions(spark, tableDir, m.owners, m.addedCols, m.droppedCols)
     require(current.columns.contains(name),
       s"column $name does not exist in $tableDir")

@@ -16,13 +16,36 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema with ts as nanos-long (what the NANOS parquet yields under
-    * the legacy read conf).
+  /** The on-file events schema, probed from the parquet footer of the actual
+    * testdata (memoized per (path, mtime)) rather than hard-coded — the
+    * generator has already switched `ts` encodings once (TIMESTAMP(NANOS) →
+    * TIMESTAMP_NTZ micros) and a hard-coded `ts: LongType` over the new file
+    * silently read micros as nanos, compressing every event into January
+    * 1970. The probe is a footer read, not a data scan.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def rawEventsSchema(spark: SparkSession, sfDir: String): StructType = {
+    val path = s"$sfDir/events.parquet"
+    val tag = path + ":" +
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    schemaCache.computeIfAbsent(tag, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path)
+      // Epoch fence: whatever the encoding, the adapted timestamps must land
+      // in the generator's era. A future encoding drift then fails HERE, with
+      // a named assertion, instead of as 13 silently-wrong gate rows.
+      val bounds = graft.Tables.adaptTs(df)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (y2000, y2100) = (946684800000000L, 4102444800000000L)
+      require(lo >= y2000 && hi < y2100,
+        s"events.ts adapted to [$lo, $hi] micros - outside the 2000..2100 epoch fence; " +
+          "the parquet ts encoding likely changed again (extend Tables.adaptTs)")
+      df.schema
+    })
+  }
 
   /** Staging dir with the source file symlinked in (FileStreamSource needs a
     * directory; read-only testdata stays untouched). Keyed by source mtime so
@@ -42,13 +65,14 @@ object Streams {
     stage
   }
 
-  /** Streaming source over the events parquet, ts truncated to micros. */
+  /** Streaming source over the events parquet; `ts` normalized to
+    * `TimestampType` whatever the on-file encoding ([[graft.Tables.adaptTs]]).
+    */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = rawEventsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_src", sfDir)
-    spark.readStream.schema(rawSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.adaptTs(
+      spark.readStream.schema(raw).parquet(stage.toString))
   }
 
   /** Tumbling event-time window aggregation with watermark; drained to an
@@ -628,25 +652,33 @@ object Streams {
     * advancing the watermark beyond every real session end.
     */
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = rawEventsSchema(spark, sfDir)
     val name = s"graft_sess_${System.nanoTime()}"
     val stage = stagedDir("graft_stream_sess", sfDir)
     // TWO sentinel files: emission uses the watermark as of the PREVIOUS
     // batch, so the second sentinel's (data) batch is what flushes every real
     // session — a single sentinel would leave the last `delay` of sessions to
     // a no-data microbatch that processAllAvailable does not wait for
-    lazy val maxNs = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).collect()(0).getLong(0)
+    lazy val maxMicros = graft.Tables.adaptTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // sentinel ts literal in the RAW (on-file) domain, whatever the encoding
+    def rawTs(micros: Long): org.apache.spark.sql.Column = raw("ts").dataType match {
+      case LongType => lit(micros * 1000L) // legacy nanos-as-long
+      case TimestampNTZType => timestamp_micros(lit(micros)).cast(TimestampNTZType)
+      case _ => timestamp_micros(lit(micros))
+    }
     Seq(1L, 2L).foreach { i =>
       // must be a top-level FILE: FileStreamSource does not recurse into the
       // directory a df.write.parquet(path) produces
       val sentinel = stage.resolve(s"zz_sentinel$i.parquet")
       if (!java.nio.file.Files.exists(sentinel)) {
         val tmp = stage.resolve(s"_tmp_sentinel$i")
-        spark.createDataFrame(
-          java.util.Collections.singletonList(
-            org.apache.spark.sql.Row(-1L, maxNs + i * 365L * 86400 * 1000000000L,
-              -1L, "sentinel", 0.0, "{}")), rawSchema)
+        spark.range(1).select(
+            lit(-1L).as("event_id"),
+            rawTs(maxMicros + i * 365L * 86400 * 1000000L).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp).filter(p =>
           p.getFileName.toString.startsWith("part-")).findFirst().get()
@@ -654,10 +686,9 @@ object Streams {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
     }
-    val q = spark.readStream.schema(rawSchema)
+    val q = graft.Tables.adaptTs(spark.readStream.schema(raw)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stage.toString))
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .withWatermark("ts", "1 minute")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))

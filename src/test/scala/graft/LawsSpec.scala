@@ -449,4 +449,44 @@ object LawsSpec extends Properties("graft") {
       val expected = math.min((nFrames + stride - 1) / stride, cap)
       got == expected.toLong
     }
+
+  // streaming semantic dedup's order contract, closed under ANY micro-batch
+  // chunking: folding semanticDedupStep over random ascending-id slices must
+  // reproduce batch semanticDedup's kept set EXACTLY — including when the
+  // owner cap truncates clusters mid-stream and when a slice is empty. This
+  // is the law the streaming gate's fixed 3-batch replay cannot witness.
+  property("streaming semantic dedup kept set is micro-batch-boundary-invariant") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 6)) { (seed, nBatches) =>
+      import graft.ops.Similarity
+      val rnd = new scala.util.Random(seed)
+      val dim = 4
+      def nz(v: Seq[Double]) = if (v.forall(_ == 0.0)) v.updated(0, 0.5) else v
+      def vec() = nz(Seq.fill(dim)(math.rint(rnd.nextDouble() * 20 - 10) / 10))
+      val n = 40
+      val df = (0 until n).map(i => (i.toLong, vec())).toDF("id", "v")
+      val (minCos, nCents, maxBucket) = (0.5, 3, 5) // tiny cap: exercise truncation
+      val batchKept = Similarity.semanticDedup(
+          df, "id", "v", minCos, nCents, trainIters = 0, maxBucket = maxBucket)
+        .select(col("id")).as[Long].collect().toSet
+      // the step fold shares semanticDedup's exact centroid/assignment chain
+      val base = df.select(col("id"), Similarity.asDouble(col("v")).as("__v"))
+      val cents = Similarity.lloydCentroids(base, nCents, 0)
+      val assign = Similarity.assignExpr(cents, assignKernel = false)
+      // random ascending-id boundaries (duplicates allowed -> empty slices)
+      val cuts = (Seq(0, n) ++ Seq.fill(nBatches - 1)(rnd.nextInt(n + 1))).sorted
+      var owners = base.limit(0).withColumn("cent_id", lit(0L))
+      var streamedKept = Set.empty[Long]
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        val b = base.filter(col("id") >= lo && col("id") < hi)
+          .withColumn("cent_id", assign(col("__v")))
+        val (kept, newOwners) = Similarity.semanticDedupStep(owners, b, minCos, maxBucket)
+        streamedKept ++= kept.select(col("id")).as[Long].collect()
+        owners = newOwners.localCheckpoint(true)
+      }
+      val r = streamedKept == batchKept
+      if (!r) println(s"seed=$seed nb=$nBatches cuts=$cuts " +
+        s"streamed-batch=${(streamedKept -- batchKept).toSeq.sorted} " +
+        s"batch-streamed=${(batchKept -- streamedKept).toSeq.sorted}")
+      r
+    }
 }

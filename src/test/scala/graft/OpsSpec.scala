@@ -1548,6 +1548,14 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PartitionedSnapshot.addColumn(spark, out, "n", "long", "0")
     }
+    // non-constant defaults are rejected: they would make pre-evolution
+    // reads nondeterministic and rewriteAll freeze one arbitrary sampling
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.addColumn(spark, out, "r", "double", "rand()")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshot.addColumn(spark, out, "t", "timestamp", "current_timestamp()")
+    }
     // rewriteAll materializes the defaults into files and retires the
     // metadata: read-back is unchanged with NO addcol entries left
     PartitionedSnapshot.rewriteAll(spark, out, "lang")
