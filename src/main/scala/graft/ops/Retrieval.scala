@@ -65,16 +65,19 @@ object Retrieval {
       .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     // dl and df both DERIVE from tf (dl = Σ_term tf per doc; df = distinct
-    // docs per term): the corpus is tokenized and shuffled exactly once —
-    // aggregating `toks` again for dl would re-scan and re-shuffle the full
-    // token stream where these re-aggregate the much smaller (doc, term)
-    // frame; the tf sub-plan's exchange is identical in all three branches,
-    // so Catalyst's ReuseExchange ships the token shuffle once
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // docs per term) and tf is materialized once (lazy localCheckpoint):
+    // declaratively, the three tf consumers canonicalize to slightly
+    // different sub-plans (join-pushed IsNotNull, pruned count) so exchange
+    // reuse only deduplicates one of them and the corpus would tokenize
+    // 3× — the checkpoint pins ONE scan + ONE token shuffle, and what the
+    // consumers re-read is the (doc, term)-sized aggregate, orders of
+    // magnitude smaller than the token stream it replaces
+    val tfm = tf.localCheckpoint(false)
+    val dl = tfm.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tfm.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val g = dl.agg(sum(col("dl")).cast("double").as("sumdl"),
       count(lit(1)).as("n_docs"))
-    tf.join(dl, Seq("doc_id")).join(df, Seq("tok")).crossJoin(broadcast(g))
+    tfm.join(dl, Seq("doc_id")).join(df, Seq("tok")).crossJoin(broadcast(g))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("df"),
         col("n_docs"), col("sumdl"))
   }

@@ -203,8 +203,7 @@ object Similarity {
         .groupBy(col("s"), col("cent_id"), col("subdim"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("x") * 1e6).cast("long")).as("__s6"))
-        .withColumn("m",
-          round(col("__s6").cast("double") / (col("n") * lit(1e6)), 6))
+        .withColumn("m", meanR6FromScaled(col("__s6"), col("n")))
         .groupBy(col("s"), col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("subdim"), col("m")))),
           e => e.getField("m")).as("cv"))
@@ -573,6 +572,21 @@ object Similarity {
   private def nearestCent(cents: Seq[(Long, Seq[Double])], vec: Column): Column =
     (array_max(array(centStructs(cents, vec): _*)).getField("ncid") * -1).cast("long")
 
+  /** round6(mean) of a scaled-long sum by PURE INTEGER HALF_UP division:
+    * m6 = sign · ((2·|s6| + n) div (2n)), m = m6/10⁶. The double form
+    * round(s6/(n·10⁶), 6) evaluates the quotient in floating point first,
+    * so a mean landing exactly on a .5·10⁻⁶ boundary could round either way
+    * depending on the quotient's last ulp — and differently from an oracle
+    * engine. Integer division has no such boundary class; the final /10⁶ is
+    * a correctly-rounded double of an exact 6-decimal rational, identical
+    * to what round(·, 6) would emit. Shared by both Lloyd trainers.
+    */
+  private def meanR6FromScaled(s6: Column, n: Column): Column = {
+    // exact long integral division (`div`); operands are positive
+    val mag = call_function("div", abs(s6) * 2 + n, n * 2)
+    (when(s6 >= 0, mag).otherwise(-mag).cast("double") / lit(1e6))
+  }
+
   /** Deterministic Lloyd (k-means) training over the corpus, as DataFrame
     * ops. Init = the `nCents` smallest-id corpus vectors; each iteration
     * assigns every vector to its nearest centroid through the SAME scan-level
@@ -606,8 +620,7 @@ object Similarity {
         .groupBy(col("cent_id"), col("dim"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("x") * 1e6).cast("long")).as("__s6"))
-        .withColumn("m",
-          round(col("__s6").cast("double") / (col("n") * lit(1e6)), 6))
+        .withColumn("m", meanR6FromScaled(col("__s6"), col("n")))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))

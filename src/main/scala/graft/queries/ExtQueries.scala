@@ -720,12 +720,16 @@ object ExtQueries {
                       ORDER BY ccos DESC, cent_id) AS rn FROM asn$t)
                   WHERE rn = 1),
         mn$t AS (SELECT cent_id, dim,
-                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
-                     / (count(*) * 1000000.0), 6) AS m FROM (
-                   SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
-                          unnest(v.v) AS x
-                   FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)
-                 GROUP BY cent_id, dim),
+                   CAST(CASE WHEN s6 >= 0 THEN (2*s6 + cnt) // (2*cnt)
+                        ELSE -((-2*s6 + cnt) // (2*cnt)) END AS DOUBLE) / 1e6 AS m
+                 FROM (
+                   SELECT cent_id, dim,
+                          sum(CAST(round(x*1e6) AS BIGINT)) AS s6,
+                          count(*) AS cnt FROM (
+                     SELECT b.cent_id, unnest(range(1, ${DIM + 1})) AS dim,
+                            unnest(v.v) AS x
+                     FROM bst$t b JOIN n v ON v.vec_id = b.vec_id)
+                   GROUP BY cent_id, dim)),
         gl$t AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM mn$t GROUP BY cent_id),
         ct${t + 1} AS (SELECT c.cent_id, coalesce(g.cv, c.cv) AS cv
                        FROM ct$t c LEFT JOIN gl$t g USING (cent_id))"""
@@ -806,12 +810,16 @@ object ExtQueries {
                     SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY d, code) AS rn FROM asn$s) WHERE rn = 1),
         mn$s AS (SELECT code, dim,
-                   round(CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS DOUBLE)
-                     / (count(*) * 1000000.0), 6) AS m FROM (
-                   SELECT b.code, unnest(range(1, ${PQ_SUB + 1})) AS dim,
-                          unnest(v.v) AS x
-                   FROM bst$s b JOIN ns$s v ON v.vec_id = b.vec_id)
-                 GROUP BY code, dim),
+                   CAST(CASE WHEN s6 >= 0 THEN (2*s6 + cnt) // (2*cnt)
+                        ELSE -((-2*s6 + cnt) // (2*cnt)) END AS DOUBLE) / 1e6 AS m
+                 FROM (
+                   SELECT code, dim,
+                          sum(CAST(round(x*1e6) AS BIGINT)) AS s6,
+                          count(*) AS cnt FROM (
+                     SELECT b.code, unnest(range(1, ${PQ_SUB + 1})) AS dim,
+                            unnest(v.v) AS x
+                     FROM bst$s b JOIN ns$s v ON v.vec_id = b.vec_id)
+                   GROUP BY code, dim)),
         gl$s AS (SELECT code, list(m ORDER BY dim) AS cv FROM mn$s GROUP BY code),
         ct${s}_1 AS (SELECT c.code, coalesce(g.cv, c.cv) AS cv
                      FROM ct${s}_0 c LEFT JOIN gl$s g USING (code)),

@@ -590,6 +590,14 @@ class ScaleSpec extends AnyFunSuite {
       s"bm25 query joins must broadcast:\n$lexPlan")
     assert(!lexPlan.contains("CartesianProduct"),
       s"bm25 must not plan a cartesian:\n$lexPlan")
+    // the corpus is tokenized ONCE: the only Generate/doc-scan in the
+    // scoring plan is the query side; tf/dl/df all read the shared
+    // checkpointed (doc, term) frame (r10 shape re-tokenized the corpus
+    // per consumer — 3 scans + 3 token-stream shuffles)
+    assert("Generate explode".r.findAllIn(lexPlan).size == 1,
+      s"bm25 must tokenize the corpus once (checkpointed tf):\n$lexPlan")
+    assert("documents.parquet".r.findAllIn(lexPlan).size <= 1,
+      s"bm25 scoring must scan documents only for the query side:\n$lexPlan")
     // PMI top-k: per-partition heaps, never a global sort
     val pmi = graft.ops.TextOps.pmiCollocations(docs, "text", 2L, 20)
     assert(pmi.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
