@@ -281,6 +281,23 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // FILTERED ANN over the COMPRESSED stored index — the q_ann_filtered
+    // semantics composed with the PQ family: attribute payloads ride the
+    // 32x-compressed lists, the predicate prunes candidates BEFORE the ADC
+    // distance-table expansion (matching rows only ever expand their m
+    // codes), and top-k ranks among matching rows. The production shape for
+    // "filter=, over the cheapest index tier".
+    "q_ann_pq_filtered" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = s"/tmp/graft_pq_filtered_idx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+        IVF_CENTS, PQ_M, PQ_CODES, DIM, trainIters = 1, attrCols = Seq("label"))
+      Similarity.searchIvfPqIndex(s, path, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", PQ_TOPK, IVF_NPROBE,
+        listFilter = Some(col("label") === FILTER_LABEL))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // the 2-byte/dim rung of the storage ladder: int16 ("f16-class") codes
     // between int8 (1 B, coarser) and float64 (8 B, exact) — same layout,
     // same commit protocol, 256x finer resolution than int8; ranking stays
@@ -949,9 +966,10 @@ object ExtQueries {
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $IVF_TOPK ORDER BY query_id, rank"""
 
-    // shared by q_ann_ivf_pq (in-memory) and q_ann_pq_index (persisted) —
+    // shared by q_ann_ivf_pq (in-memory), q_ann_pq_index (persisted) and —
+    // via candJoin, the ivfQuantSql filtered-ANN hook — q_ann_pq_filtered:
     // identical deterministic construction either way
-    val ivfPqSql = s"""
+    def ivfPqSqlWith(candJoin: String) = s"""
         $embBase,
         $ivfCoarseCtes,
         ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
@@ -971,11 +989,13 @@ object ExtQueries {
                 JOIN qsub q ON q.vec_id = qp.query_id
                 ${(0 until PQ_M).map(s =>
                   s"JOIN bk$s b$s ON b$s.pos = x.c$s").mkString(" ")}
+                $candJoin
               WHERE qp.query_id <> inv.vec_id)
         SELECT query_id, neighbor_id, cent_id, adist, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adist, neighbor_id) AS rank FROM p)
         WHERE rank <= $PQ_TOPK ORDER BY query_id, rank"""
+    val ivfPqSql = ivfPqSqlWith("")
 
     Map(
       "q_ann_bruteforce" -> s"""
@@ -1114,6 +1134,11 @@ object ExtQueries {
       // the persisted index is the same deterministic construction
       // round-tripped through parquet, so the oracle is shared
       "q_ann_pq_index" -> ivfPqSql,
+      // the PQ chain with the q_ann_filtered candidate-filter hook: matching
+      // candidates rank among themselves (rk capped on unfiltered lists,
+      // exactly like the build-time cap)
+      "q_ann_pq_filtered" -> ivfPqSqlWith(
+        s"JOIN embeddings el ON el.vec_id = inv.vec_id AND el.label = $FILTER_LABEL"),
       // streaming search unions per-batch results of the same search
       "q_stream_pq" -> ivfPqSql,
       // ANN over the projected space: the randomProject consumer — cosine

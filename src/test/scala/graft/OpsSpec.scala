@@ -1095,6 +1095,26 @@ class OpsSpec extends AnyFunSuite {
     assert(after.collect().head.getLong(1) == 10000L)
   }
 
+  test("filtered PQ ANN: predicate pushed into the compressed list scan too") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft_test_pq_filtered_idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path, 8, 4, 16, 64,
+      trainIters = 1, attrCols = Seq("label"))
+    val got = Similarity.searchIvfPqIndex(spark, path, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 3, 2, listFilter = Some($"label" === 7))
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(1)) == 7))
+    // the predicate reaches the parquet reader BEFORE ADC code expansion —
+    // non-matching rows never expand their m codes into distance lookups
+    val plan = got.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("filtered ANN parity: the PQ index honors the same listFilter semantics") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val path = "/tmp/graft_test_filtered_pq_idx"
