@@ -334,6 +334,18 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // streaming AS-OF enrichment: clicks arrive on a stream, each batch is
+    // joined to the latest earlier view per user from the static reference
+    // through the custom AsOfJoin operator (stream-static SCD enrichment;
+    // stateless per batch, so the union equals the batch as-of exactly and
+    // the oracle is q_asof_custom's DuckDB ASOF JOIN)
+    "q_stream_asof" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.Streams.streamingAsOfEnrich(
+        s, dir, s"/tmp/graft_stream_asof_out_$tag")
+        .orderBy(col("event_id"))
+    },
+
     // online retrieval over the 2-byte stored index: the q_stream_ann cell
     // with the persisted int16 index — identical to the batch f16 search
     // over the same query set, so the oracle is q_ann_f16_index's

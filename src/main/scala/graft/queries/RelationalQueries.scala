@@ -382,6 +382,14 @@ object RelationalQueries {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts > v.ts
       ORDER BY c.event_id""",
+    // the streaming enrichment is stateless per batch against the same
+    // static view side, so its union equals the batch as-of exactly
+    "q_stream_asof" -> """
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts > v.ts
+      ORDER BY c.event_id""",
     // the asof candidate is the latest earlier view, so bounding the gap is
     // exactly a post-filter (any other view is farther away)
     "q_asof_tolerance" -> """

@@ -1140,6 +1140,37 @@ object Streams {
     streamingSearch(docs, outDir, batches,
       b => graft.ops.Dedup.scrubSubstrings(b, idCol, textCol, ref, refTextCol, k, w))
 
+  /** Streaming AS-OF enrichment — the as-of family's streaming member:
+    * click events arrive on a stream and each micro-batch is joined to the
+    * most recent strictly-earlier view per user from a STATIC reference
+    * frame through the custom [[graft.plans.AsOfJoin]] operator (the
+    * slowly-changing-dimension enrichment shape: fact stream × latest
+    * dim-state-before-event-time). Stream-static and stateless across
+    * batches — a click's match depends only on the static side, so the
+    * union over any micro-batch chunking equals the batch as-of EXACTLY,
+    * and the oracle is q_asof_custom's. The reference side is
+    * localCheckpoint'ed once and reused per micro-batch; the sink is the
+    * retry-idempotent `batch=<id>` pattern of every streaming search here.
+    * At production scale the static side is a stored snapshot
+    * ([[readSnapshot]]) and each micro-batch pays one co-partitioned
+    * streaming merge — never a rescan of the reference.
+    */
+  def streamingAsOfEnrich(
+      spark: SparkSession, sfDir: String, outDir: String,
+      batches: Int = 4): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .localCheckpoint(true)
+    streamingSearch(clicks, outDir, batches, b =>
+      graft.plans.AsOfJoin.join(b, views, "c_user", "v_user", "c_ts", "v_ts")
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"), col("v_ts").as("prev_view_ts")))
+  }
+
   private def streamingSearch(
       queries: DataFrame, outDir: String, batches: Int,
       searchFn: DataFrame => DataFrame): DataFrame = {
