@@ -82,6 +82,35 @@ object Retrieval {
         col("n_docs"), col("sumdl"))
   }
 
+  /** MERGE two [[bm25StatsTable]]s over DISJOINT document sets — the
+    * increment path for the persisted artifact (the
+    * [[TextOps.mergeBigramLms]] discipline applied to retrieval): a
+    * nightly batch's stats fold into the stored ones WITHOUT re-tokenizing
+    * the history. The (doc, term) core rows (tf, dl) are valid as-is under
+    * disjoint docs; df re-counts over the merged core ((doc, term)-sized,
+    * never the corpus); the two global scalars are additive and ride a
+    * 1-row broadcast. `mergeBm25Stats(stats(A), stats(B))` equals
+    * `bm25StatsTable(A ∪ B)` EXACTLY (law-tested) because every stored
+    * field is an integer count (sumdl is an integer-valued double, exact
+    * under addition far beyond any corpus size).
+    *
+    * Caller contract (same as the LM merge): the two sides' doc sets are
+    * disjoint — an overlapping doc would double-count silently.
+    */
+  def mergeBm25Stats(a: DataFrame, b: DataFrame): DataFrame = {
+    def core(s: DataFrame) = s.select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val merged = core(a).unionByName(core(b))
+    val dfM = merged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    def g(s: DataFrame) = s.groupBy().agg(
+      max(col("n_docs")).as("n"), max(col("sumdl")).as("s"))
+    val gM = g(a).unionByName(g(b)).agg(
+      sum(col("n")).cast("long").as("n_docs"),
+      sum(col("s")).as("sumdl"))
+    merged.join(dfM, Seq("tok")).crossJoin(broadcast(gM))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("sumdl"))
+  }
+
   /** DISTINCT (query_id, tok) terms of a query frame — the ONE query-side
     * tokenization (standard BM25 drops query-side tf via the distinct).
     */

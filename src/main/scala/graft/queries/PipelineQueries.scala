@@ -640,6 +640,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // INCREMENTAL stats maintenance: the corpus split in two, each half's
+    // stats built independently, merged count-additively (df recounted over
+    // the (doc, term) core, globals added — the history is never
+    // re-tokenized), then scored. Equals the full-corpus build exactly, so
+    // the oracle is q_text_bm25's.
+    "q_text_bm25_inc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val stats = Retrieval.mergeBm25Stats(
+        Retrieval.bm25StatsTable(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        Retrieval.bm25StatsTable(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+      Retrieval.bm25TopKStored(stats,
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // the production form: BM25 statistics computed ONCE, persisted as a
     // versioned artifact, queries scored against the stored table — the
     // corpus is never re-tokenized at serve time
@@ -1514,6 +1532,8 @@ object PipelineQueries {
       // (persist + stream are result-invariant), so all three share it.
       "q_text_bm25" -> bm25FinalSql,
       "q_text_bm25_stored" -> bm25FinalSql,
+      // split-build-merge equals the full-corpus build exactly
+      "q_text_bm25_inc" -> bm25FinalSql,
       "q_search_expand" -> bm25ExpandSql,
       "q_stream_bm25" -> bm25FinalSql,
       // hybrid = BM25 rank list × exact-cosine rank list, RRF-fused

@@ -440,6 +440,25 @@ object LawsSpec extends Properties("graft") {
       merged == full
     }
 
+  // BM25 stats merge is exact: merging per-half stats equals the one-shot
+  // full-corpus build field-for-field, for any disjoint split — the law
+  // that licenses never re-tokenizing the history when new docs arrive
+  property("incremental BM25 stats merge equals full rebuild") =
+    Prop.forAll(Gen.choose(9, 60), Gen.choose(2, 10)) { (n, mod) =>
+      val docs = (0 until n).map { i =>
+        (i.toLong, (0 to i % 5).map(j => s"w${(i + j) % 9}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val a = docs.filter(col("doc_id") % mod === 0)
+      val b = docs.filter(col("doc_id") % mod =!= 0)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("tok"), col("doc_id")).collect().map(_.toSeq).toSeq
+      val merged = key(graft.ops.Retrieval.mergeBm25Stats(
+        graft.ops.Retrieval.bm25StatsTable(a, "doc_id", "text"),
+        graft.ops.Retrieval.bm25StatsTable(b, "doc_id", "text")))
+      val full = key(graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text"))
+      merged == full
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
