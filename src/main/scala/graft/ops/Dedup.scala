@@ -225,6 +225,33 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("id"), "left_anti")
   }
 
+  /** [[canonicalCorpus]] with QUALITY-AWARE keeper selection: within each
+    * near-duplicate component keep the member maximizing `score` (id
+    * tiebreak) instead of the smallest id — what production dedup actually
+    * does (keep the longest / cleanest / highest-classifier copy; Lee et
+    * al. keep-one semantics with a chosen representative). `score` is any
+    * deterministic Column over the doc row (e.g. `length(col("text"))`).
+    *
+    * Scale shape: the argmax window runs over COMPONENT MEMBERS ONLY
+    * (duplicate docs are a small fraction of a deduped crawl), never the
+    * corpus; the corpus pays the same single anti-join on the loser ids
+    * that [[canonicalCorpus]] pays. Singletons never enter the window.
+    */
+  def canonicalCorpusByScore(
+      docs: DataFrame, idCol: String, textCol: String, score: Column,
+      k: Int, bandSize: Int, shingleN: Int, minJaccard: Double): DataFrame = {
+    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+    val members = connectedComponents(pairs)
+      .join(docs, col("id") === docs(idCol))
+      .select(col("id"), col("label"), score.as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("__score").desc, col("id").asc)
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** [[connectedComponents]] plus the number of alternating rounds it took —
     * the observable the log-convergence tests pin.
     */

@@ -360,6 +360,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // HARD-NEGATIVE mining — the contrastive-training composition: for each
+    // query doc, the BM25 top-k matches that are NOT near-duplicates of it
+    // (lexically close ≠ same document). The dup side reuses the LSH
+    // candidate machinery; the anti-join is (queries x k)-sized on the hits
+    // side. Retrieval finds look-alikes, dedup certifies they are genuinely
+    // different documents — exactly the negatives a bi-encoder trains on.
+    "q_mine_negatives" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val hits = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, excludeSelf = true)
+      val dups = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("jaccard") >= 0.2)
+      val dupBoth = dups.select(col("id_a"), col("id_b"))
+        .unionByName(dups.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank").asc)
+      hits.join(dupBoth,
+          hits("query_id") === dupBoth("id_a") && hits("doc_id") === dupBoth("id_b"),
+          "left_anti")
+        .withColumn("neg_rank", row_number().over(w))
+        .select(col("query_id"), col("doc_id"), col("score"), col("neg_rank"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+
+    // quality-aware canonical selection: each duplicate component keeps its
+    // LONGEST member (doc_id tiebreak) instead of the smallest id — the
+    // keep-the-best-copy semantics of production dedup; the argmax window
+    // touches only component members, the corpus pays one anti-join
+    "q_dedup_canonical_best" -> { (s, dir) =>
+      Dedup.canonicalCorpusByScore(Tables.documents(s, dir), "doc_id", "text",
+        length(col("text")).cast("long"), K, BAND, NGRAM, 0.2)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // streaming NEAR-dup dedup: the MinHash signature computed on the stream
     // (codegen'd map, no state), dropDuplicatesWithinWatermark keyed on the
     // full signature; delay > replay span, so the emitted set equals batch
@@ -1199,6 +1235,35 @@ object PipelineQueries {
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
         WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
+        ORDER BY doc_id""",
+      // hard negatives: BM25 top-k minus near-dup pairs (both orientations),
+      // renumbered in score order — the bm25 and LSH chains composed
+      "q_mine_negatives" -> s"""
+        $dupClusterCtes,
+        ${bm25RankCtes(NQUERIES)},
+        hits AS (SELECT query_id, doc_id, s FROM br WHERE rank <= $BM25_TOPK),
+        dup2 AS (SELECT id_a, id_b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+        surv AS (SELECT h.query_id, h.doc_id, h.s FROM hits h
+                 WHERE NOT EXISTS (SELECT 1 FROM dup2 d
+                   WHERE d.id_a = h.query_id AND d.id_b = h.doc_id))
+        SELECT query_id, doc_id, round(CAST(s AS DOUBLE)/1e6, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id) AS neg_rank
+        FROM surv ORDER BY query_id, neg_rank""",
+      // keep-the-best: within each component the longest member survives
+      // (doc_id tiebreak); losers are anti-joined away
+      "q_dedup_canonical_best" -> s"""
+        $dupClusterCtes,
+        lbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        mem AS (SELECT l.id, l.label, length(d.text) AS score
+                FROM lbl l JOIN documents d ON d.doc_id = l.id),
+        losers AS (SELECT id FROM (
+                     SELECT id, row_number() OVER (PARTITION BY label
+                       ORDER BY score DESC, id) AS rn FROM mem)
+                   WHERE rn <> 1)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
         ORDER BY doc_id""",
       "q_text_repetition" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
