@@ -221,6 +221,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet's ACTUAL filter: LM perplexity (here: stored-bigram-LM avg log
+    // prob) quantile-normalized per domain — the real-LM composition of
+    // q_filter_quantile's heuristic score. Docs too short to have bigrams
+    // never enter the ranking (scored-docs-only, like CCNet's head/middle/
+    // tail buckets over scorable text).
+    "q_filter_lm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = TextOps.scoreWithBigramLm(docs, "doc_id", "text",
+          TextOps.bigramLmTable(docs, "text"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Splits.quantileFilter(scored, "source", "avg_logp", 0.25)
+        .select(col("doc_id"), col("source"), col("avg_logp"), col("pct_rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // fixed-size overlapping chunking with 1-based offsets — the step
     // before embedding (scan-level, zero shuffle; provenance via start)
     "q_text_chunk" -> { (s, dir) =>
@@ -910,7 +925,9 @@ object PipelineQueries {
                CASE WHEN wsum > (SELECT b FROM bias) * n_feats
                     THEN 'keep' ELSE 'drop' END AS label
         FROM base ORDER BY doc_id"""
-    val bigramSql = s"""
+    // the bigram-LM CTE chain, shared by the scorer oracle and the
+    // LM-quantile filter oracle (one definition, no drift)
+    val bigramLmCtes = s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         b AS (SELECT doc_id,
                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
@@ -921,7 +938,9 @@ object PipelineQueries {
         bg AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
         lp AS (SELECT w1, w2,
                  round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
-               FROM bg JOIN uni USING (w1))
+               FROM bg JOIN uni USING (w1))"""
+    val bigramSql = s"""
+        $bigramLmCtes
         SELECT doc_id, count(*) AS n_bigrams,
                round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
                  / (count(*) * 1000000.0), 6) AS avg_logp,
@@ -1062,6 +1081,20 @@ object PipelineQueries {
       // identical rows through the persisted LM artifact: the LM is built
       // from the same corpus, so the relational recompute is the oracle
       "q_text_bigram_lm" -> bigramSql,
+      // LM scores re-derived through the shared CTE chain, then the same
+      // per-source percent_rank window as q_filter_quantile
+      "q_filter_lm" -> s"""
+        $bigramLmCtes,
+        sc AS (SELECT doc_id,
+                 round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000000.0), 6) AS avg_logp
+               FROM b JOIN lp USING (w1, w2) GROUP BY doc_id),
+        r AS (SELECT sc.doc_id, d.source, sc.avg_logp,
+                percent_rank() OVER (PARTITION BY d.source
+                  ORDER BY sc.avg_logp) AS pct_rank
+              FROM sc JOIN documents d USING (doc_id))
+        SELECT doc_id, source, avg_logp, pct_rank
+        FROM r WHERE pct_rank >= 0.25 ORDER BY doc_id""",
       // merged half-corpus LMs == one-shot LM (counts additive), so the
       // one-shot relational recompute is again the oracle
       "q_text_bigram_lm_inc" -> bigramSql,
