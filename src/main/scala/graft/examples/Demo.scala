@@ -261,6 +261,21 @@ object Demo {
         emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 10),
       emb, "vec_id", "embedding", 5)
     println(s"MMR diversified re-rank (2 queries): ${mmr.count()} picks")
+    // incremental BM25 stats: fold a new batch in without re-tokenizing
+    val incStats = graft.ops.Retrieval.mergeBm25Stats(
+      graft.ops.Retrieval.bm25StatsTable(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      graft.ops.Retrieval.bm25StatsTable(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    println(s"incremental BM25 stats merge: ${incStats.count()} (doc, term) rows")
+    // quality-aware canonical dedup: keep each component's LONGEST member
+    val best = graft.ops.Dedup.canonicalCorpusByScore(docs, "doc_id", "text",
+      length(col("text")).cast("long"), 16, 4, 3, 0.2)
+    println(s"keep-the-best canonical corpus: ${best.count()} docs")
+    // streaming as-of: enrich a click stream against a static view reference
+    val senr = graft.streaming.Streams.streamingAsOfEnrich(
+      spark, sfDir, "/tmp/graft_demo_stream_asof")
+    println(s"streaming as-of enrichment: ${senr.count()} clicks matched")
     spark.stop()
   }
 }
