@@ -7,14 +7,18 @@ object PlanProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val lex = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3), "doc_id", "text", 10, excludeSelf = true)
-    val p = lex.queryExecution.executedPlan.toString
-    println("GENERATES=" + "Generate explode".r.findAllIn(p).size)
-    println("DOCSCANS=" + "documents.parquet".r.findAllIn(p).size)
-    println("RDDSCANS=" + "Scan ExistingRDD".r.findAllIn(p).size)
-    println("BHJ=" + p.contains("BroadcastHashJoin"))
+    val dir = sys.env.getOrElse("GRAFT_PROBE_SF_DIR", "/root/testdata/sf0.001")
+    for (name <- args) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      val ex = "Exchange".r.findAllIn(p).size
+      val cart = "CartesianProduct".r.findAllIn(p).size +
+        "BroadcastNestedLoopJoin BuildRight, Inner".r.findAllIn(p).size
+      println(s"PLAN $name shuffles=${ex - bc - reused} broadcasts=$bc " +
+        s"reused=$reused cartesians=$cart")
+    }
     spark.stop()
   }
 }

@@ -645,4 +645,50 @@ object TextOps {
       .withColumn("n_grams", size(col("__grams")).cast("long"))
       .drop("__grams")
   }
+
+  /** COUNT-MIN SKETCH over the corpus token stream — bounded-state frequency
+    * estimation (Cormode–Muthukrishnan): `depth` md5-derived hash rows of
+    * `width` counters; a token's estimate is the MIN of its `depth` bucket
+    * counts (always ≥ the true count; collisions only inflate). The sketch
+    * table is depth × width rows REGARDLESS of vocabulary size — the state
+    * you broadcast, persist, or merge (counter matrices are additive across
+    * corpus shards, same law as every count artifact here), where an exact
+    * vocabulary count at crawl scale is a billion-row shuffle with a heavy
+    * tail.
+    *
+    * Determinism: the hash family is the same [[hash32]] md5 construction
+    * every op here uses ("cms<row>_" salt), so the sketch — and therefore
+    * even its approximation error — is bit-reproducible in any engine; the
+    * DuckDB oracle recomputes the identical matrix.
+    *
+    * Scale shape: one corpus scan, rows explode ×depth (bounded small
+    * constant), one map-side-combined aggregation onto ≤ depth·width keys —
+    * no vocabulary-sized shuffle anywhere.
+    */
+  def cmsTokenSketch(
+      docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got $depth x $width")
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(posexplode(array((0 until depth).map(i =>
+        (hash32(concat(lit(s"cms${i}_"), col("tok"))) % width)): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch for a set of tokens: estimate = min over the
+    * depth rows of that token's bucket counter. `tokens` carries a `tok`
+    * column; the sketch side is depth × width rows, so the lookup join
+    * BROADCASTS the sketch onto the token frame — a million point queries
+    * never shuffle.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, toks: DataFrame, depth: Int, width: Int): DataFrame = {
+    val probes = toks.select(col("tok"))
+      .select(col("tok"), posexplode(array((0 until depth).map(i =>
+        (hash32(concat(lit(s"cms${i}_"), col("tok"))) % width)): _*))
+        .as(Seq("row", "bucket")))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("tok")).agg(min(col("n")).as("cms_est"))
+  }
 }

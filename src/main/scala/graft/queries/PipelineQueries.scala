@@ -33,6 +33,8 @@ object PipelineQueries {
   private val HYBRID_KEACH = 20 // per-leg shortlist for hybrid fusion
   private val HYBRID_TOPK = 10  // fused results per query
   private val NQUERIES = 3L     // retrieval queries: doc_id < 3
+  private val CMS_D = 4         // count-min sketch depth (hash rows)
+  private val CMS_W = 512       // count-min sketch width (counters per row)
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -373,6 +375,22 @@ object PipelineQueries {
         K, BAND, NGRAM, 0.2)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // COUNT-MIN SKETCH heavy hitters: bounded-state (depth x width counters,
+    // vocabulary-independent) frequency estimation over the token stream —
+    // the md5 hash family makes even the approximation error reproducible,
+    // so the estimates carry an exact oracle. Emits the exact top-20 tokens
+    // with true count AND sketch estimate (est >= true always; equality
+    // where no collision landed).
+    "q_sketch_cms" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val top = TextOps.topTokens(docs, "text", 20)
+      val sketch = TextOps.cmsTokenSketch(docs, "text", CMS_D, CMS_W)
+      TextOps.cmsEstimate(sketch, top.select(col("token").as("tok")), CMS_D, CMS_W)
+        .join(top.withColumnRenamed("token", "tok"), Seq("tok"))
+        .select(col("tok"), col("n").as("true_n"), col("cms_est"))
+        .orderBy(col("tok"))
     },
 
     // HARD-NEGATIVE mining — the contrastive-training composition: for each
@@ -1209,6 +1227,26 @@ object PipelineQueries {
         u AS (SELECT unnest(toks) AS token FROM t)
         SELECT token, count(*) AS n FROM u WHERE token <> ''
         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+      // the identical md5 hash family rebuilds the identical counter matrix,
+      // so the sketch estimates match bit-for-bit
+      "q_sketch_cms" -> s"""
+        WITH tk AS (SELECT tok FROM (
+              SELECT unnest($toksSql) AS tok FROM documents) WHERE tok <> ''),
+        top AS (SELECT tok, count(*) AS true_n FROM tk GROUP BY tok
+                ORDER BY true_n DESC, tok LIMIT 20),
+        cms AS (SELECT row, bucket, count(*) AS n FROM (
+                  SELECT i AS row,
+                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
+                  FROM tk CROSS JOIN range(0, $CMS_D) r(i))
+                GROUP BY 1, 2),
+        est AS (SELECT p.tok, min(c.n) AS cms_est FROM (
+                  SELECT tok, i AS row,
+                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
+                  FROM top CROSS JOIN range(0, $CMS_D) r(i)) p
+                JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+                GROUP BY p.tok)
+        SELECT top.tok, top.true_n, est.cms_est
+        FROM top JOIN est USING (tok) ORDER BY tok""",
       "q_profile_cols" -> (Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")
         .map(c => s"""
           SELECT '$c' AS col_name, count($c) AS n,

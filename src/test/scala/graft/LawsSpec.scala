@@ -459,6 +459,34 @@ object LawsSpec extends Properties("graft") {
       merged == full
     }
 
+  // count-min guarantees: every estimate dominates the true count (hash
+  // collisions only inflate), and the counter matrix is additive across
+  // corpus shards — the merge law that makes the sketch a persistable,
+  // incrementally-maintained artifact like every count table here
+  property("count-min estimates dominate true counts; sketch is shard-additive") =
+    Prop.forAll(Gen.choose(5, 60), Gen.choose(2, 4), Gen.choose(8, 64),
+      Gen.choose(2, 6)) { (n, d, w, mod) =>
+      val docs = (0 until n).map { i =>
+        (i.toLong, (0 to i % 4).map(j => s"w${(i * 7 + j) % 13}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val truth = graft.ops.TextOps.topTokens(docs, "text", 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sketch = graft.ops.TextOps.cmsTokenSketch(docs, "text", d, w)
+      val est = graft.ops.TextOps.cmsEstimate(sketch,
+          truth.keys.toSeq.toDF("tok"), d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dominates = truth.forall { case (t, c) => est(t) >= c }
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("row"), col("bucket")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val a = docs.filter(col("doc_id") % mod === 0)
+      val b = docs.filter(col("doc_id") % mod =!= 0)
+      val merged = graft.ops.TextOps.cmsTokenSketch(a, "text", d, w)
+        .unionByName(graft.ops.TextOps.cmsTokenSketch(b, "text", d, w))
+        .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
+      dominates && key(merged) == key(sketch)
+    }
+
   property("frame sampling emits exactly min(ceil(frames/stride), cap) frames") =
     Prop.forAll(Gen.choose(0, 400), Gen.choose(1, 5), Gen.choose(1, 8)) { (len, stride, cap) =>
       val doc = Seq((1L, "x" * len, len.toLong)).toDF("doc_id", "text", "n_chars")
