@@ -392,6 +392,62 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("min_logp"))
   }
 
+  /** Unigram LM as a persistable TABLE — (tok, n, n_total, logp) — the
+    * order-0 artifact [[bigramLmTable]]'s backoff needs: counts are
+    * additive across shards like every count table here, and the logp is a
+    * pure function of (n, n_total).
+    */
+  def unigramLmTable(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("logp",
+        round(log10(col("n").cast("double") / col("n_total").cast("double")), 6))
+      .select(col("tok"), col("n"), col("n_total"), col("logp"))
+  }
+
+  /** STUPID-BACKOFF LM scoring (Brants et al. 2007 — the web-scale LM
+    * recipe): each transition scores the bigram logp when the LM saw the
+    * bigram, else backs off to `penaltyLog10 + unigram logp(w2)` — so a
+    * model trained on yesterday's corpus can score today's without the
+    * zero-probability cliff [[scoreWithBigramLm]]'s inner join imposes
+    * (there, unseen bigrams silently drop from the average; here they
+    * contribute a penalized estimate, which is what quality-filtering new
+    * data against a FROZEN artifact requires). Transitions whose w2 is
+    * absent even from the unigram table (true OOV) still drop — backing
+    * off to nothing is not a probability.
+    *
+    * `penaltyLog10` defaults to -0.39794 ≈ log10(0.4), Brants' constant,
+    * given as an exact 5-decimal literal so both engines fold the identical
+    * double (a runtime log10(0.4) could differ by an ulp across libms).
+    * Aggregation discipline identical to [[scoreWithBigramLm]].
+    */
+  def scoreWithBackoffLm(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, uni: DataFrame,
+      penaltyLog10: Double = -0.39794): DataFrame = {
+    val bigs = docBigrams(docs, idCol, textCol)
+    val bg = lm.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("logp").as("__bg"))
+    val un = uni.select(col("tok").as("w2"), col("logp").as("__uni"))
+    bigs.join(bg, Seq("w1", "w2"), "left")
+      .join(un, Seq("w2"))
+      .withColumn("logp",
+        coalesce(col("__bg"), round(lit(penaltyLog10) + col("__uni"), 6)))
+      .withColumn("lp6", round(col("logp") * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp6")).as("__s"),
+        count(when(col("__bg").isNull, 1)).as("n_backoff"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .withColumn("avg_logp",
+        round(col("__s").cast("double") / (col("n_bigrams") * lit(1e6)), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("avg_logp"), col("min_logp"))
+  }
+
   /** Hashed-feature linear classifier inference — the fastText-shaped
     * quality-filter step of a pretraining pipeline (score every document
     * with a linear model over hashed word uni+bigrams; keep/drop on the

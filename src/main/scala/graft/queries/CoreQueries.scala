@@ -226,6 +226,36 @@ object CoreQueries {
         n(), sq(), mq())
     },
 
+    // JSON-lines source round-trip: the §2.1 text-format sibling of the
+    // parquet reader (Avro is the one sandbox-absent format) — write the
+    // table as JSON lines, read it back with the EXPLICIT schema (schema
+    // inference on a 100 TB JSON corpus is a full extra pass; production
+    // always declares), aggregate. The oracle reads the original parquet,
+    // so the gate proves the round-trip is lossless.
+    "q_source_json" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = s"/tmp/graft_json_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // CSV source round-trip (quoted/escaped text column included): same
+    // lossless-round-trip proof for the other ubiquitous text format
+    "q_source_csv" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = s"/tmp/graft_csv_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("sum_text_chars"))
+        .orderBy(col("source"))
+    },
+
     // union-of-chains: the TChain analog — multi-path read of the same table
     "q_union_chain" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
@@ -288,6 +318,15 @@ object CoreQueries {
       SELECT count(*) AS n FROM (
         SELECT * FROM lineitem WHERE l_returnflag = 'A'
         UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')""",
+    // oracles read the ORIGINAL parquet: equality proves the format
+    // round-trip lost nothing
+    "q_source_json" -> """
+      SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "q_source_csv" -> """
+      SELECT source, count(*) AS n,
+             CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+      FROM documents GROUP BY source ORDER BY source""",
     "q_histo_weighted" -> s"""
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
                   ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,

@@ -223,6 +223,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // STUPID-BACKOFF scoring against a FROZEN LM: the bigram + unigram
+    // artifacts train on half the corpus, then score ALL docs — unseen
+    // bigrams back off to penalty + unigram(w2) instead of silently
+    // dropping (the web-scale Brants recipe; what scoring tomorrow's crawl
+    // against yesterday's artifact requires). n_backoff counts the
+    // transitions that took the backoff path — nonzero by construction on
+    // the held-out half.
+    "q_text_backoff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      TextOps.scoreWithBackoffLm(docs, "doc_id", "text",
+        TextOps.bigramLmTable(half, "text"),
+        TextOps.unigramLmTable(half, "text"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet's ACTUAL filter: LM perplexity (here: stored-bigram-LM avg log
     // prob) quantile-normalized per domain — the real-LM composition of
     // q_filter_quantile's heuristic score. Docs too short to have bigrams
@@ -1099,6 +1115,45 @@ object PipelineQueries {
       // identical rows through the persisted LM artifact: the LM is built
       // from the same corpus, so the relational recompute is the oracle
       "q_text_bigram_lm" -> bigramSql,
+      // frozen-artifact backoff: LM + unigram CTEs over the even half,
+      // transitions over ALL docs; unseen bigram -> penalty + unigram(w2),
+      // w2 truly OOV -> dropped (matches the inner unigram join)
+      "q_text_backoff" -> s"""
+        WITH th AS (SELECT doc_id, $toksSql AS toks FROM documents
+                    WHERE doc_id % 2 = 0),
+        bh AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM th WHERE len(toks) >= 2),
+        unih AS (SELECT tok AS w1, count(*) AS n1
+                 FROM (SELECT unnest(toks) AS tok FROM th) GROUP BY tok),
+        bgh AS (SELECT w1, w2, count(*) AS n2 FROM bh GROUP BY w1, w2),
+        lph AS (SELECT w1, w2,
+                  round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
+                FROM bgh JOIN unih USING (w1)),
+        ucnt AS (SELECT tok, count(*) AS n FROM (
+                   SELECT unnest(toks) AS tok FROM th) WHERE tok <> ''
+                 GROUP BY tok),
+        utot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ucnt),
+        ulp AS (SELECT tok, round(log10(CAST(n AS DOUBLE) / t), 6) AS ulogp
+                FROM ucnt, utot),
+        ta AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        ba AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM ta WHERE len(toks) >= 2),
+        sc0 AS (SELECT b.doc_id,
+                  CASE WHEN l.logp IS NOT NULL THEN l.logp
+                       ELSE round(-0.39794 + u.ulogp, 6) END AS logp,
+                  CASE WHEN l.logp IS NULL THEN 1 ELSE 0 END AS bo
+                FROM ba b JOIN ulp u ON u.tok = b.w2
+                LEFT JOIN lph l ON l.w1 = b.w1 AND l.w2 = b.w2)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(bo) AS BIGINT) AS n_backoff,
+               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_logp,
+               round(min(logp), 6) AS min_logp
+        FROM sc0 GROUP BY doc_id ORDER BY doc_id""",
       // LM scores re-derived through the shared CTE chain, then the same
       // per-source percent_rank window as q_filter_quantile
       "q_filter_lm" -> s"""
