@@ -409,6 +409,21 @@ object PipelineQueries {
         .orderBy(col("tok"))
     },
 
+    // the STREAMING sketch: counters accumulate over the document stream
+    // (state = the depth x width matrix, vocabulary-independent — an exact
+    // streaming vocabulary count's state grows unboundedly); long-sum
+    // additivity makes the drained sketch equal the batch one exactly, so
+    // the oracle is q_sketch_cms's verbatim
+    "q_stream_cms" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sketch = graft.streaming.Streams.streamingCmsSketch(s, dir, CMS_D, CMS_W)
+      val top = TextOps.topTokens(docs, "text", 20)
+      TextOps.cmsEstimate(sketch, top.select(col("token").as("tok")), CMS_D, CMS_W)
+        .join(top.withColumnRenamed("token", "tok"), Seq("tok"))
+        .select(col("tok"), col("n").as("true_n"), col("cms_est"))
+        .orderBy(col("tok"))
+    },
+
     // HARD-NEGATIVE mining — the contrastive-training composition: for each
     // query doc, the BM25 top-k matches that are NOT near-duplicates of it
     // (lexically close ≠ same document). The dup side reuses the LSH
@@ -1030,6 +1045,26 @@ object PipelineQueries {
     val simExpr = (0 until 32).map(j =>
       s"(CASE WHEN b_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+    // shared by the batch and streaming CMS gates (long-sum additivity
+    // makes the drained streaming sketch equal the batch one exactly)
+    val cmsSql = s"""
+        WITH tk AS (SELECT tok FROM (
+              SELECT unnest($toksSql) AS tok FROM documents) WHERE tok <> ''),
+        top AS (SELECT tok, count(*) AS true_n FROM tk GROUP BY tok
+                ORDER BY true_n DESC, tok LIMIT 20),
+        cms AS (SELECT row, bucket, count(*) AS n FROM (
+                  SELECT i AS row,
+                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
+                  FROM tk CROSS JOIN range(0, $CMS_D) r(i))
+                GROUP BY 1, 2),
+        est AS (SELECT p.tok, min(c.n) AS cms_est FROM (
+                  SELECT tok, i AS row,
+                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
+                  FROM top CROSS JOIN range(0, $CMS_D) r(i)) p
+                JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+                GROUP BY p.tok)
+        SELECT top.tok, top.true_n, est.cms_est
+        FROM top JOIN est USING (tok) ORDER BY tok"""
     Map(
       "q_text_stats" -> s"""
         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -1284,24 +1319,8 @@ object PipelineQueries {
         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
       // the identical md5 hash family rebuilds the identical counter matrix,
       // so the sketch estimates match bit-for-bit
-      "q_sketch_cms" -> s"""
-        WITH tk AS (SELECT tok FROM (
-              SELECT unnest($toksSql) AS tok FROM documents) WHERE tok <> ''),
-        top AS (SELECT tok, count(*) AS true_n FROM tk GROUP BY tok
-                ORDER BY true_n DESC, tok LIMIT 20),
-        cms AS (SELECT row, bucket, count(*) AS n FROM (
-                  SELECT i AS row,
-                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
-                  FROM tk CROSS JOIN range(0, $CMS_D) r(i))
-                GROUP BY 1, 2),
-        est AS (SELECT p.tok, min(c.n) AS cms_est FROM (
-                  SELECT tok, i AS row,
-                         ${hash32Sql("('cms' || i || '_' || tok)")} % $CMS_W AS bucket
-                  FROM top CROSS JOIN range(0, $CMS_D) r(i)) p
-                JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
-                GROUP BY p.tok)
-        SELECT top.tok, top.true_n, est.cms_est
-        FROM top JOIN est USING (tok) ORDER BY tok""",
+      "q_sketch_cms" -> cmsSql,
+      "q_stream_cms" -> cmsSql,
       "q_profile_cols" -> (Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")
         .map(c => s"""
           SELECT '$c' AS col_name, count($c) AS n,

@@ -1020,6 +1020,32 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming COUNT-MIN sketch — the frequency-monitoring twin of
+    * [[streamingHisto]]: documents stream in, the depth × width counter
+    * matrix accumulates incrementally (complete-mode agg whose state is the
+    * sketch itself — ≤ depth·width keys, independent of stream length OR
+    * vocabulary size, which is the whole point: an exact streaming
+    * vocabulary count's state grows with the vocabulary). Counter sums are
+    * batch-boundary-independent (longs), so the drained sketch equals the
+    * batch [[graft.ops.TextOps.cmsTokenSketch]] exactly — the additivity
+    * law in LawsSpec is what licenses the equality.
+    */
+  def streamingCmsSketch(
+      spark: SparkSession, sfDir: String, depth: Int, width: Int): DataFrame = {
+    val name = s"graft_scms_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df => graft.ops.TextOps.cmsTokenSketch(df, "text", depth, width))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming TRAINED-classifier scoring — the production quality-filter
     * deployment: the model is trained OFFLINE (batch
     * [[graft.ops.TextOps.trainClassifierWeights]] →
