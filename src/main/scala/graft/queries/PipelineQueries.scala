@@ -239,6 +239,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the backoff scorer at INGEST: frozen artifacts score the document
+    // stream per micro-batch (stateless foreachBatch — per-doc aggregation
+    // is intra-row work, so chunking cannot change any row); equal to the
+    // batch scorer, so the oracle is q_text_backoff's verbatim
+    "q_stream_backoff" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val half = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      graft.streaming.Streams.streamingBackoffScore(s, dir,
+        s"/tmp/graft_stream_backoff_out_$tag",
+        TextOps.bigramLmTable(half, "text"),
+        TextOps.unigramLmTable(half, "text"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet's ACTUAL filter: LM perplexity (here: stored-bigram-LM avg log
     // prob) quantile-normalized per domain — the real-LM composition of
     // q_filter_quantile's heuristic score. Docs too short to have bigrams
@@ -1065,6 +1079,44 @@ object PipelineQueries {
                 GROUP BY p.tok)
         SELECT top.tok, top.true_n, est.cms_est
         FROM top JOIN est USING (tok) ORDER BY tok"""
+    // shared by the batch and streaming backoff gates (the streaming cell
+    // is stateless foreachBatch scoring, row-identical to batch)
+    val backoffSql = s"""
+        WITH th AS (SELECT doc_id, $toksSql AS toks FROM documents
+                    WHERE doc_id % 2 = 0),
+        bh AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM th WHERE len(toks) >= 2),
+        unih AS (SELECT tok AS w1, count(*) AS n1
+                 FROM (SELECT unnest(toks) AS tok FROM th) GROUP BY tok),
+        bgh AS (SELECT w1, w2, count(*) AS n2 FROM bh GROUP BY w1, w2),
+        lph AS (SELECT w1, w2,
+                  round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
+                FROM bgh JOIN unih USING (w1)),
+        ucnt AS (SELECT tok, count(*) AS n FROM (
+                   SELECT unnest(toks) AS tok FROM th) WHERE tok <> ''
+                 GROUP BY tok),
+        utot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ucnt),
+        ulp AS (SELECT tok, round(log10(CAST(n AS DOUBLE) / t), 6) AS ulogp
+                FROM ucnt, utot),
+        ta AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        ba AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+               FROM ta WHERE len(toks) >= 2),
+        sc0 AS (SELECT b.doc_id,
+                  CASE WHEN l.logp IS NOT NULL THEN l.logp
+                       ELSE round(-0.39794 + u.ulogp, 6) END AS logp,
+                  CASE WHEN l.logp IS NULL THEN 1 ELSE 0 END AS bo
+                FROM ba b JOIN ulp u ON u.tok = b.w2
+                LEFT JOIN lph l ON l.w1 = b.w1 AND l.w2 = b.w2)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(bo) AS BIGINT) AS n_backoff,
+               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_logp,
+               round(min(logp), 6) AS min_logp
+        FROM sc0 GROUP BY doc_id ORDER BY doc_id"""
     Map(
       "q_text_stats" -> s"""
         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -1153,42 +1205,8 @@ object PipelineQueries {
       // frozen-artifact backoff: LM + unigram CTEs over the even half,
       // transitions over ALL docs; unseen bigram -> penalty + unigram(w2),
       // w2 truly OOV -> dropped (matches the inner unigram join)
-      "q_text_backoff" -> s"""
-        WITH th AS (SELECT doc_id, $toksSql AS toks FROM documents
-                    WHERE doc_id % 2 = 0),
-        bh AS (SELECT doc_id,
-                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
-               FROM th WHERE len(toks) >= 2),
-        unih AS (SELECT tok AS w1, count(*) AS n1
-                 FROM (SELECT unnest(toks) AS tok FROM th) GROUP BY tok),
-        bgh AS (SELECT w1, w2, count(*) AS n2 FROM bh GROUP BY w1, w2),
-        lph AS (SELECT w1, w2,
-                  round(log10(CAST(n2 AS DOUBLE)/CAST(n1 AS DOUBLE)), 6) AS logp
-                FROM bgh JOIN unih USING (w1)),
-        ucnt AS (SELECT tok, count(*) AS n FROM (
-                   SELECT unnest(toks) AS tok FROM th) WHERE tok <> ''
-                 GROUP BY tok),
-        utot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ucnt),
-        ulp AS (SELECT tok, round(log10(CAST(n AS DOUBLE) / t), 6) AS ulogp
-                FROM ucnt, utot),
-        ta AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        ba AS (SELECT doc_id,
-                 unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
-                 unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
-               FROM ta WHERE len(toks) >= 2),
-        sc0 AS (SELECT b.doc_id,
-                  CASE WHEN l.logp IS NOT NULL THEN l.logp
-                       ELSE round(-0.39794 + u.ulogp, 6) END AS logp,
-                  CASE WHEN l.logp IS NULL THEN 1 ELSE 0 END AS bo
-                FROM ba b JOIN ulp u ON u.tok = b.w2
-                LEFT JOIN lph l ON l.w1 = b.w1 AND l.w2 = b.w2)
-        SELECT doc_id, count(*) AS n_bigrams,
-               CAST(sum(bo) AS BIGINT) AS n_backoff,
-               round(CAST(sum(CAST(round(logp*1e6) AS BIGINT)) AS DOUBLE)
-                 / (count(*) * 1000000.0), 6) AS avg_logp,
-               round(min(logp), 6) AS min_logp
-        FROM sc0 GROUP BY doc_id ORDER BY doc_id""",
+      "q_text_backoff" -> backoffSql,
+      "q_stream_backoff" -> backoffSql,
       // LM scores re-derived through the shared CTE chain, then the same
       // per-source percent_rank window as q_filter_quantile
       "q_filter_lm" -> s"""

@@ -1046,6 +1046,28 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming STUPID-BACKOFF scoring — the LM quality filter at ingest:
+    * documents stream in and score against the FROZEN bigram+unigram
+    * artifacts ([[graft.ops.TextOps.scoreWithBackoffLm]]) exactly as the
+    * batch scorer would. The artifacts are static frames (in production,
+    * [[readSnapshot]] of the committed LM); each micro-batch's joins
+    * broadcast the query-relevant slices, no state store, no watermark —
+    * the stateless stream-static cell, so per-doc rows equal the batch
+    * scorer's bit-for-bit whatever the chunking. This is the deployment
+    * the backoff exists FOR: yesterday's artifact scoring today's crawl.
+    */
+  def streamingBackoffScore(
+      spark: SparkSession, sfDir: String, outDir: String,
+      lm: DataFrame, uni: DataFrame, batches: Int = 4): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // foreachBatch, not a streaming agg: the per-doc aggregation inside the
+    // scorer is INTRA-ROW work (one doc = one input row), so scoring each
+    // micro-batch with full batch semantics is exact and needs no state
+    // store or watermark — append-mode streaming aggs would demand both
+    streamingSearch(docs, outDir, batches, b =>
+      graft.ops.TextOps.scoreWithBackoffLm(b, "doc_id", "text", lm, uni))
+  }
+
   /** Streaming TRAINED-classifier scoring — the production quality-filter
     * deployment: the model is trained OFFLINE (batch
     * [[graft.ops.TextOps.trainClassifierWeights]] →

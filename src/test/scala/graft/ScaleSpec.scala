@@ -132,6 +132,17 @@ class ScaleSpec extends AnyFunSuite {
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
       "split assignment must not shuffle")
+    // count-min sketch: ONE exchange, and it carries <= depth*width keys —
+    // never a vocabulary-sized shuffle (the map-side partial agg collapses
+    // the token stream to the counter matrix before the wire)
+    val cms = graft.ops.TextOps.cmsTokenSketch(
+      Tables.documents(spark, dir), "text", 4, 64)
+    val cmsPlan = cms.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(cmsPlan).size == 1,
+      s"cms sketch must shuffle exactly once:\n$cmsPlan")
+    assert(cmsPlan.contains("partial_count") || cmsPlan.contains("partial"),
+      s"cms sketch must map-side combine before the exchange:\n$cmsPlan")
+    assert(cms.count() <= 4L * 64L, "sketch state must be bounded by depth*width")
     // fixed-size group sample: the partial WindowGroupLimit prunes each
     // partition to k rows per group BEFORE the single exchange — at scale
     // the shuffle moves ~k rows per (group, partition), not whole groups
