@@ -63,6 +63,35 @@ object Splits {
       .withColumn("bin", floor(col("start_off") / budget).cast("long"))
   }
 
+  /** Per-user EVENT-SEQUENCE assembly — the sequence-model data-prep op
+    * (recommendation / behavioral-LM training consumes per-entity ordered
+    * action histories, most-recent-N): each user's events rank from the
+    * END (ts desc, id tiebreak), the newest `maxLen` survive, and the kept
+    * window re-sorts ascending into one ordered action string per user.
+    *
+    * Scale shape: ONE shuffle on user_id; the rank-from-end window's
+    * map-side `WindowGroupLimit` prunes each partition to ~maxLen rows per
+    * user BEFORE the exchange, so a power user with millions of events
+    * ships maxLen × partitions rows, never their whole history — the same
+    * pruning discipline as the top-k family. The sequence re-sort is an
+    * in-memory array_sort over ≤ maxLen elements per user.
+    */
+  def userEventSequences(events: DataFrame, maxLen: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("seq_len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ").as("events_seq"),
+        min(col("ts")).as("seq_start"), max(col("ts")).as("seq_end"))
+  }
+
   /** Deterministic fixed-size per-group sample — the balanced training-mix
     * op (k documents per source/language/domain regardless of group skew):
     * rows rank within their group by the md5 hash of their key (a

@@ -623,6 +623,13 @@ object ExtQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // per-user ordered action history, most-recent-32 — the sequence-model
+    // data-prep op; rank-from-end window prunes map-side, one user_id shuffle
+    "q_user_sequences" -> { (s, dir) =>
+      graft.ops.Splits.userEventSequences(Tables.events(s, dir), 32)
+        .orderBy(col("user_id"))
+    },
+
     // interval-OVERLAP join (range x range): concurrent sessions across two
     // user groups — bucketized, each pair unique via its overlap-start bucket
     "q_interval_join" -> { (s, dir) =>
@@ -1481,6 +1488,16 @@ object ExtQueries {
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY bin""",
+      "q_user_sequences" -> """
+        WITH r AS (SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events)
+        SELECT user_id, count(*) AS seq_len,
+               string_agg(event_type, ' ' ORDER BY ts, event_id) AS events_seq,
+               min(ts) AS seq_start, max(ts) AS seq_end
+        FROM r WHERE rn <= 32
+        GROUP BY user_id ORDER BY user_id""",
       "q_sessionize" -> s"""
         WITH l AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -132,6 +132,16 @@ class ScaleSpec extends AnyFunSuite {
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
       "split assignment must not shuffle")
+    // user-sequence assembly: the rank-from-end window must prune map-side
+    // (partial WindowGroupLimit) so a power user never ships their whole
+    // history, and user_id is shuffled exactly once (the groupBy reuses the
+    // window's partitioning)
+    val seqs = graft.ops.Splits.userEventSequences(Tables.events(spark, dir), 8)
+    val seqPlan = seqs.queryExecution.executedPlan.toString
+    assert(seqPlan.contains("WindowGroupLimit"),
+      s"userEventSequences must prune via WindowGroupLimit:\n$seqPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(seqPlan).size == 1,
+      s"userEventSequences must shuffle user_id exactly once:\n$seqPlan")
     // count-min sketch: ONE exchange, and it carries <= depth*width keys —
     // never a vocabulary-sized shuffle (the map-side partial agg collapses
     // the token stream to the counter matrix before the wire)
