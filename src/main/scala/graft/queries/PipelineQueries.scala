@@ -47,14 +47,18 @@ object PipelineQueries {
     * Exposed package-wide so the persisted-hybrid oracle (ExtQueries) can
     * splice the SAME chain instead of growing a drifting copy.
     */
-  private[queries] def bm25RankCtes(nQueries: Long): String = s"""
+  private[queries] def bm25RankCtes(nQueries: Long): String =
+    bm25RankCtesWhere(s"doc_id < $nQueries")
+  /** the same chain with an arbitrary query-doc predicate (may reference
+    * CTEs defined earlier in the enclosing WITH) */
+  private[queries] def bm25RankCtesWhere(pred: String): String = s"""
         tn AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         t AS (SELECT doc_id, tok FROM tn WHERE tok <> ''),
         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS ndocs FROM dl),
         q AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
-              WHERE doc_id < $nQueries),
+              WHERE $pred),
         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
         m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dft.df,
                      g.sumdl, g.ndocs
@@ -460,6 +464,43 @@ object PipelineQueries {
           "left_anti")
         .withColumn("neg_rank", row_number().over(w))
         .select(col("query_id"), col("doc_id"), col("score"), col("neg_rank"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+
+    // CONTRASTIVE TRIPLETS — the full bi-encoder training-pair assembly:
+    // anchor = query doc, positive = its highest-jaccard near-duplicate
+    // (id tiebreak), negatives = the BM25-close-but-not-duplicate docs of
+    // q_mine_negatives. One row per (anchor, negative) with the positive
+    // denormalized on — exactly the (a, p, n) rows a triplet-loss loader
+    // consumes. Anchors with no near-dup positive drop (no pair to learn).
+    "q_mine_triplets" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dups = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("jaccard") >= 0.2)
+      val dupBoth = dups.select(col("id_a"), col("id_b"), col("jaccard"))
+        .unionByName(dups.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("jaccard")))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("jaccard").desc, col("id_b").asc)
+      val pos = dupBoth.withColumn("__rn", row_number().over(wp))
+        .filter(col("__rn") === 1)
+        .select(col("id_a").as("query_id"), col("id_b").as("pos_id"),
+          round(col("jaccard"), 6).as("pos_jaccard"))
+      // anchors = every doc that HAS a positive (metric-sized: bounded by
+      // the near-dup pair count), so the gate exercises real triplets
+      val qdocs = docs.join(pos.select(col("query_id").as("doc_id")), Seq("doc_id"))
+      val hits = Retrieval.bm25TopK(docs, "doc_id", "text",
+        qdocs, "doc_id", "text", BM25_TOPK, excludeSelf = true)
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank").asc)
+      val negs = hits.join(dupBoth.select(col("id_a"), col("id_b")),
+          hits("query_id") === dupBoth("id_a") && hits("doc_id") === dupBoth("id_b"),
+          "left_anti")
+        .withColumn("neg_rank", row_number().over(wn))
+        .select(col("query_id"), col("doc_id").as("neg_id"), col("neg_rank"))
+      negs.join(pos, Seq("query_id"))
+        .select(col("query_id"), col("pos_id"), col("pos_jaccard"),
+          col("neg_id"), col("neg_rank"))
         .orderBy(col("query_id"), col("neg_rank"))
     },
 
@@ -1399,6 +1440,32 @@ object PipelineQueries {
         FROM documents
         WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
         ORDER BY doc_id""",
+      // triplets: best near-dup positive (jaccard desc, id tiebreak) joined
+      // onto the hard-negative rows — the same two chains, pair-assembled
+      "q_mine_triplets" -> s"""
+        $dupClusterCtes,
+        ji AS (SELECT c.id_a, c.id_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+               FROM cands c JOIN sets sa ON sa.doc_id = c.id_a
+                 JOIN sets sb ON sb.doc_id = c.id_b),
+        jp AS (SELECT id_a, id_b, j FROM ji WHERE j >= 0.2),
+        dup2 AS (SELECT id_a, id_b, j FROM jp
+                 UNION ALL SELECT id_b, id_a, j FROM jp),
+        pos AS (SELECT id_a AS query_id, id_b AS pos_id, round(j, 6) AS pos_jaccard
+                FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                        ORDER BY j DESC, id_b) AS rn FROM dup2) WHERE rn = 1),
+        ${bm25RankCtesWhere("doc_id IN (SELECT query_id FROM pos)")},
+        hits AS (SELECT query_id, doc_id, s FROM br WHERE rank <= $BM25_TOPK),
+        negs AS (SELECT h.query_id, h.doc_id AS neg_id,
+                   row_number() OVER (PARTITION BY h.query_id
+                     ORDER BY h.s DESC, h.doc_id) AS neg_rank
+                 FROM hits h WHERE NOT EXISTS (
+                   SELECT 1 FROM dup2 d
+                   WHERE d.id_a = h.query_id AND d.id_b = h.doc_id))
+        SELECT n.query_id, p.pos_id, p.pos_jaccard, n.neg_id, n.neg_rank
+        FROM negs n JOIN pos p USING (query_id)
+        ORDER BY query_id, neg_rank""",
       // hard negatives: BM25 top-k minus near-dup pairs (both orientations),
       // renumbered in score order — the bm25 and LSH chains composed
       "q_mine_negatives" -> s"""
