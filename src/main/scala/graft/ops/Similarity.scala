@@ -418,6 +418,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** MATRYOSHKA progressive search (MRL, Kusupati et al.): the candidate
+    * stage ranks on the PREFIX of each vector (matryoshka-trained
+    * embeddings pack the coarse signal into the leading dims, so a
+    * `prefixDims`-slice is a dims/prefixDims-cheaper shortlist pass), the
+    * exact [[rerankTopK]] tail re-scores the shortlist on full vectors.
+    * The storage-side twin of [[randomProject]]'s project-at-ingest: no
+    * projection matrix, no rotation — truncation IS the compression. At
+    * 100 TB the prefix slice is what you'd store in the hot tier (the
+    * [[searchIvfInt8Index]] attr machinery can carry it) and the full
+    * vector stays in the cold fetch path. Ranking discipline identical to
+    * every ANN op: rounded-6 cosine, id tiebreaks.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, kShort: Int, prefixDims: Int): DataFrame = {
+    require(kShort >= k, s"shortlist must cover k: kShort=$kShort < k=$k")
+    require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
+    def prefixed(df: DataFrame) = df.select(col(idCol),
+      slice(asDouble(col(vecCol)), 1, prefixDims).as("__pref"))
+    val shortlist =
+      bruteForceTopK(prefixed(corpus), prefixed(queries), idCol, "__pref", kShort)
+    rerankTopK(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Maximal-marginal-relevance (MMR) DIVERSIFIED re-rank of a search
     * shortlist — the redundancy-aware tail of the retrieval family: where
     * [[rerankTopK]] re-orders by relevance alone, MMR greedily selects k

@@ -142,6 +142,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // MATRYOSHKA progressive search: shortlist on the 16-dim PREFIX slice
+    // (MRL-style truncation — no projection matrix, 4x cheaper candidate
+    // pass), exact full-dim re-rank of the survivors
+    "q_ann_matryoshka" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", TOPK, 4 * TOPK, 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // MMR diversified re-rank: greedy relevant-AND-non-redundant selection
     // over the exact-cosine shortlist (lambda = 1/2 -> exact integer
     // ordering rel6 - maxsim6) — near-duplicate results collapse to one
@@ -1066,6 +1076,29 @@ object ExtQueries {
         $opqBase,
         ${(0 until PQ_M).map(pqSubCtes).mkString(",")},
         $pqAdcTail""",
+
+      // matryoshka: prefix-slice cosine shortlist at k' = 4k, exact
+      // full-vector re-rank — truncation IS the compression
+      "q_ann_matryoshka" -> s"""
+        $embBase,
+        pp AS (SELECT vec_id, v[1:16] AS p,
+                 sqrt(list_sum(list_transform(v[1:16], x -> x*x))) AS pnrm
+               FROM n),
+        sp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> q.p[i]*c.p[i])) / (q.pnrm*c.pnrm), 6) AS pcos
+               FROM pp q JOIN pp c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY pcos DESC, neighbor_id) AS rk FROM sp)
+               WHERE rk <= ${4 * TOPK}),
+        rr AS (SELECT sl.query_id, sl.neighbor_id, ${cosSql("q", "c")} AS cos_sim
+               FROM sl JOIN n q ON q.vec_id = sl.query_id
+                 JOIN n c ON c.vec_id = sl.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rr)
+        WHERE rank <= $TOPK ORDER BY query_id, rank""",
 
       // exact re-rank: the q_ann_pq chain kept as a shortlist CTE at
       // k' = 4k, then joined back to the raw vectors for an exact cosine
