@@ -1721,4 +1721,38 @@ class OpsSpec extends AnyFunSuite {
         s"dropped $b has no earlier near owner")
     }
   }
+
+  test("matryoshka with a full-corpus shortlist equals exact brute force") {
+    // when kShort covers the whole corpus, the prefix stage filters nothing
+    // and the exact re-rank must reproduce bruteForceTopK row-for-row —
+    // the consistency anchor for the progressive path
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(80)
+    val qs = emb.filter($"vec_id" < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    val full = key(Similarity.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+      k = 5, kShort = 200, prefixDims = 16))
+    val brute = key(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+    assert(full == brute)
+  }
+
+  test("userEventSequences: maxLen=1 keeps exactly the newest event per user") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = graft.ops.Splits.userEventSequences(ev, 1)
+      .select($"user_id", $"seq_len", $"events_seq", $"seq_start", $"seq_end")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toMap
+    val newest = ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .collect().groupBy(_.getLong(0)).map { case (u, rows) =>
+        val top = rows.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        u -> top
+      }
+    assert(got.keySet == newest.keySet)
+    newest.foreach { case (u, top) =>
+      val (len, seq, start, end) = got(u)
+      assert(len == 1L && seq == top.getString(3) &&
+        start == top.getTimestamp(1) && end == top.getTimestamp(1),
+        s"user $u newest-event mismatch")
+    }
+  }
 }
