@@ -65,6 +65,24 @@ object Streams {
     stage
   }
 
+  /** The on-file documents schema, probed from the parquet footer like
+    * [[rawEventsSchema]] — the five streaming cells over documents used to
+    * hard-code it, the exact assumption class the events-ts drift broke.
+    * The probe asserts the two columns every cell depends on.
+    */
+  private def rawDocsSchema(spark: SparkSession, sfDir: String): StructType = {
+    val path = s"$sfDir/documents.parquet"
+    val tag = "docs:" + path + ":" +
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    schemaCache.computeIfAbsent(tag, { _ =>
+      val sch = spark.read.parquet(path).schema
+      require(sch("doc_id").dataType == LongType && sch("text").dataType == StringType,
+        s"documents schema drifted (${sch.simpleString}) - the streaming doc " +
+          "cells assume (doc_id long, text string)")
+      sch
+    })
+  }
+
   /** Streaming source over the events parquet; `ts` normalized to
     * `TimestampType` whatever the on-file encoding ([[graft.Tables.adaptTs]]).
     */
@@ -502,10 +520,7 @@ object Streams {
     */
   def streamingUpsert(
       spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     def proj(df: DataFrame) = df.select(col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars"))
     // v0: the batch-committed base (docs with doc_id % 3 != 0)
@@ -765,10 +780,7 @@ object Streams {
         s"band ($b, size $bandSize) out of range for a $k-wide signature")
     }
     val name = s"graft_sneardup_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val (as, bs) = graft.ops.Dedup.seedArrays(k)
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
@@ -810,10 +822,7 @@ object Streams {
       spark: SparkSession, sfDir: String, corpusDigests: DataFrame,
       minDocId: Long, delay: String): DataFrame = {
     val name = s"graft_sincr_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .filter(col("doc_id") >= minDocId)
@@ -974,10 +983,7 @@ object Streams {
       heldTextCol: String, n: Int,
       docPredicate: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val name = s"graft_sdecon_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val heldDigests = heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
     val gramHit = gramHitFilter(spark, heldout, heldTextCol, n, col("__sh"))
@@ -1006,10 +1012,7 @@ object Streams {
   def streamingClassifierScore(
       spark: SparkSession, sfDir: String, nBuckets: Int, seed: String): DataFrame = {
     val name = s"graft_sclass_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df =>
@@ -1033,10 +1036,7 @@ object Streams {
   def streamingCmsSketch(
       spark: SparkSession, sfDir: String, depth: Int, width: Int): DataFrame = {
     val name = s"graft_scms_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df => graft.ops.TextOps.cmsTokenSketch(df, "text", depth, width))
@@ -1081,10 +1081,7 @@ object Streams {
       spark: SparkSession, sfDir: String,
       model: graft.ops.TextOps.ClassifierModel, nBuckets: Int): DataFrame = {
     val name = s"graft_stclass_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df => graft.ops.TextOps.withTrainedClassifierScore(
@@ -1284,10 +1281,7 @@ object Streams {
   def streamingSplitRoute(
       spark: SparkSession, sfDir: String, splits: Seq[(String, Int)],
       outDir: String, checkpointDir: String): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+    val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
     val q = graft.ops.Splits.assign(stream, "doc_id", splits)
