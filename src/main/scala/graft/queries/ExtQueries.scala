@@ -640,6 +640,31 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // cohort retention — the classic event-analytics matrix: users cohort
+    // by first-active week (anchored to the in-query min date — no
+    // calendar assumption baked in), each (cohort, week) cell counts the
+    // cohort's users still active that week. (user, week) distinct first,
+    // so every later frame is user-week-sized, not event-sized.
+    "q_cohort_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dated = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      val anchor = dated.agg(min(col("d")).as("d0"))
+      val wk = dated.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          floor(datediff(col("d"), col("d0")) / 7).cast("long").as("week"))
+        .distinct()
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week")).agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_week"))
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("n_cohort"), 6))
+        .select(col("cohort_week"), col("week"), col("n_active"),
+          col("n_cohort"), col("retention"))
+        .orderBy(col("cohort_week"), col("week"))
+    },
+
     // interval-OVERLAP join (range x range): concurrent sessions across two
     // user groups — bucketized, each pair unique via its overlap-start bucket
     "q_interval_join" -> { (s, dir) =>
@@ -1521,6 +1546,19 @@ object ExtQueries {
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY bin""",
+      "q_cohort_retention" -> """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        wk AS (SELECT DISTINCT user_id,
+                 CAST(floor(datediff('day', d0, CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+               FROM events, d0),
+        cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+        sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY 1),
+        act AS (SELECT c.cohort_week, w.week, count(*) AS n_active
+                FROM wk w JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        SELECT a.cohort_week, a.week, a.n_active, s.n_cohort,
+               round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        FROM act a JOIN sizes s USING (cohort_week)
+        ORDER BY a.cohort_week, a.week""",
       "q_user_sequences" -> """
         WITH r AS (SELECT user_id, ts, event_id, event_type,
                      row_number() OVER (PARTITION BY user_id

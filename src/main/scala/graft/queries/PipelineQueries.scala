@@ -427,6 +427,35 @@ object PipelineQueries {
         .orderBy(col("tok"))
     },
 
+    // HLL DISTINCT-COUNT sketch as a MERGEABLE ARTIFACT (Datasketches
+    // hll_sketch_agg/hll_union): per-source sketches built on two disjoint
+    // shards, UNIONED at the sketch level, estimated — proving the
+    // store-per-shard / merge-at-query discipline a 100 TB dedup dashboard
+    // runs (exact distinct over shards cannot merge; sketches can). The
+    // estimate is deterministic but not SQL-reproducible in DuckDB, so the
+    // gate emits the EXACT distinct alongside and a 0/1 within-2%% envelope
+    // flag the oracle asserts — the q_approx_sketch discipline.
+    "q_sketch_hll" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def shard(p: Int) = docs.filter(col("doc_id") % 2 === p)
+        .groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(text, 12)").as(s"sk$p"))
+      val merged = shard(0).join(shard(1), Seq("source"), "full_outer")
+        .select(col("source"), expr(
+          """hll_sketch_estimate(
+               CASE WHEN sk0 IS NULL THEN sk1
+                    WHEN sk1 IS NULL THEN sk0
+                    ELSE hll_union(sk0, sk1) END)""").as("est"))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      merged.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          when(abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.02, lit(2.0)), 1L).otherwise(0L)
+            .as("within_2pct"))
+        .orderBy(col("source"))
+    },
+
     // the STREAMING sketch: counters accumulate over the document stream
     // (state = the depth x width matrix, vocabulary-independent — an exact
     // streaming vocabulary count's state grows unboundedly); long-sum
@@ -1380,6 +1409,12 @@ object PipelineQueries {
       // so the sketch estimates match bit-for-bit
       "q_sketch_cms" -> cmsSql,
       "q_stream_cms" -> cmsSql,
+      // the oracle recomputes the exact distinct and asserts the envelope
+      // flag — the estimate itself is engine-specific (Datasketches)
+      "q_sketch_hll" -> """
+        SELECT source, count(DISTINCT text) AS n_exact,
+               CAST(1 AS BIGINT) AS within_2pct
+        FROM documents GROUP BY source ORDER BY source""",
       "q_profile_cols" -> (Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")
         .map(c => s"""
           SELECT '$c' AS col_name, count($c) AS n,
