@@ -640,6 +640,29 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // declarative data-quality EXPECTATIONS — the promote-gate contract
+    // check: all scalar rules ride ONE scan (fused conditional counts),
+    // unique = its key shuffle, referential = a counted anti-join vs the
+    // dim. The report (rule, violations, pass) is the auditable artifact;
+    // two rules are EXPECTED to fail on this data (quantity range is
+    // [1,50], a tighter [1,49] probe and a wrong-enum probe violate) so
+    // the gate proves failures are REPORTED, not thrown.
+    "q_expectations" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      validate(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_quantity", 1, 49),            // expected-fail probe
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InSet("l_linestatus", Seq("F")),         // expected-fail probe (O exists)
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Check("disc_bounds", col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+        RefIntegrity("l_orderkey", "orders", "o_orderkey")),
+        dims = Map("orders" -> Tables.orders(s, dir)))
+        .orderBy(col("rule_idx"))
+    },
+
     // cohort retention — the classic event-analytics matrix: users cohort
     // by first-active week (anchored to the in-query min date — no
     // calendar assumption baked in), each (cohort, week) cell counts the
@@ -1546,6 +1569,48 @@ object ExtQueries {
                     ELSE LEAST(CAST(floor((value - 0.0) / ((400.0 - 0.0) / 8)) AS INT), 7) END AS bin,
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY bin""",
+      // each rule's count re-derived relationally; pass = (violations == 0)
+      "q_expectations" -> """
+        WITH r AS (
+          SELECT 0 AS rule_idx, 'not_null(l_orderkey)' AS rule,
+                 count(*) FILTER (l_orderkey IS NULL) AS n_violations
+          FROM lineitem
+          UNION ALL
+          SELECT 1, 'not_null(l_shipdate)',
+                 count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+          UNION ALL
+          SELECT 2, 'in_range(l_quantity, 1.0, 50.0)',
+                 count(*) FILTER (l_quantity IS NULL OR l_quantity < 1.0
+                   OR l_quantity > 50.0) FROM lineitem
+          UNION ALL
+          SELECT 3, 'in_range(l_quantity, 1.0, 49.0)',
+                 count(*) FILTER (l_quantity IS NULL OR l_quantity < 1.0
+                   OR l_quantity > 49.0) FROM lineitem
+          UNION ALL
+          SELECT 4, 'in_set(l_returnflag)',
+                 count(*) FILTER (l_returnflag IS NULL
+                   OR l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+          UNION ALL
+          SELECT 5, 'in_set(l_linestatus)',
+                 count(*) FILTER (l_linestatus IS NULL
+                   OR l_linestatus NOT IN ('F')) FROM lineitem
+          UNION ALL
+          SELECT 6, 'unique(l_orderkey,l_linenumber)',
+                 CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+                   SELECT count(*) AS n FROM lineitem
+                   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+          UNION ALL
+          SELECT 7, 'check(disc_bounds)',
+                 count(*) FILTER (NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+                   OR l_discount IS NULL) FROM lineitem
+          UNION ALL
+          SELECT 8, 'ref(l_orderkey -> orders.o_orderkey)',
+                 count(*) FILTER (l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+                   SELECT o_orderkey FROM orders)) FROM lineitem)
+        SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM r ORDER BY rule_idx""",
       "q_cohort_retention" -> """
         WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         wk AS (SELECT DISTINCT user_id,

@@ -1722,6 +1722,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("expectations: report counts match example fetches; unknown dim is loud") {
+    import graft.ops.Expectations._
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val report = validate(li, Seq(
+      InRange("l_quantity", 1, 10),
+      InSet("l_returnflag", Seq("A")),
+      RefIntegrity("l_orderkey", "orders", "o_orderkey")),
+      dims = Map("orders" -> ord))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // the range probe must find real violations, and the example fetch
+    // must return only genuinely violating rows
+    val (nRange, passRange) = report("in_range(l_quantity, 1.0, 10.0)")
+    assert(nRange > 0 && passRange == 0L)
+    val ex = violations(li, InRange("l_quantity", 1, 10), limitN = 7)
+      .select($"l_quantity").as[Double].collect()
+    assert(ex.nonEmpty && ex.length <= 7 && ex.forall(q => q < 1 || q > 10))
+    // referential integrity holds on the fixture (lineitem -> orders)
+    assert(report("ref(l_orderkey -> orders.o_orderkey)") == ((0L, 1L)))
+    intercept[IllegalArgumentException] {
+      validate(li, Seq(RefIntegrity("l_orderkey", "nope", "x")))
+    }
+  }
+
   test("matryoshka with a full-corpus shortlist equals exact brute force") {
     // when kShort covers the whole corpus, the prefix stage filters nothing
     // and the exact re-rank must reproduce bruteForceTopK row-for-row —
