@@ -663,6 +663,34 @@ object ExtQueries {
         .orderBy(col("rule_idx"))
     },
 
+    // volume-anomaly detection — the ingest-monitoring op: daily event
+    // counts z-scored against the series' own mean/σ (population, computed
+    // from exact integer sums so both engines fold the identical doubles),
+    // |z| > 2 flags the day. The per-day frame is days-sized, so the
+    // stats aggregate and the flag join are metric-scale at any volume.
+    "q_anomaly_days" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.agg(
+        count(lit(1)).as("nd"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn("mean", col("s1").cast("double") / col("nd"))
+        .withColumn("sd", sqrt(
+          col("s2").cast("double") / col("nd") -
+            (col("s1").cast("double") / col("nd")) * (col("s1").cast("double") / col("nd"))))
+        // flag on the UNROUNDED z (the oracle does too — a z rounding
+        // across the 2.0 boundary must not flip the flag between engines)
+        .withColumn("__z", (col("n").cast("double") - col("mean")) / col("sd"))
+        .select(col("day"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+          round(col("__z"), 6).as("z"),
+          when(abs(col("__z")) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy(col("day"))
+    },
+
     // cohort retention — the classic event-analytics matrix: users cohort
     // by first-active week (anchored to the in-query min date — no
     // calendar assumption baked in), each (cohort, week) cell counts the
@@ -1611,6 +1639,24 @@ object ExtQueries {
                CAST(n_violations AS BIGINT) AS n_violations,
                CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         FROM r ORDER BY rule_idx""",
+      // identical explicit formula both sides: mean = s1/nd,
+      // sd = sqrt(s2/nd - (s1/nd)^2) over exact integer sums
+      "q_anomaly_days" -> """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                       FROM events GROUP BY 1),
+        st AS (SELECT count(*) AS nd, sum(n) AS s1, sum(n*n) AS s2 FROM daily)
+        SELECT day, n,
+               round(CAST(s1 AS DOUBLE) / nd, 6) AS mean,
+               round(sqrt(CAST(s2 AS DOUBLE) / nd
+                 - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd)), 6) AS sd,
+               round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nd)
+                 / sqrt(CAST(s2 AS DOUBLE) / nd
+                   - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd)), 6) AS z,
+               CAST(CASE WHEN abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nd)
+                 / sqrt(CAST(s2 AS DOUBLE) / nd
+                   - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM daily, st ORDER BY day""",
       "q_cohort_retention" -> """
         WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         wk AS (SELECT DISTINCT user_id,
