@@ -663,6 +663,29 @@ object ExtQueries {
         .orderBy(col("rule_idx"))
     },
 
+    // calendar DENSIFICATION (day spine + zero-fill) — the reporting op
+    // every sparse daily metric needs: generate the continuous day range
+    // from the series' own bounds (sequence() on a 1-row aggregate — no
+    // calendar table, no data-contract assumption), left-join the sparse
+    // facts, fill gaps with zeros and audit them with a `filled` flag. The
+    // spine is days-sized, so the join broadcasts at any fact volume.
+    "q_day_spine" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") === 0)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cents"), lit(0L)).as("cents"),
+          when(col("n").isNull, 1L).otherwise(0L).as("filled"))
+        .orderBy(col("day"))
+    },
+
     // volume-anomaly detection — the ingest-monitoring op: daily event
     // counts z-scored against the series' own mean/σ (population, computed
     // from exact integer sums so both engines fold the identical doubles),
@@ -1639,6 +1662,19 @@ object ExtQueries {
                CAST(n_violations AS BIGINT) AS n_violations,
                CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         FROM r ORDER BY rule_idx""",
+      "q_day_spine" -> """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                         CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS cents
+                       FROM events
+                       WHERE event_type = 'purchase' AND user_id = 0
+                       GROUP BY 1),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM b)
+        SELECT s.day, coalesce(d.n, 0) AS n, coalesce(d.cents, 0) AS cents,
+               CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        FROM spine s LEFT JOIN daily d USING (day)
+        ORDER BY s.day""",
       // identical explicit formula both sides: mean = s1/nd,
       // sd = sqrt(s2/nd - (s1/nd)^2) over exact integer sums
       "q_anomaly_days" -> """
