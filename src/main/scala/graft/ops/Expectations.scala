@@ -54,6 +54,21 @@ object Expectations {
     def name = s"check($label)"
   }
 
+  /** A scalar rule's violation count as a conditional-count aggregate
+    * Column (None for rules that need their own job). The counts are
+    * ADDITIVE across partitions AND micro-batches — what lets the
+    * streaming cell maintain them in complete mode with one-row state.
+    */
+  private[graft] def scalarViol(r: Rule): Option[Column] = r match {
+    case NotNull(c) => Some(count(when(col(c).isNull, 1)))
+    case InRange(c, lo, hi) => Some(count(when(
+      col(c).isNull || col(c) < lo || col(c) > hi, 1)))
+    case InSet(c, vs) => Some(count(when(
+      col(c).isNull || !col(c).isInCollection(vs), 1)))
+    case Check(_, p) => Some(count(when(p.isNull || !p, 1)))
+    case _ => None
+  }
+
   /** Validate `df` against `rules`; `dims` resolves [[RefIntegrity]]
     * dimension names. Returns (rule string, n_violations long, pass long
     * 0/1), one row per rule, in the given rule order (`rule_idx` carries
@@ -65,16 +80,6 @@ object Expectations {
     require(rules.nonEmpty, "validate needs at least one rule")
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
-
-    def scalarViol(r: Rule): Option[Column] = r match {
-      case NotNull(c) => Some(count(when(col(c).isNull, 1)))
-      case InRange(c, lo, hi) => Some(count(when(
-        col(c).isNull || col(c) < lo || col(c) > hi, 1)))
-      case InSet(c, vs) => Some(count(when(
-        col(c).isNull || !col(c).isInCollection(vs), 1)))
-      case Check(_, p) => Some(count(when(p.isNull || !p, 1)))
-      case _ => None
-    }
 
     // all scalar rules in ONE aggregate over one scan
     val scalarRules = rules.zipWithIndex

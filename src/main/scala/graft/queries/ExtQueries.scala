@@ -663,6 +663,20 @@ object ExtQueries {
         .orderBy(col("rule_idx"))
     },
 
+    // EXPECTATIONS AT INGEST: the scalar rule set accumulates over the
+    // event stream (complete mode, one-row additive state); the drained
+    // report equals batch validation of the same data. One rule is an
+    // expected-fail probe ('error' events violate the enum).
+    "q_stream_expectations" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      graft.streaming.Streams.streamingExpectations(s, dir, Seq(
+        NotNull("user_id"),
+        InRange("value", 0.0, 500.0),
+        InSet("event_type", Seq("click", "view", "purchase", "signup")),
+        Check("props_json", get_json_object(col("props"), "$").isNotNull)))
+        .orderBy(col("rule_idx"))
+    },
+
     // calendar DENSIFICATION (day spine + zero-fill) — the reporting op
     // every sparse daily metric needs: generate the continuous day range
     // from the series' own bounds (sequence() on a 1-row aggregate — no
@@ -1658,6 +1672,25 @@ object ExtQueries {
           SELECT 8, 'ref(l_orderkey -> orders.o_orderkey)',
                  count(*) FILTER (l_orderkey IS NOT NULL AND l_orderkey NOT IN (
                    SELECT o_orderkey FROM orders)) FROM lineitem)
+        SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM r ORDER BY rule_idx""",
+      "q_stream_expectations" -> """
+        WITH r AS (
+          SELECT 0 AS rule_idx, 'not_null(user_id)' AS rule,
+                 count(*) FILTER (user_id IS NULL) AS n_violations FROM events
+          UNION ALL
+          SELECT 1, 'in_range(value, 0.0, 500.0)',
+                 count(*) FILTER (value IS NULL OR value < 0.0 OR value > 500.0)
+          FROM events
+          UNION ALL
+          SELECT 2, 'in_set(event_type)',
+                 count(*) FILTER (event_type IS NULL OR event_type NOT IN
+                   ('click', 'view', 'purchase', 'signup')) FROM events
+          UNION ALL
+          SELECT 3, 'check(props_json)',
+                 count(*) FILTER (json_valid(props) IS NOT TRUE) FROM events)
         SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
                CAST(n_violations AS BIGINT) AS n_violations,
                CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass

@@ -1068,6 +1068,44 @@ object Streams {
       graft.ops.TextOps.scoreWithBackoffLm(b, "doc_id", "text", lm, uni))
   }
 
+  /** Streaming EXPECTATIONS — the promote-gate contract check running AT
+    * INGEST: scalar rules ([[graft.ops.Expectations.scalarViol]] — the
+    * fused conditional counts) accumulate over the event stream in
+    * complete mode, state = ONE row of additive longs regardless of
+    * stream length. The drained report equals batch `validate` on the
+    * replayed data exactly (conditional counts are additive across
+    * micro-batches). Rules needing their own shuffle (unique,
+    * referential) stay batch ops by design — their state would be
+    * key-set-sized; run them on the committed table, not the wire.
+    */
+  def streamingExpectations(
+      spark: SparkSession, sfDir: String,
+      rules: Seq[graft.ops.Expectations.Rule]): DataFrame = {
+    import graft.ops.Expectations
+    val aggs = rules.map(r => Expectations.scalarViol(r).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming expectations supports scalar rules only, got ${r.name}")))
+    val name = s"graft_sexpect_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .agg(aggs.head.as("c0"),
+        aggs.tail.zipWithIndex.map { case (c, j) => c.as(s"c${j + 1}") }: _*)
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table(name).head()
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val v = counts.getLong(i)
+      org.apache.spark.sql.Row(i.toLong, r.name, v, if (v == 0L) 1L else 0L)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rule_idx", LongType, false),
+        StructField("rule", StringType, false),
+        StructField("n_violations", LongType, false),
+        StructField("pass", LongType, false))))
+  }
+
   /** Streaming TRAINED-classifier scoring — the production quality-filter
     * deployment: the model is trained OFFLINE (batch
     * [[graft.ops.TextOps.trainClassifierWeights]] →
