@@ -669,7 +669,15 @@ object Streams {
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val raw = rawEventsSchema(spark, sfDir)
     val name = s"graft_sess_${System.nanoTime()}"
-    val stage = stagedDir("graft_stream_sess", sfDir)
+    // the stage holds DERIVED sentinel files written in the RAW schema's ts
+    // domain, so the stage key must include the schema: an mtime-only key
+    // let a stage written under the old TIMESTAMP(NANOS) contract survive
+    // the testdata's encoding change and poison every later run with
+    // int64-ts sentinels that fail the NTZ read (exactly the silent-vanish
+    // failure mode the events fix was for — found via Verify's
+    // _errors.json; old stages are simply abandoned to /tmp)
+    val schemaTag = java.lang.Integer.toHexString(raw.catalogString.hashCode)
+    val stage = stagedDir(s"graft_stream_sess_$schemaTag", sfDir)
     // TWO sentinel files: emission uses the watermark as of the PREVIOUS
     // batch, so the second sentinel's (data) batch is what flushes every real
     // session — a single sentinel would leave the last `delay` of sessions to
