@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtQueries.queries ++
-      graft.queries.SqlSurfaceQueries.queries
+      graft.queries.SqlSurfaceQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
-      graft.queries.SqlSurfaceQueries.oracles
+      graft.queries.SqlSurfaceQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }
