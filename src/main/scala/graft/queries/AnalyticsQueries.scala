@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Materialize
+import graft.streaming.Streams
 
 /** Round-11 analytics breadth: classic multi-join decision-support shapes
   * (TPC-H Q3/Q15 analogs — the reference's event-loop cuts generalized to
@@ -117,6 +119,104 @@ object AnalyticsQueries {
           max(col("l_extendedprice")).as("hi"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy(col("bucket"))
+    },
+
+    // incremental materialized-view maintenance: a per-(user, event_type)
+    // COUNT/SUM view kept in sync by folding the keyed CDC between two base
+    // versions (inserts + deletes + group-MOVING updates), never re-scanning
+    // history. The delta pass shuffles |cdc| + |mv| rows only; the oracle
+    // recomputes from scratch over v2 — increment must equal rebuild.
+    "q_mv_incremental" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def proj(df: DataFrame) = df.select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val v1 = proj(ev.filter(col("ts") < lit("2024-01-20").cast("timestamp")))
+      // v2 vs v1: late rows appear (inserts), user%10==3 vanishes (deletes),
+      // user%10==4 doubles cents (in-group update), user%10==5 renames its
+      // clicks (group-moving update)
+      val v2 = proj(ev).filter(col("user_id") % 10 =!= 3)
+        .withColumn("cents",
+          when(col("user_id") % 10 === 4, col("cents") * 2).otherwise(col("cents")))
+        .withColumn("event_type",
+          when(col("user_id") % 10 === 5 && col("event_type") === "click", lit("tap"))
+            .otherwise(col("event_type")))
+      val mv = Materialize.buildAggMv(v1, Seq("user_id", "event_type"), Seq("cents"))
+      val cdc = Streams.diffFrames(v1, v2, Seq("event_id"))
+      Materialize.applyAggDelta(mv, cdc, Seq("user_id", "event_type"), Seq("cents"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // SCD Type-2 dimension history: collapse each user's event_type stream
+    // into validity intervals (gaps-and-islands: break on change, running
+    // sum numbers the versions, lead() closes each interval against the next
+    // open). One shuffle on user_id; the sentinel high date marks the open
+    // row — no NULLs in output.
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val marked = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("brk",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val segs = marked.groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("segment"),
+          min(col("ts")).as("valid_from"), count(lit(1)).as("n_rows"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      segs
+        .withColumn("next_from", lead(col("valid_from"), 1).over(wv))
+        .select(col("user_id"), col("version"), col("segment"), col("valid_from"),
+          coalesce(col("next_from"), lit("9999-12-31 00:00:00").cast("timestamp"))
+            .as("valid_to"),
+          col("n_rows"),
+          when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // mergeable equi-width histogram "sketch" → percentile estimates with a
+    // PROVEN error envelope: per-shard bucket counts (built per returnflag,
+    // merged by pure count addition — the shard-additive artifact shape the
+    // CMS/HLL family uses) answer any percentile within one bucket width.
+    // All arithmetic is integer (cents, `div`), so the APPROXIMATE estimate
+    // has an exact oracle; the gate also carries the exact rank value and
+    // pins abs_err <= bucket_width.
+    "q_sketch_quantile" -> { (s, dir) =>
+      val b = 64
+      val cents = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag").as("shard"))
+      val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+          count(lit(1)).as("cnt"))
+        .withColumn("width",
+          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
+      val perShard = cents.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(c - lo) div width"))
+        .groupBy(col("shard"), col("bucket")).agg(count(lit(1)).as("n"))
+      val hist = perShard.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      // global windows/joins below are histogram- or percentile-sized
+      val cum = hist.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = bounds.select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
+          col("lo"), col("width"), col("cnt"))
+        .withColumn("rank_target", ceil(col("p") * col("cnt")).cast("long"))
+      val est = ps.join(cum, col("cum") >= col("rank_target"))
+        .groupBy(col("p"), col("rank_target"), col("lo"), col("width"))
+        .agg(min(col("bucket")).as("bucket"))
+        .withColumn("est_cents",
+          col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
+      val ranked = cents.withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))))
+      est.join(ranked, col("rn") === col("rank_target"))
+        .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
+          col("c").as("exact_cents"),
+          abs(col("est_cents") - col("c")).as("abs_err"),
+          col("width").as("bucket_width"),
+          when(abs(col("est_cents") - col("c")) <= col("width"), 1L)
+            .otherwise(0L).as("within_bound"))
+        .orderBy(col("p"))
     }
   )
 
@@ -177,6 +277,70 @@ object AnalyticsQueries {
       SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo,
              max(l_extendedprice) AS hi,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-      FROM t GROUP BY bucket ORDER BY bucket"""
+      FROM t GROUP BY bucket ORDER BY bucket""",
+    // full recompute over v2 — the incremental path must land exactly here
+    "q_mv_incremental" -> """
+      WITH v2 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 10 = 5 AND event_type = 'click'
+                    THEN 'tap' ELSE event_type END AS event_type,
+               CASE WHEN user_id % 10 = 4
+                    THEN round(value*100)::BIGINT * 2
+                    ELSE round(value*100)::BIGINT END AS cents
+        FROM events WHERE user_id % 10 <> 3)
+      SELECT user_id, event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM v2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_scd2" -> """
+      WITH l AS (SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+                 FROM events),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                           THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS version FROM f),
+      segs AS (SELECT user_id, version, min(event_type) AS segment,
+                 min(ts) AS valid_from, count(*) AS n_rows
+               FROM g GROUP BY 1, 2),
+      closed AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                     ORDER BY version) AS next_from FROM segs)
+      SELECT user_id, version, segment, valid_from,
+             coalesce(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             n_rows,
+             CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM closed ORDER BY user_id, version""",
+    "q_sketch_quantile" -> """
+      WITH c AS (SELECT round(l_extendedprice*100)::BIGINT AS c,
+                   l_orderkey, l_linenumber FROM lineitem),
+      b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS cnt FROM c),
+      w AS (SELECT *, CAST(ceil(CAST(hi - lo + 1 AS DOUBLE) / 64) AS BIGINT)
+              AS width FROM b),
+      h AS (SELECT (c.c - w.lo) // w.width AS bucket, count(*) AS n
+            FROM c, w GROUP BY 1),
+      cum AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+      ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p,
+               lo, width, cnt FROM w),
+      tgt AS (SELECT p, CAST(ceil(p * cnt) AS BIGINT) AS rank_target,
+                lo, width FROM ps),
+      est AS (SELECT t.p, t.rank_target, t.lo, t.width,
+                min(cu.bucket) AS bucket
+              FROM tgt t JOIN cum cu ON cu.cum >= t.rank_target
+              GROUP BY 1, 2, 3, 4),
+      ranked AS (SELECT c, row_number() OVER (ORDER BY c, l_orderkey,
+                   l_linenumber) AS rn FROM c)
+      SELECT e.p, e.rank_target, e.bucket,
+             e.lo + e.bucket * e.width + (e.width - 1) // 2 AS est_cents,
+             r.c AS exact_cents,
+             abs(e.lo + e.bucket * e.width + (e.width - 1) // 2 - r.c) AS abs_err,
+             e.width AS bucket_width,
+             CAST(CASE WHEN abs(e.lo + e.bucket * e.width
+                 + (e.width - 1) // 2 - r.c) <= e.width
+               THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+      FROM est e JOIN ranked r ON r.rn = e.rank_target
+      ORDER BY e.p"""
   )
 }

@@ -497,6 +497,46 @@ object LawsSpec extends Properties("graft") {
       got == expected.toLong
     }
 
+  // incremental MV maintenance is EXACT and batching-invariant: random base
+  // and target tables (overlapping keys -> updates, including group-moving
+  // ones; disjoint keys -> inserts/deletes), the maintained view equals a
+  // full rebuild, and folding the CDC in random key-disjoint slices lands on
+  // the same view (additivity — the property that makes per-micro-batch
+  // maintenance sound).
+  property("incremental agg MV maintenance equals rebuild under any CDC slicing") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 4)) { (seed, nSlices) =>
+      import graft.ops.Materialize
+      val rnd = new scala.util.Random(seed)
+      def rows(ids: Seq[Int]) = ids.map { i =>
+        (i.toLong, (rnd.nextInt(5)).toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(100).toLong)
+      }
+      val n = 60
+      val baseIds = (0 until n).filter(_ => rnd.nextDouble() < 0.7)
+      val newIds = (0 until n).filter(_ => rnd.nextDouble() < 0.7)
+      val base = rows(baseIds).toDF("k", "dim_a", "dim_b", "m")
+      val target = rows(newIds).toDF("k", "dim_a", "dim_b", "m")
+      val dims = Seq("dim_a", "dim_b")
+      val mv = Materialize.buildAggMv(base, dims, Seq("m"))
+      val cdc = graft.streaming.Streams.diffFrames(base, target, Seq("k"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("dim_a", "dim_b", "n", "m").as[(Long, String, Long, Long)]
+          .collect().toSet
+      val rebuilt = canon(Materialize.buildAggMv(target, dims, Seq("m")))
+      val oneShot = canon(Materialize.applyAggDelta(mv, cdc, dims, Seq("m")))
+      // key-disjoint slices by key range; empty slices allowed
+      val cuts = (Seq(0, n) ++ Seq.fill(nSlices - 1)(rnd.nextInt(n + 1))).sorted
+      var acc = mv
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        val slice = cdc.filter(col("k") >= lo && col("k") < hi)
+        acc = Materialize.applyAggDelta(acc, slice, dims, Seq("m")).localCheckpoint(true)
+      }
+      val sliced = canon(acc)
+      val r = oneShot == rebuilt && sliced == rebuilt
+      if (!r) println(s"seed=$seed slices=$cuts oneShot==${oneShot == rebuilt} " +
+        s"sliced-rebuilt=${(sliced -- rebuilt).toSeq}")
+      r
+    }
+
   // streaming semantic dedup's order contract, closed under ANY micro-batch
   // chunking: folding semanticDedupStep over random ascending-id slices must
   // reproduce batch semanticDedup's kept set EXACTLY — including when the
