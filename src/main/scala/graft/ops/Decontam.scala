@@ -65,6 +65,37 @@ object Decontam {
         when(col("exact_hit") === 0 && col("ngram_hit") === 0, 1).otherwise(0))
   }
 
+  /** Graded contamination MEASUREMENT (vs [[flags]]' binary rule): per
+    * corpus doc, the fraction of its distinct n-grams that appear anywhere
+    * in the held-out set — the train/test-overlap statistic reported by
+    * model cards and ablations, where a 13-gram-rule flag alone is too
+    * blunt. Zero shuffle: the held-out gram set rides one broadcast row and
+    * each doc scores itself scan-level via array_intersect; docs too short
+    * to form an n-gram score 0. The flag compares the UNROUNDED fraction
+    * (both engines fold identical doubles), the reported column is round6.
+    */
+  def overlapScores(
+      corpus: DataFrame, idCol: String, textCol: String,
+      heldout: DataFrame, heldTextCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val gramsRow = heldout
+      .withColumn("__toks", tokens(col(heldTextCol)))
+      .select(explode(shingles("__toks", n)).as("__g")).distinct()
+      .agg(collect_list(col("__g")).as("__gl"))
+    val frac = col("n_hit").cast("double") / col("n_grams")
+    corpus
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__sh", shingles("__toks", n))
+      .crossJoin(broadcast(gramsRow))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_grams"),
+        size(array_intersect(col("__sh"), col("__gl"))).cast("long").as("n_hit"))
+      .withColumn("overlap",
+        round(when(col("n_grams") > 0, frac).otherwise(lit(0.0)), 6))
+      .withColumn("contaminated",
+        when(col("n_grams") > 0 && frac >= threshold, 1L).otherwise(0L))
+  }
+
   /** The filtering form: corpus minus contaminated docs. */
   def clean(
       corpus: DataFrame, idCol: String, textCol: String,

@@ -217,6 +217,27 @@ object AnalyticsQueries {
           when(abs(col("est_cents") - col("c")) <= col("width"), 1L)
             .otherwise(0L).as("within_bound"))
         .orderBy(col("p"))
+    },
+
+    // streaming twin of q_anomaly_days: the live daily-count table is
+    // maintained incrementally on the stream (days-sized complete-mode
+    // state), the mean/σ model is FROZEN from the batch corpus, scoring is
+    // stateless per emitted row — the ingest-monitoring deployment shape.
+    // Replay covers the same events, so it shares q_anomaly_days' oracle.
+    "q_stream_anomaly" -> { (s, dir) =>
+      val daily = Streams.streamingDailyCounts(s, dir)
+      val stats = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val mean = col("s1").cast("double") / col("nd")
+      val sd = sqrt(col("s2").cast("double") / col("nd") - mean * mean)
+      val z = (col("n").cast("double") - mean) / sd
+      daily.crossJoin(broadcast(stats))
+        .select(col("day"), col("n"),
+          round(mean, 6).as("mean"), round(sd, 6).as("sd"), round(z, 6).as("z"),
+          when(abs(z) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy(col("day"))
     }
   )
 
@@ -341,6 +362,24 @@ object AnalyticsQueries {
                  + (e.width - 1) // 2 - r.c) <= e.width
                THEN 1 ELSE 0 END AS BIGINT) AS within_bound
       FROM est e JOIN ranked r ON r.rn = e.rank_target
-      ORDER BY e.p"""
+      ORDER BY e.p""",
+    // identical to q_anomaly_days' oracle: the stream replays the full
+    // events table, and the model is frozen from the same corpus
+    "q_stream_anomaly" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+      st AS (SELECT count(*) AS nd, sum(n) AS s1, sum(n*n) AS s2 FROM daily)
+      SELECT day, n,
+             round(CAST(s1 AS DOUBLE) / nd, 6) AS mean,
+             round(sqrt(CAST(s2 AS DOUBLE) / nd
+               - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd)), 6) AS sd,
+             round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nd)
+               / sqrt(CAST(s2 AS DOUBLE) / nd
+                 - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd)), 6) AS z,
+             CAST(CASE WHEN abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nd)
+               / sqrt(CAST(s2 AS DOUBLE) / nd
+                 - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
+               THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      FROM daily, st ORDER BY day"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Joins, Multimodal, Similarity}
+import graft.ops.{Joins, Multimodal, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Similarity search, streaming, sessionization, multimodal plumbing —
@@ -820,6 +820,31 @@ object ExtQueries {
         .orderBy(col("label"), col("dim"))
     },
 
+    // corpus exploration: per-cluster top tokens — the "what IS in this
+    // cluster" readout over the IVF coarse structure (embedding centroid
+    // assignment is the scan-level IVF stage; token counts are
+    // (cluster, token)-sized; top-5 per cluster via a WindowGroupLimit-
+    // pruned rank). The docs↔embeddings join is an id equi-join.
+    "q_cluster_topics" -> { (s, dir) =>
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("__v"))
+      val assign = Similarity.assignExpr(
+        Similarity.lloydCentroids(base, IVF_CENTS, 0), assignKernel = false)
+      val asg = base.select(col("id"), assign(col("__v")).as("cent_id"))
+      val sizes = asg.groupBy(col("cent_id")).agg(count(lit(1)).as("n_docs"))
+      val counts = Tables.documents(s, dir)
+        .join(asg, col("doc_id") === col("id"))
+        .select(col("cent_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("cent_id"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cent_id")).orderBy(col("n").desc, col("tok"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .join(broadcast(sizes), Seq("cent_id"))
+        .select(col("cent_id"), col("n_docs"), col("rank"), col("tok"), col("n"))
+        .orderBy(col("cent_id"), col("rank"))
+    },
+
     // stream-stream interval join (watermark-bounded state)
     "q_stream_join" -> { (s, dir) =>
       Streams.clickViewJoin(s, dir).orderBy(col("click_id"), col("view_id"))
@@ -1406,6 +1431,24 @@ object ExtQueries {
       // centroids = the same smallest-id init; re-capped union = full cap)
       "q_ann_ivf_append" -> ivfInt8Sql,
       "q_ann_ivf" -> ivfSql,
+      // the IVF coarse assignment (asg0 rn=1) feeding token counts — the
+      // tokenizer SQL is the raw-string twin of PipelineQueries' toksSql
+      "q_cluster_topics" -> {
+        val toksD = """string_split_regex(trim(d.text), '\s+')"""
+        s"""
+        $embBase,
+        $ivfCoarseCtes,
+        asg AS (SELECT vec_id, cent_id FROM asg0 WHERE rn = 1),
+        sizes AS (SELECT cent_id, count(*) AS n_docs FROM asg GROUP BY 1),
+        tk AS (SELECT a.cent_id, unnest($toksD) AS tok
+               FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+        cnt AS (SELECT cent_id, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+        top AS (SELECT *, row_number() OVER (PARTITION BY cent_id
+                  ORDER BY n DESC, tok) AS rank FROM cnt)
+        SELECT t.cent_id, s.n_docs, CAST(t.rank AS BIGINT) AS rank, t.tok, t.n
+        FROM top t JOIN sizes s USING (cent_id)
+        WHERE t.rank <= 5 ORDER BY t.cent_id, t.rank"""
+      },
       // bit-identical by construction (the kernel variant changes only the
       // physical assignment expression), so the oracle is shared
       "q_ann_ivf_kernel" -> ivfSql,

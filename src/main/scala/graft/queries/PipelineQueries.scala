@@ -777,6 +777,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // graded train/test-overlap MEASUREMENT (the model-card contamination
+    // statistic, vs q_decontaminate's binary rule): per doc, the fraction
+    // of its distinct 5-grams found anywhere in the held-out set —
+    // zero-shuffle scan-level scoring against one broadcast gram row
+    "q_contamination_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val held = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Decontam.overlapScores(corpus, "doc_id", "text", held, "text", 5, 0.1)
+        .orderBy(col("doc_id"))
+    },
+
     // the STREAMING twin: the same held-out probes (digest left_anti +
     // broadcast gram row met by arrays_overlap) applied as a stateless
     // per-row filter on the replayed document stream — emits exactly the
@@ -1780,6 +1792,30 @@ object PipelineQueries {
                  '$ph', '<PHONE>', 'g')) AS redacted_md5
         FROM p ORDER BY doc_id"""
       },
+      "q_contamination_score" -> s"""
+        WITH held AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        hg AS (SELECT DISTINCT unnest(
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS g
+               FROM (SELECT $toksSql AS toks FROM held)),
+        hglist AS (SELECT list(g) AS gl FROM hg),
+        cg AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+               FROM (SELECT doc_id, $toksSql AS toks FROM corpus))
+        SELECT c.doc_id, len(cg.sh)::BIGINT AS n_grams,
+               len(list_intersect(cg.sh, hglist.gl))::BIGINT AS n_hit,
+               round(CASE WHEN len(cg.sh) > 0
+                 THEN CAST(len(list_intersect(cg.sh, hglist.gl)) AS DOUBLE)
+                   / len(cg.sh)
+                 ELSE 0.0 END, 6) AS overlap,
+               CAST(CASE WHEN len(cg.sh) > 0 AND
+                   CAST(len(list_intersect(cg.sh, hglist.gl)) AS DOUBLE)
+                     / len(cg.sh) >= 0.1
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM corpus c JOIN cg USING (doc_id), hglist
+        ORDER BY c.doc_id""",
       "q_decontaminate" -> s"""
         WITH held AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
         corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),

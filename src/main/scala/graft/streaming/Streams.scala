@@ -140,6 +140,23 @@ object Streams {
         col("value").cast("double"), nbins, lo, hi).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
 
+  /** Streaming per-day event counts — the live side of the volume-anomaly
+    * monitor (q_stream_anomaly): the only state is the days-sized count
+    * table (complete-mode agg), independent of stream length; the frozen
+    * mean/σ model joins in batch-side against the drained snapshot.
+    */
+  def streamingDailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_daily_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Weighted streaming histogram — the decimal-summed-bins discipline
     * ([[graft.functions.WeightedHisto]]) surviving streaming state merges:
     * weights are quantized to `wScale` decimals in the stateless map, bins
