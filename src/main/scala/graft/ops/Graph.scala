@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-iteration graph analytics in pure integer arithmetic.
+  *
+  * PageRank's per-node update is a float sum over incoming contributions —
+  * order-dependent, so a naive port can never hash-match across engines.
+  * Here every rank is a scaled long (1e9 units) and each edge contributes
+  * `(pr(u) * w) div outw(u)` — integral ops whose LONG sum is
+  * order-independent — so the t-th iteration is bit-identical in any
+  * engine and any partitioning (partition-invariance law in LawsSpec).
+  * The deliberate cost is ≤1 unit/edge of truncation dust; mass
+  * conservation is approximate (PageRank's ordering signal survives; the
+  * law pins the exact total drift bound), determinism is exact.
+  *
+  * Scale shape: classic Pregel-style synchronous iteration — per round ONE
+  * shuffle keyed on dst for the contribution sum plus an equi-join of the
+  * node-sized rank frame onto edges; edges are never materialized to the
+  * driver and iterations are a fixed small constant (monitoring/dedup-graph
+  * uses want 3-5 rounds, not convergence-to-epsilon).
+  */
+object Graph {
+
+  val SCALE: Long = 1000000000L // 1e9 fixed-point units
+
+  /** `edges`: (src, dst, w) with w a positive long; directed (symmetrize
+    * before calling for an undirected graph). Nodes are derived from edge
+    * endpoints, so every node has outgoing mass (no dangling handling
+    * needed). Returns (node, pr) with pr in SCALE units after `iters`
+    * damped rounds from the uniform start; dampingPct is the integer
+    * percentage (85 = the classic 0.85).
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int, dampingPct: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // node count + uniform start, kept in-frame (no driver-side collect)
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$SCALE div n").as("pr"))
+    val damp = dampingPct.toLong
+    val baseNum = (100L - damp) * SCALE
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(outw, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          (expr(s"$baseNum div (100 * n)") +
+            expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+}

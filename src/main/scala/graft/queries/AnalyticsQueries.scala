@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Materialize
+import graft.ops.{Graph, Materialize}
 import graft.streaming.Streams
 
 /** Round-11 analytics breadth: classic multi-join decision-support shapes
@@ -238,6 +238,25 @@ object AnalyticsQueries {
           round(mean, 6).as("mean"), round(sd, 6).as("sd"), round(z, 6).as("z"),
           when(abs(z) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
         .orderBy(col("day"))
+    },
+
+    // fixed-point PageRank over the (symmetrized, weighted) customer↔
+    // supplier trade graph — node importance via 3 damped Pregel-style
+    // rounds, every update in scaled-long integer arithmetic so the
+    // APPROXIMATE algorithm has an EXACT oracle (see graft.ops.Graph).
+    // Suppliers are offset into their own id space to keep the bipartite
+    // node set in one long column.
+    "q_graph_pagerank" -> { (s, dir) =>
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .agg(count(lit(1)).as("w"))
+      val edges = e0.select(col("cust").as("src"),
+          (col("supp") + 1000000L).as("dst"), col("w"))
+        .union(e0.select((col("supp") + 1000000L).as("src"),
+          col("cust").as("dst"), col("w")))
+      Graph.pageRankFixedPoint(edges, 3, 85)
+        .orderBy(col("pr").desc, col("node"))
     }
   )
 
@@ -380,6 +399,34 @@ object AnalyticsQueries {
                / sqrt(CAST(s2 AS DOUBLE) / nd
                  - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-      FROM daily, st ORDER BY day"""
+      FROM daily, st ORDER BY day""",
+    // unrolled 3-iteration fixed-point PageRank: same integer updates
+    // ('//' floor-div == Spark's `div` on non-negative longs)
+    "q_graph_pagerank" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS node,
+                 CAST(sum((p.pr * e.w) // o.ow) AS BIGINT) AS s
+               FROM edges e JOIN outw o ON o.src = e.src
+                 JOIN pr${k - 1} p ON p.node = e.src
+               GROUP BY 1),
+        pr$k AS (SELECT n.node,
+                   CAST(15000000000 // (100 * nn.n)
+                     + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+                 FROM nodes n LEFT JOIN c$k c USING (node), nn)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS (SELECT o_custkey AS cust, l_suppkey AS supp, count(*) AS w
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+      edges AS (SELECT cust AS src, supp + 1000000 AS dst, w FROM e0
+                UNION ALL
+                SELECT supp + 1000000 AS src, cust AS dst, w FROM e0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      pr0 AS (SELECT node, 1000000000 // n AS pr FROM nodes, nn),
+      $iterCtes
+      SELECT node, pr FROM pr3 ORDER BY pr DESC, node"""
+    }
   )
 }

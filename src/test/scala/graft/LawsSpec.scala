@@ -497,6 +497,38 @@ object LawsSpec extends Properties("graft") {
       got == expected.toLong
     }
 
+  // fixed-point PageRank's whole value proposition is determinism: the
+  // scaled-long updates must be partition-invariant (no float sum ever
+  // sneaks in), and the truncation dust must stay within the documented
+  // bound — each round loses < 1 unit per edge (contribution div) plus
+  // < 2 per node (base div + damping div), on top of < 1/node at init.
+  property("fixed-point PageRank is partition-invariant with bounded mass drift") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(2, 30), Gen.choose(1, 4)) {
+      (seed, nEdges, iters) =>
+        import graft.ops.Graph
+        val rnd = new scala.util.Random(seed)
+        val raw = (0 until nEdges).map { _ =>
+          (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong, (1 + rnd.nextInt(5)).toLong)
+        }.filter { case (s, d, _) => s != d }
+        if (raw.isEmpty) true
+        else {
+          val e = raw.toDF("src", "dst", "w")
+          val edges = e.union(e.select(col("dst"), col("src"), col("w")))
+          def run(df: org.apache.spark.sql.DataFrame) =
+            Graph.pageRankFixedPoint(df, iters, 85)
+              .as[(Long, Long)].collect().toMap
+          val a = run(edges.repartition(1))
+          val b = run(edges.repartition(7, col("dst")))
+          val nN = a.size.toLong
+          val nE = edges.count()
+          val drift = math.abs(a.values.sum - Graph.SCALE)
+          val bound = iters * (nE + 2 * nN) + nN
+          val r = a == b && drift <= bound
+          if (!r) println(s"seed=$seed drift=$drift bound=$bound eq=${a == b}")
+          r
+        }
+    }
+
   // incremental MV maintenance is EXACT and batching-invariant: random base
   // and target tables (overlapping keys -> updates, including group-moving
   // ones; disjoint keys -> inserts/deletes), the maintained view equals a
