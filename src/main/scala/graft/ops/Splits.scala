@@ -272,4 +272,30 @@ object Splits {
         coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long"))
       .filter(col("start_off") < shardBudget)
   }
+
+  /** Deterministic WEIGHTED priority sampling without replacement: per
+    * group, the k rows with the smallest `u / weight`, where u is an
+    * md5-derived integer jitter — rows with larger weights systematically
+    * draw smaller keys, the uniform-jitter variant of Efraimidis–Spirakis
+    * priority sampling. The exponential-jitter form (`-ln(u)/w`, exactly
+    * weight-proportional inclusion) needs `ln()`, whose last-ulp behavior
+    * is libm-specific; one IEEE division on integer-exact inputs is
+    * bit-identical in every engine, so THIS construction is the one an
+    * exact cross-engine oracle can gate. One shuffle on the group key; the
+    * rank window prunes map-side (WindowGroupLimit).
+    */
+  def sampleWeighted(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit("ws_"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long") % 1000003L + 1L).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__prio"), col(idCol))
+    df.withColumn("__prio", u / col(weightCol).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("priority", round(col("__prio"), 9))
+      .drop("__prio")
+  }
 }

@@ -27,6 +27,28 @@ object AnalyticsQueries {
   private def revenue: org.apache.spark.sql.Column =
     dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
+  /** The MV-maintenance fixture shared by q_mv_incremental and q_stream_mv:
+    * base version v1 (events before the cutoff) and target v2, which adds
+    * late rows (inserts), drops user%10==3 (deletes), doubles cents for
+    * user%10==4 (in-group update) and renames user%10==5's clicks
+    * (group-MOVING update).
+    */
+  private def mvVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    def proj(df: DataFrame) = df.select(col("event_id"), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val v1 = proj(ev.filter(col("ts") < lit("2024-01-20").cast("timestamp")))
+    val v2 = proj(ev).filter(col("user_id") % 10 =!= 3)
+      .withColumn("cents",
+        when(col("user_id") % 10 === 4, col("cents") * 2).otherwise(col("cents")))
+      .withColumn("event_type",
+        when(col("user_id") % 10 === 5 && col("event_type") === "click", lit("tap"))
+          .otherwise(col("event_type")))
+    (v1, v2)
+  }
+  private val MV_DIMS = Seq("user_id", "event_type")
+  private val MV_MEASURES = Seq("cents")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q3 shape (shipping priority): both fact-side filters reach the
     // parquet scans (PushedFilters), the customer dim is broadcast, and the
@@ -127,22 +149,24 @@ object AnalyticsQueries {
     // history. The delta pass shuffles |cdc| + |mv| rows only; the oracle
     // recomputes from scratch over v2 — increment must equal rebuild.
     "q_mv_incremental" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      def proj(df: DataFrame) = df.select(col("event_id"), col("user_id"),
-        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-      val v1 = proj(ev.filter(col("ts") < lit("2024-01-20").cast("timestamp")))
-      // v2 vs v1: late rows appear (inserts), user%10==3 vanishes (deletes),
-      // user%10==4 doubles cents (in-group update), user%10==5 renames its
-      // clicks (group-moving update)
-      val v2 = proj(ev).filter(col("user_id") % 10 =!= 3)
-        .withColumn("cents",
-          when(col("user_id") % 10 === 4, col("cents") * 2).otherwise(col("cents")))
-        .withColumn("event_type",
-          when(col("user_id") % 10 === 5 && col("event_type") === "click", lit("tap"))
-            .otherwise(col("event_type")))
-      val mv = Materialize.buildAggMv(v1, Seq("user_id", "event_type"), Seq("cents"))
+      val (v1, v2) = mvVersions(s, dir)
+      val mv = Materialize.buildAggMv(v1, MV_DIMS, MV_MEASURES)
       val cdc = Streams.diffFrames(v1, v2, Seq("event_id"))
-      Materialize.applyAggDelta(mv, cdc, Seq("user_id", "event_type"), Seq("cents"))
+      Materialize.applyAggDelta(mv, cdc, MV_DIMS, MV_MEASURES)
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // the STREAMING twin: the same CDC arrives as a multi-batch file feed
+    // and the view follows it batch by batch (streamingMvApply) — CDC keys
+    // are unique, so the fold is batching-invariant and lands exactly on
+    // the one-shot (and the rebuild, which is the shared oracle)
+    "q_stream_mv" -> { (s, dir) =>
+      val (v1, v2) = mvVersions(s, dir)
+      val mv0 = Materialize.buildAggMv(v1, MV_DIMS, MV_MEASURES)
+      val stage = s"/tmp/graft_stream_mv_${java.util.UUID.randomUUID().toString.take(8)}"
+      Streams.diffFrames(v1, v2, Seq("event_id"))
+        .repartition(4, col("event_id")).write.parquet(stage)
+      Streams.streamingMvApply(s, mv0, stage, MV_DIMS, MV_MEASURES)
         .orderBy(col("user_id"), col("event_type"))
     },
 
@@ -320,6 +344,19 @@ object AnalyticsQueries {
       FROM t GROUP BY bucket ORDER BY bucket""",
     // full recompute over v2 — the incremental path must land exactly here
     "q_mv_incremental" -> """
+      WITH v2 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 10 = 5 AND event_type = 'click'
+                    THEN 'tap' ELSE event_type END AS event_type,
+               CASE WHEN user_id % 10 = 4
+                    THEN round(value*100)::BIGINT * 2
+                    ELSE round(value*100)::BIGINT END AS cents
+        FROM events WHERE user_id % 10 <> 3)
+      SELECT user_id, event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM v2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the streaming fold is batching-invariant, so it shares the rebuild
+    "q_stream_mv" -> """
       WITH v2 AS (
         SELECT user_id,
                CASE WHEN user_id % 10 = 5 AND event_type = 'click'

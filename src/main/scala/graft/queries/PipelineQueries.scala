@@ -321,6 +321,18 @@ object PipelineQueries {
         .orderBy(col("lang"), col("sample_rank"))
     },
 
+    // WEIGHTED priority sample without replacement: 5 docs per source with
+    // inclusion biased ∝ n_chars — the quality/length-weighted corpus
+    // subsampling step (Splits.sampleWeighted documents why the jitter is
+    // uniform, not exponential: one IEEE division is engine-exact, ln() is
+    // not)
+    "q_sample_weighted" -> { (s, dir) =>
+      Splits.sampleWeighted(Tables.documents(s, dir), "source", "doc_id", "n_chars", 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+          col("priority"))
+        .orderBy(col("source"), col("rank"))
+    },
+
     // mixture sampling: re-weight the corpus to target domain proportions
     // (en 40 / de 20 / es 20 / fr 20, zh dropped) — counts job + pure
     // scan-level hash-rate filter, exact integer thresholds
@@ -1624,6 +1636,16 @@ object PipelineQueries {
             AS sample_rank
           FROM documents)
         WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+      "q_sample_weighted" -> s"""
+        WITH t AS (SELECT source, doc_id, n_chars,
+                     CAST((${hash32Sql("'ws_' || CAST(doc_id AS VARCHAR)")}
+                         % 1000003 + 1) AS DOUBLE) / n_chars AS prio
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY prio, doc_id) AS rank FROM t)
+        SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+               round(prio, 9) AS priority
+        FROM r WHERE rank <= 5 ORDER BY source, rank""",
       // binding domain d* = argmin n/w by exact cross-multiplication
       // (tiebreak: domain name); threshold_d = floor-div in parts per million
       "q_sample_mixture" -> s"""

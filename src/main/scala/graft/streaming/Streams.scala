@@ -565,6 +565,37 @@ object Streams {
     readSnapshot(spark, outDir)
   }
 
+  /** Streaming incremental MV maintenance: a keyed CDC feed (diffFrames
+    * rows, staged to `stageDir` by the caller) arrives as a file stream and
+    * each micro-batch folds into the materialized aggregate via
+    * [[graft.ops.Materialize.applyAggDelta]] — the view follows the feed
+    * without ever re-scanning base history. CDC keys are unique per feed,
+    * so any micro-batch chunking is key-disjoint and the fold is
+    * batching-invariant (LawsSpec pins this); maxFilesPerTrigger=1 forces a
+    * real multi-batch replay. State = the view itself (group-sized), held
+    * as a checkpointed frame between batches.
+    */
+  def streamingMvApply(
+      spark: SparkSession, mv0: DataFrame, stageDir: String,
+      dims: Seq[String], measures: Seq[String]): DataFrame = {
+    val sch = spark.read.parquet(stageDir).schema
+    var mv = mv0.localCheckpoint()
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        if (!b.isEmpty) {
+          mv = graft.ops.Materialize.applyAggDelta(mv, b.toDF, dims, measures)
+            .localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    mv
+  }
+
   /** Point read through the bloom sidecar: open only files that might
     * contain the key, then apply the exact equality — identical rows to
     * filtering the full snapshot, I/O ∝ files that truly (or falsely,
