@@ -277,4 +277,34 @@ object Retrieval {
     val vec = Similarity.bruteForceTopK(embeddings, qemb, eIdCol, vecCol, kEach)
     rrfFuse(lex, vec, "doc_id", "neighbor_id", k)
   }
+
+  /** Positional-index PHRASE search — exact multi-token phrase matching
+    * through postings intersection, the retrieval primitive BM25's
+    * bag-of-words scoring cannot express. The postings relation
+    * (doc, pos, term) is what a deployment persists (it is the positional
+    * inverted index); each phrase term then contributes only ITS postings
+    * slice — term-selective, never the corpus — and consecutive-position
+    * equi-joins on (doc_id, pos) intersect the slices. len(phrase)-1
+    * co-keyed joins, each no bigger than the rarest term's list.
+    * Returns one row per matching doc: occurrence count + first position.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val post = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val anchors = post.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(anchors) { case (acc, (t, i)) =>
+        acc.join(
+          post.filter(col("tok") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
 }

@@ -848,6 +848,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // exact PHRASE search through the positional inverted index — postings
+    // intersection on consecutive (doc, pos) keys; each join moves only the
+    // matching term's postings slice, never the corpus
+    "q_search_phrase" -> { (s, dir) =>
+      Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("value", "table", "part"))
+        .orderBy(col("doc_id"))
+    },
+
     // INCREMENTAL stats maintenance: the corpus split in two, each half's
     // stats built independently, merged count-additively (df recounted over
     // the (doc, term) core, globals added — the history is never
@@ -1919,6 +1928,20 @@ object PipelineQueries {
       // The stored-stats and streaming forms score the SAME statistics
       // (persist + stream are result-invariant), so all three share it.
       "q_text_bm25" -> bm25FinalSql,
+      // the zipped double-unnest is DuckDB's posexplode
+      "q_search_phrase" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        post AS (SELECT doc_id, unnest(range(1, len(toks)+1)) - 1 AS pos,
+                   unnest(toks) AS tok FROM t),
+        m AS (SELECT p0.doc_id, p0.pos FROM post p0
+              JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                AND p1.tok = 'table'
+              JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+                AND p2.tok = 'part'
+              WHERE p0.tok = 'value')
+        SELECT doc_id, count(*) AS n_matches,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM m GROUP BY 1 ORDER BY doc_id""",
       "q_text_bm25_stored" -> bm25FinalSql,
       // split-build-merge equals the full-corpus build exactly
       "q_text_bm25_inc" -> bm25FinalSql,
