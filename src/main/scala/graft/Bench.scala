@@ -140,7 +140,13 @@ object Bench {
       "q_dedup_semantic" -> sink("q_dedup_semantic"),
       "q_part_upsert" -> sink("q_part_upsert"),
       "q_text_bm25" -> sink("q_text_bm25"),
-      "q_search_hybrid" -> sink("q_search_hybrid"))
+      "q_search_hybrid" -> sink("q_search_hybrid"),
+      // round-11 additions: classic DSS multi-join, iterative graph,
+      // CDC-maintained view, postings-intersection phrase search
+      "q_tpch_shipping" -> sink("q_tpch_shipping"),
+      "q_graph_pagerank" -> sink("q_graph_pagerank"),
+      "q_mv_incremental" -> sink("q_mv_incremental"),
+      "q_search_phrase" -> sink("q_search_phrase"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
