@@ -35,10 +35,18 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, iters: Int, dampingPct: Int): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
+    // lineage truncation is what makes the iteration linear: without the
+    // checkpoints, round t's plan re-derives edges/outw/nodes AND every
+    // earlier round from the source (the first bench cut measured 50
+    // shuffles for 3 rounds; checkpointed it is one dst-keyed shuffle per
+    // round over frames that are read back, not recomputed). Lazy
+    // localCheckpoint = materialized at first use, the iterative-graph
+    // production discipline.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(false)
     // node count + uniform start, kept in-frame (no driver-side collect)
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nn))
@@ -56,6 +64,7 @@ object Graph {
         .select(col("node"),
           (expr(s"$baseNum div (100 * n)") +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
+        .localCheckpoint(false)
     }
     pr
   }

@@ -624,4 +624,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(pmi.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "pmiCollocations must plan TakeOrderedAndProject")
   }
+
+  test("round-11 ops keep their scale shape: weighted sample one shuffle, overlap score scan-level") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    // weighted priority sample: partial WindowGroupLimit prunes map-side,
+    // exactly one group-keyed shuffle — the sampleGroupK discipline with a
+    // weight-biased key
+    val ws = graft.ops.Splits.sampleWeighted(docs, "source", "doc_id", "n_chars", 5)
+    val wsPlan = ws.queryExecution.executedPlan.toString
+    assert(wsPlan.contains("WindowGroupLimit"),
+      s"sampleWeighted must prune via WindowGroupLimit:\n$wsPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(wsPlan).size == 1,
+      s"sampleWeighted must shuffle the group key exactly once:\n$wsPlan")
+    // contamination overlap: the CORPUS side is pure scan-level scoring
+    // against one broadcast gram row — the only hash exchange in the whole
+    // plan belongs to the (tiny) held-out gram distinct
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val ov = graft.ops.Decontam.overlapScores(
+      docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text", held, "text", 5, 0.1)
+    val ovPlan = ov.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ovPlan).size == 1,
+      s"overlapScores must shuffle only the held-side gram distinct:\n$ovPlan")
+    assert(ovPlan.contains("BroadcastNestedLoopJoin") || ovPlan.contains("BroadcastExchange"),
+      s"overlapScores must broadcast the gram row:\n$ovPlan")
+  }
 }
