@@ -172,6 +172,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** PPJoin-style EXACT similarity join via prefix filtering (Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection") — the
+    * guaranteed-complete alternative to MinHash+LSH: finds EVERY pair with
+    * Jaccard ≥ t, no probabilistic misses. Candidates come only from pairs
+    * sharing a PREFIX token, where each set's prefix is its
+    * `sz - ceil(t·sz) + 1` rarest tokens under one global (df, token)
+    * order: J ≥ t forces |∩| ≥ ceil(t·max(sz_a, sz_b)), and the prefix
+    * lemma then guarantees a shared prefix token — so the candidate join
+    * keys on the rarest tokens by construction, which is what keeps
+    * buckets small WITHOUT a completeness-breaking cap (the structural
+    * answer to the LSH family's `capBuckets`).
+    *
+    * Shuffles: token df count, per-doc prefix rank, candidate equi-join on
+    * prefix tokens + pair distinct, sz-keyed verification joins — all
+    * token- or pair-sized. The threshold test is integer
+    * cross-multiplication (`n_inter·100 ≥ tPct·n_union`), no float
+    * boundary anywhere.
+    */
+  def ppJoin(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    // two consumers (prefix generation, verification) — pin one computation
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint(false)
+    val tok = sets.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    val prefix = tok.join(dfreq, Seq("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
+      .select(col("t"), col("id"))
+    val cand = prefix.select(col("t"), col("id").as("id_a"))
+      .join(prefix.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= lit(tPct.toLong) * col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+  }
+
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,

@@ -829,6 +829,15 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // prefix-filtering EXACT similarity join over the FULL corpus — every
+    // pair with Jaccard >= 0.5, guaranteed complete (the LSH family's
+    // deterministic sibling; candidates key on each set's rarest tokens so
+    // no bucket cap is needed). Oracle = brute force over all pairs.
+    "q_dedup_ppjoin" -> { (s, dir) =>
+      Dedup.ppJoin(Tables.documents(s, dir), "doc_id", "text", NGRAM, 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // PMI collocations: top multi-word units by pointwise mutual
     // information (position-specific marginals from the bigram table,
     // min-count guard against the rare-pair PMI explosion)
@@ -1887,6 +1896,20 @@ object PipelineQueries {
         WHERE md5(c.text) NOT IN (SELECT digest FROM hd)
           AND len(list_intersect(cg.sh, hglist.gl)) = 0
         ORDER BY c.doc_id""",
+      // brute force IS the spec: prefix filtering must lose no pair
+      "q_dedup_ppjoin" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+               (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM z a JOIN z b ON a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh)) * 100
+            >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b""",
       "q_dedup_jaccard_brute" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 150),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks)
