@@ -307,4 +307,24 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
   }
+
+  /** Scan-level phrase matcher — the STATELESS form of [[phraseSearch]]:
+    * one codegen'd higher-order-function chain per row, no postings, no
+    * joins, no state. This is the shape a streaming ingest filter wants
+    * (state zero regardless of stream length); the postings form is the
+    * shape a query-serving index wants. Returns (n_matches, first_pos)
+    * with first_pos 0-based, exactly matching the postings op.
+    */
+  def phraseMatchCols(toks: Column, phrase: Seq[String]): (Column, Column) = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val l = phrase.length
+    val starts = when(size(toks) >= l,
+      filter(sequence(lit(1), size(toks) - (l - 1)), i =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          element_at(toks, i + j) === lit(t)
+        }.reduce(_ && _)))
+      .otherwise(typedLit(Seq.empty[Int]))
+    (size(starts).cast("long"),
+      (element_at(starts, 1) - 1).cast("long"))
+  }
 }

@@ -264,6 +264,46 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     },
 
+    // Markov transition matrix over per-user event streams — the
+    // next-event-model data prep: lag/lead inside the one user_id shuffle,
+    // then (from, to)-sized counts; row-normalized probabilities are exact
+    // long/long divisions rounded for display
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .withColumn("to_event", lead(col("event_type"), 1).over(w))
+        .filter(col("to_event").isNotNull)
+        .groupBy(col("event_type").as("from_event"), col("to_event"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_event")).agg(sum(col("n")).as("n_from"))
+      tr.join(tot, Seq("from_event"))
+        .select(col("from_event"), col("to_event"), col("n"), col("n_from"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("from_event"), col("to_event"))
+    },
+
+    // least-squares trend over the daily-volume series: slope/intercept/r²
+    // from EXACT integer sums (x anchored to the series' own min day), so
+    // the regression is engine-deterministic; frames are days-sized
+    "q_trend_fit" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val anchored = daily.crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("x"), col("n").as("y"))
+      val s5 = anchored.agg(count(lit(1)).as("nd"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = col("nd").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+      val denx = col("nd").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+      val deny = col("nd").cast("double") * col("syy") - col("sy").cast("double") * col("sy")
+      s5.select(col("nd"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy").cast("double") - (num / denx) * col("sx")) / col("nd"), 6)
+          .as("intercept"),
+        round(num * num / (denx * deny), 6).as("r2"))
+    },
+
     // fixed-point PageRank over the (symmetrized, weighted) customer↔
     // supplier trade graph — node importance via 3 damped Pregel-style
     // rounds, every update in scaled-long integer arithmetic so the
@@ -437,6 +477,39 @@ object AnalyticsQueries {
                  - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       FROM daily, st ORDER BY day""",
+    "q_event_transitions" -> """
+      WITH tr AS (SELECT event_type AS from_event,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS to_event
+                  FROM events),
+      c AS (SELECT from_event, to_event, count(*) AS n FROM tr
+            WHERE to_event IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+      SELECT c.from_event, c.to_event, c.n, t.n_from,
+             round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+      FROM c JOIN tot t USING (from_event)
+      ORDER BY c.from_event, c.to_event""",
+    // identical explicit OLS formulas over the same exact integer sums
+    "q_trend_fit" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+      a AS (SELECT datediff('day', (SELECT min(day) FROM daily), day) AS x,
+              n AS y FROM daily),
+      s AS (SELECT count(*) AS nd, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM a)
+      SELECT CAST(nd AS BIGINT) AS nd,
+             round((CAST(nd AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+               / (CAST(nd AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+               - ((CAST(nd AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 / (CAST(nd AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx)
+               / nd, 6) AS intercept,
+             round((CAST(nd AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+               * (CAST(nd AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+               / ((CAST(nd AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                 * (CAST(nd AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS r2
+      FROM s""",
     // unrolled 3-iteration fixed-point PageRank: same integer updates
     // ('//' floor-div == Spark's `div` on non-negative longs)
     "q_graph_pagerank" -> {

@@ -1079,6 +1079,30 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming phrase matching — [[graft.ops.Retrieval.phraseMatchCols]]
+    * applied per micro-batch: one stateless codegen'd expression chain per
+    * row (no postings, no joins, zero state), emitting exactly the batch
+    * postings-intersection result for the replayed corpus — the
+    * ingest-time content-flag cell (ToS phrases, boilerplate markers,
+    * exact quote tracking).
+    */
+  def streamingPhraseMatch(
+      spark: SparkSession, sfDir: String, phrase: Seq[String]): DataFrame = {
+    val name = s"graft_sphrase_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val (nM, fP) = graft.ops.Retrieval.phraseMatchCols(
+      graft.ops.TextOps.tokens(col("text")), phrase)
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .withColumn("n_matches", nM).withColumn("first_pos", fP)
+      .filter(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"), col("first_pos"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming COUNT-MIN sketch — the frequency-monitoring twin of
     * [[streamingHisto]]: documents stream in, the depth × width counter
     * matrix accumulates incrementally (complete-mode agg whose state is the
