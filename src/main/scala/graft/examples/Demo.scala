@@ -276,6 +276,41 @@ object Demo {
     val senr = graft.streaming.Streams.streamingAsOfEnrich(
       spark, sfDir, "/tmp/graft_demo_stream_asof")
     println(s"streaming as-of enrichment: ${senr.count()} clicks matched")
+    // prefix-filtering exact similarity join: every pair at Jaccard >= 0.5
+    val pp = graft.ops.Dedup.ppJoin(docs, "doc_id", "text", 3, 50)
+    println(s"ppJoin exact similarity join: ${pp.count()} pairs at J >= 0.5")
+    // incremental MV maintenance: view follows a CDC batch, never rescans
+    val mvBase = graft.ops.Materialize.buildAggMv(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), Seq("n_chars"))
+    val mvCdc = graft.streaming.Streams.diffFrames(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+    val mv = graft.ops.Materialize.applyAggDelta(
+      mvBase, mvCdc, Seq("lang"), Seq("n_chars"))
+    println(s"incremental MV after CDC apply: ${mv.count()} groups")
+    // fixed-point PageRank over a tiny similarity graph
+    val prEdges = pp.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("n_inter").as("w"))
+      .union(pp.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("n_inter").as("w")))
+    val pr = graft.ops.Graph.pageRankFixedPoint(prEdges, 3, 85)
+    println(s"pagerank over the near-dup graph: ${pr.count()} ranked nodes")
+    // positional phrase search + the stateless scan-level twin
+    val ph = graft.ops.Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("value", "table"))
+    println(s"phrase search 'value table': ${ph.count()} matching docs")
+    // weighted priority sampling: 3 docs per lang, inclusion ∝ n_chars
+    val wsamp = graft.ops.Splits.sampleWeighted(docs, "lang", "doc_id", "n_chars", 3)
+    println(s"weighted sample (3 per lang): ${wsamp.count()} docs")
+    // graded contamination measurement vs a held-out slice
+    val cont = graft.ops.Decontam.overlapScores(
+      docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "text", 5, 0.1)
+    println(s"contamination scores: ${cont.filter(col("contaminated") === 1).count()} " +
+      s"docs over the 10% overlap threshold")
     spark.stop()
   }
 }
