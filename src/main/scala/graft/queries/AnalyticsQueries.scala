@@ -85,6 +85,19 @@ object AnalyticsQueries {
         .orderBy(col("s_suppkey"))
     },
 
+    // TPC-H Q4 shape (order priority checking): EXISTS-correlated semi-join
+    // with a non-equi date predicate riding the equi-key — the join moves
+    // only (orderkey, shipdate) pairs and the priority agg is 5 groups
+    "q_tpch_orderprio" -> { (s, dir) =>
+      val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, dir)
+        .join(late, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // time-RANGE rolling window: per-priority daily revenue with a trailing
     // 7-day sum/count. The window ranges over a day NUMBER (datediff from
     // epoch) so Spark's rangeBetween(-6, 0) is exactly DuckDB's
@@ -349,6 +362,13 @@ object AnalyticsQueries {
       FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
       WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s.s_suppkey""",
+    "q_tpch_orderprio" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1""",
     "q_window_rolling" -> """
       WITH daily AS (
         SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
