@@ -189,25 +189,17 @@ object AnalyticsQueries {
     // open). One shuffle on user_id; the sentinel high date marks the open
     // row — no NULLs in output.
     "q_scd2" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val marked = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("brk",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
-        .withColumn("version",
-          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val segs = marked.groupBy(col("user_id"), col("version"))
-        .agg(min(col("event_type")).as("segment"),
-          min(col("ts")).as("valid_from"), count(lit(1)).as("n_rows"))
-      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      segs
-        .withColumn("next_from", lead(col("valid_from"), 1).over(wv))
-        .select(col("user_id"), col("version"), col("segment"), col("valid_from"),
-          coalesce(col("next_from"), lit("9999-12-31 00:00:00").cast("timestamp"))
-            .as("valid_to"),
-          col("n_rows"),
-          when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
+      graft.ops.Scd2.batch(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type")
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // the STREAMING twin: the history maintained batch-by-batch over a
+    // time-chunked replay — state is one open row per user, closed rows are
+    // append-only and never rewritten; lands exactly on the batch build
+    // (shared oracle; the fold law in LawsSpec covers arbitrary chunkings)
+    "q_stream_scd2" -> { (s, dir) =>
+      Streams.streamingScd2(s, dir, nChunks = 4)
         .orderBy(col("user_id"), col("version"))
     },
 
@@ -429,6 +421,28 @@ object AnalyticsQueries {
              CAST(sum(cents) AS BIGINT) AS cents
       FROM v2 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_scd2" -> """
+      WITH l AS (SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+                 FROM events),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                           THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS version FROM f),
+      segs AS (SELECT user_id, version, min(event_type) AS segment,
+                 min(ts) AS valid_from, count(*) AS n_rows
+               FROM g GROUP BY 1, 2),
+      closed AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                     ORDER BY version) AS next_from FROM segs)
+      SELECT user_id, version, segment, valid_from,
+             coalesce(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             n_rows,
+             CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM closed ORDER BY user_id, version""",
+    // the streaming fold equals the batch build, so the oracle is shared
+    "q_stream_scd2" -> """
       WITH l AS (SELECT user_id, ts, event_id, event_type,
                    lag(event_type) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS prev

@@ -1079,6 +1079,69 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming SCD Type-2 maintenance — the dimension-history table kept
+    * current across micro-batches ([[graft.ops.Scd2.foldBatch]] per batch;
+    * state = ONE open row per key, closed history append-only). The replay
+    * is staged as `nChunks` contiguous event-time files with ascending
+    * mtimes, so the file source delivers true multi-batch, time-ordered
+    * feeds — the condition the fold's exactness contract needs (and which
+    * any event-time-partitioned CDC feed satisfies in production). Equals
+    * the batch [[graft.ops.Scd2.batch]] build exactly (shared oracle;
+    * LawsSpec pins the equality under random chunkings).
+    *
+    * The global ntile used to cut the staging chunks is harness-only (it
+    * fabricates a time-ordered feed from a batch fixture) — production
+    * feeds arrive already time-partitioned.
+    */
+  def streamingScd2(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    import graft.ops.Scd2
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_scd2_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.createDirectories(stage)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val chunked = ev.withColumn("__c", ntile(nChunks).over(w)).localCheckpoint()
+    (1 to nChunks).foreach { i =>
+      val tmp = stage.resolve(s"w$i")
+      chunked.filter(col("__c") === i).drop("__c")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for chunk $i"))
+      }
+      val dst = stage.resolve(f"chunk_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * i))
+      // the leftover w$i dirs hold only _SUCCESS/.crc markers, which the
+      // file source ignores (hidden/underscore-prefixed)
+    }
+    val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
+    val empty = ev.limit(0)
+    var open = Scd2.islands(empty, "user_id", "ts", "event_id", "event_type")
+      .withColumnRenamed("bver", "version")
+    var closed = open.withColumn("valid_to", lit(null).cast("timestamp"))
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        if (!b.isEmpty) {
+          val (cd, no) = Scd2.foldBatch(open, b.toDF, "user_id", "ts",
+            "event_id", "event_type")
+          closed = closed.unionByName(cd).localCheckpoint()
+          open = no.localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    Scd2.finish(closed, open, "user_id")
+  }
+
   /** Streaming phrase matching — [[graft.ops.Retrieval.phraseMatchCols]]
     * applied per micro-batch: one stateless codegen'd expression chain per
     * row (no postings, no joins, zero state), emitting exactly the batch

@@ -497,6 +497,51 @@ object LawsSpec extends Properties("graft") {
       got == expected.toLong
     }
 
+  // the streaming SCD2 fold must land exactly on the batch build for ANY
+  // time-ordered chunking — open-row stitching across batch boundaries
+  // (merge-same-segment, close-different, carry-untouched) is where the
+  // bugs live, so the chunk cuts are random ranks over the global
+  // (ts, ord) order, including empty chunks
+  property("streaming SCD2 fold equals the batch build under any time-ordered chunking") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 6)) { (seed, nChunks) =>
+      import graft.ops.Scd2
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(5).toLong, 1700000000L + rnd.nextInt(1000), i.toLong,
+          s"s${rnd.nextInt(3)}")
+      }
+      val ev = rows.toDF("user_id", "sec", "event_id", "event_type")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("user_id", "version", "segment", "valid_from", "valid_to",
+            "n_rows", "is_current")
+          .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+          .collect().toSet
+      val expected = canon(Scd2.batch(ev, "user_id", "ts", "event_id", "event_type"))
+      // chunk by rank over the global (ts, event_id) order
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val ranked = ev.withColumn("__r", row_number().over(w)).localCheckpoint(true)
+      val cuts = (Seq(0, n) ++ Seq.fill(nChunks - 1)(rnd.nextInt(n + 1))).sorted
+      val empty = ev.limit(0)
+      var open = Scd2.islands(empty, "user_id", "ts", "event_id", "event_type")
+        .withColumnRenamed("bver", "version")
+      var closed = open.withColumn("valid_to", lit(null).cast("timestamp"))
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        val b = ranked.filter(col("__r") > lo && col("__r") <= hi).drop("__r")
+        if (b.head(1).nonEmpty) {
+          val (cd, no) = Scd2.foldBatch(open, b, "user_id", "ts", "event_id", "event_type")
+          closed = closed.unionByName(cd).localCheckpoint(true)
+          open = no.localCheckpoint(true)
+        }
+      }
+      val got = canon(Scd2.finish(closed, open, "user_id"))
+      val r = got == expected
+      if (!r) println(s"seed=$seed cuts=$cuts missing=${(expected -- got).size} " +
+        s"extra=${(got -- expected).size}")
+      r
+    }
+
   // prefix filtering's whole claim is COMPLETENESS: every pair at or above
   // the threshold must survive the candidate pruning, for any corpus,
   // shingle width and threshold — compare against the brute-force
