@@ -290,11 +290,23 @@ object Retrieval {
     */
   def phraseSearch(
       docs: DataFrame, idCol: String, textCol: String,
-      phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one token")
-    val post = docs.select(col(idCol).as("doc_id"),
+      phrase: Seq[String]): DataFrame =
+    phraseSearchStored(buildPostings(docs, idCol, textCol), phrase)
+
+  /** The positional postings relation (tok, doc_id, pos) — the persistable
+    * index artifact behind [[phraseSearch]]: build once (one corpus scan +
+    * generate), commit it versioned
+    * ([[graft.streaming.Streams.commitSnapshot]]) and serve every phrase
+    * query from the stored table without touching the corpus again.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Phrase search against a (stored) postings table. */
+  def phraseSearchStored(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
     val anchors = post.filter(col("tok") === phrase.head)
       .select(col("doc_id"), col("pos"))
     phrase.zipWithIndex.drop(1)

@@ -829,6 +829,19 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // the SERVING path: postings committed as a versioned snapshot, the
+    // phrase query answered entirely from the stored index — the corpus is
+    // never re-scanned (the bm25-stored / ann-index discipline)
+    "q_search_phrase_stored" -> { (s, dir) =>
+      val out = s"/tmp/graft_postings_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.streaming.Streams.commitSnapshot(
+        Retrieval.buildPostings(Tables.documents(s, dir), "doc_id", "text"),
+        out, 1, retain = 3)
+      Retrieval.phraseSearchStored(
+        graft.streaming.Streams.readSnapshot(s, out), Seq("value", "table", "part"))
+        .orderBy(col("doc_id"))
+    },
+
     // the STREAMING phrase cell: stateless scan-level matcher on the doc
     // stream, emitting exactly the postings op's rows (shared oracle)
     "q_stream_phrase" -> { (s, dir) =>
@@ -1904,6 +1917,21 @@ object PipelineQueries {
         WHERE md5(c.text) NOT IN (SELECT digest FROM hd)
           AND len(list_intersect(cg.sh, hglist.gl)) = 0
         ORDER BY c.doc_id""",
+      // the stored index changes WHERE the postings come from, not what
+      // they are — q_search_phrase's oracle verbatim
+      "q_search_phrase_stored" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        post AS (SELECT doc_id, unnest(range(1, len(toks)+1)) - 1 AS pos,
+                   unnest(toks) AS tok FROM t),
+        m AS (SELECT p0.doc_id, p0.pos FROM post p0
+              JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                AND p1.tok = 'table'
+              JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+                AND p2.tok = 'part'
+              WHERE p0.tok = 'value')
+        SELECT doc_id, count(*) AS n_matches,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM m GROUP BY 1 ORDER BY doc_id""",
       // identical to q_search_phrase's oracle: the stateless scan-level
       // matcher and the postings intersection define the same relation
       "q_stream_phrase" -> s"""

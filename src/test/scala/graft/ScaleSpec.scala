@@ -625,6 +625,30 @@ class ScaleSpec extends AnyFunSuite {
       "pmiCollocations must plan TakeOrderedAndProject")
   }
 
+  test("dynamic partition pruning fires on the partitioned star join") {
+    // the 100 TB fact-table pattern: facts laid out by a partition column,
+    // dim-side filters reaching the fact SCAN at runtime through DPP — the
+    // partitioned layout only pays off if Spark actually prunes
+    val dir = "/tmp/graft_dpp_test"
+    (0L until 2000L).map(i => (i, s"g${i % 8}", i % 13))
+      .toDF("id", "grp", "v")
+      .write.mode("overwrite").partitionBy("grp").parquet(dir)
+    val facts = spark.read.parquet(dir)
+    // the dim must be a real source with a surviving Filter node — a local
+    // relation constant-folds the predicate away and DPP's selective-
+    // predicate heuristic never sees it
+    val dimDir = "/tmp/graft_dpp_dim"
+    Seq(("g3", "keep"), ("g5", "keep"), ("g6", "drop"), ("g7", "drop"))
+      .toDF("grp", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val joined = facts.join(dim, Seq("grp")).agg(sum($"v").as("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    assert(joined.as[Long].head() ==
+      (0L until 2000L).filter(i => i % 8 == 3 || i % 8 == 5).map(_ % 13).sum)
+  }
+
   test("round-11 ops keep their scale shape: weighted sample one shuffle, overlap score scan-level") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
