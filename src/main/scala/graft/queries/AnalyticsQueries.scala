@@ -287,6 +287,17 @@ object AnalyticsQueries {
         .orderBy(col("from_event"), col("to_event"))
     },
 
+    // the STREAMING twin: last-event-per-user state + additive pair counts
+    // across a time-chunked replay — equals the batch matrix (shared oracle)
+    "q_stream_transitions" -> { (s, dir) =>
+      val counts = Streams.streamingTransitions(s, dir, nChunks = 4)
+      val tot = counts.groupBy(col("from_event")).agg(sum(col("n")).as("n_from"))
+      counts.join(tot, Seq("from_event"))
+        .select(col("from_event"), col("to_event"), col("n"), col("n_from"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("from_event"), col("to_event"))
+    },
+
     // least-squares trend over the daily-volume series: slope/intercept/r²
     // from EXACT integer sums (x anchored to the series' own min day), so
     // the regression is engine-deterministic; frames are days-sized
@@ -512,6 +523,20 @@ object AnalyticsQueries {
                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       FROM daily, st ORDER BY day""",
     "q_event_transitions" -> """
+      WITH tr AS (SELECT event_type AS from_event,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS to_event
+                  FROM events),
+      c AS (SELECT from_event, to_event, count(*) AS n FROM tr
+            WHERE to_event IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+      SELECT c.from_event, c.to_event, c.n, t.n_from,
+             round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+      FROM c JOIN tot t USING (from_event)
+      ORDER BY c.from_event, c.to_event""",
+    // additive fold == batch matrix, so the oracle is shared
+    "q_stream_transitions" -> """
       WITH tr AS (SELECT event_type AS from_event,
                     lead(event_type) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id) AS to_event

@@ -1093,15 +1093,19 @@ object Streams {
     * fabricates a time-ordered feed from a batch fixture) — production
     * feeds arrive already time-partitioned.
     */
-  def streamingScd2(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
-    import graft.ops.Scd2
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+  /** Stage a batch frame as `nChunks` contiguous event-time files with
+    * ascending mtimes — fabricates a true multi-batch, TIME-ORDERED file
+    * feed from a fixture (harness-only; production feeds arrive already
+    * time-partitioned). Returns the stage directory.
+    */
+  private def stageTimeChunks(
+      df: DataFrame, prefix: String, tsCol: String, ordCol: String,
+      nChunks: Int): java.nio.file.Path = {
     val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_scd2_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"/tmp/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.createDirectories(stage)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val chunked = ev.withColumn("__c", ntile(nChunks).over(w)).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol), col(ordCol))
+    val chunked = df.withColumn("__c", ntile(nChunks).over(w)).localCheckpoint()
     (1 to nChunks).foreach { i =>
       val tmp = stage.resolve(s"w$i")
       chunked.filter(col("__c") === i).drop("__c")
@@ -1119,6 +1123,14 @@ object Streams {
       // the leftover w$i dirs hold only _SUCCESS/.crc markers, which the
       // file source ignores (hidden/underscore-prefixed)
     }
+    stage
+  }
+
+  def streamingScd2(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    import graft.ops.Scd2
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stage = stageTimeChunks(ev, "graft_stream_scd2", "ts", "event_id", nChunks)
     val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
     val empty = ev.limit(0)
     var open = Scd2.islands(empty, "user_id", "ts", "event_id", "event_type")
@@ -1140,6 +1152,40 @@ object Streams {
     q.processAllAvailable()
     q.stop()
     Scd2.finish(closed, open, "user_id")
+  }
+
+  /** Streaming transition-matrix maintenance —
+    * [[graft.ops.Transitions.foldBatch]] over a time-chunked replay: state
+    * is the last event per user, counts are long-additive across batches,
+    * so the drained matrix equals the batch build exactly (shared oracle
+    * with q_event_transitions; LawsSpec pins arbitrary chunkings).
+    */
+  def streamingTransitions(
+      spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    import graft.ops.Transitions
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stage = stageTimeChunks(ev, "graft_stream_trans", "ts", "event_id", nChunks)
+    val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
+    val empty = ev.limit(0)
+    var state = empty.select(col("user_id"), col("event_type").as("attr"))
+    var deltas = Transitions.batchCounts(empty, "user_id", "ts", "event_id", "event_type")
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        if (!b.isEmpty) {
+          val (d, ns) = Transitions.foldBatch(state, b.toDF, "user_id", "ts",
+            "event_id", "event_type")
+          deltas = deltas.unionByName(d).localCheckpoint()
+          state = ns.localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    Transitions.finish(deltas)
   }
 
   /** Streaming phrase matching — [[graft.ops.Retrieval.phraseMatchCols]]

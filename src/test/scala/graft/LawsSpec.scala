@@ -542,6 +542,47 @@ object LawsSpec extends Properties("graft") {
       r
     }
 
+  // transition counts are additive over a time-ordered chunking ONLY if the
+  // boundary pairs (state's last event → batch's first) are stitched in —
+  // random cuts over the global (ts, ord) order, empty chunks allowed
+  property("streaming transition fold equals the batch matrix under any chunking") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 6)) { (seed, nChunks) =>
+      import graft.ops.Transitions
+      val rnd = new scala.util.Random(seed)
+      val n = 50
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(4).toLong, 1700000000L + rnd.nextInt(500), i.toLong,
+          s"s${rnd.nextInt(3)}")
+      }
+      val ev = rows.toDF("user_id", "sec", "event_id", "event_type")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("from_event", "to_event", "n")
+          .as[(String, String, Long)].collect().toSet
+      val expected = canon(
+        Transitions.batchCounts(ev, "user_id", "ts", "event_id", "event_type"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val ranked = ev.withColumn("__r", row_number().over(w)).localCheckpoint(true)
+      val cuts = (Seq(0, n) ++ Seq.fill(nChunks - 1)(rnd.nextInt(n + 1))).sorted
+      val empty = ev.limit(0)
+      var state = empty.select(col("user_id"), col("event_type").as("attr"))
+      var deltas = Transitions.batchCounts(empty, "user_id", "ts", "event_id", "event_type")
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        val b = ranked.filter(col("__r") > lo && col("__r") <= hi).drop("__r")
+        if (b.head(1).nonEmpty) {
+          val (d, ns) = Transitions.foldBatch(state, b, "user_id", "ts",
+            "event_id", "event_type")
+          deltas = deltas.unionByName(d).localCheckpoint(true)
+          state = ns.localCheckpoint(true)
+        }
+      }
+      val got = canon(Transitions.finish(deltas))
+      val r = got == expected
+      if (!r) println(s"seed=$seed cuts=$cuts missing=${(expected -- got).toSeq} " +
+        s"extra=${(got -- expected).toSeq}")
+      r
+    }
+
   // prefix filtering's whole claim is COMPLETENESS: every pair at or above
   // the threshold must survive the candidate pruning, for any corpus,
   // shingle width and threshold — compare against the brute-force
