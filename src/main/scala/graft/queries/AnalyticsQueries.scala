@@ -269,6 +269,32 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     },
 
+    // RFM segmentation — the classic customer-scoring matrix: per-user
+    // recency (days since last purchase, anchored to the series' own max
+    // day), frequency, monetary (exact cents), each quartiled by ntile
+    // over a total order; frames are user-sized after the first aggregate
+    "q_rfm_segments" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val peruser = ev.groupBy(col("user_id")).agg(
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      val anchored = peruser
+        .crossJoin(broadcast(peruser.agg(max(col("last_day")).as("d1"))))
+        .withColumn("recency_days", datediff(col("d1"), col("last_day")).cast("long"))
+      val byR = Window.orderBy(col("recency_days"), col("user_id"))
+      val byF = Window.orderBy(col("frequency").desc, col("user_id"))
+      val byM = Window.orderBy(col("cents").desc, col("user_id"))
+      anchored
+        .withColumn("r_quartile", ntile(4).over(byR).cast("long"))
+        .withColumn("f_quartile", ntile(4).over(byF).cast("long"))
+        .withColumn("m_quartile", ntile(4).over(byM).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"), col("cents"),
+          col("r_quartile"), col("f_quartile"), col("m_quartile"),
+          concat(col("r_quartile"), col("f_quartile"), col("m_quartile")).as("segment"))
+        .orderBy(col("user_id"))
+    },
+
     // Markov transition matrix over per-user event streams — the
     // next-event-model data prep: lag/lead inside the one user_id shuffle,
     // then (from, to)-sized counts; row-normalized probabilities are exact
@@ -522,6 +548,25 @@ object AnalyticsQueries {
                  - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       FROM daily, st ORDER BY day""",
+    "q_rfm_segments" -> """
+      WITH p AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+                   count(*) AS frequency,
+                   CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      a AS (SELECT *, CAST(datediff('day', last_day,
+              (SELECT max(last_day) FROM p)) AS BIGINT) AS recency_days FROM p),
+      q AS (SELECT *,
+              CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+                AS r_quartile,
+              CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+                AS f_quartile,
+              CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+                AS m_quartile
+            FROM a)
+      SELECT user_id, recency_days, frequency, cents,
+             r_quartile, f_quartile, m_quartile,
+             r_quartile || f_quartile || m_quartile AS segment
+      FROM q ORDER BY user_id""",
     "q_event_transitions" -> """
       WITH tr AS (SELECT event_type AS from_event,
                     lead(event_type) OVER (PARTITION BY user_id
