@@ -829,6 +829,28 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ENSEMBLE quality filter — the production keep/drop decision is never
+    // one signal: hashed-feature classifier margin + heuristic quality
+    // score + length gate, majority vote of three scan-level signals (the
+    // two expression chains join doc-sized frames once). Vote thresholds
+    // compare round6/identical-formula values, engine-safe.
+    "q_filter_ensemble" -> { (s, dir) =>
+      val cls = TextOps.withClassifierScore(
+        Tables.documentsParallel(s, dir), "doc_id", "text", CLS_BUCKETS, CLS_SEED)
+        .select(col("doc_id"), col("margin"))
+      val qual = TextOps.withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      cls.join(qual, Seq("doc_id"))
+        .withColumn("votes",
+          when(col("margin") >= 0, 1L).otherwise(0L) +
+            when(col("quality_score") >= 0.55, 1L).otherwise(0L) +
+            when(col("n_tokens") >= 30, 1L).otherwise(0L))
+        .withColumn("keep", when(col("votes") >= 2, 1L).otherwise(0L))
+        .select(col("doc_id"), col("margin"), col("quality_score"),
+          col("n_tokens"), col("votes"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // the SERVING path: postings committed as a versioned snapshot, the
     // phrase query answered entirely from the stored index — the corpus is
     // never re-scanned (the bm25-stored / ann-index discipline)
@@ -1917,6 +1939,41 @@ object PipelineQueries {
         WHERE md5(c.text) NOT IN (SELECT digest FROM hd)
           AND len(list_intersect(cg.sh, hglist.gl)) = 0
         ORDER BY c.doc_id""",
+      // classifier margin + quality score + length gate, identical
+      // constructions to their standalone oracles
+      "q_filter_ensemble" -> s"""
+        WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        f AS (SELECT doc_id, list_concat(toks,
+                list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS feats
+              FROM t),
+        sc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+                 CAST(list_sum(list_transform(feats, x ->
+                   ${hash32Sql(s"'${CLS_SEED}_' || (${hash32Sql("x")} % $CLS_BUCKETS)")}
+                     % 2001 - 1000)) AS BIGINT) AS wsum
+               FROM f),
+        cls AS (SELECT doc_id,
+                  round(CAST(wsum AS DOUBLE) / (1000.0 * greatest(n_feats, 1)), 6)
+                    AS margin FROM sc),
+        c AS (SELECT doc_id,
+                len(toks)::BIGINT AS n_tokens,
+                len(list_distinct(toks))::BIGINT AS n_unique,
+                len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','for','on','with')))::BIGINT AS n_stop
+              FROM t),
+        q AS (SELECT doc_id, n_tokens,
+                0.4 * (n_unique::DOUBLE / greatest(n_tokens,1))
+                  + 0.3 * (n_stop::DOUBLE / greatest(n_tokens,1))
+                  + 0.3 * least(n_tokens::DOUBLE / 100.0, 1.0) AS quality_score
+              FROM c),
+        v AS (SELECT cls.doc_id, cls.margin, q.quality_score, q.n_tokens,
+                CAST((CASE WHEN cls.margin >= 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q.quality_score >= 0.55 THEN 1 ELSE 0 END)
+                  + (CASE WHEN q.n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS votes
+              FROM cls JOIN q USING (doc_id))
+        SELECT doc_id, margin, quality_score, n_tokens, votes,
+               CAST(CASE WHEN votes >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM v ORDER BY doc_id""",
       // the stored index changes WHERE the postings come from, not what
       // they are — q_search_phrase's oracle verbatim
       "q_search_phrase_stored" -> s"""
