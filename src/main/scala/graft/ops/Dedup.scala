@@ -222,6 +222,52 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
+  /** Incremental [[ppJoin]] — exact near-dup ADMISSION against a stored
+    * corpus: every (corpus, batch) pair with Jaccard ≥ t, none within
+    * either side (the nightly-crawl question is "which new docs duplicate
+    * what we already have"). The global token order comes from the CORPUS
+    * document frequencies (tokens unseen in the corpus count df = 0, i.e.
+    * rarest); the prefix lemma holds under ANY fixed total order applied
+    * to both sides, so completeness survives the batch's novel vocabulary
+    * — which is what lets a deployment precompute the corpus prefix table
+    * once and stream batches against it.
+    */
+  def ppJoinIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    def mkSets(df: DataFrame) = shingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint(false)
+    val cs = mkSets(corpus)
+    val bs = mkSets(batch)
+    val dfreq = cs.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    def prefix(sets: DataFrame) = {
+      val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+      sets.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+        .join(dfreq, Seq("t"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
+        .select(col("t"), col("id"))
+    }
+    val cand = prefix(cs).withColumnRenamed("id", "id_a")
+      .join(prefix(bs).withColumnRenamed("id", "id_b"), Seq("t"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(cs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(bs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= lit(tPct.toLong) * col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+  }
+
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,

@@ -881,6 +881,16 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // incremental exact near-dup ADMISSION: new docs (id >= 400) checked
+    // against the stored corpus (< 400) — prefix order from corpus dfs,
+    // batch's novel tokens rank rarest; complete by the prefix lemma
+    "q_dedup_ppjoin_inc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.ppJoinIncremental(docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", NGRAM, 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // PMI collocations: top multi-word units by pointwise mutual
     // information (position-specific marginals from the bigram table,
     // min-count guard against the rare-pair PMI explosion)
@@ -2004,6 +2014,19 @@ object PipelineQueries {
         SELECT doc_id, count(*) AS n_matches,
                CAST(min(pos) AS BIGINT) AS first_pos
         FROM m GROUP BY 1 ORDER BY doc_id""",
+      "q_dedup_ppjoin_inc" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+               (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM z a JOIN z b ON a.doc_id < 400 AND b.doc_id >= 400
+          AND len(list_intersect(a.sh, b.sh)) * 100
+            >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b""",
       // brute force IS the spec: prefix filtering must lose no pair
       "q_dedup_ppjoin" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -497,6 +497,34 @@ object LawsSpec extends Properties("graft") {
       got == expected.toLong
     }
 
+  // the incremental variant orders tokens by CORPUS dfs only (batch-novel
+  // tokens rank rarest) — completeness must survive that order choice
+  property("ppJoinIncremental equals brute-force cross jaccard join") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 3), Gen.choose(20, 90)) {
+      (seed, shingleN, tPct) =>
+        import graft.ops.Dedup
+        val rnd = new scala.util.Random(seed)
+        val vocab = Vector("a", "b", "c", "d", "e", "f", "zz", "qq")
+        def doc() = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val docs = (0 until 24).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 14)
+        val batch = docs.filter(col("doc_id") >= 14)
+        val got = Dedup.ppJoinIncremental(corpus, batch, "doc_id", "text", shingleN, tPct)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          Dedup.shingleSets(df, "doc_id", "text", shingleN).filter(size(col("sh")) > 0)
+        val brute = sets(corpus).select(col("id").as("id_a"), col("sh").as("sh_a"),
+            size(col("sh")).cast("long").as("sz_a"))
+          .crossJoin(sets(batch).select(col("id").as("id_b"), col("sh").as("sh_b"),
+            size(col("sh")).cast("long").as("sz_b")))
+          .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .filter(col("ni") * 100 >= lit(tPct.toLong) * (col("sz_a") + col("sz_b") - col("ni")))
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val r = got == brute
+        if (!r) println(s"seed=$seed n=$shingleN t=$tPct missing=${(brute -- got).toSeq.sorted}")
+        r
+    }
+
   // the streaming SCD2 fold must land exactly on the batch build for ANY
   // time-ordered chunking — open-row stitching across batch boundaries
   // (merge-same-segment, close-different, carry-untouched) is where the
