@@ -22,6 +22,9 @@ object Verify {
     // compare (round 10 lost nine queries that way) — _errors.json names
     // every failed query in the round artifact where a human will look
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // a STALE errors file from an earlier failing run must not outlive the
+    // run that fixed it (nor may its absence hide this run's failures)
+    Files.deleteIfExists(Paths.get(s"$outDir/_errors.json"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -467,18 +467,21 @@ object TextOps {
     */
   def withClassifierScore(
       df: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int, seed: String): DataFrame = {
+      nBuckets: Int, seed: String, narrow: Boolean = true): DataFrame = {
     val feats = clsFeatures(col(textCol))
     val wsum = aggregate(
       transform(feats, f =>
         pmod(hash32(concat(lit(s"${seed}_"), pmod(hash32(f), lit(nBuckets.toLong)))),
           lit(2001L)) - lit(1000L)),
       lit(0L), (acc, w) => acc + w)
-    df.withColumn("n_feats", size(feats).cast("long"))
+    val scored = df.withColumn("n_feats", size(feats).cast("long"))
       .withColumn("margin", round(
         wsum.cast("double") / (lit(1000.0) * greatest(col("n_feats"), lit(1L))), 6))
       .withColumn("label", when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
-      .select(col(idCol), col("n_feats"), col("margin"), col("label"))
+    // narrow = the standalone-gate shape; narrow=false keeps the input
+    // columns so further scan-level signal chains compose on ONE scan
+    if (narrow) scored.select(col(idCol), col("n_feats"), col("margin"), col("label"))
+    else scored
   }
 
   /** Hashed uni+bigram feature array — the shared feature extractor of

@@ -835,12 +835,14 @@ object PipelineQueries {
     // two expression chains join doc-sized frames once). Vote thresholds
     // compare round6/identical-formula values, engine-safe.
     "q_filter_ensemble" -> { (s, dir) =>
-      val cls = TextOps.withClassifierScore(
-        Tables.documentsParallel(s, dir), "doc_id", "text", CLS_BUCKETS, CLS_SEED)
-        .select(col("doc_id"), col("margin"))
-      val qual = TextOps.withQuality(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      cls.join(qual, Seq("doc_id"))
+      // both signal chains are scan-level expressions, so they CHAIN on one
+      // corpus scan — no join, no second read (at 100 TB a per-signal scan
+      // would double the dominant cost)
+      TextOps.withQuality(
+        TextOps.withClassifierScore(
+          Tables.documentsParallel(s, dir), "doc_id", "text", CLS_BUCKETS, CLS_SEED,
+          narrow = false),
+        "text")
         .withColumn("votes",
           when(col("margin") >= 0, 1L).otherwise(0L) +
             when(col("quality_score") >= 0.55, 1L).otherwise(0L) +

@@ -672,5 +672,13 @@ class ScaleSpec extends AnyFunSuite {
       s"overlapScores must shuffle only the held-side gram distinct:\n$ovPlan")
     assert(ovPlan.contains("BroadcastNestedLoopJoin") || ovPlan.contains("BroadcastExchange"),
       s"overlapScores must broadcast the gram row:\n$ovPlan")
+    // ensemble filter: two signal chains, ONE corpus scan, no join
+    val ens = graft.queries.PipelineQueries.queries("q_filter_ensemble")(
+      spark, dir)
+    val ensPlan = ens.queryExecution.executedPlan.toString
+    assert("documents.parquet".r.findAllIn(ensPlan).size == 1,
+      s"ensemble filter must scan the corpus once:\n$ensPlan")
+    assert(!ensPlan.contains("Join"),
+      s"ensemble filter must chain signals, not join them:\n$ensPlan")
   }
 }

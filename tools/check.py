@@ -40,6 +40,20 @@ queries = sorted(d.name for d in OUT.iterdir() if d.is_dir())
 if ONLY:
     queries = [q for q in queries if q in ONLY]
 
+# Verify isolates per-query failures into _errors.json (rc stays 0) and the
+# output dir is REUSED across runs, so a stale parquet dir from an earlier
+# run can mask a now-broken query. Treat any recorded error as a hard fail
+# for the affected queries.
+errs_file = OUT / "_errors.json"
+if errs_file.exists():
+    errs = json.loads(errs_file.read_text())
+    bad = [q for q in errs if (not ONLY) or q in ONLY]
+    if bad:
+        for q in bad:
+            print(f"{q:28s} VERIFY ERROR: {errs[q][:200]}")
+        print(f"{len(bad)} queries failed inside Verify (see {errs_file})")
+        sys.exit(1)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
