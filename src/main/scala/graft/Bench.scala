@@ -146,7 +146,9 @@ object Bench {
       "q_tpch_shipping" -> sink("q_tpch_shipping"),
       "q_graph_pagerank" -> sink("q_graph_pagerank"),
       "q_mv_incremental" -> sink("q_mv_incremental"),
-      "q_search_phrase" -> sink("q_search_phrase"))
+      "q_search_phrase" -> sink("q_search_phrase"),
+      "q_dedup_ppjoin" -> sink("q_dedup_ppjoin"),
+      "q_filter_ensemble" -> sink("q_filter_ensemble"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
