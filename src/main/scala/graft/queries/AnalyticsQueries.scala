@@ -248,6 +248,44 @@ object AnalyticsQueries {
         .orderBy(col("p"))
     },
 
+    // streaming twin of q_sketch_quantile, over event cents: the bucket
+    // layout is FROZEN batch-side (the stored-artifact shape), the stream
+    // maintains the ≤64-key count table, percentiles answered from the
+    // drained histogram within one bucket width of the exact rank value
+    "q_stream_quantile" -> { (s, dir) =>
+      val b = 64
+      val cents = Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("c"), col("event_id"))
+      val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+          count(lit(1)).as("cnt"))
+        .withColumn("width",
+          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
+        .localCheckpoint()
+      val hist = Streams.streamingQuantileHisto(s, dir, bounds)
+      val cum = hist.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = bounds.select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
+          col("lo"), col("width"), col("cnt"))
+        .withColumn("rank_target", ceil(col("p") * col("cnt")).cast("long"))
+      val est = ps.join(cum, col("cum") >= col("rank_target"))
+        .groupBy(col("p"), col("rank_target"), col("lo"), col("width"))
+        .agg(min(col("bucket")).as("bucket"))
+        .withColumn("est_cents",
+          col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
+      val ranked = cents.withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("event_id"))))
+      est.join(ranked, col("rn") === col("rank_target"))
+        .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
+          col("c").as("exact_cents"),
+          abs(col("est_cents") - col("c")).as("abs_err"),
+          col("width").as("bucket_width"),
+          when(abs(col("est_cents") - col("c")) <= col("width"), 1L)
+            .otherwise(0L).as("within_bound"))
+        .orderBy(col("p"))
+    },
+
     // streaming twin of q_anomaly_days: the live daily-count table is
     // maintained incrementally on the stream (days-sized complete-mode
     // state), the mean/σ model is FROZEN from the batch corpus, scoring is
@@ -520,6 +558,37 @@ object AnalyticsQueries {
               GROUP BY 1, 2, 3, 4),
       ranked AS (SELECT c, row_number() OVER (ORDER BY c, l_orderkey,
                    l_linenumber) AS rn FROM c)
+      SELECT e.p, e.rank_target, e.bucket,
+             e.lo + e.bucket * e.width + (e.width - 1) // 2 AS est_cents,
+             r.c AS exact_cents,
+             abs(e.lo + e.bucket * e.width + (e.width - 1) // 2 - r.c) AS abs_err,
+             e.width AS bucket_width,
+             CAST(CASE WHEN abs(e.lo + e.bucket * e.width
+                 + (e.width - 1) // 2 - r.c) <= e.width
+               THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+      FROM est e JOIN ranked r ON r.rn = e.rank_target
+      ORDER BY e.p""",
+    // the q_sketch_quantile construction over event cents (no sharding:
+    // the stream IS the merge)
+    "q_stream_quantile" -> """
+      WITH c AS (SELECT round(value*100)::BIGINT AS c, event_id FROM events),
+      b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS cnt FROM c),
+      w AS (SELECT *, CAST(ceil(CAST(hi - lo + 1 AS DOUBLE) / 64) AS BIGINT)
+              AS width FROM b),
+      h AS (SELECT (c.c - w.lo) // w.width AS bucket, count(*) AS n
+            FROM c, w GROUP BY 1),
+      cum AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+      ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p,
+               lo, width, cnt FROM w),
+      tgt AS (SELECT p, CAST(ceil(p * cnt) AS BIGINT) AS rank_target,
+                lo, width FROM ps),
+      est AS (SELECT t.p, t.rank_target, t.lo, t.width,
+                min(cu.bucket) AS bucket
+              FROM tgt t JOIN cum cu ON cu.cum >= t.rank_target
+              GROUP BY 1, 2, 3, 4),
+      ranked AS (SELECT c, row_number() OVER (ORDER BY c, event_id) AS rn
+                 FROM c)
       SELECT e.p, e.rank_target, e.bucket,
              e.lo + e.bucket * e.width + (e.width - 1) // 2 AS est_cents,
              r.c AS exact_cents,

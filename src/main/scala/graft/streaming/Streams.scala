@@ -140,6 +140,28 @@ object Streams {
         col("value").cast("double"), nbins, lo, hi).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
 
+  /** Streaming equi-width histogram over event cents with a FROZEN bucket
+    * layout (lo/width from the batch bounds artifact, broadcast onto the
+    * stream) — the quantile-sketch maintenance cell: bucket counts are
+    * long-additive complete-mode state (≤ nBuckets keys, independent of
+    * stream length), and any percentile is answered from the drained
+    * table within one bucket width. Twin of the batch q_sketch_quantile.
+    */
+  def streamingQuantileHisto(
+      spark: SparkSession, sfDir: String, bounds: DataFrame): DataFrame = {
+    val name = s"graft_squant_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .join(bounds) // 1-row static side: broadcast stream-static cross join
+      .select(expr("(c - lo) div width").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming per-day event counts — the live side of the volume-anomaly
     * monitor (q_stream_anomaly): the only state is the days-sized count
     * table (complete-mode agg), independent of stream length; the frozen
