@@ -468,6 +468,21 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // the STREAMING distinct-count twin: one HLL sketch per source as
+    // bounded complete-mode state; same exact-count + envelope contract,
+    // so the oracle is q_sketch_hll's verbatim
+    "q_stream_hll" -> { (s, dir) =>
+      val est = graft.streaming.Streams.streamingHllDistinct(s, dir)
+      val exact = Tables.documents(s, dir).groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          when(abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.02, lit(2.0)), 1L).otherwise(0L)
+            .as("within_2pct"))
+        .orderBy(col("source"))
+    },
+
     // the STREAMING sketch: counters accumulate over the document stream
     // (state = the depth x width matrix, vocabulary-independent — an exact
     // streaming vocabulary count's state grows unboundedly); long-sum
@@ -1509,6 +1524,10 @@ object PipelineQueries {
       // the oracle recomputes the exact distinct and asserts the envelope
       // flag — the estimate itself is engine-specific (Datasketches)
       "q_sketch_hll" -> """
+        SELECT source, count(DISTINCT text) AS n_exact,
+               CAST(1 AS BIGINT) AS within_2pct
+        FROM documents GROUP BY source ORDER BY source""",
+      "q_stream_hll" -> """
         SELECT source, count(DISTINCT text) AS n_exact,
                CAST(1 AS BIGINT) AS within_2pct
         FROM documents GROUP BY source ORDER BY source""",

@@ -1234,6 +1234,28 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming HLL distinct-count maintenance — the dedup-dashboard cell:
+    * one Datasketches HLL sketch per source accumulates over the document
+    * stream (complete-mode state = the sketch registers, bounded by 2^lgK
+    * per group regardless of stream length; an exact streaming distinct's
+    * state grows with the value universe). The drained estimates carry the
+    * same within-2% envelope contract as the batch artifact gate.
+    */
+  def streamingHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_shll_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(text, 12)").as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(col("source"),
+      expr("hll_sketch_estimate(sk)").as("est"))
+  }
+
   /** Streaming COUNT-MIN sketch — the frequency-monitoring twin of
     * [[streamingHisto]]: documents stream in, the depth × width counter
     * matrix accumulates incrementally (complete-mode agg whose state is the
