@@ -85,6 +85,42 @@ object AnalyticsQueries {
         .orderBy(col("s_suppkey"))
     },
 
+    // TPC-H Q7 shape (volume shipping): the SAME dimension joined in TWO
+    // roles (supplier nation × customer nation) — the self-joined-dim
+    // pattern; both nation sides broadcast, one shuffle for the 3-key agg
+    "q_tpch_nations" -> { (s, dir) =>
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q10 shape (returned-item report): top-20 customers by revenue
+    // lost to returns — fact filtered at the scan, dims broadcast,
+    // deterministic top-k via exact revenue + key tiebreak
+    "q_tpch_returns" -> { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // TPC-H Q4 shape (order priority checking): EXISTS-correlated semi-join
     // with a non-equi date predicate riding the equi-key — the join moves
     // only (orderkey, shipdate) pairs and the priority agg is 5 groups
@@ -429,6 +465,35 @@ object AnalyticsQueries {
       FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
       WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
       ORDER BY s.s_suppkey""",
+    "q_tpch_nations" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name < n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3""",
+    "q_tpch_returns" -> """
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+             CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c.c_custkey
+      LIMIT 20""",
     "q_tpch_orderprio" -> """
       SELECT o_orderpriority, count(*) AS n_orders
       FROM orders
