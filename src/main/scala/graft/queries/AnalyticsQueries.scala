@@ -343,6 +343,33 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     },
 
+    // session conversion funnel: gap-sessionize (the q_sessionize islands),
+    // flag purchase sessions, conversion rate by session-size bucket —
+    // the product-analytics composition over the sessionizer; one user_id
+    // shuffle then session- and bucket-sized frames
+    "q_session_conversion" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("brk",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+              30L * 60L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      sess
+        .withColumn("size_bucket", least(col("n_events"), lit(10L)))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+        .withColumn("rate",
+          round(col("n_converted").cast("double") / col("n_sessions"), 6))
+        .orderBy(col("size_bucket"))
+    },
+
     // RFM segmentation — the classic customer-scoring matrix: per-user
     // recency (days since last purchase, anchored to the series' own max
     // day), frequency, monetary (exact cents), each quartiled by ntile
@@ -682,6 +709,27 @@ object AnalyticsQueries {
                  - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0
                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       FROM daily, st ORDER BY day""",
+    "q_session_conversion" -> """
+      WITH l AS (SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+                 FROM events),
+      f AS (SELECT *, CASE WHEN prev IS NULL
+                   OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+            FROM l),
+      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+      sess AS (SELECT user_id, sid, count(*) AS n_events,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+               FROM g GROUP BY 1, 2),
+      b AS (SELECT least(n_events, 10) AS size_bucket,
+              count(*) AS n_sessions,
+              CAST(sum(converted) AS BIGINT) AS n_converted
+            FROM sess GROUP BY 1)
+      SELECT size_bucket, n_sessions, n_converted,
+             round(CAST(n_converted AS DOUBLE) / n_sessions, 6) AS rate
+      FROM b ORDER BY size_bucket""",
     "q_rfm_segments" -> """
       WITH p AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
                    count(*) AS frequency,
