@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtQueries.queries ++
       graft.queries.SqlSurfaceQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.FeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
       graft.queries.SqlSurfaceQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles
+      graft.queries.AnalyticsQueries.oracles ++
+      graft.queries.FeatureQueries.oracles
 }

@@ -908,6 +908,27 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // edit-distance verified near-dup: candidates from the EXACT prefix-
+    // filter join (Jaccard >= 0.5 — pair-sized by construction), verified by
+    // Levenshtein over the candidate pair's raw texts. The O(len²) DP runs
+    // ONLY on candidate pairs, never corpus×corpus — the standard two-stage
+    // shape for edit-distance dedup at scale (a brute-force edit join is
+    // quadratic in both pairs and characters).
+    "q_dedup_edit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.ppJoin(docs, "doc_id", "text", NGRAM, 50)
+        .select(col("id_a"), col("id_b"))
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("max_len",
+          greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
+        .withColumn("edit_sim",
+          round(lit(1.0) - col("lev").cast("double") / col("max_len"), 6))
+        .select(col("id_a"), col("id_b"), col("lev"), col("max_len"), col("edit_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // PMI collocations: top multi-word units by pointwise mutual
     // information (position-specific marginals from the bigram table,
     // min-count guard against the rare-pair PMI explosion)
@@ -2061,6 +2082,22 @@ object PipelineQueries {
         FROM z a JOIN z b ON a.doc_id < b.doc_id
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b""",
+      "q_dedup_edit" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM z a JOIN z b ON a.doc_id < b.doc_id
+                AND len(list_intersect(a.sh, b.sh)) * 100
+                  >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh))))
+        SELECT p.id_a, p.id_b,
+               levenshtein(da.text, db.text)::BIGINT AS lev,
+               greatest(length(da.text), length(db.text))::BIGINT AS max_len,
+               round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                 / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+        FROM p JOIN documents da ON da.doc_id = p.id_a
+               JOIN documents db ON db.doc_id = p.id_b
         ORDER BY id_a, id_b""",
       "q_dedup_jaccard_brute" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 150),
