@@ -681,4 +681,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(!ensPlan.contains("Join"),
       s"ensemble filter must chain signals, not join them:\n$ensPlan")
   }
+
+  test("wave-4 ops keep their scale shape: lag features one shuffle, triangles equi-joined") {
+    val dir = "/root/testdata/sf0.001"
+    // lag features: every window shares the (user_id; ts, event_id)
+    // partitioning + ordering, so all lags and the rolling frame ride ONE
+    // user_id exchange (the final presentation sort is a range exchange)
+    val lf = graft.queries.FeatureQueries.queries("q_lag_features")(spark, dir)
+    val lfPlan = lf.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(lfPlan).size == 1,
+      s"lag features must shuffle user_id exactly once:\n$lfPlan")
+    // triangles: the oriented forward algorithm is pure equi-joins on edge
+    // endpoints — a cartesian/nested-loop anywhere means the orientation or
+    // the join keys were lost
+    val tri = graft.queries.FeatureQueries.queries("q_graph_triangles")(spark, dir)
+    val triPlan = tri.queryExecution.executedPlan.toString
+    assert(!triPlan.contains("CartesianProduct") &&
+      !triPlan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-joined:\n$triPlan")
+    // per-dim scaling stats: one explode + one dim-keyed aggregate — the
+    // only hash exchange is the 64-group agg
+    val fs = graft.queries.FeatureQueries.queries("q_feature_scale")(spark, dir)
+    val fsPlan = fs.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(fsPlan).size == 1,
+      s"feature scaling must aggregate through one dim-keyed exchange:\n$fsPlan")
+    // edit-distance near-dup: the Levenshtein DP must sit above the
+    // pair-sized candidate join, never on a corpus x corpus product
+    val ed = graft.queries.PipelineQueries.queries("q_dedup_edit")(spark, dir)
+    val edPlan = ed.queryExecution.executedPlan.toString
+    assert(!edPlan.contains("CartesianProduct") &&
+      !edPlan.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance dedup must verify candidates only:\n$edPlan")
+  }
 }
