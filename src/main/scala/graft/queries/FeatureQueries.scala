@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Dedup
+import graft.streaming.Streams
 
 /** Round-11 wave 4: ML feature engineering (the training-data shapes a
   * feature store computes at corpus scale) plus the remaining feasible
@@ -26,6 +28,23 @@ object FeatureQueries {
   private val TRI_MINW = 30        // co-occurrence weight floor for the triangle graph
   private val ENC_M = 100          // target-encoding smoothing pseudo-count
   private val SCALE6 = 1000000L    // embedding fixed-point scale (1e6 units)
+  private val CC_MINW = 35         // weight floor for the components graph (fragments it)
+  private val PSI_BINS = 10        // PSI bucket count
+  private val PSI_CUTOFF = "2024-01-16" // reference/current period split
+
+  /** The weight-floored supplier co-occurrence edge list shared by the
+    * graph gates (src < dst, one row per undirected edge).
+    */
+  private def coEdges(s: SparkSession, dir: String, minW: Int): DataFrame = {
+    val so = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+    so.as("a").join(so.as("b"),
+        col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+      .select(col("src"), col("dst"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q18 shape (large-volume orders): HAVING on the fact aggregate,
@@ -80,20 +99,128 @@ object FeatureQueries {
     // candidate set linear in real triangles. Output: per-supplier triangle
     // membership counts.
     "q_graph_triangles" -> { (s, dir) =>
-      val so = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
-      val edges = so.as("a").join(so.as("b"),
-          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= TRI_MINW)
-        .select(col("src"), col("dst"))
+      val edges = coEdges(s, dir, TRI_MINW)
       val tri = edges.select(col("src").as("ta"), col("dst").as("tb"))
         .join(edges.select(col("src").as("tb"), col("dst").as("tc")), Seq("tb"))
         .join(edges.select(col("src").as("ta"), col("dst").as("tc")), Seq("ta", "tc"))
       tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("supp"))
         .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("supp"))
+    },
+
+    // connected components as a first-class graph op: the pairs→labels
+    // star-contraction machinery (O(log n) rounds, pairs-only frames —
+    // graft.ops.Dedup.connectedComponents) applied to a general weighted
+    // graph instead of a dedup candidate set. Each node labels with its
+    // component's MINIMUM node id — the same fixpoint the oracle's
+    // recursive reachability CTE computes; component sizes ride a
+    // components-sized window.
+    "q_graph_components" -> { (s, dir) =>
+      val pairs = coEdges(s, dir, CC_MINW)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("id").as("node"), col("label").as("component"))
+      val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+      labels.join(broadcast(sizes), Seq("component"))
+        .select(col("node"), col("component"), col("comp_size"))
+        .orderBy(col("node"))
+    },
+
+    // the STREAMING funnel twin: per-user stage mins maintained live on the
+    // event stream (min is commutative/associative ⇒ batch-boundary-
+    // invariant), the strict-order funnel logic applied to the DRAINED
+    // mins — lands exactly on the batch funnel (shared oracle shape).
+    "q_stream_funnel" -> { (s, dir) =>
+      Streams.streamingFunnelStages(s, dir)
+        .withColumn("reached_click",
+          (col("t_view").isNotNull && col("t_click") > col("t_view")).cast("int"))
+        .withColumn("reached_purchase",
+          (col("reached_click") === 1 && col("t_purchase") > col("t_click")).cast("int"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0)).cast("long").as("n_view"),
+          sum(col("reached_click")).cast("long").as("n_view_click"),
+          sum(col("reached_purchase")).cast("long").as("n_full_funnel"))
+    },
+
+    // PSI drift monitoring — the production feature-drift alarm: the value
+    // distribution of the CURRENT period vs the REFERENCE period, per
+    // event_type, over a bucket grid FROZEN from the reference (the
+    // monitoring discipline: bins are part of the stored artifact, so a
+    // drifted current period can never move its own goalposts). Counts are
+    // Laplace-smoothed over the complete grid; each bucket's
+    // (p−q)·ln(p/q) term is rounded into 1e9-scaled longs so the PSI sum
+    // is order-independent, and the alarm threshold compares the exact
+    // scaled long — no float boundary.
+    "q_psi_drift" -> { (s, dir) =>
+      val b = PSI_BINS
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        (col("ts") < lit(PSI_CUTOFF).cast("timestamp")).as("is_ref"))
+      val bounds = ev.filter(col("is_ref"))
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        .withColumn("width",
+          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
+      val cnt = ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(greatest(expr("(c - lo) div width"), lit(0L)), lit((b - 1).toLong)))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      val grid = ev.select(col("event_type")).distinct()
+        .withColumn("bucket", explode(sequence(lit(0L), lit((b - 1).toLong))))
+      val full = grid.join(cnt, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
+      val tot = full.groupBy(col("event_type"))
+        .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+      val p = (col("nr") + 1).cast("double") / (col("tr") + b)
+      val q = (col("nc") + 1).cast("double") / (col("tc") + b)
+      full.join(broadcast(tot), Seq("event_type"))
+        .withColumn("t9", round((p - q) * log(p / q) * 1e9).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+          sum(col("t9")).as("s9"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("s9").cast("double") / 1e9, 6).as("psi"),
+          when(col("s9") > 100000000L, 1L).otherwise(0L).as("drifted"))
+        .orderBy(col("event_type"))
+    },
+
+    // HLL set operations — audience overlap from mergeable sketches:
+    // |A∪B| via hll_union, |A∩B| via inclusion–exclusion over the
+    // estimates. The sketches are the bounded artifacts (union is exact on
+    // sketches; intersection inherits both sketches' error, hence the wider
+    // envelope); the gate outputs the EXACT set sizes plus in-envelope
+    // flags the oracle asserts — the sketch path's answer never rides the
+    // compare directly.
+    "q_sketch_hll_setops" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def sk(t: String) = ev.filter(col("event_type") === t)
+        .agg(expr("hll_sketch_agg(user_id, 12)").as(s"sk_$t"))
+      val ests = sk("view").crossJoin(sk("purchase"))
+        .select(
+          expr("hll_sketch_estimate(sk_view)").as("est_a"),
+          expr("hll_sketch_estimate(sk_purchase)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(sk_view, sk_purchase))").as("est_u"))
+        .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+      val a = ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+      val bb = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val exact = a.union(bb).distinct().agg(count(lit(1)).as("n_union_exact"))
+        .crossJoin(a.agg(count(lit(1)).as("n_a_exact")))
+        .crossJoin(bb.agg(count(lit(1)).as("n_b_exact")))
+        .crossJoin(a.join(bb, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_inter_exact")))
+      def ok(est: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+          pct: Double, slack: Double) =
+        when(abs(est - n) <= greatest(n * pct, lit(slack)), 1L).otherwise(0L)
+      ests.crossJoin(exact)
+        .select(col("n_a_exact"), col("n_b_exact"),
+          col("n_union_exact"), col("n_inter_exact"),
+          ok(col("est_a"), col("n_a_exact"), 0.02, 2.0).as("a_within_2pct"),
+          ok(col("est_b"), col("n_b_exact"), 0.02, 2.0).as("b_within_2pct"),
+          ok(col("est_u"), col("n_union_exact"), 0.02, 2.0).as("union_within_2pct"),
+          ok(col("est_i"), col("n_inter_exact"), 0.05, 5.0).as("inter_within_5pct"))
     },
 
     // smoothed target encoding — the leakage-safe categorical feature:
@@ -172,6 +299,92 @@ object FeatureQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_graph_components" -> s"""
+      WITH RECURSIVE so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk
+                            FROM lineitem),
+      e AS (SELECT a.sk AS src, b.sk AS dst
+            FROM so a JOIN so b ON a.o = b.o AND a.sk < b.sk
+            GROUP BY 1, 2 HAVING count(*) >= $CC_MINW),
+      ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      r AS (
+        SELECT src AS node, src AS lbl FROM ee
+        UNION
+        SELECT e2.dst AS node, r.lbl FROM r JOIN ee e2 ON e2.src = r.node),
+      comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY 1),
+      sz AS (SELECT component, count(*) AS comp_size FROM comp GROUP BY 1)
+      SELECT c.node, c.component, s.comp_size
+      FROM comp c JOIN sz s USING (component)
+      ORDER BY c.node""",
+    "q_stream_funnel" -> """
+      WITH stages AS (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'view') AS t_view,
+               min(ts) FILTER (event_type = 'click') AS t_click,
+               min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id),
+      r AS (SELECT *,
+              CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS rc,
+              CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 ELSE 0 END AS rp
+            FROM stages)
+      SELECT count(*) AS n_users,
+             sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+             sum(rc)::BIGINT AS n_view_click,
+             sum(rp)::BIGINT AS n_full_funnel
+      FROM r""",
+    "q_psi_drift" -> s"""
+      WITH ev AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS c,
+                         (ts < TIMESTAMP '$PSI_CUTOFF') AS is_ref
+                  FROM events),
+      bounds AS (SELECT min(c) AS lo, max(c) AS hi,
+                        CAST(ceil(CAST(max(c) - min(c) + 1 AS DOUBLE) / $PSI_BINS)
+                          AS BIGINT) AS width
+                 FROM ev WHERE is_ref),
+      cnt AS (SELECT event_type,
+                     least(greatest((c - lo) // width, 0), ${PSI_BINS - 1}) AS bucket,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+                     sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+              FROM ev CROSS JOIN bounds GROUP BY 1, 2),
+      grid AS (SELECT t.event_type, CAST(b.b AS BIGINT) AS bucket
+               FROM (SELECT DISTINCT event_type FROM ev) t
+               CROSS JOIN (SELECT unnest(range(0, $PSI_BINS)) AS b) b),
+      full_g AS (SELECT g.event_type, g.bucket,
+                        coalesce(cnt.nr, 0) AS nr, coalesce(cnt.nc, 0) AS nc
+                 FROM grid g LEFT JOIN cnt
+                   ON cnt.event_type = g.event_type AND cnt.bucket = g.bucket),
+      tot AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+                     CAST(sum(nc) AS BIGINT) AS tc
+              FROM full_g GROUP BY 1),
+      terms AS (SELECT f.event_type, t.tr, t.tc,
+                       CAST(round((CAST(f.nr + 1 AS DOUBLE) / (t.tr + $PSI_BINS)
+                           - CAST(f.nc + 1 AS DOUBLE) / (t.tc + $PSI_BINS))
+                         * ln((CAST(f.nr + 1 AS DOUBLE) / (t.tr + $PSI_BINS))
+                           / (CAST(f.nc + 1 AS DOUBLE) / (t.tc + $PSI_BINS)))
+                         * 1e9) AS BIGINT) AS t9
+                FROM full_g f JOIN tot t USING (event_type)),
+      agg AS (SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur,
+                     CAST(sum(t9) AS BIGINT) AS s9
+              FROM terms GROUP BY 1)
+      SELECT event_type, n_ref, n_cur,
+             round(CAST(s9 AS DOUBLE) / 1e9, 6) AS psi,
+             CASE WHEN s9 > 100000000 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS drifted
+      FROM agg ORDER BY event_type""",
+    "q_sketch_hll_setops" -> """
+      WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      SELECT (SELECT count(*) FROM a) AS n_a_exact,
+             (SELECT count(*) FROM b) AS n_b_exact,
+             (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+               AS n_union_exact,
+             (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+               AS n_inter_exact,
+             CAST(1 AS BIGINT) AS a_within_2pct,
+             CAST(1 AS BIGINT) AS b_within_2pct,
+             CAST(1 AS BIGINT) AS union_within_2pct,
+             CAST(1 AS BIGINT) AS inter_within_5pct""",
     "q_tpch_bigorders" -> s"""
       WITH big AS (
         SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty

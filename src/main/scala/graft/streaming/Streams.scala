@@ -179,6 +179,31 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming funnel-stage maintenance: per-user earliest timestamp of
+    * each funnel stage, kept live on the event stream. `min` is the whole
+    * trick — it is commutative/associative, so the per-user stage mins are
+    * batch-boundary-invariant by construction and the downstream strict-
+    * order funnel logic (applied to the DRAINED mins) lands exactly on the
+    * batch funnel. State is one 3-timestamp row per user — user-sized, the
+    * same bounded complete-mode class as the daily-counts/HLL maintenance
+    * gates.
+    */
+  def streamingFunnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_funnel_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Weighted streaming histogram — the decimal-summed-bins discipline
     * ([[graft.functions.WeightedHisto]]) surviving streaming state merges:
     * weights are quantized to `wScale` decimals in the stateless map, bins
