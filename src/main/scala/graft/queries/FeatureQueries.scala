@@ -31,6 +31,50 @@ object FeatureQueries {
   private val CC_MINW = 35         // weight floor for the components graph (fragments it)
   private val PSI_BINS = 10        // PSI bucket count
   private val PSI_CUTOFF = "2024-01-16" // reference/current period split
+  private val BASKET_MIN = 3       // association-rule min co-occurrence
+
+  /** (event_type, cents, is_ref) projection shared by the PSI monitors. */
+  private def psiEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("c"),
+      (col("ts") < lit(PSI_CUTOFF).cast("timestamp")).as("is_ref"))
+
+  /** Frozen reference bounds: (lo, hi, width) as one row. */
+  private def psiBounds(ev: DataFrame): DataFrame =
+    ev.filter(col("is_ref"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      .withColumn("width",
+        ceil((col("hi") - col("lo") + 1).cast("double") / PSI_BINS).cast("long"))
+
+  /** Edge-clamped bucket id from (c, lo, width) columns. */
+  private def psiBucket: org.apache.spark.sql.Column =
+    least(greatest(expr("(c - lo) div width"), lit(0L)), lit((PSI_BINS - 1).toLong))
+
+  /** From sparse (event_type, bucket, nr, nc) counts to the PSI report:
+    * complete the grid, Laplace-smooth, sum 1e9-scaled integer terms,
+    * alarm on the exact scaled long.
+    */
+  private def psiAssemble(ev: DataFrame, cnt: DataFrame): DataFrame = {
+    val b = PSI_BINS
+    val grid = ev.select(col("event_type")).distinct()
+      .withColumn("bucket", explode(sequence(lit(0L), lit((b - 1).toLong))))
+    val full = grid.join(cnt, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    val p = (col("nr") + 1).cast("double") / (col("tr") + b)
+    val q = (col("nc") + 1).cast("double") / (col("tc") + b)
+    full.join(broadcast(tot), Seq("event_type"))
+      .withColumn("t9", round((p - q) * log(p / q) * 1e9).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        sum(col("t9")).as("s9"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("s9").cast("double") / 1e9, 6).as("psi"),
+        when(col("s9") > 100000000L, 1L).otherwise(0L).as("drifted"))
+      .orderBy(col("event_type"))
+  }
 
   /** The weight-floored supplier co-occurrence edge list shared by the
     * graph gates (src < dst, one row per undirected edge).
@@ -153,38 +197,110 @@ object FeatureQueries {
     // is order-independent, and the alarm threshold compares the exact
     // scaled long — no float boundary.
     "q_psi_drift" -> { (s, dir) =>
-      val b = PSI_BINS
-      val ev = Tables.events(s, dir).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"),
-        (col("ts") < lit(PSI_CUTOFF).cast("timestamp")).as("is_ref"))
-      val bounds = ev.filter(col("is_ref"))
-        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
-        .withColumn("width",
-          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
-      val cnt = ev.crossJoin(broadcast(bounds))
-        .withColumn("bucket",
-          least(greatest(expr("(c - lo) div width"), lit(0L)), lit((b - 1).toLong)))
+      val ev = psiEvents(s, dir)
+      val cnt = ev.crossJoin(broadcast(psiBounds(ev)))
+        .withColumn("bucket", psiBucket)
         .groupBy(col("event_type"), col("bucket"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
-      val grid = ev.select(col("event_type")).distinct()
-        .withColumn("bucket", explode(sequence(lit(0L), lit((b - 1).toLong))))
-      val full = grid.join(cnt, Seq("event_type", "bucket"), "left")
+      psiAssemble(ev, cnt)
+    },
+
+    // the STREAMING drift twin: the reference side (counts + frozen bucket
+    // bounds) is the batch-built artifact; the CURRENT period's bucket
+    // counts are maintained live on the stream (long-additive complete-mode
+    // state, (event_type × bucket)-sized). Assembly and alarm are identical
+    // to the batch monitor — shared oracle.
+    "q_stream_psi" -> { (s, dir) =>
+      val ev = psiEvents(s, dir)
+      val bounds = psiBounds(ev).localCheckpoint()
+      val ref = ev.filter(col("is_ref")).crossJoin(broadcast(bounds))
+        .withColumn("bucket", psiBucket)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("nr"))
+      val cur = Streams.streamingPsiCounts(s, dir, bounds, PSI_CUTOFF, PSI_BINS)
+      val cnt = ref.join(cur, Seq("event_type", "bucket"), "full_outer")
         .select(col("event_type"), col("bucket"),
           coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
-      val tot = full.groupBy(col("event_type"))
-        .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
-      val p = (col("nr") + 1).cast("double") / (col("tr") + b)
-      val q = (col("nc") + 1).cast("double") / (col("tc") + b)
-      full.join(broadcast(tot), Seq("event_type"))
-        .withColumn("t9", round((p - q) * log(p / q) * 1e9).cast("long"))
+      psiAssemble(ev, cnt)
+    },
+
+    // market-basket association rules — the co-purchase recommender prep:
+    // item pairs from per-order distinct part sets (pair generation bounded
+    // by lineitems/order, never an item×item product), support/confidence/
+    // lift from exact counts with ONE identical IEEE division chain per
+    // metric; min-co-occurrence floor keeps the rule set to genuinely
+    // repeated pairs.
+    "q_basket_rules" -> { (s, dir) =>
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val tot = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      val ni = op.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= BASKET_MIN)
+      pairs
+        .join(broadcast(ni.select(col("p").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
+        .join(broadcast(ni.select(col("p").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
+          round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_ba"),
+          round(col("n_ab").cast("double") * col("n_orders")
+            / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // percentile winsorization — the outlier-clipping feature prep: exact
+    // per-category p05/p95 cut points via rank over a total order (the
+    // exact anchor; approx_percentile is the documented 100 TB path), values
+    // clipped to the cut points, clipped-mean + clip-count audit per
+    // category. Boundary picks are rank-exact, so both engines choose the
+    // identical row.
+    "q_feature_winsorize" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"), col("event_id"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+      val ranked = e
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val bnd = ranked
+        .withColumn("lo_rk", greatest(ceil(col("n") * 0.05).cast("long"), lit(1L)))
+        .withColumn("hi_rk", ceil(col("n") * 0.95).cast("long"))
+        .filter(col("rn") === col("lo_rk") || col("rn") === col("hi_rk"))
         .groupBy(col("event_type"))
-        .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
-          sum(col("t9")).as("s9"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          round(col("s9").cast("double") / 1e9, 6).as("psi"),
-          when(col("s9") > 100000000L, 1L).otherwise(0L).as("drifted"))
+        .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+      e.join(broadcast(bnd), Seq("event_type"))
+        .withColumn("clip", least(greatest(col("c"), col("lo_c")), col("hi_c")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_hi"),
+          min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+          round(sum(col("clip")).cast("double") / count(lit(1)), 6).as("clipped_mean"))
         .orderBy(col("event_type"))
+    },
+
+    // join-key skew audit — the ops-side profiling that decides salting:
+    // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
+    // the heaviest key (min-id tiebreak); key-sized frames after the first
+    // aggregate.
+    "q_profile_skew" -> { (s, dir) =>
+      val cnts = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_cnt"))
+      val heavy = cnts.orderBy(col("n").desc, col("user_id")).limit(1)
+        .select(col("user_id").as("heaviest_key"))
+      stats.crossJoin(broadcast(heavy))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6).as("mean_cnt"),
+          round(col("max_cnt").cast("double")
+            / (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"),
+          col("heaviest_key"))
     },
 
     // HLL set operations — audience overlap from mergeable sketches:
@@ -333,7 +449,72 @@ object FeatureQueries {
              sum(rc)::BIGINT AS n_view_click,
              sum(rp)::BIGINT AS n_full_funnel
       FROM r""",
-    "q_psi_drift" -> s"""
+    "q_psi_drift" -> psiSql,
+    // the stream maintains the same additive counts the batch monitor
+    // derives, so the assembled report is identical — shared oracle
+    "q_stream_psi" -> psiSql,
+    "q_basket_rules" -> s"""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      tot AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+      ni AS (SELECT p, count(*) AS n_i FROM op GROUP BY 1),
+      pr AS (SELECT a.p AS item_a, b.p AS item_b, count(*) AS n_ab
+             FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             GROUP BY 1, 2 HAVING count(*) >= $BASKET_MIN)
+      SELECT pr.item_a, pr.item_b, pr.n_ab,
+             na.n_i AS n_a, nb.n_i AS n_b,
+             round(CAST(pr.n_ab AS DOUBLE) / tot.n_orders, 6) AS support,
+             round(CAST(pr.n_ab AS DOUBLE) / na.n_i, 6) AS conf_ab,
+             round(CAST(pr.n_ab AS DOUBLE) / nb.n_i, 6) AS conf_ba,
+             round(CAST(pr.n_ab AS DOUBLE) * tot.n_orders
+               / (CAST(na.n_i AS DOUBLE) * nb.n_i), 6) AS lift
+      FROM pr JOIN ni na ON na.p = pr.item_a
+              JOIN ni nb ON nb.p = pr.item_b
+              CROSS JOIN tot
+      ORDER BY pr.item_a, pr.item_b""",
+    "q_feature_winsorize" -> """
+      WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                        event_id
+                 FROM events),
+      ranked AS (SELECT *,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
+                     AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+                 FROM e),
+      bnd AS (SELECT event_type, min(c) AS lo_c, max(c) AS hi_c
+              FROM ranked
+              WHERE rn = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)
+                 OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+              GROUP BY 1)
+      SELECT e.event_type, count(*) AS n,
+             sum(CASE WHEN e.c < b.lo_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+             sum(CASE WHEN e.c > b.hi_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+             min(b.lo_c) AS lo_c, min(b.hi_c) AS hi_c,
+             round(CAST(sum(least(greatest(e.c, b.lo_c), b.hi_c)) AS DOUBLE)
+               / count(*), 6) AS clipped_mean
+      FROM e JOIN bnd b USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
+    "q_profile_skew" -> """
+      WITH cnts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      stats AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+                       max(n) AS max_cnt
+                FROM cnts),
+      heavy AS (SELECT user_id AS heaviest_key FROM cnts
+                ORDER BY n DESC, user_id LIMIT 1)
+      SELECT s.n_keys, s.n_rows, s.max_cnt,
+             round(CAST(s.n_rows AS DOUBLE) / s.n_keys, 6) AS mean_cnt,
+             round(CAST(s.max_cnt AS DOUBLE)
+               / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6) AS skew_ratio,
+             h.heaviest_key
+      FROM stats s CROSS JOIN heavy h""",
+    "q_tpch_bigorders" -> bigOrdersSql,
+    "q_tpch_smallqty" -> smallQtySql,
+    "q_graph_triangles" -> trianglesSql,
+    "q_feature_target_enc" -> targetEncSql,
+    "q_lag_features" -> lagFeaturesSql,
+    "q_feature_scale" -> featureScaleSql,
+    "q_sketch_hll_setops" -> hllSetopsSql)
+
+  private val psiSql = s"""
       WITH ev AS (SELECT event_type,
                          CAST(round(value * 100) AS BIGINT) AS c,
                          (ts < TIMESTAMP '$PSI_CUTOFF') AS is_ref
@@ -371,8 +552,9 @@ object FeatureQueries {
              round(CAST(s9 AS DOUBLE) / 1e9, 6) AS psi,
              CASE WHEN s9 > 100000000 THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS drifted
-      FROM agg ORDER BY event_type""",
-    "q_sketch_hll_setops" -> """
+      FROM agg ORDER BY event_type"""
+
+  private val hllSetopsSql = """
       WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
       b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
       SELECT (SELECT count(*) FROM a) AS n_a_exact,
@@ -384,8 +566,9 @@ object FeatureQueries {
              CAST(1 AS BIGINT) AS a_within_2pct,
              CAST(1 AS BIGINT) AS b_within_2pct,
              CAST(1 AS BIGINT) AS union_within_2pct,
-             CAST(1 AS BIGINT) AS inter_within_5pct""",
-    "q_tpch_bigorders" -> s"""
+             CAST(1 AS BIGINT) AS inter_within_5pct"""
+
+  private val bigOrdersSql = s"""
       WITH big AS (
         SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
         FROM lineitem GROUP BY 1
@@ -395,8 +578,9 @@ object FeatureQueries {
       FROM orders o
       JOIN big b ON o.o_orderkey = b.l_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
-      ORDER BY o.o_orderkey""",
-    "q_tpch_smallqty" -> s"""
+      ORDER BY o.o_orderkey"""
+
+  private val smallQtySql = s"""
       WITH l AS (
         SELECT l_partkey, l_extendedprice,
                CAST(round(l_quantity * 100) AS BIGINT) AS q100
@@ -409,8 +593,9 @@ object FeatureQueries {
                AS avg_yearly,
              count(*) AS n_small
       FROM l JOIN a ON l.l_partkey = a.pk
-      WHERE l.q100 * 5 * a.n_q < a.sum_q""",
-    "q_graph_triangles" -> s"""
+      WHERE l.q100 * 5 * a.n_q < a.sum_q"""
+
+  private val trianglesSql = s"""
       WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
       e AS (SELECT a.sk AS src, b.sk AS dst
             FROM so a JOIN so b ON a.o = b.o AND a.sk < b.sk
@@ -420,8 +605,9 @@ object FeatureQueries {
               JOIN e e2 ON e2.src = e1.dst
               JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
       m AS (SELECT unnest([ta, tb, tc]) AS supp FROM tri)
-      SELECT supp, count(*) AS n_triangles FROM m GROUP BY 1 ORDER BY supp""",
-    "q_feature_target_enc" -> s"""
+      SELECT supp, count(*) AS n_triangles FROM m GROUP BY 1 ORDER BY supp"""
+
+  private val targetEncSql = s"""
       WITH c AS (SELECT c_mktsegment AS segment,
                         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
                  FROM customer),
@@ -435,8 +621,9 @@ object FeatureQueries {
                  + $ENC_M.0 * (CAST(g.sum_all AS DOUBLE) / g.n_all))
                / CAST(per.n + $ENC_M AS DOUBLE), 6) AS enc_cents
       FROM per CROSS JOIN g
-      ORDER BY per.segment""",
-    "q_lag_features" -> """
+      ORDER BY per.segment"""
+
+  private val lagFeaturesSql = """
       WITH e AS (SELECT event_id, user_id, ts,
                         CAST(round(value * 100) AS BIGINT) AS cents
                  FROM events)
@@ -451,8 +638,9 @@ object FeatureQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
              w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-      ORDER BY event_id""",
-    "q_feature_scale" -> s"""
+      ORDER BY event_id"""
+
+  private val featureScaleSql = s"""
       WITH x AS (
         SELECT CAST(unnest(range(1, len(embedding)+1)) - 1 AS BIGINT) AS dim,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * $SCALE6) AS BIGINT) AS xl
@@ -468,5 +656,5 @@ object FeatureQueries {
                AS sd,
              round(CAST(lo6 AS DOUBLE) / $SCALE6, 6) AS lo,
              round(CAST(hi6 AS DOUBLE) / $SCALE6, 6) AS hi
-      FROM a ORDER BY dim""")
+      FROM a ORDER BY dim"""
 }

@@ -162,6 +162,32 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming PSI bucket counts — the live side of the drift monitor
+    * (q_stream_psi): CURRENT-period events bucketed against the FROZEN
+    * reference bounds (the 1-row static side broadcasts into the stream),
+    * maintained as a (event_type × bucket)-sized complete-mode count table.
+    * Counts are long-additive, so the drained snapshot is batch-boundary-
+    * invariant and the PSI assembled from it equals the batch monitor's.
+    */
+  def streamingPsiCounts(
+      spark: SparkSession, sfDir: String, bounds: DataFrame,
+      cutoff: String, nBins: Int): DataFrame = {
+    val name = s"graft_stream_psi_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .join(bounds) // 1-row static side: broadcast stream-static cross join
+      .select(col("event_type"),
+        least(greatest(expr("(c - lo) div width"), lit(0L)),
+          lit((nBins - 1).toLong)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("nc"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming per-day event counts — the live side of the volume-anomaly
     * monitor (q_stream_anomaly): the only state is the days-sized count
     * table (complete-mode agg), independent of stream length; the frozen
