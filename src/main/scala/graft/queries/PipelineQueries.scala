@@ -181,6 +181,79 @@ object PipelineQueries {
         docs.select(col("doc_id"), (col("lang") === "en").as("truth")), "truth")
     },
 
+    // exact ROC-AUC of the trained classifier — the rank-sum (Mann–Whitney)
+    // form with midrank tie handling: 2×midrank = 2·rank + |ties| − 1 stays
+    // integral, so the AUC numerator is an exact long and the single
+    // division is engine-deterministic. The global rank is eval-set-sized —
+    // at corpus scale AUC runs on a sampled eval split, not the corpus.
+    "q_classifier_auc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsParallel(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      val scored = TextOps.withTrainedClassifierScore(docs, "doc_id", "text",
+          model, CLS_BUCKETS)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), Seq("doc_id"))
+      val num = col("s2") - col("n_pos") * (col("n_pos") + 1)
+      scored
+        .withColumn("rk", rank().over(Window.orderBy(col("margin"))))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("margin"))))
+        .withColumn("mid2", lit(2L) * col("rk") + col("nt") - 1L)
+        .agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("pos"), col("mid2")).otherwise(0L)).as("s2"))
+        .select(col("n_pos"), col("n_neg"),
+          round(num.cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+            .as("auc"),
+          round(num.cast("double") / (col("n_pos") * col("n_neg")) - 1.0, 6)
+            .as("gini"))
+    },
+
+    // score calibration curve — margin DECILES vs observed positive rate
+    // (the equal-frequency reliability diagram a production filter is tuned
+    // from; fixed-width bins collapse when margins cluster, deciles never
+    // do): decile membership is deterministic via the (margin, doc_id)
+    // total order, per-bucket mean margin through 1e6-scaled longs so the
+    // curve is order-independent. The global ntile is eval-set-sized — the
+    // corpus-scale path buckets against frozen approx-percentile cutpoints.
+    "q_calibration_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsParallel(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, CLS_BUCKETS)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), Seq("doc_id"))
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+        .withColumn("m6", round(col("margin") * 1e6).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("m6")).as("sm6"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(col("sm6").cast("double") / 1e6 / col("n"), 6).as("mean_margin"))
+        .orderBy(col("bucket"))
+    },
+
+    // hashed feature crosses — the classic wide-model trick: the
+    // (event_type × weekday) cross hashed into a fixed bucket space, with
+    // the collision audit (distinct raw crosses per bucket) that decides
+    // the space size; pure scan-level hashing, one 64-group aggregate
+    "q_feature_cross" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(concat(col("event_type"), lit("#"),
+          dayofweek(col("ts")).cast("string")).as("crossv"))
+        .withColumn("bucket", pmod(TextOps.hash32(col("crossv")), lit(64L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("crossv")).as("n_crosses"))
+        .orderBy(col("bucket"))
+    },
+
     // corpus-relative BIGRAM conditional log-probability — catches
     // implausible word ORDER (shuffled spam, keyword stuffing) that the
     // unigram score cannot: p(w2|w1) under the corpus's own statistics
@@ -1399,6 +1472,46 @@ object PipelineQueries {
         SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
                round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
         FROM c""",
+      "q_classifier_auc" -> s"""
+        WITH pred AS ($trainedClassifierSql),
+        j AS (SELECT p.margin, (d.lang = 'en') AS pos
+              FROM pred p JOIN documents d USING (doc_id)),
+        r AS (SELECT pos,
+                2 * rank() OVER (ORDER BY margin)
+                  + count(*) OVER (PARTITION BY margin) - 1 AS mid2
+              FROM j),
+        a AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+                     CAST(sum(CASE WHEN pos THEN mid2 ELSE 0 END) AS BIGINT) AS s2
+              FROM r)
+        SELECT n_pos, n_neg,
+               round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc,
+               round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (n_pos * n_neg) - 1.0, 6) AS gini
+        FROM a""",
+      "q_calibration_curve" -> s"""
+        WITH pred AS ($trainedClassifierSql),
+        j AS (SELECT p.doc_id, p.margin, (d.lang = 'en') AS pos
+              FROM pred p JOIN documents d USING (doc_id)),
+        b AS (SELECT CAST(ntile(10) OVER (ORDER BY margin, doc_id) AS BIGINT)
+                AS bucket,
+                pos, CAST(round(margin * 1e6) AS BIGINT) AS m6
+              FROM j)
+        SELECT bucket, count(*) AS n,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS pos_rate,
+               round(CAST(sum(m6) AS DOUBLE) / 1e6 / count(*), 6) AS mean_margin
+        FROM b GROUP BY 1 ORDER BY 1""",
+      "q_feature_cross" -> s"""
+        WITH c AS (SELECT event_type || '#' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+                     AS crossv
+                   FROM events)
+        SELECT ${hash32Sql("crossv")} % 64 AS bucket,
+               count(*) AS n_rows,
+               count(DISTINCT crossv) AS n_crosses
+        FROM c GROUP BY 1 ORDER BY 1""",
       // the streaming cell is stateless, so its rows equal the batch op's
       "q_stream_classify" -> classifierSql,
       "q_text_bigram" -> bigramSql,

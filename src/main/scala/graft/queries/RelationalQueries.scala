@@ -281,6 +281,41 @@ object RelationalQueries {
         .filter(col("k") === 0 && col("prev_view_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // NEAREST-direction as-of: the closest view on EITHER side of each
+    // click, composed from the custom operator's backward and forward
+    // passes (each is the one-candidate-per-row sort-merge — the
+    // composition stays two merges, never a per-user range product;
+    // backward wins exact-distance ties). The gap and side ride along as
+    // audit columns.
+    "q_asof_nearest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val back = graft.plans.AsOfJoin.join(clicks, views,
+          "c_user", "v_user", "c_ts", "v_ts")
+        .select(col("click_id"), col("v_ts").as("prev_ts"))
+      val fwd = graft.plans.AsOfJoin.join(clicks, views,
+          "c_user", "v_user", "c_ts", "v_ts", forward = true)
+        .select(col("click_id"), col("v_ts").as("next_ts"))
+      val gapPrev = unix_micros(col("c_ts")) - unix_micros(col("prev_ts"))
+      val gapNext = unix_micros(col("next_ts")) - unix_micros(col("c_ts"))
+      clicks.join(back, Seq("click_id"), "left")
+        .join(fwd, Seq("click_id"), "left")
+        .filter(col("prev_ts").isNotNull || col("next_ts").isNotNull)
+        .withColumn("use_prev",
+          col("next_ts").isNull || (col("prev_ts").isNotNull && gapPrev <= gapNext))
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"),
+          when(col("use_prev"), col("prev_ts")).otherwise(col("next_ts"))
+            .as("nearest_view_ts"),
+          when(col("use_prev"), gapPrev).otherwise(gapNext).as("gap_us"),
+          when(col("use_prev"), lit("prev")).otherwise(lit("next")).as("side"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -404,6 +439,21 @@ object RelationalQueries {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts < v.ts
-      ORDER BY c.event_id"""
+      ORDER BY c.event_id""",
+    // per-click argmin over the user's views (gap, then backward-first);
+    // the reference semantics the two-merge composition must reproduce
+    "q_asof_nearest" -> """
+      WITH j AS (
+        SELECT c.event_id, c.user_id, c.ts, v.ts AS v_ts,
+               abs(epoch_us(c.ts) - epoch_us(v.ts)) AS gap_us,
+               CASE WHEN v.ts < c.ts THEN 'prev' ELSE 'next' END AS side,
+               row_number() OVER (PARTITION BY c.event_id
+                 ORDER BY abs(epoch_us(c.ts) - epoch_us(v.ts)),
+                          CASE WHEN v.ts < c.ts THEN 0 ELSE 1 END) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts <> v.ts)
+      SELECT event_id, user_id, ts, v_ts AS nearest_view_ts, gap_us, side
+      FROM j WHERE rn = 1 ORDER BY event_id"""
   )
 }
