@@ -148,7 +148,13 @@ object Bench {
       "q_mv_incremental" -> sink("q_mv_incremental"),
       "q_search_phrase" -> sink("q_search_phrase"),
       "q_dedup_ppjoin" -> sink("q_dedup_ppjoin"),
-      "q_filter_ensemble" -> sink("q_filter_ensemble"))
+      "q_filter_ensemble" -> sink("q_filter_ensemble"),
+      // round-11 wave 4-7: bounded-pair graph ops, candidate-verified edit
+      // dedup, the one-shuffle window feature generator
+      "q_graph_triangles" -> sink("q_graph_triangles"),
+      "q_basket_rules" -> sink("q_basket_rules"),
+      "q_dedup_edit" -> sink("q_dedup_edit"),
+      "q_lag_features" -> sink("q_lag_features"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the

@@ -225,6 +225,65 @@ object FeatureQueries {
       psiAssemble(ev, cnt)
     },
 
+    // Kolmogorov–Smirnov drift — PSI's nonparametric sibling: the max CDF
+    // gap between reference and current periods per event_type, computed
+    // EXACTLY by integer cross-multiplication (|cum_ref·tot_cur −
+    // cum_cur·tot_ref| over the merged value points — no float CDF
+    // anywhere, so the max and the alarm are engine-exact; the single
+    // division to the reported KS happens once at the edge). Frames are
+    // distinct-value-sized inside one event_type partitioning.
+    "q_ks_drift" -> { (s, dir) =>
+      val ev = psiEvents(s, dir)
+      val pts = ev.groupBy(col("event_type"), col("c"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts
+        .withColumn("cr", sum(col("nr")).over(w))
+        .withColumn("cc", sum(col("nc")).over(w))
+      val tot = pts.groupBy(col("event_type"))
+        .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+      cum.join(broadcast(tot), Seq("event_type"))
+        .withColumn("d", abs(col("cr") * col("tc") - col("cc") * col("tr")))
+        .groupBy(col("event_type"), col("tr"), col("tc"))
+        .agg(max(col("d")).as("max_d"))
+        .select(col("event_type"), col("tr").as("n_ref"), col("tc").as("n_cur"),
+          round(col("max_d").cast("double") / (col("tr") * col("tc")).cast("double"), 6)
+            .as("ks"),
+          when(col("max_d") * 100 > col("tr") * col("tc") * 5, 1L).otherwise(0L)
+            .as("drifted"))
+        .orderBy(col("event_type"))
+    },
+
+    // label-centroid similarity matrix — the embedding-space eval that
+    // shows which classes collide: per-label per-dim centroids as
+    // xl-unit integer longs (round(s1/n) — exact inputs, one deterministic
+    // division each), then pairwise cosine from EXACT integer dot/norm
+    // sums; only the final sqrt/divide is float, one identical formula
+    // both engines. Label-pair-sized output.
+    "q_embed_centroid_sim" -> { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("xf").cast("double") * SCALE6).cast("long").as("xl"))
+      val cent = x.groupBy(col("label"), col("dim"))
+        .agg(round(sum(col("xl")).cast("double") / count(lit(1))).cast("long").as("cm"))
+      val pair = cent.select(col("label").as("label_a"), col("dim"), col("cm").as("ca"))
+        .join(cent.select(col("label").as("label_b"), col("dim"), col("cm").as("cb")),
+          Seq("dim"))
+        .filter(col("label_a") < col("label_b"))
+      pair.groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("ca") * col("cb")).as("dot"),
+          sum(col("ca") * col("ca")).as("na2"),
+          sum(col("cb") * col("cb")).as("nb2"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+            .as("cos_sim"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+
     // market-basket association rules — the co-purchase recommender prep:
     // item pairs from per-order distinct part sets (pair generation bounded
     // by lineitems/order, never an item×item product), support/confidence/
@@ -453,6 +512,53 @@ object FeatureQueries {
     // the stream maintains the same additive counts the batch monitor
     // derives, so the assembled report is identical — shared oracle
     "q_stream_psi" -> psiSql,
+    "q_ks_drift" -> s"""
+      WITH ev AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS c,
+                         (ts < TIMESTAMP '$PSI_CUTOFF') AS is_ref
+                  FROM events),
+      pts AS (SELECT event_type, c,
+                     CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                     CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+              FROM ev GROUP BY 1, 2),
+      cum AS (SELECT event_type, c, nr, nc,
+                     CAST(sum(nr) OVER w AS BIGINT) AS cr,
+                     CAST(sum(nc) OVER w AS BIGINT) AS cc
+              FROM pts
+              WINDOW w AS (PARTITION BY event_type ORDER BY c
+                           ROWS UNBOUNDED PRECEDING)),
+      tot AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+                     CAST(sum(nc) AS BIGINT) AS tc
+              FROM pts GROUP BY 1),
+      d AS (SELECT cum.event_type, tot.tr, tot.tc,
+                   max(abs(cum.cr * tot.tc - cum.cc * tot.tr)) AS max_d
+            FROM cum JOIN tot USING (event_type)
+            GROUP BY 1, 2, 3)
+      SELECT event_type, tr AS n_ref, tc AS n_cur,
+             round(CAST(max_d AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks,
+             CASE WHEN max_d * 100 > tr * tc * 5 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS drifted
+      FROM d ORDER BY event_type""",
+    "q_embed_centroid_sim" -> s"""
+      WITH x AS (
+        SELECT label,
+               CAST(unnest(range(1, len(embedding)+1)) - 1 AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * $SCALE6) AS BIGINT) AS xl
+        FROM embeddings),
+      cent AS (SELECT label, dim,
+                      CAST(round(CAST(sum(xl) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+               FROM x GROUP BY 1, 2),
+      pair AS (SELECT a.label AS label_a, b.label AS label_b,
+                      CAST(sum(a.cm * b.cm) AS BIGINT) AS dot,
+                      CAST(sum(a.cm * a.cm) AS BIGINT) AS na2,
+                      CAST(sum(b.cm * b.cm) AS BIGINT) AS nb2
+               FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+               GROUP BY 1, 2)
+      SELECT label_a, label_b,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+               AS cos_sim
+      FROM pair ORDER BY label_a, label_b""",
     "q_basket_rules" -> s"""
       WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       tot AS (SELECT count(DISTINCT o) AS n_orders FROM op),

@@ -239,6 +239,51 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     },
 
+    // retrieval ranking-quality eval — MRR and nDCG@k of the BM25 ranking
+    // against a label relevance oracle (same-source docs are relevant; the
+    // weak-supervision eval shape). Every DCG/IDCG term rounds into
+    // 1e9-scaled longs before summing, so the order-dependent float sum
+    // never exists; MRR is one exact reciprocal. All frames are
+    // (queries × k)-sized after the ranking.
+    "q_retrieval_ndcg" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
+        BM25_TOPK, excludeSelf = true)
+      val src = docs.select(col("doc_id"), col("source"))
+      val srcCnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val qrel = src.filter(col("doc_id") < NQUERIES)
+        .join(broadcast(srcCnt), Seq("source"))
+        .select(col("doc_id").as("query_id"), col("source").as("q_src"),
+          (col("n_src") - 1).as("n_rel_total"))
+      val judged = ranked
+        .join(broadcast(qrel), Seq("query_id"))
+        .join(src.select(col("doc_id"), col("source").as("d_src")), Seq("doc_id"))
+        .withColumn("rel", (col("q_src") === col("d_src")).cast("long"))
+        .withColumn("g9", round(col("rel").cast("double")
+          / log2(col("rank").cast("double") + 1) * 1e9).cast("long"))
+      val perq = judged.groupBy(col("query_id"), col("n_rel_total"))
+        .agg(sum(col("g9")).as("dcg9"), sum(col("rel")).as("n_rel_at_k"),
+          coalesce(min(when(col("rel") === 1L, col("rank"))), lit(0L))
+            .as("first_rel_rank"))
+      val idcg = qrel
+        .withColumn("m", least(col("n_rel_total"), lit(BM25_TOPK.toLong)))
+        .withColumn("i", explode(sequence(lit(1L), lit(BM25_TOPK.toLong))))
+        .filter(col("i") <= col("m"))
+        .withColumn("g9", round(lit(1e9) / log2(col("i").cast("double") + 1)).cast("long"))
+        .groupBy(col("query_id")).agg(sum(col("g9")).as("idcg9"))
+      perq.join(idcg, Seq("query_id"), "left")
+        .withColumn("idcg9", coalesce(col("idcg9"), lit(0L)))
+        .select(col("query_id"), col("n_rel_total"), col("n_rel_at_k"),
+          col("first_rel_rank"),
+          when(col("first_rel_rank") > 0,
+            round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(lit(0.0)).as("mrr"),
+          when(col("idcg9") > 0,
+            round(col("dcg9").cast("double") / col("idcg9"), 6)).otherwise(lit(0.0))
+            .as("ndcg"))
+        .orderBy(col("query_id"))
+    },
+
     // hashed feature crosses — the classic wide-model trick: the
     // (event_type × weekday) cross hashed into a fixed bucket space, with
     // the collision audit (distinct raw crosses per bucket) that decides
@@ -1512,6 +1557,46 @@ object PipelineQueries {
                count(*) AS n_rows,
                count(DISTINCT crossv) AS n_crosses
         FROM c GROUP BY 1 ORDER BY 1""",
+      "q_retrieval_ndcg" -> s"""
+        WITH pred AS ($bm25FinalSql),
+        srcs AS (SELECT doc_id, source FROM documents),
+        scnt AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        qrel AS (SELECT s.doc_id AS query_id, s.source AS q_src,
+                        CAST(c.n_src - 1 AS BIGINT) AS n_rel_total
+                 FROM srcs s JOIN scnt c USING (source)
+                 WHERE s.doc_id < $NQUERIES),
+        judged AS (SELECT p.query_id, q.n_rel_total,
+                          CASE WHEN q.q_src = d.source THEN 1 ELSE 0 END AS rel,
+                          CAST(round(CAST(CASE WHEN q.q_src = d.source
+                                THEN 1 ELSE 0 END AS DOUBLE)
+                              / log2(CAST(p.rank AS DOUBLE) + 1) * 1e9)
+                            AS BIGINT) AS g9,
+                          p.rank
+                   FROM pred p
+                   JOIN qrel q USING (query_id)
+                   JOIN srcs d ON d.doc_id = p.doc_id),
+        perq AS (SELECT query_id, n_rel_total,
+                        CAST(sum(g9) AS BIGINT) AS dcg9,
+                        CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+                        coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)
+                          AS first_rel_rank
+                 FROM judged GROUP BY 1, 2),
+        idcg AS (SELECT q.query_id, CAST(sum(
+                   CAST(round(1e9 / log2(CAST(g.i AS DOUBLE) + 1)) AS BIGINT))
+                   AS BIGINT) AS idcg9
+                 FROM qrel q
+                 CROSS JOIN (SELECT unnest(range(1, ${BM25_TOPK + 1})) AS i) g
+                 WHERE g.i <= least(q.n_rel_total, $BM25_TOPK)
+                 GROUP BY 1)
+        SELECT p.query_id, p.n_rel_total, p.n_rel_at_k,
+               CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+               CASE WHEN p.first_rel_rank > 0
+                    THEN round(1.0 / p.first_rel_rank, 6) ELSE 0.0 END AS mrr,
+               CASE WHEN coalesce(i.idcg9, 0) > 0
+                    THEN round(CAST(p.dcg9 AS DOUBLE) / i.idcg9, 6)
+                    ELSE 0.0 END AS ndcg
+        FROM perq p LEFT JOIN idcg i USING (query_id)
+        ORDER BY p.query_id""",
       // the streaming cell is stateless, so its rows equal the batch op's
       "q_stream_classify" -> classifierSql,
       "q_text_bigram" -> bigramSql,
