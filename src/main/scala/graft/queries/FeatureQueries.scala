@@ -23,6 +23,10 @@ object FeatureQueries {
   private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,4)")
 
+  /** Exact decimal revenue expression (DOUBLE only at the output edge). */
+  private def revenueD: org.apache.spark.sql.Column =
+    dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
   private val BIG_QTY = 300        // Q18 large-order quantity threshold
   private val Q17_BRAND = "Brand#23" // Q17 target brand
   private val TRI_MINW = 30        // co-occurrence weight floor for the triangle graph
@@ -223,6 +227,61 @@ object FeatureQueries {
         .select(col("event_type"), col("bucket"),
           coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
       psiAssemble(ev, cnt)
+    },
+
+    // TPC-H Q19 shape (disjunctive predicate groups): the brand/size/qty
+    // OR-of-ANDs that naive planners evaluate post-join. The hand-derived
+    // IMPLIED conjuncts (brand ∈ {…}, size ≤ 15, qty ≤ 30) are stated
+    // explicitly so they reach the scans as PushedFilters — the classic
+    // manual rewrite when the optimizer can't extract common predicates
+    // from a cross-side disjunction; the exact disjunction then prunes the
+    // survivors post-join.
+    "q_tpch_disjunct" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          revenueD.as("rev"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // neighbor-set Jaccard — the link-prediction feature matrix: candidate
+    // pairs are nodes sharing a neighbor (the two-path join — Σ C(deg, 2)
+    // rows, bounded because the co-occurrence weight floor bounds degree),
+    // similarity from exact integer neighbor counts, existing edges
+    // flagged (a link predictor trains on is_edge=0 rows, validates on 1s).
+    "q_graph_linkpred" -> { (s, dir) =>
+      val e = coEdges(s, dir, TRI_MINW)
+      val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val cn = adj.select(col("node").as("a"), col("nbr"))
+        .join(adj.select(col("node").as("b"), col("nbr")), Seq("nbr"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      cn
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))), Seq("b"))
+        .join(e.select(col("src").as("a"), col("dst").as("b"), lit(1L).as("is_edge")),
+          Seq("a", "b"), "left")
+        .select(col("a").as("node_a"), col("b").as("node_b"), col("cn"),
+          col("deg_a"), col("deg_b"),
+          round(col("cn").cast("double") / (col("deg_a") + col("deg_b") - col("cn")), 6)
+            .as("jaccard"),
+          coalesce(col("is_edge"), lit(0L)).as("is_edge"))
+        .orderBy(col("node_a"), col("node_b"))
     },
 
     // Kolmogorov–Smirnov drift — PSI's nonparametric sibling: the max CDF
@@ -512,6 +571,35 @@ object FeatureQueries {
     // the stream maintains the same additive counts the batch monitor
     // derives, so the assembled report is identical — shared oracle
     "q_stream_psi" -> psiSql,
+    "q_tpch_disjunct" -> """
+      SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q_graph_linkpred" -> s"""
+      WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+      e AS (SELECT a.sk AS src, b.sk AS dst
+            FROM so a JOIN so b ON a.o = b.o AND a.sk < b.sk
+            GROUP BY 1, 2 HAVING count(*) >= $TRI_MINW),
+      adj AS (SELECT src AS node, dst AS nbr FROM e
+              UNION ALL SELECT dst, src FROM e),
+      deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+      cn AS (SELECT x.node AS node_a, y.node AS node_b, count(*) AS cn
+             FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+             GROUP BY 1, 2)
+      SELECT cn.node_a, cn.node_b, cn.cn, da.deg AS deg_a, db.deg AS deg_b,
+             round(CAST(cn.cn AS DOUBLE) / (da.deg + db.deg - cn.cn), 6) AS jaccard,
+             CAST(CASE WHEN ex.src IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_edge
+      FROM cn JOIN deg da ON da.node = cn.node_a
+              JOIN deg db ON db.node = cn.node_b
+              LEFT JOIN e ex ON ex.src = cn.node_a AND ex.dst = cn.node_b
+      ORDER BY cn.node_a, cn.node_b""",
     "q_ks_drift" -> s"""
       WITH ev AS (SELECT event_type,
                          CAST(round(value * 100) AS BIGINT) AS c,

@@ -750,4 +750,62 @@ object LawsSpec extends Properties("graft") {
         s"batch-streamed=${(batchKept -- streamedKept).toSeq.sorted}")
       r
     }
+
+  // The midrank identity behind q_classifier_auc: 2·rank + |ties| − 1 as
+  // the integral 2×midrank, AUC = (Σ_pos mid2 − np(np+1)) / (2·np·nn) —
+  // must equal the probabilistic definition (concordant + ½·tied pairs)
+  // for ANY score multiset, ties included.
+  property("rank-sum AUC equals brute pairwise concordance") =
+    Prop.forAll(Gen.choose(2, 60), Gen.choose(2, 9), Gen.choose(1, 97)) { (n, dom, salt) =>
+      import org.apache.spark.sql.expressions.Window
+      val rows = (0 until n).map { i =>
+        (i.toLong, ((i * 37 + salt) % dom).toDouble, (i * 13 + salt) % 3 == 0)
+      }
+      val np = rows.count(_._3).toLong
+      val nn = n - np
+      if (np == 0 || nn == 0) Prop.passed
+      else {
+        val df = rows.toDF("id", "score", "pos")
+        val agg = df
+          .withColumn("rk", rank().over(Window.orderBy(col("score"))))
+          .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("score"))))
+          .withColumn("mid2", lit(2L) * col("rk") + col("nt") - 1L)
+          .agg(sum(when(col("pos"), col("mid2")).otherwise(0L)).as("s2"))
+          .head.getLong(0)
+        val aucRank = (agg - np * (np + 1)).toDouble / (2.0 * np * nn)
+        val pos = rows.filter(_._3).map(_._2)
+        val neg = rows.filter(!_._3).map(_._2)
+        val conc = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val aucBrute = conc / (np * nn)
+        Prop(math.abs(aucRank - aucBrute) < 1e-9) :| s"rank=$aucRank brute=$aucBrute"
+      }
+    }
+
+  // The cross-multiplication behind q_ks_drift: max |cr·tc − cc·tr| over
+  // the merged value points IS the exact KS numerator — equals the brute
+  // max over every threshold, for any pair of integer samples.
+  property("cross-multiplied KS equals brute max CDF gap") =
+    Prop.forAll(Gen.choose(1, 50), Gen.choose(1, 50), Gen.choose(2, 15)) { (na, nb, dom) =>
+      import org.apache.spark.sql.expressions.Window
+      val as = (0 until na).map(i => ((i * 17 + 3) % dom).toLong)
+      val bs = (0 until nb).map(i => ((i * 29 + 5) % dom).toLong)
+      val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("c", "is_ref")
+      val pts = df.groupBy(col("c"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val maxD = pts
+        .withColumn("cr", sum(col("nr")).over(w))
+        .withColumn("cc", sum(col("nc")).over(w))
+        .agg(max(abs(col("cr") * nb - col("cc") * na)).as("d"))
+        .head.getLong(0)
+      val brute = (as ++ bs).distinct.map { t =>
+        val cr = as.count(_ <= t).toLong
+        val cc = bs.count(_ <= t).toLong
+        math.abs(cr * nb - cc * na)
+      }.max
+      Prop(maxD == brute) :| s"frame=$maxD brute=$brute"
+    }
 }
