@@ -80,6 +80,21 @@ object FeatureQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Exact per-category p05/p95 winsorization cut points via rank over a
+    * total order — the frozen artifact shared by the batch gate and the
+    * streaming maintenance twin. Input: (event_type, c, event_id).
+    */
+  private def winsorBounds(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("lo_rk", greatest(ceil(col("n") * 0.05).cast("long"), lit(1L)))
+      .withColumn("hi_rk", ceil(col("n") * 0.95).cast("long"))
+      .filter(col("rn") === col("lo_rk") || col("rn") === col("hi_rk"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+  }
+
   /** The weight-floored supplier co-occurrence edge list shared by the
     * graph gates (src < dst, one row per undirected edge).
     */
@@ -381,16 +396,7 @@ object FeatureQueries {
     "q_feature_winsorize" -> { (s, dir) =>
       val e = Tables.events(s, dir).select(col("event_type"),
         round(col("value") * 100).cast("long").as("c"), col("event_id"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
-      val ranked = e
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      val bnd = ranked
-        .withColumn("lo_rk", greatest(ceil(col("n") * 0.05).cast("long"), lit(1L)))
-        .withColumn("hi_rk", ceil(col("n") * 0.95).cast("long"))
-        .filter(col("rn") === col("lo_rk") || col("rn") === col("hi_rk"))
-        .groupBy(col("event_type"))
-        .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+      val bnd = winsorBounds(e)
       e.join(broadcast(bnd), Seq("event_type"))
         .withColumn("clip", least(greatest(col("c"), col("lo_c")), col("hi_c")))
         .groupBy(col("event_type"))
@@ -400,6 +406,68 @@ object FeatureQueries {
           min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
           round(sum(col("clip")).cast("double") / count(lit(1)), 6).as("clipped_mean"))
         .orderBy(col("event_type"))
+    },
+
+    // the STREAMING winsorization twin: cut points are the FROZEN batch
+    // artifact, the stream maintains clipped aggregates (all long-additive,
+    // category-sized complete-mode state) — the feature-store serving path
+    // for outlier clipping; lands exactly on the batch gate (shared oracle)
+    "q_stream_winsorize" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"), col("event_id"))
+      val bnd = winsorBounds(e).localCheckpoint()
+      Streams.streamingWinsorize(s, dir, bnd)
+        .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+          col("lo_c"), col("hi_c"),
+          round(col("s_clip").cast("double") / col("n"), 6).as("clipped_mean"))
+        .orderBy(col("event_type"))
+    },
+
+    // day-of-week seasonality profile — the seasonal-index table a
+    // forecasting pipeline freezes: mean daily volume per weekday over the
+    // overall daily mean; facts collapse to daily rows first, so every
+    // frame after the first aggregate is days- or weekday-sized
+    "q_seasonality_profile" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val per = daily.withColumn("dow", dayofweek(col("day")).cast("long"))
+        .groupBy(col("dow")).agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+      val overall = per.agg(sum(col("total")).as("tot"), sum(col("n_days")).as("td"))
+      per.crossJoin(broadcast(overall))
+        .select(col("dow"), col("n_days"), col("total"),
+          round(col("total").cast("double") / col("n_days"), 6).as("mean_n"),
+          round((col("total").cast("double") / col("n_days"))
+            / (col("tot").cast("double") / col("td")), 6).as("seasonal_index"))
+        .orderBy(col("dow"))
+    },
+
+    // chi-square independence monitor — is event_type independent of
+    // weekday? Each cell's (o·N − r·c)²/(r·c·N) term is an exact-integer
+    // numerator and denominator (one deterministic division), rounded into
+    // 1e9-scaled longs before summing; the alarm compares the exact scaled
+    // long. The complete r×c grid (absent cells count 0) is what makes the
+    // statistic right — a sparse-only sum understates the divergence.
+    "q_chisq_independence" -> { (s, dir) =>
+      val o = Tables.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("rn"))
+      val c = o.groupBy(col("dow")).agg(sum(col("o")).as("cn"))
+      val tot = o.agg(sum(col("o")).as("nn"), count(lit(1)).as("n_cells_obs"))
+      val grid = r.crossJoin(c).join(o, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"), col("rn"), col("cn"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val diff = col("o") * col("nn") - col("rn") * col("cn")
+      grid.crossJoin(broadcast(tot))
+        .withColumn("t9", round((diff * diff).cast("double")
+          / (col("rn") * col("cn") * col("nn")).cast("double") * 1e9).cast("long"))
+        .agg(countDistinct(col("event_type")).as("n_rows_dim"),
+          countDistinct(col("dow")).as("n_cols_dim"),
+          sum(col("t9")).as("s9"))
+        .select(
+          ((col("n_rows_dim") - 1) * (col("n_cols_dim") - 1)).as("dof"),
+          round(col("s9").cast("double") / 1e9, 6).as("chi2"),
+          when(col("s9") > 50000000000L, 1L).otherwise(0L).as("dependent"))
     },
 
     // join-key skew audit — the ops-side profiling that decides salting:
@@ -665,28 +733,50 @@ object FeatureQueries {
               JOIN ni nb ON nb.p = pr.item_b
               CROSS JOIN tot
       ORDER BY pr.item_a, pr.item_b""",
-    "q_feature_winsorize" -> """
-      WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
-                        event_id
-                 FROM events),
-      ranked AS (SELECT *,
-                   row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
-                     AS rn,
-                   count(*) OVER (PARTITION BY event_type) AS n
-                 FROM e),
-      bnd AS (SELECT event_type, min(c) AS lo_c, max(c) AS hi_c
-              FROM ranked
-              WHERE rn = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)
-                 OR rn = CAST(ceil(n * 0.95) AS BIGINT)
-              GROUP BY 1)
-      SELECT e.event_type, count(*) AS n,
-             sum(CASE WHEN e.c < b.lo_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
-             sum(CASE WHEN e.c > b.hi_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
-             min(b.lo_c) AS lo_c, min(b.hi_c) AS hi_c,
-             round(CAST(sum(least(greatest(e.c, b.lo_c), b.hi_c)) AS DOUBLE)
-               / count(*), 6) AS clipped_mean
-      FROM e JOIN bnd b USING (event_type)
-      GROUP BY 1 ORDER BY 1""",
+    "q_feature_winsorize" -> winsorizeSql,
+    // the stream maintains the same additive clipped aggregates the batch
+    // gate derives, against the same frozen cut points — shared oracle
+    "q_stream_winsorize" -> winsorizeSql,
+    "q_seasonality_profile" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+      per AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                     count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total
+              FROM daily GROUP BY 1),
+      o AS (SELECT CAST(sum(total) AS BIGINT) AS tot,
+                   CAST(sum(n_days) AS BIGINT) AS td
+            FROM per)
+      SELECT per.dow, per.n_days, per.total,
+             round(CAST(per.total AS DOUBLE) / per.n_days, 6) AS mean_n,
+             round((CAST(per.total AS DOUBLE) / per.n_days)
+               / (CAST(o.tot AS DOUBLE) / o.td), 6) AS seasonal_index
+      FROM per CROSS JOIN o
+      ORDER BY per.dow""",
+    "q_chisq_independence" -> """
+      WITH obs AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                          count(*) AS o
+                   FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1),
+      c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+      grid AS (SELECT r.event_type, c.dow, r.rn, c.cn,
+                      coalesce(obs.o, 0) AS o
+               FROM r CROSS JOIN c
+               LEFT JOIN obs ON obs.event_type = r.event_type AND obs.dow = c.dow),
+      terms AS (SELECT g.event_type, g.dow,
+                       CAST(round(CAST((g.o * t.nn - g.rn * g.cn)
+                             * (g.o * t.nn - g.rn * g.cn) AS DOUBLE)
+                           / CAST(g.rn * g.cn * t.nn AS DOUBLE) * 1e9)
+                         AS BIGINT) AS t9
+                FROM grid g CROSS JOIN t),
+      agg AS (SELECT count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc,
+                     CAST(sum(t9) AS BIGINT) AS s9
+              FROM terms)
+      SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+             round(CAST(s9 AS DOUBLE) / 1e9, 6) AS chi2,
+             CASE WHEN s9 > 50000000000 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS dependent
+      FROM agg""",
     "q_profile_skew" -> """
       WITH cnts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
       stats AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
@@ -707,6 +797,31 @@ object FeatureQueries {
     "q_lag_features" -> lagFeaturesSql,
     "q_feature_scale" -> featureScaleSql,
     "q_sketch_hll_setops" -> hllSetopsSql)
+
+  // shared by the batch winsorization gate and its streaming twin (the
+  // stream's additive clipped aggregates land exactly on the batch result)
+  private val winsorizeSql = """
+      WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                        event_id
+                 FROM events),
+      ranked AS (SELECT *,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
+                     AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+                 FROM e),
+      bnd AS (SELECT event_type, min(c) AS lo_c, max(c) AS hi_c
+              FROM ranked
+              WHERE rn = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)
+                 OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+              GROUP BY 1)
+      SELECT e.event_type, count(*) AS n,
+             sum(CASE WHEN e.c < b.lo_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+             sum(CASE WHEN e.c > b.hi_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+             min(b.lo_c) AS lo_c, min(b.hi_c) AS hi_c,
+             round(CAST(sum(least(greatest(e.c, b.lo_c), b.hi_c)) AS DOUBLE)
+               / count(*), 6) AS clipped_mean
+      FROM e JOIN bnd b USING (event_type)
+      GROUP BY 1 ORDER BY 1"""
 
   private val psiSql = s"""
       WITH ev AS (SELECT event_type,

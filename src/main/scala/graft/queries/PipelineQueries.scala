@@ -1026,6 +1026,29 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LSH recall evaluation — the quality harness for the probabilistic
+    // dedup path: exact ground truth from the prefix-filter join (every
+    // pair at J ≥ 0.5, guaranteed complete), the MinHash+LSH pipeline's
+    // verified finds counted against it. The threshold test is the integer
+    // cross-multiplication (2·∩ ≥ ∪) on both sides — no float boundary —
+    // and the found set is a semi-join of truth (LSH-verified pairs are a
+    // subset by construction; the join makes the count robust anyway).
+    // The dedup sibling of q_ann_recall.
+    "q_dedup_lsh_recall" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.ppJoin(docs, "doc_id", "text", NGRAM, 50)
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("n_inter") * 2 >= col("n_union"))
+        .select(col("id_a"), col("id_b"))
+      val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          (col("n_true") - col("n_found")).as("n_missed"),
+          round(col("n_found").cast("double") / col("n_true"), 6).as("recall"))
+    },
+
     // edit-distance verified near-dup: candidates from the EXACT prefix-
     // filter join (Jaccard >= 0.5 — pair-sized by construction), verified by
     // Levenshtein over the candidate pair's raw texts. The O(len²) DP runs
@@ -2281,6 +2304,33 @@ object PipelineQueries {
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""",
+      "q_dedup_lsh_recall" -> s"""
+        WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM sets WHERE len(sh) > 0),
+        truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM z a JOIN z b ON a.doc_id < b.doc_id
+                    AND 2 * len(list_intersect(a.sh, b.sh))
+                      >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))),
+        ex AS (SELECT doc_id, ${hash32Sql("unnest(sh)")} AS h0 FROM sets),
+        mh AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id),
+        $bandsCte,
+        cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band, bkey)
+                  WHERE a.doc_id < b.doc_id AND a.rk <= $MAXB GROUP BY 1, 2),
+        found AS (SELECT c.id_a, c.id_b
+                  FROM cands c JOIN z sa ON sa.doc_id = c.id_a
+                               JOIN z sb ON sb.doc_id = c.id_b
+                  WHERE 2 * len(list_intersect(sa.sh, sb.sh))
+                    >= (sa.sz + sb.sz - len(list_intersect(sa.sh, sb.sh)))),
+        hit AS (SELECT t.id_a FROM truth t
+                WHERE EXISTS (SELECT 1 FROM found f
+                              WHERE f.id_a = t.id_a AND f.id_b = t.id_b)),
+        a AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+                     (SELECT count(*) FROM hit) AS n_found)
+        SELECT n_true, n_found, n_true - n_found AS n_missed,
+               round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall
+        FROM a""",
       "q_dedup_edit" -> s"""
         WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         s AS (SELECT doc_id, $shinglesSql AS sh FROM t),

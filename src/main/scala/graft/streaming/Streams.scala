@@ -188,6 +188,32 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming winsorized-stats maintenance: values clipped against the
+    * FROZEN batch cut points (the per-category (lo, hi) artifact joins the
+    * stream as a tiny static side) and the clipped aggregates — counts,
+    * clip tallies, clipped sum — maintained as category-sized complete-mode
+    * state. Everything is long-additive, so the drained snapshot equals the
+    * batch winsorization exactly (shared oracle).
+    */
+  def streamingWinsorize(
+      spark: SparkSession, sfDir: String, bounds: DataFrame): DataFrame = {
+    val name = s"graft_stream_winsor_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .join(bounds, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_hi"),
+        min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+        sum(least(greatest(col("c"), col("lo_c")), col("hi_c"))).as("s_clip"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming per-day event counts — the live side of the volume-anomaly
     * monitor (q_stream_anomaly): the only state is the days-sized count
     * table (complete-mode agg), independent of stream length; the frozen
