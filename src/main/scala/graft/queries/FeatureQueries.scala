@@ -36,6 +36,7 @@ object FeatureQueries {
   private val PSI_BINS = 10        // PSI bucket count
   private val PSI_CUTOFF = "2024-01-16" // reference/current period split
   private val BASKET_MIN = 3       // association-rule min co-occurrence
+  private val IDLE_CUTOFF = "2000-01-01" // Q22 shape: "no orders since" cutoff
 
   /** (event_type, cents, is_ref) projection shared by the PSI monitors. */
   private def psiEvents(s: SparkSession, dir: String): DataFrame =
@@ -78,6 +79,21 @@ object FeatureQueries {
         round(col("s9").cast("double") / 1e9, 6).as("psi"),
         when(col("s9") > 100000000L, 1L).otherwise(0L).as("drifted"))
       .orderBy(col("event_type"))
+  }
+
+  /** Weekday seasonal-index assembly from a (day, n) daily-count frame —
+    * shared by the batch profile and its streaming twin.
+    */
+  private def seasonalityFrom(daily: DataFrame): DataFrame = {
+    val per = daily.withColumn("dow", dayofweek(col("day")).cast("long"))
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val overall = per.agg(sum(col("total")).as("tot"), sum(col("n_days")).as("td"))
+    per.crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("total"),
+        round(col("total").cast("double") / col("n_days"), 6).as("mean_n"),
+        round((col("total").cast("double") / col("n_days"))
+          / (col("tot").cast("double") / col("td")), 6).as("seasonal_index"))
+      .orderBy(col("dow"))
   }
 
   /** Exact per-category p05/p95 winsorization cut points via rank over a
@@ -428,17 +444,71 @@ object FeatureQueries {
     // overall daily mean; facts collapse to daily rows first, so every
     // frame after the first aggregate is days- or weekday-sized
     "q_seasonality_profile" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
-        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
-      val per = daily.withColumn("dow", dayofweek(col("day")).cast("long"))
-        .groupBy(col("dow")).agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
-      val overall = per.agg(sum(col("total")).as("tot"), sum(col("n_days")).as("td"))
-      per.crossJoin(broadcast(overall))
-        .select(col("dow"), col("n_days"), col("total"),
-          round(col("total").cast("double") / col("n_days"), 6).as("mean_n"),
-          round((col("total").cast("double") / col("n_days"))
-            / (col("tot").cast("double") / col("td")), 6).as("seasonal_index"))
-        .orderBy(col("dow"))
+      seasonalityFrom(Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n")))
+    },
+
+    // the STREAMING twin: the days-sized daily-count table is maintained
+    // live (the same complete-mode state q_stream_anomaly reads) and the
+    // weekday profile assembles from the drained snapshot — counts are
+    // long-additive, so it lands exactly on the batch profile (shared
+    // oracle)
+    "q_stream_seasonality" -> { (s, dir) =>
+      seasonalityFrom(Streams.streamingDailyCounts(s, dir))
+    },
+
+    // TPC-H Q22 shape (lapsed high-balance customers): scalar average via a
+    // broadcast 1-row aggregate, membership tested by integer
+    // cross-multiplication (cents·n > Σcents — no float average anywhere),
+    // recently-order-less customers via LEFT ANTI join (the NOT EXISTS
+    // plan; the date filter reaches the orders scan before the anti join);
+    // segment-sized output
+    "q_tpch_idle_customers" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val pos = c.filter(col("cents") > 0)
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("np"))
+      c.join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(IDLE_CUTOFF)).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .filter(col("cents") * col("np") > col("sc"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+        .select(col("segment"), col("n_cust"),
+          round(col("sum_cents").cast("double") / 100.0, 6).as("total_bal"))
+        .orderBy(col("segment"))
+    },
+
+    // cohort LTV curve — cumulative purchase value per acquisition cohort:
+    // cohorts from each user's first ACTIVE week (any event, the retention
+    // gate's anchor), revenue from purchase cents, cumulated over a
+    // cohort×week-sized window. The curve a growth team reads
+    // per-cohort-per-age; exact cents end to end.
+    "q_cohort_ltv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(min(to_date(col("ts"))).as("d0"))
+      val wk = ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), col("d0")) / 7).cast("long").as("week"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+      val purch = wk.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_since"))
+        .agg(count(lit(1)).as("n_purch"), sum(col("cents")).as("cents_sum"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_since"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purch
+        .withColumn("cum_cents", sum(col("cents_sum")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_since"), col("n_purch"),
+          col("cents_sum"), col("cum_cents"), col("n_cohort"),
+          round(col("cum_cents").cast("double") / col("n_cohort"), 6).as("ltv_cents"))
+        .orderBy(col("cohort_week"), col("week_since"))
     },
 
     // chi-square independence monitor — is event_type independent of
@@ -737,21 +807,48 @@ object FeatureQueries {
     // the stream maintains the same additive clipped aggregates the batch
     // gate derives, against the same frozen cut points — shared oracle
     "q_stream_winsorize" -> winsorizeSql,
-    "q_seasonality_profile" -> """
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
-                     FROM events GROUP BY 1),
-      per AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
-                     count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total
-              FROM daily GROUP BY 1),
-      o AS (SELECT CAST(sum(total) AS BIGINT) AS tot,
-                   CAST(sum(n_days) AS BIGINT) AS td
-            FROM per)
-      SELECT per.dow, per.n_days, per.total,
-             round(CAST(per.total AS DOUBLE) / per.n_days, 6) AS mean_n,
-             round((CAST(per.total AS DOUBLE) / per.n_days)
-               / (CAST(o.tot AS DOUBLE) / o.td), 6) AS seasonal_index
-      FROM per CROSS JOIN o
-      ORDER BY per.dow""",
+    "q_seasonality_profile" -> seasonalitySql,
+    // additive daily counts → identical weekday profile; shared oracle
+    "q_stream_seasonality" -> seasonalitySql,
+    "q_tpch_idle_customers" -> s"""
+      WITH c AS (SELECT c_custkey, c_mktsegment AS segment,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+      pos AS (SELECT CAST(sum(cents) AS BIGINT) AS sc, count(*) AS np
+              FROM c WHERE cents > 0),
+      idle AS (SELECT c.* FROM c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderdate >= TIMESTAMP '$IDLE_CUTOFF'))
+      SELECT i.segment, count(*) AS n_cust,
+             round(CAST(sum(i.cents) AS DOUBLE) / 100.0, 6) AS total_bal
+      FROM idle i CROSS JOIN pos p
+      WHERE i.cents * p.np > p.sc
+      GROUP BY 1 ORDER BY 1""",
+    "q_cohort_ltv" -> """
+      WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      wk AS (SELECT user_id,
+                    CAST(floor(datediff('day', d0.d0, CAST(ts AS DATE)) / 7)
+                      AS BIGINT) AS week,
+                    event_type,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events CROSS JOIN d0),
+      cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+      sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY 1),
+      purch AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_since,
+                       count(*) AS n_purch, CAST(sum(w.cents) AS BIGINT) AS cents_sum
+                FROM wk w JOIN cohort c USING (user_id)
+                WHERE w.event_type = 'purchase'
+                GROUP BY 1, 2),
+      cum AS (SELECT *, CAST(sum(cents_sum) OVER (PARTITION BY cohort_week
+                ORDER BY week_since ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_cents
+              FROM purch)
+      SELECT cum.cohort_week, cum.week_since, cum.n_purch, cum.cents_sum,
+             cum.cum_cents, s.n_cohort,
+             round(CAST(cum.cum_cents AS DOUBLE) / s.n_cohort, 6) AS ltv_cents
+      FROM cum JOIN sizes s USING (cohort_week)
+      ORDER BY cum.cohort_week, cum.week_since""",
     "q_chisq_independence" -> """
       WITH obs AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
                           count(*) AS o
@@ -797,6 +894,23 @@ object FeatureQueries {
     "q_lag_features" -> lagFeaturesSql,
     "q_feature_scale" -> featureScaleSql,
     "q_sketch_hll_setops" -> hllSetopsSql)
+
+  // shared by the batch weekday profile and its streaming twin
+  private val seasonalitySql = """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+      per AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                     count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total
+              FROM daily GROUP BY 1),
+      o AS (SELECT CAST(sum(total) AS BIGINT) AS tot,
+                   CAST(sum(n_days) AS BIGINT) AS td
+            FROM per)
+      SELECT per.dow, per.n_days, per.total,
+             round(CAST(per.total AS DOUBLE) / per.n_days, 6) AS mean_n,
+             round((CAST(per.total AS DOUBLE) / per.n_days)
+               / (CAST(o.tot AS DOUBLE) / o.td), 6) AS seasonal_index
+      FROM per CROSS JOIN o
+      ORDER BY per.dow"""
 
   // shared by the batch winsorization gate and its streaming twin (the
   // stream's additive clipped aggregates land exactly on the batch result)

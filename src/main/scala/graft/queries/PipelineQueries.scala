@@ -1026,6 +1026,34 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // vocabulary coverage curve — the tokenizer-design readout: how many
+    // top-frequency types cover 50/90/99% of the token mass. Rank over the
+    // (vocab-sized, metric-scale) frequency table with a (freq desc, tok)
+    // total order; the coverage test is the integer cross-multiplication
+    // `cum·100 ≥ p·total` — no float CDF.
+    "q_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val ord = Window.orderBy(col("f").desc, col("tok"))
+      val ranked = freq
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("cum", sum(col("f")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = freq.agg(sum(col("f")).as("total"), count(lit(1)).as("vocab_size"))
+      val ps = tot.select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"),
+        col("total"), col("vocab_size"))
+      ps.join(ranked, col("cum") * 100 >= col("p") * col("total"))
+        .groupBy(col("p"), col("total"), col("vocab_size"))
+        .agg(min(col("rn")).as("k_tokens"))
+        .select(col("p"), col("k_tokens"), col("vocab_size"),
+          col("total").as("total_tokens"),
+          round(col("k_tokens").cast("double") / col("vocab_size"), 6)
+            .as("vocab_frac"))
+        .orderBy(col("p"))
+    },
+
     // LSH recall evaluation — the quality harness for the probabilistic
     // dedup path: exact ground truth from the prefix-filter join (every
     // pair at J ≥ 0.5, guaranteed complete), the MinHash+LSH pipeline's
@@ -2304,6 +2332,24 @@ object PipelineQueries {
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""",
+      "q_vocab_coverage" -> s"""
+        WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS f FROM w GROUP BY 1),
+        ranked AS (SELECT tok, f,
+                     row_number() OVER (ORDER BY f DESC, tok) AS rn,
+                     CAST(sum(f) OVER (ORDER BY f DESC, tok
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                   FROM freq),
+        tot AS (SELECT CAST(sum(f) AS BIGINT) AS total, count(*) AS vocab_size
+                FROM freq),
+        ps AS (SELECT unnest([50, 90, 99]) AS p, total, vocab_size FROM tot)
+        SELECT CAST(ps.p AS BIGINT) AS p,
+               CAST(min(r.rn) AS BIGINT) AS k_tokens,
+               ps.vocab_size, ps.total AS total_tokens,
+               round(CAST(min(r.rn) AS DOUBLE) / ps.vocab_size, 6) AS vocab_frac
+        FROM ps JOIN ranked r ON r.cum * 100 >= ps.p * ps.total
+        GROUP BY ps.p, ps.vocab_size, ps.total
+        ORDER BY p""",
       "q_dedup_lsh_recall" -> s"""
         WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
         sets AS (SELECT doc_id, $shinglesSql AS sh FROM toks),

@@ -713,4 +713,21 @@ class ScaleSpec extends AnyFunSuite {
       !edPlan.contains("BroadcastNestedLoopJoin"),
       s"edit-distance dedup must verify candidates only:\n$edPlan")
   }
+
+  test("TPC-H shapes keep their scan discipline: Q19 implied conjuncts pushed, Q18 broadcast-back") {
+    val dir = "/root/testdata/sf0.001"
+    // Q19: the hand-derived implied conjuncts must reach BOTH scans as
+    // PushedFilters — brand IN on part, the quantity bound on lineitem
+    val dj = graft.queries.FeatureQueries.queries("q_tpch_disjunct")(spark, dir)
+    val djPlan = dj.queryExecution.executedPlan.toString
+    assert(djPlan.contains("PushedFilters") && djPlan.contains("p_brand") &&
+      djPlan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"Q19 implied conjuncts must reach the scans:\n$djPlan")
+    // Q18: the HAVING-qualified keyset is tiny — it must come back onto
+    // orders as a broadcast join, not a second fact-sized shuffle
+    val bo = graft.queries.FeatureQueries.queries("q_tpch_bigorders")(spark, dir)
+    val boPlan = bo.queryExecution.executedPlan.toString
+    assert(boPlan.contains("BroadcastHashJoin"),
+      s"Q18 keyset must broadcast back onto the detail side:\n$boPlan")
+  }
 }
