@@ -35,6 +35,8 @@ object PipelineQueries {
   private val NQUERIES = 3L     // retrieval queries: doc_id < 3
   private val CMS_D = 4         // count-min sketch depth (hash rows)
   private val CMS_W = 512       // count-min sketch width (counters per row)
+  private val ZIPF_RANKS = 200  // rank-frequency points in the Zipf fit
+  private val BOILER_DF = 10    // winnow-fp doc frequency that marks boilerplate
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -1024,6 +1026,59 @@ object PipelineQueries {
       Dedup.ppJoinIncremental(docs.filter(col("doc_id") < 400),
         docs.filter(col("doc_id") >= 400), "doc_id", "text", NGRAM, 50)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Zipf-law fit — the corpus-health diagnostic (natural text slopes
+    // ≈ −1; synthetic/templated corpora deviate): log-log OLS over the top
+    // RANKS rank-frequency points. Each point's ln(rank)/ln(freq) rounds
+    // into 1e6-scaled longs, the five OLS sums are exact integer sums, so
+    // the regression is engine-deterministic (the q_trend_fit discipline on
+    // a log-log domain).
+    "q_text_zipf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val pts = freq
+        .withColumn("rn", row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+        .filter(col("rn") <= ZIPF_RANKS)
+        .select(round(log(col("rn").cast("double")) * 1e6).cast("long").as("x6"),
+          round(log(col("f").cast("double")) * 1e6).cast("long").as("y6"))
+      val s5 = pts.agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"), sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("y6") * col("y6")).as("syy"))
+      val num = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+      val denx = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+      val deny = col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy")
+      s5.select(col("n").as("n_ranks"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy").cast("double") - (num / denx) * col("sx")) / col("n") / 1e6, 6)
+          .as("intercept_ln"),
+        round(num * num / (denx * deny), 6).as("r2"))
+    },
+
+    // corpus boilerplate detector — the C4-style cleaning signal at corpus
+    // level: winnowed fingerprints shared by ≥ BOILER_DF documents mark
+    // template/boilerplate substrings; each doc reports what fraction of
+    // its fingerprints are boilerplate. Same scan-level fingerprint
+    // extraction as the winnow dedup family, then fp-df-sized joins only.
+    "q_text_boilerplate" -> { (s, dir) =>
+      val fps = Tables.documentsParallel(s, dir)
+        .filter(length(col("text")) >= WINNOW_K)
+        .select(col("doc_id"),
+          explode(TextOps.winnowedFingerprints(col("text"), WINNOW_K, WINNOW_W))
+            .as("fp"))
+        .distinct()
+      val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+      fps.join(dfc, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("fp_df") >= BOILER_DF, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_fps"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_fps"), 6).as("boiler_frac"),
+          when(col("n_boiler") * 2 > col("n_fps"), 1L).otherwise(0L).as("mostly_boiler"))
+        .orderBy(col("doc_id"))
     },
 
     // vocabulary coverage curve — the tokenizer-design readout: how many
@@ -2332,6 +2387,52 @@ object PipelineQueries {
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""",
+      "q_text_zipf" -> s"""
+        WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS f FROM w GROUP BY 1),
+        pts AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x6,
+                       CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y6
+                FROM (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rn
+                      FROM freq)
+                WHERE rn <= $ZIPF_RANKS),
+        s5 AS (SELECT count(*) AS n,
+                      CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+                      CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+                      CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+                      CAST(sum(y6 * y6) AS BIGINT) AS syy
+               FROM pts)
+        SELECT n AS n_ranks,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / n / 1e6, 6) AS intercept_ln,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+        FROM s5""",
+      "q_text_boilerplate" -> s"""
+        WITH g AS (SELECT doc_id,
+                     list_transform(range(1, length(text) - ${WINNOW_K - 1} + 1),
+                       i -> ${hash32Sql(s"substring(text, i, $WINNOW_K)")}) AS hs
+                   FROM documents WHERE length(text) >= $WINNOW_K),
+        f AS (SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(hs) - $WINNOW_W, 0) + 1),
+                j -> list_min(list_slice(hs, j+1, j+$WINNOW_W)))) AS fps
+              FROM g WHERE len(hs) > 0),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        dfc AS (SELECT fp, count(*) AS fp_df FROM e GROUP BY 1),
+        perdoc AS (SELECT e.doc_id, count(*) AS n_fps,
+                          CAST(sum(CASE WHEN dfc.fp_df >= $BOILER_DF
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                   FROM e JOIN dfc USING (fp) GROUP BY 1)
+        SELECT doc_id, n_fps, n_boiler,
+               round(CAST(n_boiler AS DOUBLE) / n_fps, 6) AS boiler_frac,
+               CASE WHEN n_boiler * 2 > n_fps THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS mostly_boiler
+        FROM perdoc ORDER BY doc_id""",
       "q_vocab_coverage" -> s"""
         WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
         freq AS (SELECT tok, count(*) AS f FROM w GROUP BY 1),
