@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.ExtQueries.queries ++
       graft.queries.SqlSurfaceQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.FeatureQueries.queries
+      graft.queries.FeatureQueries.queries ++
+      graft.queries.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.ExtQueries.oracles ++
       graft.queries.SqlSurfaceQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
-      graft.queries.FeatureQueries.oracles
+      graft.queries.FeatureQueries.oracles ++
+      graft.queries.OlapQueries.oracles
 }
