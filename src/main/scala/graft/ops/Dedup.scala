@@ -268,6 +268,52 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
+  /** Exact CONTAINMENT join — every ordered pair (a, b) with
+    * |A∩B| / |A| ≥ t: the asymmetric sibling of [[ppJoin]], which Jaccard
+    * misses when a short document is wholly contained in a much longer one
+    * (J = |A|/|B| can be arbitrarily small while containment is 1.0 — the
+    * quote/excerpt/boilerplate-inclusion case a crawl dedup must catch).
+    *
+    * Prefix filtering is ONE-SIDED here: |A∩B| ≥ o := ceil(t·|A|) depends
+    * only on A, so A's `sz_a − o + 1` rarest tokens (same global (df,
+    * token) order as ppJoin) must contain a token of A∩B — but B
+    * contributes its FULL token postings, because no lower bound on the
+    * overlap is expressible in |B| alone. Candidates are therefore
+    * Σ_{t ∈ prefix(A)} df(t) pairs — keyed on A's rarest tokens by
+    * construction, complete with no bucket cap. Verification is the
+    * integer cross-multiplication `n_inter·100 ≥ tPct·sz_a`; the division
+    * exists only in the reported score.
+    */
+  def containmentJoin(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint(false)
+    val tok = sets.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    // o = ceil(t·sz); prefix keeps ranks 1 .. sz − o + 1
+    val prefixA = tok.join(dfreq, Seq("t"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
+      .select(col("t"), col("id").as("id_a"))
+    val cand = prefixA
+      .join(tok.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("n_inter") * 100 >= lit(tPct.toLong) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
+        round(col("n_inter").cast("double") / col("sz_a"), 6).as("containment"))
+  }
+
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Joins, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextOps}
 import graft.streaming.Streams
 
 /** Similarity search, streaming, sessionization, multimodal plumbing —
@@ -62,6 +62,33 @@ object ExtQueries {
       Similarity.nearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", NEARDUP_COS, BITS, DIM)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // mutual-kNN graph clustering: every vector's LSH-bucketed top-k
+    // (q_ann_lsh's graph — corpus IS the query set, never all-pairs), keep
+    // only MUTUAL edges (a ∈ knn(b) AND b ∈ knn(a) — the standard
+    // false-edge filter for density clustering), then connected components
+    // over the mutual edge list. Labels = component-minimum id; isolated
+    // vectors label themselves. Edge frames are (n·k)-sized, CC is the
+    // O(log n)-round star contraction — the whole chain is corpus-shuffle-
+    // free except the bucket join and the pair-sized CC rounds.
+    "q_cluster_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val knn = Similarity.lshTopK(emb, "vec_id", "embedding", LSH_TOPK, BITS, DIM)
+        .select(col("query_id"), col("neighbor_id"))
+      val mutual = knn.join(
+          knn.select(col("query_id").as("neighbor_id"), col("neighbor_id").as("query_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .filter(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      val labels = Dedup.connectedComponents(mutual)
+      val base = emb.select(col("vec_id"))
+        .join(labels, col("vec_id") === col("id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster"))
+      val sizes = base.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      base.join(broadcast(sizes), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cluster_size"))
+        .orderBy(col("vec_id"))
     },
 
     // int8 embedding quantization: pure scan-level compression codes +
@@ -1187,6 +1214,38 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
+      // reachability (the q_graph_components fixpoint) over the mutual
+      // edges; isolated vectors label themselves
+      "q_cluster_knn" -> s"""
+        ${embBase.replaceFirst("WITH", "WITH RECURSIVE")},
+        b0 AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM n),
+        b AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                AS rk FROM b0),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("q", "c")} AS cos_sim
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+               AND c.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}),
+        knn AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+                WHERE rank <= $LSH_TOPK),
+        mut AS (SELECT a.query_id AS src, a.neighbor_id AS dst
+                FROM knn a JOIN knn b ON a.query_id = b.neighbor_id
+                  AND a.neighbor_id = b.query_id
+                WHERE a.query_id < a.neighbor_id),
+        ee AS (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+        r AS (
+          SELECT src AS node, src AS lbl FROM ee
+          UNION
+          SELECT e2.dst AS node, r.lbl FROM r JOIN ee e2 ON e2.src = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY 1),
+        lab AS (SELECT e.vec_id, coalesce(c.component, e.vec_id) AS cluster
+                FROM n e LEFT JOIN comp c ON e.vec_id = c.node),
+        sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT l.vec_id, l.cluster, s.cluster_size
+        FROM lab l JOIN sz s USING (cluster)
+        ORDER BY l.vec_id""",
       // random projection: regenerate the md5-derived matrix rows inline
       // (the q_ann_lsh hyperplane construction with the 'p' seed prefix),
       // one scalar output column per projected dim

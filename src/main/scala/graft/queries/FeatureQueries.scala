@@ -544,6 +544,38 @@ object FeatureQueries {
     // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
     // the heaviest key (min-id tiebreak); key-sized frames after the first
     // aggregate.
+    // per-column data profile — the ingestion-time health table (row count,
+    // null count, exact distinct cardinality per column) a pipeline
+    // publishes with every new partition. ONE pass over the table: the
+    // multi-column count-distinct plans as a single Expand (×4 rows, then
+    // map-side-combined), conditional null counts fuse into the same
+    // aggregate, and stack() unpivots the 1-row result into the
+    // (column, stats) shape downstream monitors join against. At 100 TB the
+    // exact distincts swap for approx_count_distinct (same plan minus the
+    // Expand) — this gate is the exact anchor.
+    "q_profile_cols" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+        countDistinct(col("user_id")).as("dist_user"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_type"),
+        countDistinct(col("event_type")).as("dist_type"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+        countDistinct(col("value")).as("dist_value"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        countDistinct(col("props")).as("dist_props"))
+        .select(col("n_rows"), expr(
+          """stack(4,
+               'event_type', null_type, dist_type,
+               'props',      null_props, dist_props,
+               'user_id',    null_user, dist_user,
+               'value',      null_value, dist_value)
+             AS (col_name, n_null, n_distinct)"""))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .orderBy(col("col_name"))
+    },
+
     "q_profile_skew" -> { (s, dir) =>
       val cnts = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -874,6 +906,25 @@ object FeatureQueries {
              CASE WHEN s9 > 50000000000 THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS dependent
       FROM agg""",
+    "q_profile_cols" -> """
+      WITH s AS (SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        count(DISTINCT user_id) AS du,
+        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+        count(DISTINCT event_type) AS de,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+        count(DISTINCT value) AS dv,
+        CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        count(DISTINCT props) AS dp
+        FROM events)
+      SELECT 'event_type' AS col_name, n_rows, ne AS n_null, de AS n_distinct FROM s
+      UNION ALL
+      SELECT 'props', n_rows, np, dp FROM s
+      UNION ALL
+      SELECT 'user_id', n_rows, nu, du FROM s
+      UNION ALL
+      SELECT 'value', n_rows, nv, dv FROM s
+      ORDER BY col_name""",
     "q_profile_skew" -> """
       WITH cnts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
       stats AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,

@@ -1018,6 +1018,35 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // BPE pair statistics — the first merge iteration of byte-pair-encoding
+    // tokenizer training: adjacent character-pair counts within tokens,
+    // top-20 by corpus frequency. Scan-level double explode (token, then
+    // in-token position) into ONE pair-sized aggregate + top-k — no doc
+    // shuffle; at corpus scale the aggregate is alphabet²-sized. The full
+    // BPE loop re-runs this count after each merge; the gate pins the
+    // counting kernel the loop is made of.
+    "q_text_bpe_pairs" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+      toks
+        .select(explode(expr("sequence(1, length(tok) - 1)")).as("i"), col("tok"))
+        .select(expr("substring(tok, i, 2)").as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // exact CONTAINMENT join — |A∩B|/|A| ≥ 0.8, the asymmetric dedup
+    // Jaccard misses when a short doc is wholly quoted inside a long one;
+    // one-sided prefix filter (A's rarest tokens × B's full postings),
+    // complete with no bucket cap. Oracle = brute force over all ordered
+    // pairs — prefix filtering must lose nothing.
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text", NGRAM, 80)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // incremental exact near-dup ADMISSION: new docs (id >= 400) checked
     // against the stored corpus (< 400) — prefix order from corpus dfs,
     // batch's novel tokens rank rarest; complete by the prefix lemma
@@ -2372,6 +2401,27 @@ object PipelineQueries {
         FROM z a JOIN z b ON a.doc_id < 400 AND b.doc_id >= 400
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b""",
+      "q_text_bpe_pairs" -> s"""
+        WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+        t AS (SELECT tok FROM w WHERE len(tok) >= 2),
+        p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
+              FROM t, unnest(range(1, len(tok))) AS u(i))
+        SELECT pair, count(*) AS n FROM p GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 20""",
+      // brute force IS the spec: the one-sided prefix filter must lose no
+      // ordered pair
+      "q_dedup_containment" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+               a.sz AS sz_a,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.sz, 6)
+                 AS containment
+        FROM z a JOIN z b ON a.doc_id <> b.doc_id
+          AND len(list_intersect(a.sh, b.sh)) * 100 >= 80 * a.sz
         ORDER BY id_a, id_b""",
       // brute force IS the spec: prefix filtering must lose no pair
       "q_dedup_ppjoin" -> s"""

@@ -639,6 +639,34 @@ object LawsSpec extends Properties("graft") {
         r
     }
 
+  // the containment join's one-sided prefix filter (A's rarest tokens vs
+  // B's FULL postings) must lose no ordered pair at |A∩B|/|A| ≥ t, for any
+  // corpus, shingle width and threshold — the asymmetric sibling of the
+  // ppJoin completeness law
+  property("containmentJoin equals brute-force containment join") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 3), Gen.choose(20, 90)) {
+      (seed, shingleN, tPct) =>
+        import graft.ops.Dedup
+        val rnd = new scala.util.Random(seed)
+        val vocab = Vector("a", "b", "c", "d", "e", "f")
+        def doc() = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val docs = (0 until 25).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+        val got = Dedup.containmentJoin(docs, "doc_id", "text", shingleN, tPct)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val sets = Dedup.shingleSets(docs, "doc_id", "text", shingleN)
+          .filter(size(col("sh")) > 0)
+        val brute = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+            size(col("sh")).cast("long").as("sz_a"))
+          .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            col("id_a") =!= col("id_b"))
+          .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .filter(col("ni") * 100 >= lit(tPct.toLong) * col("sz_a"))
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val r = got == brute
+        if (!r) println(s"seed=$seed n=$shingleN t=$tPct missing=${(brute -- got).toSeq.sorted} extra=${(got -- brute).toSeq.sorted}")
+        r
+    }
+
   // fixed-point PageRank's whole value proposition is determinism: the
   // scaled-long updates must be partition-invariant (no float sum ever
   // sneaks in), and the truncation dust must stay within the documented
