@@ -314,6 +314,49 @@ object Dedup {
         round(col("n_inter").cast("double") / col("sz_a"), 6).as("containment"))
   }
 
+  /** Incremental [[containmentJoin]] — exact containment ADMISSION of a new
+    * batch against a stored corpus: every (batch b, corpus c) pair with
+    * |B∩C| / |B| ≥ t, i.e. "which new docs are mostly made of content we
+    * already have" (the quote/boilerplate-inclusion admission question).
+    * The prefix side is the BATCH (the bound ceil(t·|B|) depends only on
+    * B); the corpus contributes its FULL token postings — which is exactly
+    * the inverted index a deployment has already persisted, so admission
+    * needs no corpus rescan. The token order comes from CORPUS dfs
+    * (batch-novel tokens rank rarest, df = 0); the one-sided prefix lemma
+    * holds under any fixed order applied to the batch side.
+    */
+  def containmentJoinIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    def mkSets(df: DataFrame) = shingleSets(df, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint(false)
+    val cs = mkSets(corpus)
+    val bs = mkSets(batch)
+    val ctok = cs.select(col("id"), explode(col("sh")).as("t"))
+    val dfreq = ctok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    val prefixB = bs.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+      .join(dfreq, Seq("t"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
+      .select(col("t"), col("id").as("id_b"))
+    val cand = prefixB
+      .join(ctok.select(col("t"), col("id").as("id_c")), Seq("t"))
+      .select(col("id_b"), col("id_c")).distinct()
+    cand
+      .join(bs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .join(cs.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .withColumn("n_inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+      .filter(col("n_inter") * 100 >= lit(tPct.toLong) * col("sz_b"))
+      .select(col("id_b"), col("id_c"), col("n_inter"), col("sz_b"),
+        round(col("n_inter").cast("double") / col("sz_b"), 6).as("containment"))
+  }
+
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,

@@ -64,6 +64,40 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // per-dimension-pair covariance/correlation of the embedding space —
+    // the whitening/PCA input artifact a feature store freezes before
+    // training. The outer-product aggregate: each vector explodes to its
+    // (dim, value) pairs once, the self-join per vec_id emits the j ≥ i
+    // upper triangle, and all five moment sums fold as EXACT 1e6-scaled
+    // longs — cov and corr are each ONE final IEEE division/sqrt over
+    // exact integers, engine-deterministic (the q_trend_fit discipline on
+    // the dim-pair grid). Frames after the aggregate are dim²-sized
+    // (2080 rows at 64 dims) no matter the corpus row count.
+    "q_embed_cov" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+      val m = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
+          Seq("vec_id"))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"),
+          sum(col("y6") * col("y6")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
+          round(num.cast("double")
+            / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("cov"),
+          round(num.cast("double")
+            / sqrt(denx.cast("double") * deny.cast("double")), 6).as("corr"))
+        .orderBy(col("i"), col("j"))
+    },
+
     // mutual-kNN graph clustering: every vector's LSH-bucketed top-k
     // (q_ann_lsh's graph — corpus IS the query set, never all-pairs), keep
     // only MUTUAL edges (a ∈ knn(b) AND b ∈ knn(a) — the standard
@@ -1214,6 +1248,24 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
+      "q_embed_cov" -> s"""
+        WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
+        m AS (SELECT a.i, b.i AS j, count(*) AS n,
+                CAST(sum(a.x6) AS BIGINT) AS sx, CAST(sum(b.x6) AS BIGINT) AS sy,
+                CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy,
+                CAST(sum(a.x6 * a.x6) AS BIGINT) AS sxx,
+                CAST(sum(b.x6 * b.x6) AS BIGINT) AS syy
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+              GROUP BY 1, 2)
+        SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+        FROM m ORDER BY i, j""",
       // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
       // reachability (the q_graph_components fixpoint) over the mutual
       // edges; isolated vectors label themselves

@@ -544,6 +544,36 @@ object FeatureQueries {
     // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
     // the heaviest key (min-id tiebreak); key-sized frames after the first
     // aggregate.
+    // degree assortativity of the co-occurrence graph — do hubs link to
+    // hubs? (Newman's r: Pearson correlation of endpoint degrees over the
+    // directed edge list, both orientations so the statistic is
+    // symmetric.) Degrees are one edge-sized aggregate joined back onto
+    // the edges; the five moment sums are exact longs and r is ONE final
+    // IEEE division — the graph-health twin of q_trend_fit's integer-OLS
+    // discipline. Output also carries n/mean-degree so the single r value
+    // rides with its support.
+    "q_graph_assortativity" -> { (s, dir) =>
+      val e0 = coEdges(s, dir, TRI_MINW)
+      val ee = e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = ee.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val m = ee
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+      val num = col("n_edges") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n_edges") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n_edges") * col("syy") - col("sy") * col("sy")
+      m.select(col("n_edges"),
+        round(col("sx").cast("double") / col("n_edges"), 6).as("mean_deg"),
+        round(num.cast("double") / sqrt(denx.cast("double") * deny.cast("double")), 6)
+          .as("assortativity"))
+    },
+
     // per-column data profile — the ingestion-time health table (row count,
     // null count, exact distinct cardinality per column) a pipeline
     // publishes with every new partition. ONE pass over the table: the
@@ -906,6 +936,26 @@ object FeatureQueries {
              CASE WHEN s9 > 50000000000 THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS dependent
       FROM agg""",
+    "q_graph_assortativity" -> s"""
+      WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+      e0 AS (SELECT a.sk AS src, b.sk AS dst
+             FROM so a JOIN so b ON a.o = b.o AND a.sk < b.sk
+             GROUP BY 1, 2 HAVING count(*) >= $TRI_MINW),
+      ee AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS deg FROM ee GROUP BY 1),
+      m AS (SELECT count(*) AS n_edges,
+              CAST(sum(dx.deg) AS BIGINT) AS sx, CAST(sum(dy.deg) AS BIGINT) AS sy,
+              CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+              CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+              CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+            FROM ee JOIN deg dx ON ee.src = dx.node
+            JOIN deg dy ON ee.dst = dy.node)
+      SELECT n_edges,
+             round(CAST(sx AS DOUBLE) / n_edges, 6) AS mean_deg,
+             round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      FROM m""",
     "q_profile_cols" -> """
       WITH s AS (SELECT count(*) AS n_rows,
         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,

@@ -1047,6 +1047,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // incremental exact containment ADMISSION: which new docs (id >= 400)
+    // are ≥80% made of content already in the corpus (< 400) — batch-side
+    // prefix vs the corpus's full postings (= the persisted inverted
+    // index), so admission needs no corpus rescan
+    "q_dedup_containment_inc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentJoinIncremental(docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", NGRAM, 80)
+        .orderBy(col("id_b"), col("id_c"))
+    },
+
     // incremental exact near-dup ADMISSION: new docs (id >= 400) checked
     // against the stored corpus (< 400) — prefix order from corpus dfs,
     // batch's novel tokens rank rarest; complete by the prefix lemma
@@ -2402,6 +2413,18 @@ object PipelineQueries {
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""",
+      "q_dedup_containment_inc" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT b.doc_id AS id_b, c.doc_id AS id_c,
+               len(list_intersect(b.sh, c.sh))::BIGINT AS n_inter,
+               b.sz AS sz_b,
+               round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / b.sz, 6)
+                 AS containment
+        FROM z b JOIN z c ON b.doc_id >= 400 AND c.doc_id < 400
+          AND len(list_intersect(b.sh, c.sh)) * 100 >= 80 * b.sz
+        ORDER BY id_b, id_c""",
       "q_text_bpe_pairs" -> s"""
         WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
         t AS (SELECT tok FROM w WHERE len(tok) >= 2),

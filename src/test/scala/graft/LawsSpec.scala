@@ -525,6 +525,35 @@ object LawsSpec extends Properties("graft") {
         r
     }
 
+  // incremental containment admission orders tokens by CORPUS dfs only and
+  // prefixes the BATCH side against the corpus's full postings —
+  // completeness must survive both choices
+  property("containmentJoinIncremental equals brute-force cross containment join") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 3), Gen.choose(20, 90)) {
+      (seed, shingleN, tPct) =>
+        import graft.ops.Dedup
+        val rnd = new scala.util.Random(seed)
+        val vocab = Vector("a", "b", "c", "d", "e", "f", "zz", "qq")
+        def doc() = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val docs = (0 until 24).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 14)
+        val batch = docs.filter(col("doc_id") >= 14)
+        val got = Dedup.containmentJoinIncremental(corpus, batch, "doc_id", "text",
+            shingleN, tPct)
+          .select("id_b", "id_c").as[(Long, Long)].collect().toSet
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          Dedup.shingleSets(df, "doc_id", "text", shingleN).filter(size(col("sh")) > 0)
+        val brute = sets(batch).select(col("id").as("id_b"), col("sh").as("sh_b"),
+            size(col("sh")).cast("long").as("sz_b"))
+          .crossJoin(sets(corpus).select(col("id").as("id_c"), col("sh").as("sh_c")))
+          .withColumn("ni", size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+          .filter(col("ni") * 100 >= lit(tPct.toLong) * col("sz_b"))
+          .select("id_b", "id_c").as[(Long, Long)].collect().toSet
+        val r = got == brute
+        if (!r) println(s"seed=$seed n=$shingleN t=$tPct missing=${(brute -- got).toSeq.sorted}")
+        r
+    }
+
   // the streaming SCD2 fold must land exactly on the batch build for ANY
   // time-ordered chunking — open-row stitching across batch boundaries
   // (merge-same-segment, close-different, carry-untouched) is where the
