@@ -154,7 +154,13 @@ object Bench {
       "q_graph_triangles" -> sink("q_graph_triangles"),
       "q_basket_rules" -> sink("q_basket_rules"),
       "q_dedup_edit" -> sink("q_dedup_edit"),
-      "q_lag_features" -> sink("q_lag_features"))
+      "q_lag_features" -> sink("q_lag_features"),
+      // round-11 wave 9: cyclic-join-graph DSS shape, exact containment
+      // dedup, mutual-kNN clustering, dim-pair covariance aggregate
+      "q_tpch_localvol" -> sink("q_tpch_localvol"),
+      "q_dedup_containment" -> sink("q_dedup_containment"),
+      "q_cluster_knn" -> sink("q_cluster_knn"),
+      "q_embed_cov" -> sink("q_embed_cov"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the

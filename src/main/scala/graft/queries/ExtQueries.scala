@@ -46,6 +46,25 @@ object ExtQueries {
   private val MMR_SHORT = 10 // MMR candidate shortlist per query
   private val MMR_K = 5      // MMR selections per query
 
+  /** cov/corr assembly over the five exact-long moment sums (n, sx, sy,
+    * sxy, sxx, syy) keyed by (i, j) — numerators/denominators are exact
+    * integers, cov and corr are each ONE final IEEE division/sqrt. Shared
+    * by the batch outer-product aggregate (q_embed_cov) and the streaming
+    * moment maintenance (q_stream_cov), which is what lets the two gates
+    * share one oracle.
+    */
+  private def covAssemble(m: DataFrame): DataFrame = {
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
+        round(num.cast("double")
+          / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("cov"),
+        round(num.cast("double")
+          / sqrt(denx.cast("double") * deny.cast("double")), 6).as("corr"))
+      .orderBy(col("i"), col("j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -87,15 +106,17 @@ object ExtQueries {
           sum(col("x6") * col("y6")).as("sxy"),
           sum(col("x6") * col("x6")).as("sxx"),
           sum(col("y6") * col("y6")).as("syy"))
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
-      val denx = col("n") * col("sxx") - col("sx") * col("sx")
-      val deny = col("n") * col("syy") - col("sy") * col("sy")
-      m.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
-          round(num.cast("double")
-            / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("cov"),
-          round(num.cast("double")
-            / sqrt(denx.cast("double") * deny.cast("double")), 6).as("corr"))
-        .orderBy(col("i"), col("j"))
+      covAssemble(m)
+    },
+
+    // the STREAMING covariance twin: the moment sums maintained live as
+    // dim²/2 rows of complete-mode state (each vector expands scan-level
+    // to its upper-triangle contributions — a stream can't self-join under
+    // a complete aggregate), drained and assembled through the SAME
+    // cov/corr tail. Long-additive sums ⇒ the snapshot equals the batch
+    // outer-product aggregate exactly — shared oracle.
+    "q_stream_cov" -> { (s, dir) =>
+      covAssemble(Streams.streamingCovMoments(s, dir, DIM, 3))
     },
 
     // mutual-kNN graph clustering: every vector's LSH-bucketed top-k
@@ -941,6 +962,27 @@ object ExtQueries {
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
+    // dim-pair covariance/correlation from exact 1e6-scaled-long moment
+    // sums — the batch outer-product aggregate and the streaming moment
+    // state define the same relation (q_embed_cov + q_stream_cov)
+    val embedCovSql = s"""
+        WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
+        m AS (SELECT a.i, b.i AS j, count(*) AS n,
+                CAST(sum(a.x6) AS BIGINT) AS sx, CAST(sum(b.x6) AS BIGINT) AS sy,
+                CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy,
+                CAST(sum(a.x6 * a.x6) AS BIGINT) AS sxx,
+                CAST(sum(b.x6 * b.x6) AS BIGINT) AS syy
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+              GROUP BY 1, 2)
+        SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+        FROM m ORDER BY i, j"""
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"
 
@@ -1248,24 +1290,11 @@ object ExtQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= $LSH_TOPK ORDER BY query_id, rank""",
-      "q_embed_cov" -> s"""
-        WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
-                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
-                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
-        m AS (SELECT a.i, b.i AS j, count(*) AS n,
-                CAST(sum(a.x6) AS BIGINT) AS sx, CAST(sum(b.x6) AS BIGINT) AS sy,
-                CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy,
-                CAST(sum(a.x6 * a.x6) AS BIGINT) AS sxx,
-                CAST(sum(b.x6 * b.x6) AS BIGINT) AS syy
-              FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-              GROUP BY 1, 2)
-        SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, n,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
-        FROM m ORDER BY i, j""",
+      // q_stream_cov maintains the same moment sums as complete-mode state
+      // and assembles through the same exact-integer tail — one relation,
+      // one oracle
+      "q_stream_cov" -> embedCovSql,
+      "q_embed_cov" -> embedCovSql,
       // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
       // reachability (the q_graph_components fixpoint) over the mutual
       // edges; isolated vectors label themselves

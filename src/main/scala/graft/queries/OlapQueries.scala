@@ -184,6 +184,71 @@ object OlapQueries {
         .orderBy(col("part_value").desc, col("l_partkey"))
     },
 
+    // TPC-H Q21 analog (suppliers who kept orders waiting): suppliers with
+    // a LATE lineitem (shipped > 90 days after the order date) in a
+    // multi-supplier order where every OTHER supplier shipped on time —
+    // the EXISTS + NOT-EXISTS double-correlation shape: one semi-join and
+    // one anti-join, both riding the orderkey equi-key with the s ≠ s2
+    // residual, over the deduped (orderkey, suppkey[, late]) association.
+    // No date column beyond shipdate exists in the fixture, so "late" is
+    // ship-vs-order lag (the reference predicate uses receipt vs commit).
+    "q_tpch_waiting" -> { (s, dir) =>
+      val assoc = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+        .groupBy(col("o"), col("sk"))
+        .agg(max(col("late")).as("late"))
+        // three consumers (the late side, the semi, the anti) — pin ONE
+        // computation of the fact join + pair aggregate
+        .localCheckpoint(false)
+      val mine = assoc.filter(col("late"))
+        .select(col("o"), col("sk"))
+      val others = assoc.select(col("o").as("o2"), col("sk").as("sk2"), col("late"))
+      mine
+        .join(others.select(col("o2"), col("sk2")),
+          col("o") === col("o2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(others.filter(col("late")).select(col("o2"), col("sk2")),
+          col("o") === col("o2") && col("sk") =!= col("sk2"), "left_anti")
+        .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
+
+    // TPC-H Q2 analog (min-cost supplier per part): the per-part argmin
+    // join-back — cheapest observed unit price is an INTEGER min (cents),
+    // so the argmin is exact; ties break on suppkey via the (cost, supp)
+    // struct-min, one aggregate + one broadcast-dim join, restricted to
+    // ASIA suppliers and large parts
+    "q_tpch_mincost" -> { (s, dir) =>
+      val asiaSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val offers = Tables.lineitem(s, dir)
+        .join(broadcast(asiaSupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+      val best = offers
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("cost_cents"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey"), col("b.cost_cents").as("cost_cents"),
+          col("b.l_suppkey").as("l_suppkey"))
+      best
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") >= 45)
+          .select(col("p_partkey"), col("p_name"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("n_name"),
+          (col("cost_cents").cast("double") / 100.0).as("min_cost"))
+        .orderBy(col("p_partkey"))
+    },
+
     // TPC-H Q20 analog (excess share suppliers): suppliers that shipped
     // MORE THAN HALF of some part's 1996 volume. (part,supp) and part
     // aggregates join back part-keyed; the share test is the exact integer
@@ -297,6 +362,47 @@ object OlapQueries {
       FROM per_part p, total t
       WHERE p.value_cents * 1300 > t.total_cents
       ORDER BY part_value DESC, p.l_partkey""",
+    "q_tpch_waiting" -> """
+      WITH assoc AS (
+        SELECT l.l_orderkey AS o, l.l_suppkey AS sk,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                   THEN 1 ELSE 0 END) = 1 AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2)
+      SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+      FROM assoc a
+      JOIN supplier s ON a.sk = s.s_suppkey
+      WHERE a.late
+        AND EXISTS (SELECT 1 FROM assoc b WHERE b.o = a.o AND b.sk <> a.sk)
+        AND NOT EXISTS (SELECT 1 FROM assoc c
+                        WHERE c.o = a.o AND c.sk <> a.sk AND c.late)
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, s.s_suppkey""",
+    "q_tpch_mincost" -> """
+      WITH asia_supp AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'),
+      offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM asia_supp)
+        GROUP BY 1, 2),
+      best AS (
+        SELECT l_partkey, cost_cents, l_suppkey
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                ORDER BY cost_cents, l_suppkey) AS rn FROM offers)
+        WHERE rn = 1)
+      SELECT p.p_partkey, p.p_name, a.s_suppkey, a.s_name, a.n_name,
+             CAST(b.cost_cents AS DOUBLE) / 100.0 AS min_cost
+      FROM best b
+      JOIN part p ON b.l_partkey = p.p_partkey
+      JOIN asia_supp a ON b.l_suppkey = a.s_suppkey
+      WHERE p.p_size >= 45
+      ORDER BY p.p_partkey""",
     "q_tpch_excess" -> """
       WITH shipped AS (
         SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty

@@ -183,6 +183,38 @@ object PipelineQueries {
         docs.select(col("doc_id"), (col("lang") === "en").as("truth")), "truth")
     },
 
+    // per-SEGMENT classifier metrics — the fairness/segment-parity eval a
+    // production filter ships with (does the keep/drop decision behave
+    // uniformly across sources?): confusion counts + accuracy/precision/
+    // recall per source, all from integer-exact predictions (the
+    // wsum > bias·n_feats integer compare), each rate ONE IEEE division
+    // with an explicit zero-denominator sentinel. Frames after the scoring
+    // scan are segment-sized.
+    "q_classifier_by_group" -> { (s, dir) =>
+      val docs = Tables.documentsParallel(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      val scored = TextOps.withTrainedClassifierScore(docs, "doc_id", "text",
+          model, CLS_BUCKETS)
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("pos")), Seq("doc_id"))
+        .withColumn("pred", col("label") === "keep")
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when(col("pos") && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pos") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("source"), col("n"), col("n_pos"), col("n_pred_pos"), col("tp"),
+          round(col("n_agree").cast("double") / col("n"), 6).as("accuracy"),
+          round(when(col("n_pred_pos") === 0, lit(0.0))
+            .otherwise(col("tp").cast("double") / col("n_pred_pos")), 6).as("prec"),
+          round(when(col("n_pos") === 0, lit(0.0))
+            .otherwise(col("tp").cast("double") / col("n_pos")), 6).as("recall"))
+        .orderBy(col("source"))
+    },
+
     // exact ROC-AUC of the trained classifier — the rank-sum (Mann–Whitney)
     // form with midrank tie handling: 2×midrank = 2·rank + |ties| − 1 stays
     // integral, so the AUC numerator is an exact long and the single
@@ -1646,6 +1678,24 @@ object PipelineQueries {
       // two engines cannot drift; scoring docs all appear in training, so
       // the weight join is never partial (left join guards empty-feat docs)
       "q_text_classifier_trained" -> trainedClassifierSql,
+      // the trained chain spliced as a subquery, re-aggregated per source
+      "q_classifier_by_group" -> s"""
+        WITH scored AS ($trainedClassifierSql),
+        j AS (SELECT d.source, (d.lang = 'en') AS pos, (s.label = 'keep') AS pred
+              FROM scored s JOIN documents d USING (doc_id))
+        SELECT source, count(*) AS n,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+               CAST(sum(CASE WHEN pos AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               round(CAST(sum(CASE WHEN pos = pred THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy,
+               round(CASE WHEN sum(CASE WHEN pred THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE CAST(sum(CASE WHEN pos AND pred THEN 1 ELSE 0 END) AS DOUBLE)
+                      / sum(CASE WHEN pred THEN 1 ELSE 0 END) END, 6) AS prec,
+               round(CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE CAST(sum(CASE WHEN pos AND pred THEN 1 ELSE 0 END) AS DOUBLE)
+                      / sum(CASE WHEN pos THEN 1 ELSE 0 END) END, 6) AS recall
+        FROM j GROUP BY 1 ORDER BY source""",
       // stateless streaming cell over the same trained model => same rows
       "q_stream_classify_trained" -> trainedClassifierSql,
       // evaluation: confusion counts + accuracy of the trained predictions

@@ -214,6 +214,49 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming embedding-covariance moment maintenance — the live side of
+    * the feature store's whitening/PCA artifact (q_stream_cov): each
+    * arriving vector expands SCAN-LEVEL to its upper-triangle (i, j)
+    * moment contributions (a nested transform + flatten expression — no
+    * self-join, which a stream cannot do under a complete-mode aggregate),
+    * and the five moment sums fold as 1e6-scaled longs into dim²/2 rows of
+    * complete-mode state. All sums are long-additive, so the drained
+    * snapshot is batch-boundary-invariant and assembles to EXACTLY the
+    * batch outer-product covariance (q_embed_cov's oracle). The multi-file
+    * staging gives the replay true multi-batch delivery.
+    */
+  def streamingCovMoments(
+      spark: SparkSession, sfDir: String, dim: Int, batches: Int): DataFrame = {
+    val name = s"graft_stream_cov_${System.nanoTime()}"
+    val stage = s"/tmp/graft_scov_stage_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    base.repartition(batches).write.mode("overwrite").parquet(stage)
+    val q = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withColumn("x6",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6) as bigint))"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+              transform(sequence(i, ${dim - 1}), j ->
+                named_struct('i', i, 'j', j,
+                  'x6', element_at(x6, i + 1), 'y6', element_at(x6, j + 1)))))"""))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.x6").as("x6"),
+        col("p.y6").as("y6"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("y6") * col("y6")).as("syy"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming per-day event counts — the live side of the volume-anomaly
     * monitor (q_stream_anomaly): the only state is the days-sized count
     * table (complete-mode agg), independent of stream length; the frozen

@@ -730,4 +730,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(boPlan.contains("BroadcastHashJoin"),
       s"Q18 keyset must broadcast back onto the detail side:\n$boPlan")
   }
+
+  test("wave-9 ops keep their scale shape: Q5 dims broadcast, containment equi-joined, cov one agg exchange") {
+    val dir = "/root/testdata/sf0.001"
+    // Q5 (cyclic join graph): every dimension side must broadcast — the
+    // only shuffle exchanges belong to the orders⋈lineitem equi-join and
+    // the final aggregate; and both date filters must reach the orders scan
+    val lv = graft.queries.OlapQueries.queries("q_tpch_localvol")(spark, dir)
+    val lvPlan = lv.queryExecution.executedPlan.toString
+    assert(lvPlan.contains("BroadcastHashJoin") &&
+      !lvPlan.contains("CartesianProduct") &&
+      !lvPlan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 dims must broadcast, no nested-loop anywhere:\n$lvPlan")
+    assert(lvPlan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"Q5 date filters must reach the orders scan:\n$lvPlan")
+    // containment join: candidates must come from the token equi-join —
+    // a cartesian/nested-loop means the one-sided prefix filter was lost
+    val cj = graft.ops.Dedup.containmentJoin(
+      graft.Tables.documents(spark, dir), "doc_id", "text", 3, 80)
+    val cjPlan = cj.queryExecution.executedPlan.toString
+    assert(!cjPlan.contains("CartesianProduct") &&
+      !cjPlan.contains("BroadcastNestedLoopJoin"),
+      s"containment join must stay equi-joined on prefix tokens:\n$cjPlan")
+    // embedding covariance: the dim-pair moment fold is ONE hash aggregate
+    // exchange on (i, j) — the self-join on vec_id rides the explode's
+    // existing distribution (broadcast or co-partitioned), never a
+    // corpus-sized extra shuffle chain
+    val cov = graft.queries.ExtQueries.queries("q_embed_cov")(spark, dir)
+    val covPlan = cov.queryExecution.executedPlan.toString
+    assert(!covPlan.contains("CartesianProduct"),
+      s"covariance self-join must stay keyed on vec_id:\n$covPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(covPlan).size <= 3,
+      s"covariance must not grow an extra shuffle chain:\n$covPlan")
+  }
 }
