@@ -78,6 +78,82 @@ object OlapQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // TPC-H Q1 (pricing summary report), the FULL form — q_groupby_agg
+    // carries the lite version; this adds the tax-compounded charge and the
+    // three averages. Sum discipline: quantities are integral doubles
+    // (exact in any order), money folds in decimal(18,4), discounts fold as
+    // exact percent-longs (0.01 steps are NOT exactly representable — a
+    // float sum would be order-dependent); every average is the explicit
+    // exact-sum / count division both engines evaluate identically.
+    "q_tpch_pricing" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sbp"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sdp"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).as("sch"),
+          sum(round(col("l_discount") * 100).cast("long")).as("sd100"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sbp").cast("double").as("sum_base_price"),
+          col("sdp").cast("double").as("sum_disc_price"),
+          col("sch").cast("double").as("sum_charge"),
+          round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
+          round(col("sbp").cast("double") / col("count_order"), 6).as("avg_price"),
+          round(col("sd100").cast("double") / 100.0 / col("count_order"), 6)
+            .as("avg_disc"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q9 analog (product-type profit): the DEEPEST join chain in the
+    // suite — lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈ part — grouped by
+    // supplier nation × order year. No partsupp table exists, so cost is
+    // the 0.6·retailprice·qty proxy; profit folds as one decimal sum of
+    // the per-row difference. Dims broadcast; the fact shuffles once for
+    // the orders join and once for the 2-key agg.
+    "q_tpch_profit" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").contains("widget"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")))
+          .cast("double").as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q12 analog (shipping-delay priority audit): late lineitems
+    // (shipped > 60 days after order) classified by linestatus, counting
+    // critical (1-URGENT / 2-HIGH) vs lower priorities — the two
+    // conditional counts ride ONE pass over the late join (the fixture has
+    // no shipmode column; linestatus takes its grouping role).
+    "q_tpch_shipmode" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
     // TPC-H Q8 (national market share): numerator (one nation's revenue)
     // and denominator (all-nation revenue) fold in the SAME aggregate pass
     // over the region-filtered join — never two scans; one IEEE division at
@@ -362,6 +438,47 @@ object OlapQueries {
       FROM per_part p, total t
       WHERE p.value_cents * 1300 > t.total_cents
       ORDER BY part_value DESC, p.l_partkey""",
+    "q_tpch_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+             round(sum(l_quantity) / count(*), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 6) AS avg_price,
+             round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tpch_profit" -> """
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE) AS profit,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC""",
+    "q_tpch_shipmode" -> """
+      SELECT l.l_linestatus,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1 ORDER BY 1""",
     "q_tpch_waiting" -> """
       WITH assoc AS (
         SELECT l.l_orderkey AS o, l.l_suppkey AS sk,

@@ -1069,6 +1069,15 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // the STREAMING BPE counting twin: pair counts maintained as
+    // alphabet²-bounded complete-mode state on the doc stream, top-k cut
+    // at drain — long-additive, so it shares the batch gate's oracle
+    "q_stream_bpe_pairs" -> { (s, dir) =>
+      graft.streaming.Streams.streamingBpePairs(s, dir)
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // exact CONTAINMENT join — |A∩B|/|A| ≥ 0.8, the asymmetric dedup
     // Jaccard misses when a short doc is wholly quoted inside a long one;
     // one-sided prefix filter (A's rarest tokens × B's full postings),
@@ -1459,6 +1468,15 @@ object PipelineQueries {
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN rf USING (fp)),
         $winnowCutTail"""
+    // in-token adjacent char-pair counts, top-20 — shared by the batch
+    // kernel and its streaming complete-mode twin (additive counts)
+    val bpePairsSql = s"""
+        WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
+        t AS (SELECT tok FROM w WHERE len(tok) >= 2),
+        p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
+              FROM t, unnest(range(1, len(tok))) AS u(i))
+        SELECT pair, count(*) AS n FROM p GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 20"""
     val trainedClassifierSql = s"""
         WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
         f AS (SELECT doc_id, lang, list_concat(toks,
@@ -2475,13 +2493,9 @@ object PipelineQueries {
         FROM z b JOIN z c ON b.doc_id >= 400 AND c.doc_id < 400
           AND len(list_intersect(b.sh, c.sh)) * 100 >= 80 * b.sz
         ORDER BY id_b, id_c""",
-      "q_text_bpe_pairs" -> s"""
-        WITH w AS (SELECT unnest($toksSql) AS tok FROM documents),
-        t AS (SELECT tok FROM w WHERE len(tok) >= 2),
-        p AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
-              FROM t, unnest(range(1, len(tok))) AS u(i))
-        SELECT pair, count(*) AS n FROM p GROUP BY 1
-        ORDER BY n DESC, pair LIMIT 20""",
+      "q_text_bpe_pairs" -> bpePairsSql,
+      // additive complete-mode counts == the batch count: one oracle
+      "q_stream_bpe_pairs" -> bpePairsSql,
       // brute force IS the spec: the one-sided prefix filter must lose no
       // ordered pair
       "q_dedup_containment" -> s"""

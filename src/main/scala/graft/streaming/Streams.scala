@@ -1221,6 +1221,31 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming BPE pair-count maintenance — the tokenizer-training counting
+    * kernel (q_text_bpe_pairs) kept live on the document stream: each doc
+    * expands scan-level to its in-token adjacent character pairs and the
+    * pair counts fold as complete-mode state (alphabet²-bounded, corpus-
+    * size-independent). Counts are long-additive ⇒ the drained table equals
+    * the batch count exactly for any micro-batch boundaries; the top-k cut
+    * happens at drain time, batch-side.
+    */
+  def streamingBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_sbpe_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr("sequence(1, length(tok) - 1)")).as("i"), col("tok"))
+      .select(expr("substring(tok, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming SCD Type-2 maintenance — the dimension-history table kept
     * current across micro-batches ([[graft.ops.Scd2.foldBatch]] per batch;
     * state = ONE open row per key, closed history append-only). The replay
