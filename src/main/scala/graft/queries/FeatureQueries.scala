@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextOps}
 import graft.streaming.Streams
 
 /** Round-11 wave 4: ML feature engineering (the training-data shapes a
@@ -712,25 +712,76 @@ object FeatureQueries {
     // exact) so the sums are order-independent longs and the APPROXIMATE-
     // looking moments have an exact oracle; one explode + one dim-keyed
     // aggregate, no shuffle wider than 64 groups.
-    "q_feature_scale" -> { (s, dir) =>
-      val x = Tables.embeddings(s, dir)
+    "q_feature_scale" -> { (s, dir) => scaleStatsFrame(s, dir).orderBy(col("dim")) },
+
+    // the normalization artifact APPLIED at ingest — z-scoring each
+    // embedding component against the FROZEN per-dim stats (the serving
+    // path of q_feature_scale): the 64-row stats broadcast into a pure
+    // scan-level join, each z one subtraction + one division over values
+    // both engines hold bit-identically (the stats gate is exact-green).
+    "q_feature_apply_scale" -> { (s, dir) =>
+      val stats = scaleStatsFrame(s, dir).select(col("dim"), col("mean"), col("sd"))
+      Tables.embeddings(s, dir).filter(col("vec_id") < 50)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-        .select(col("dim").cast("long").as("dim"),
-          round(col("xf").cast("double") * SCALE6).cast("long").as("xl"))
-      x.groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("xl")).as("s1"),
-          sum(col("xl") * col("xl")).as("s2"),
-          min(col("xl")).as("lo6"), max(col("xl")).as("hi6"))
-        .select(col("dim"), col("n"),
-          round(col("s1").cast("double") / col("n") / SCALE6, 6).as("mean"),
-          round(sqrt(col("s2").cast("double") / col("n") -
-            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
-            / SCALE6, 6).as("sd"),
-          round(col("lo6").cast("double") / SCALE6, 6).as("lo"),
-          round(col("hi6").cast("double") / SCALE6, 6).as("hi"))
-        .orderBy(col("dim"))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("xf").cast("double").as("xd"))
+        .join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          round((col("xd") - col("mean")) / col("sd"), 6).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // the corpus report card — the one-row health summary a curation
+    // pipeline publishes per snapshot: doc/unique counts (exact md5-digest
+    // dedup rate), token mass, mean length, English share and the language
+    // entropy (each −p·log2 p term rounds into a 1e9-scaled long, so the
+    // order-dependent float sum never exists). All inputs are tiny
+    // aggregates crossed as 1-row broadcasts.
+    "q_corpus_health" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val ent = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nt"))))
+        .select(round(-(col("nl").cast("double") / col("nt"))
+          * log2(col("nl").cast("double") / col("nt")) * 1e9).cast("long").as("t9"))
+        .agg(sum(col("t9")).as("ent9"))
+      base.crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_docs"), 6).as("mean_chars"),
+          round(col("n_en").cast("double") / col("n_docs"), 6).as("en_share"),
+          round(col("ent9").cast("double") / 1e9, 6).as("lang_entropy"))
     }
   )
+
+  /** Per-dim embedding moments through exact 1e6 fixed-point longs — the
+    * frozen normalization artifact (q_feature_scale) and its apply twin
+    * (q_feature_apply_scale) share this one builder.
+    */
+  private def scaleStatsFrame(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("xf").cast("double") * SCALE6).cast("long").as("xl"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xl")).as("s1"),
+        sum(col("xl") * col("xl")).as("s2"),
+        min(col("xl")).as("lo6"), max(col("xl")).as("hi6"))
+      .select(col("dim"), col("n"),
+        round(col("s1").cast("double") / col("n") / SCALE6, 6).as("mean"),
+        round(sqrt(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          / SCALE6, 6).as("sd"),
+        round(col("lo6").cast("double") / SCALE6, 6).as("lo"),
+        round(col("hi6").cast("double") / SCALE6, 6).as("hi"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_graph_components" -> s"""
@@ -994,6 +1045,37 @@ object FeatureQueries {
     "q_feature_target_enc" -> targetEncSql,
     "q_lag_features" -> lagFeaturesSql,
     "q_feature_scale" -> featureScaleSql,
+    // the stats chain spliced as a subquery, applied per component
+    "q_feature_apply_scale" -> s"""
+      WITH stats AS ($featureScaleSql),
+      v AS (SELECT vec_id,
+              CAST(unnest(range(1, len(embedding)+1)) - 1 AS BIGINT) AS dim,
+              CAST(unnest(embedding) AS DOUBLE) AS xd
+            FROM embeddings WHERE vec_id < 50)
+      SELECT v.vec_id, v.dim, round((v.xd - s.mean) / s.sd, 6) AS z
+      FROM v JOIN stats s USING (dim)
+      ORDER BY v.vec_id, v.dim""",
+    "q_corpus_health" -> """
+      WITH base AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        FROM documents),
+      lt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+      nt AS (SELECT count(*) AS nt FROM documents),
+      ent AS (SELECT CAST(sum(CAST(round(-(CAST(nl AS DOUBLE) / nt)
+                 * log2(CAST(nl AS DOUBLE) / nt) * 1e9) AS BIGINT)) AS BIGINT) AS ent9
+              FROM lt, nt)
+      SELECT b.n_docs, b.n_unique,
+             round(1.0 - CAST(b.n_unique AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+             b.n_tokens,
+             round(CAST(b.n_chars AS DOUBLE) / b.n_docs, 6) AS mean_chars,
+             round(CAST(b.n_en AS DOUBLE) / b.n_docs, 6) AS en_share,
+             round(CAST(e.ent9 AS DOUBLE) / 1e9, 6) AS lang_entropy
+      FROM base b, ent e""",
     "q_sketch_hll_setops" -> hllSetopsSql)
 
   // shared by the batch weekday profile and its streaming twin
