@@ -30,6 +30,52 @@ object TextOps {
   /** BPE-ish subword segmentation: letter runs, digit runs, single symbols.
     * Column-native (no SQL-string splicing), so any composed expression works.
     */
+  /** BPE tokenizer TRAINING — the first `nMerges` byte-pair-encoding merge
+    * rounds as DataFrame ops: count adjacent in-token character pairs,
+    * merge the most frequent pair corpus-wide into a fresh unit symbol
+    * (a private-use unicode char, so the 2-char-substring pair counting
+    * keeps working on merged text), repeat. Returns one row per merge
+    * (step, pair, n).
+    *
+    * The iterative-trainer discipline (the Lloyd/PageRank shape): each
+    * round is one scan + one pair-sized aggregate; the driver holds ONE
+    * (pair, count) row per round (the learned merge table — exactly what a
+    * tokenizer trainer must centralize); `localCheckpoint` truncates the
+    * per-round lineage so round k never replans rounds 1..k−1. The merge
+    * apply is a scan-level literal `replace` (leftmost non-overlapping in
+    * every engine — the tie-handling BPE specifies), so determinism holds:
+    * count → argmax (count desc, pair asc) → replace is engine-exact, and
+    * the DuckDB oracle unrolls the same rounds as CTEs.
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 16, s"nMerges in [1,16], got $nMerges")
+    val spark = df.sparkSession
+    var toks = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .localCheckpoint(false)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+    var k = 0
+    while (k < nMerges) {
+      val top = toks.filter(length(col("tok")) >= 2)
+        .select(explode(expr("sequence(1, length(tok) - 1)")).as("i"), col("tok"))
+        .select(expr("substring(tok, i, 2)").as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()(0)
+      rows += ((k.toLong, top.getString(0), top.getLong(1)))
+      // fresh unit symbol per merge: circled-digit block, absent from the
+      // corpus alphabet — merged units stay single chars so substring-based
+      // pair counting composes across rounds
+      val unit = (0x2460 + k).toChar.toString
+      toks = toks.select(call_function("replace",
+          col("tok"), lit(top.getString(0)), lit(unit)).as("tok"))
+        .localCheckpoint(false)
+      k += 1
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("step", "pair", "n")
+  }
+
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
 

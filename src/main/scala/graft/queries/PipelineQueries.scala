@@ -37,6 +37,7 @@ object PipelineQueries {
   private val CMS_W = 512       // count-min sketch width (counters per row)
   private val ZIPF_RANKS = 200  // rank-frequency points in the Zipf fit
   private val BOILER_DF = 10    // winnow-fp doc frequency that marks boilerplate
+  private val BPE_MERGES = 3    // BPE training rounds in the gate
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -1069,6 +1070,28 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // BPE tokenizer TRAINING — 3 merge rounds learned corpus-wide (count
+    // pairs → merge the argmax into a fresh unit symbol → recount): the
+    // iterative-trainer shape (one scan + pair-sized agg per round, one
+    // learned row to the driver per round); oracle unrolls the same rounds
+    // as CTEs. Completes the tokenizer family: q_text_bpe_pairs is one
+    // round's counting kernel, this is the loop.
+    "q_text_bpe_train" -> { (s, dir) =>
+      TextOps.bpeTrainMerges(Tables.documents(s, dir), "text", BPE_MERGES)
+        .orderBy(col("step"))
+    },
+
+    // STREAMING containment admission: the doc stream (id >= 400) checked
+    // per micro-batch against the static stored corpus — stateless per
+    // batch (the corpus's inverted postings are the persisted artifact),
+    // so the streamed union equals batch admission exactly: shares
+    // q_dedup_containment_inc's oracle
+    "q_stream_containment" -> { (s, dir) =>
+      graft.streaming.Streams.streamingContainment(
+        s, dir, s"/tmp/graft_stream_containment", NGRAM, 80, 3)
+        .orderBy(col("id_b"), col("id_c"))
+    },
+
     // the STREAMING BPE counting twin: pair counts maintained as
     // alphabet²-bounded complete-mode state on the doc stream, top-k cut
     // at drain — long-additive, so it shares the batch gate's oracle
@@ -1468,6 +1491,41 @@ object PipelineQueries {
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN rf USING (fp)),
         $winnowCutTail"""
+    // brute-force containment admission (batch ≥ 400 vs corpus < 400) —
+    // shared by the batch incremental form and its streaming twin
+    val containmentIncSql = s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT b.doc_id AS id_b, c.doc_id AS id_c,
+               len(list_intersect(b.sh, c.sh))::BIGINT AS n_inter,
+               b.sz AS sz_b,
+               round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / b.sz, 6)
+                 AS containment
+        FROM z b JOIN z c ON b.doc_id >= 400 AND c.doc_id < 400
+          AND len(list_intersect(b.sh, c.sh)) * 100 >= 80 * b.sz
+        ORDER BY id_b, id_c"""
+    // the BPE training loop unrolled as CTE rounds: count → argmax →
+    // literal replace with the same fresh unit symbols the trainer mints
+    val bpeTrainSql = {
+      val rounds = (0 until BPE_MERGES).map { k =>
+        s"""p$k AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair,
+                count(*) AS n
+              FROM tt$k, unnest(range(1, len(tok))) AS u(i)
+              WHERE len(tok) >= 2 GROUP BY 1),
+        m$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+        tt${k + 1} AS (SELECT replace(tok, (SELECT pair FROM m$k),
+                chr(${0x2460 + k})) AS tok FROM tt$k)"""
+      }.mkString(",\n        ")
+      val sel = (0 until BPE_MERGES)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, n FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""
+        WITH t0 AS (SELECT unnest($toksSql) AS tok FROM documents),
+        tt0 AS (SELECT tok FROM t0 WHERE len(tok) >= 1),
+        $rounds
+        SELECT step, pair, n FROM ($sel) ORDER BY step"""
+    }
     // in-token adjacent char-pair counts, top-20 — shared by the batch
     // kernel and its streaming complete-mode twin (additive counts)
     val bpePairsSql = s"""
@@ -2481,21 +2539,14 @@ object PipelineQueries {
           AND len(list_intersect(a.sh, b.sh)) * 100
             >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""",
-      "q_dedup_containment_inc" -> s"""
-        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
-        SELECT b.doc_id AS id_b, c.doc_id AS id_c,
-               len(list_intersect(b.sh, c.sh))::BIGINT AS n_inter,
-               b.sz AS sz_b,
-               round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / b.sz, 6)
-                 AS containment
-        FROM z b JOIN z c ON b.doc_id >= 400 AND c.doc_id < 400
-          AND len(list_intersect(b.sh, c.sh)) * 100 >= 80 * b.sz
-        ORDER BY id_b, id_c""",
+      "q_dedup_containment_inc" -> containmentIncSql,
+      // stateless per-batch admission against the static corpus == the
+      // batch incremental form: one oracle
+      "q_stream_containment" -> containmentIncSql,
       "q_text_bpe_pairs" -> bpePairsSql,
       // additive complete-mode counts == the batch count: one oracle
       "q_stream_bpe_pairs" -> bpePairsSql,
+      "q_text_bpe_train" -> bpeTrainSql,
       // brute force IS the spec: the one-sided prefix filter must lose no
       // ordered pair
       "q_dedup_containment" -> s"""

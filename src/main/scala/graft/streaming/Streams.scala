@@ -1660,6 +1660,25 @@ object Streams {
     else spark.read.option("basePath", outDir).parquet(outDir).drop("batch")
   }
 
+  /** Streaming containment ADMISSION — the doc stream checked per
+    * micro-batch against the STATIC stored corpus via
+    * [[graft.ops.Dedup.containmentJoinIncremental]]'s one-sided prefix
+    * filter. Stateless per batch (the corpus and its inverted postings are
+    * the persisted artifact, not stream state), so the streamed union
+    * equals the batch admission exactly — the gate shares
+    * q_dedup_containment_inc's oracle. Retry-idempotent via the
+    * `batch=<id>` overwrite sink.
+    */
+  def streamingContainment(
+      spark: SparkSession, sfDir: String, outDir: String,
+      shingleN: Int, tPct: Int, batches: Int): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 400).localCheckpoint(false)
+    streamingSearch(docs.filter(col("doc_id") >= 400), outDir, batches,
+      b => graft.ops.Dedup.containmentJoinIncremental(
+        corpus, b, "doc_id", "text", shingleN, tPct))
+  }
+
   /** The per-micro-batch sink of the streaming searches, factored out so
     * specs can replay a batch id and assert idempotence: batch `i`
     * overwrites `outDir/batch=i`, nothing else — a retry replaces itself.
