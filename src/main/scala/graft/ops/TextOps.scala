@@ -76,6 +76,21 @@ object TextOps {
     rows.toSeq.toDF("step", "pair", "n")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrainMerges]] order) to the
+    * corpus token stream — the SERVING side of tokenizer training: a pure
+    * scan-level chain of literal replaces (one per merge, same unit
+    * symbols the trainer minted), zero shuffle at any corpus size.
+    */
+  def applyBpeMerges(df: DataFrame, textCol: String, merges: Seq[String]): DataFrame = {
+    var t = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    merges.zipWithIndex.foreach { case (p, k) =>
+      t = t.select(call_function("replace", col("tok"), lit(p),
+        lit((0x2460 + k).toChar.toString)).as("tok"))
+    }
+    t
+  }
+
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
 

@@ -1081,6 +1081,21 @@ object PipelineQueries {
         .orderBy(col("step"))
     },
 
+    // the learned merge table APPLIED — tokenizer serving: train once
+    // (3 driver-held merge rows), then a pure scan-level replace chain
+    // over the corpus, zero shuffle; the gate reads back the resulting
+    // symbol frequencies (units are single chars by construction)
+    "q_text_bpe_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeTrainMerges(docs, "text", BPE_MERGES)
+        .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+      TextOps.applyBpeMerges(docs, "text", merges)
+        .select(explode(expr("sequence(1, length(tok))")).as("i"), col("tok"))
+        .select(expr("substring(tok, i, 1)").as("symbol"))
+        .groupBy(col("symbol")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("symbol")).limit(20)
+    },
+
     // STREAMING containment admission: the doc stream (id >= 400) checked
     // per micro-batch against the static stored corpus — stateless per
     // batch (the corpus's inverted postings are the persisted artifact),
@@ -1506,9 +1521,11 @@ object PipelineQueries {
           AND len(list_intersect(b.sh, c.sh)) * 100 >= 80 * b.sz
         ORDER BY id_b, id_c"""
     // the BPE training loop unrolled as CTE rounds: count → argmax →
-    // literal replace with the same fresh unit symbols the trainer mints
-    val bpeTrainSql = {
-      val rounds = (0 until BPE_MERGES).map { k =>
+    // literal replace with the same fresh unit symbols the trainer mints.
+    // One rounds generator feeds both the train gate (reads the m_k argmax
+    // rows) and the apply gate (reads the tt_N merged token stream).
+    def bpeRoundsCtes(n: Int): String = {
+      val rounds = (0 until n).map { k =>
         s"""p$k AS (SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair,
                 count(*) AS n
               FROM tt$k, unnest(range(1, len(tok))) AS u(i)
@@ -1517,15 +1534,26 @@ object PipelineQueries {
         tt${k + 1} AS (SELECT replace(tok, (SELECT pair FROM m$k),
                 chr(${0x2460 + k})) AS tok FROM tt$k)"""
       }.mkString(",\n        ")
+      s"""WITH t0 AS (SELECT unnest($toksSql) AS tok FROM documents),
+        tt0 AS (SELECT tok FROM t0 WHERE len(tok) >= 1),
+        $rounds"""
+    }
+    val bpeTrainSql = {
       val sel = (0 until BPE_MERGES)
         .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, n FROM m$k")
         .mkString(" UNION ALL ")
       s"""
-        WITH t0 AS (SELECT unnest($toksSql) AS tok FROM documents),
-        tt0 AS (SELECT tok FROM t0 WHERE len(tok) >= 1),
-        $rounds
+        ${bpeRoundsCtes(BPE_MERGES)}
         SELECT step, pair, n FROM ($sel) ORDER BY step"""
     }
+    // symbol frequencies of the merged stream (units are single chars, so
+    // a symbol is a 1-char substring), top-20
+    val bpeApplySql = s"""
+        ${bpeRoundsCtes(BPE_MERGES)},
+        sym AS (SELECT substring(tok, CAST(i AS INTEGER), 1) AS symbol
+                FROM tt$BPE_MERGES, unnest(range(1, len(tok) + 1)) AS u(i))
+        SELECT symbol, count(*) AS n FROM sym GROUP BY 1
+        ORDER BY n DESC, symbol LIMIT 20"""
     // in-token adjacent char-pair counts, top-20 — shared by the batch
     // kernel and its streaming complete-mode twin (additive counts)
     val bpePairsSql = s"""
@@ -2547,6 +2575,7 @@ object PipelineQueries {
       // additive complete-mode counts == the batch count: one oracle
       "q_stream_bpe_pairs" -> bpePairsSql,
       "q_text_bpe_train" -> bpeTrainSql,
+      "q_text_bpe_apply" -> bpeApplySql,
       // brute force IS the spec: the one-sided prefix filter must lose no
       // ordered pair
       "q_dedup_containment" -> s"""

@@ -175,6 +175,29 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // window NAVIGATION completeness (the q_window_funcs sibling):
+    // cume_dist and dense_rank over a TIE-PRONE order (priority — both are
+    // tie-deterministic, they depend only on key values), nth_value over
+    // the unique total order (frame order among ties is nondeterministic,
+    // so navigation functions never ride the tie-prone window). One
+    // custkey exchange serves all three.
+    "q_window_navigation" -> { (s, dir) =>
+      val wp = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      val wu = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(cume_dist().over(wp), 9).as("prio_cume"),
+          dense_rank().over(wp).cast("long").as("prio_drank"),
+          coalesce(nth_value(col("o_orderkey"), 2).over(wf), lit(-1L))
+            .as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // outer-join family with sentinel-filled nulls
     "q_join_outer" -> { (s, dir) =>
       val n = Tables.nation(s, dir)
@@ -379,6 +402,17 @@ object RelationalQueries {
              count(DISTINCT l_suppkey) AS n_supps,
              count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
       FROM lineitem""",
+    "q_window_navigation" -> """
+      SELECT o_custkey, o_orderkey,
+             round(cume_dist() OVER wp, 9) AS prio_cume,
+             CAST(dense_rank() OVER wp AS BIGINT) AS prio_drank,
+             coalesce(nth_value(o_orderkey, 2) OVER wf, -1) AS second_key
+      FROM orders
+      WHERE o_custkey <= 50
+      WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
     "q_window_funcs" -> """
       SELECT o_custkey, o_orderkey,
              coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
