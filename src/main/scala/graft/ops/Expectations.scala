@@ -124,6 +124,51 @@ object Expectations {
   private type Row = org.apache.spark.sql.Row
   private val Row = org.apache.spark.sql.Row
 
+  /** Row-level QUARANTINE — the enforcement side of [[validate]]: every
+    * row tagged with the rules it violates (rule-order `;`-joined names),
+    * violating rows returned for the side sink while clean rows continue.
+    * Scalar rules are pure scan-level conditionals on the one pass;
+    * [[Unique]] joins the duplicate KEY set back (key-sized frame);
+    * [[RefIntegrity]] left-joins the distinct dimension keys. No rule adds
+    * a data-sized shuffle beyond its own keyed join.
+    */
+  def quarantineRows(
+      df: DataFrame, idCols: Seq[String], rules: Seq[Rule],
+      dims: Map[String, DataFrame] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "quarantineRows needs at least one rule")
+    var base = df
+    val flags = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    rules.zipWithIndex.foreach {
+      case (r @ NotNull(c), _) => flags += r.name -> col(c).isNull
+      case (r @ InRange(c, lo, hi), _) =>
+        flags += r.name -> (col(c).isNull || col(c) < lo || col(c) > hi)
+      case (r @ InSet(c, vs), _) =>
+        flags += r.name -> (col(c).isNull || !col(c).isInCollection(vs))
+      case (r @ Check(_, p), _) => flags += r.name -> (p.isNull || !p)
+      case (r @ Unique(cols), i) =>
+        val fc = s"__dup_$i"
+        val dup = df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .select(cols.map(col): _*).withColumn(fc, lit(true))
+        base = base.join(dup, cols, "left_outer")
+        flags += r.name -> coalesce(col(fc), lit(false))
+      case (r @ RefIntegrity(c, dimName, dimCol), i) =>
+        val fc = s"__ref_$i"
+        val dim = dims.getOrElse(dimName, throw new IllegalArgumentException(
+          s"RefIntegrity references unknown dimension '$dimName'"))
+          .select(col(dimCol).as(c)).distinct().withColumn(fc, lit(true))
+        base = base.join(dim, Seq(c), "left_outer")
+        flags += r.name -> (col(c).isNotNull && col(fc).isNull)
+    }
+    // concat_ws drops null elements, so the failed list is the rule-order
+    // join of exactly the tripped rules — engine-identical
+    base
+      .withColumn("failed", concat_ws(";",
+        flags.toSeq.map { case (n, c) => when(c, lit(n)) }: _*))
+      .filter(length(col("failed")) > 0)
+      .select(idCols.map(col) :+ col("failed"): _*)
+  }
+
   /** Example violating rows for ONE rule (debugging aid; `limit` caps the
     * fetch so it stays driver-safe at any scale).
     */

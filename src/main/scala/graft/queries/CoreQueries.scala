@@ -256,6 +256,23 @@ object CoreQueries {
         .orderBy(col("source"))
     },
 
+    // ORC source/sink round-trip — the OTHER pushdown-capable columnar
+    // format (TDF.readOrc/SnapshotOrc's gate): write ORC, read back, and
+    // prove content-exactness with per-lang counts PLUS a distinct-digest
+    // count over the text payload (a dropped/garbled row can't hide in a
+    // sum). Oracle reads the ORIGINAL parquet.
+    "q_source_orc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = s"/tmp/graft_orc_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      docs.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_digests"))
+        .orderBy(col("lang"))
+    },
+
     // union-of-chains: the TChain analog — multi-path read of the same table
     "q_union_chain" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
@@ -327,6 +344,10 @@ object CoreQueries {
       SELECT source, count(*) AS n,
              CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
       FROM documents GROUP BY source ORDER BY source""",
+    "q_source_orc" -> """
+      SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT md5(text)) AS n_digests
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q_histo_weighted" -> s"""
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11
                   ELSE CAST(floor((z - 0.0) / ((110000.0 - 0.0) / 11)) AS INT) END AS bin,

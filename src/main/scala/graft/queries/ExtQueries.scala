@@ -729,6 +729,22 @@ object ExtQueries {
     // two rules are EXPECTED to fail on this data (quantity range is
     // [1,50], a tighter [1,49] probe and a wrong-enum probe violate) so
     // the gate proves failures are REPORTED, not thrown.
+    // the ENFORCEMENT side of expectations: violating rows quarantined with
+    // the `;`-joined names of exactly the rules they trip (scan-level
+    // conditionals + the Unique rule's key-sized dup join) — production
+    // writes these to the side sink while clean rows promote. The rule set
+    // includes the fixture's genuine (orderkey, linenumber) duplicates and
+    // a qty ≤ 49 probe that trips on the qty-50 rows.
+    "q_expectations_quarantine" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      quarantineRows(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 49),
+          Unique(Seq("l_orderkey", "l_linenumber"))))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("failed"))
+    },
+
     "q_expectations" -> { (s, dir) =>
       import graft.ops.Expectations._
       validate(Tables.lineitem(s, dir), Seq(
@@ -1818,6 +1834,24 @@ object ExtQueries {
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY bin""",
       // each rule's count re-derived relationally; pass = (violations == 0)
+      "q_expectations_quarantine" -> """
+        WITH dup AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                     GROUP BY 1, 2 HAVING count(*) > 1),
+        tagged AS (
+          SELECT l.l_orderkey, l.l_linenumber,
+                 concat_ws(';',
+                   CASE WHEN l.l_orderkey IS NULL THEN 'not_null(l_orderkey)' END,
+                   CASE WHEN l.l_quantity IS NULL OR l.l_quantity < 1
+                             OR l.l_quantity > 49
+                        THEN 'in_range(l_quantity, 1.0, 49.0)' END,
+                   CASE WHEN d.l_orderkey IS NOT NULL
+                        THEN 'unique(l_orderkey,l_linenumber)' END) AS failed
+          FROM lineitem l
+          LEFT JOIN dup d ON l.l_orderkey = d.l_orderkey
+            AND l.l_linenumber = d.l_linenumber)
+        SELECT l_orderkey, l_linenumber, failed FROM tagged
+        WHERE length(failed) > 0
+        ORDER BY l_orderkey, l_linenumber, failed""",
       "q_expectations" -> """
         WITH r AS (
           SELECT 0 AS rule_idx, 'not_null(l_orderkey)' AS rule,

@@ -84,8 +84,18 @@ object OlapQueries {
     // (exact in any order), money folds in decimal(18,4), discounts fold as
     // exact percent-longs (0.01 steps are NOT exactly representable — a
     // float sum would be order-dependent); every average is the explicit
-    // exact-sum / count division both engines evaluate identically.
+    // exact-sum / count division both engines evaluate identically. The
+    // CHARGE is special: the triple double product lands near enough to
+    // 4-decimal cast boundaries that engines' double→decimal paths diverge
+    // (seen live: 43 boundary rows over 6M) — but price has ≤ 2 decimals
+    // and discount/tax are exact hundredths, so cents·(100−d)·(100+t) is
+    // an EXACT integer in micro-money units; fold that in decimal(38,0)
+    // and divide once at the edge.
     "q_tpch_pricing" -> { (s, dir) =>
+      val chargeMicro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+        * (lit(100L) + round(col("l_tax") * 100).cast("long")))
+        .cast("decimal(38,0)")
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -93,14 +103,13 @@ object OlapQueries {
           sum(col("l_quantity")).as("sum_qty"),
           sum(dec(col("l_extendedprice"))).as("sbp"),
           sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sdp"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")))).as("sch"),
+          sum(chargeMicro).as("sch_micro"),
           sum(round(col("l_discount") * 100).cast("long")).as("sd100"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
           col("sbp").cast("double").as("sum_base_price"),
           col("sdp").cast("double").as("sum_disc_price"),
-          col("sch").cast("double").as("sum_charge"),
+          (col("sch_micro").cast("double") / 1e6).as("sum_charge"),
           round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
           round(col("sbp").cast("double") / col("count_order"), 6).as("avg_price"),
           round(col("sd100").cast("double") / 100.0 / col("count_order"), 6)
@@ -445,8 +454,10 @@ object OlapQueries {
                AS sum_base_price,
              CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
                AS DOUBLE) AS sum_disc_price,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-               AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1e6
+               AS sum_charge,
              round(sum(l_quantity) / count(*), 6) AS avg_qty,
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
                / count(*), 6) AS avg_price,
