@@ -124,6 +124,30 @@ object Expectations {
   private type Row = org.apache.spark.sql.Row
   private val Row = org.apache.spark.sql.Row
 
+  /** A scalar rule's per-ROW violation predicate (None for rules that need
+    * a join) — the row-level sibling of [[scalarViol]], shared by batch
+    * [[quarantineRows]] and the streaming quarantine cell (pure scan-level,
+    * so it runs identically on a stream).
+    */
+  private[graft] def scalarRowViol(r: Rule): Option[Column] = r match {
+    case NotNull(c) => Some(col(c).isNull)
+    case InRange(c, lo, hi) => Some(col(c).isNull || col(c) < lo || col(c) > hi)
+    case InSet(c, vs) => Some(col(c).isNull || !col(c).isInCollection(vs))
+    case Check(_, p) => Some(p.isNull || !p)
+    case _ => None
+  }
+
+  /** The `;`-joined failed-rule tag over SCALAR rules only — pure
+    * scan-level, usable on streaming frames (concat_ws drops the null
+    * elements of untripped rules, so the tag lists exactly the tripped
+    * rules in rule order).
+    */
+  def scalarFailedTag(rules: Seq[Rule]): Column = {
+    val fs = rules.flatMap(r => scalarRowViol(r).map(c => when(c, lit(r.name))))
+    require(fs.nonEmpty, "scalarFailedTag needs at least one scalar rule")
+    concat_ws(";", fs: _*)
+  }
+
   /** Row-level QUARANTINE — the enforcement side of [[validate]]: every
     * row tagged with the rules it violates (rule-order `;`-joined names),
     * violating rows returned for the side sink while clean rows continue.
@@ -139,12 +163,8 @@ object Expectations {
     var base = df
     val flags = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
     rules.zipWithIndex.foreach {
-      case (r @ NotNull(c), _) => flags += r.name -> col(c).isNull
-      case (r @ InRange(c, lo, hi), _) =>
-        flags += r.name -> (col(c).isNull || col(c) < lo || col(c) > hi)
-      case (r @ InSet(c, vs), _) =>
-        flags += r.name -> (col(c).isNull || !col(c).isInCollection(vs))
-      case (r @ Check(_, p), _) => flags += r.name -> (p.isNull || !p)
+      case (r, _) if scalarRowViol(r).isDefined =>
+        flags += r.name -> scalarRowViol(r).get
       case (r @ Unique(cols), i) =>
         val fc = s"__dup_$i"
         val dup = df.groupBy(cols.map(col): _*)

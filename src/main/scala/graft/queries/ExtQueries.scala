@@ -729,6 +729,41 @@ object ExtQueries {
     // two rules are EXPECTED to fail on this data (quantity range is
     // [1,50], a tighter [1,49] probe and a wrong-enum probe violate) so
     // the gate proves failures are REPORTED, not thrown.
+    // QUARANTINE AT INGEST — the streaming enforcement twin: each event
+    // tagged scan-level with the scalar rules it trips (the same
+    // Expectations predicates as the batch quarantine, shared through
+    // scalarFailedTag so the two can't drift), violators routed append-mode
+    // to the side output. Stateless per-row ⇒ equals the batch filter
+    // exactly. 'signup'/'error' trip the enum; value > 40 trips the range.
+    "q_stream_quarantine" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      Streams.streamingQuarantine(s, dir, Seq(
+        InSet("event_type", Seq("view", "click", "purchase")),
+        InRange("value", 0, 40)))
+        .orderBy(col("event_id"))
+    },
+
+    // snapshot small-file COMPACTION (the OPTIMIZE op): v1 committed as 8
+    // files, compacted to a 2-file v2 holding the SAME rows through the
+    // pointer-flip commit — the layout rewrite that keeps a streaming-
+    // appended table's scan planning healthy. The gate returns the data
+    // unchanged (the oracle proves no row was lost or altered) plus the
+    // audited before/after file counts the oracle pins as literals.
+    "q_snapshot_compact" -> { (s, dir) =>
+      val out = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      Streams.commitSnapshot(docs.repartition(8).toDF(), out, 1L)
+      Streams.compactSnapshot(s, out, 2L, 2)
+      Streams.readSnapshot(s, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("n_files_before", lit(Streams.snapshotFileCount(s, out, 1L)))
+        .withColumn("n_files_after", lit(Streams.snapshotFileCount(s, out, 2L)))
+        .orderBy(col("lang"))
+    },
+
     // the ENFORCEMENT side of expectations: violating rows quarantined with
     // the `;`-joined names of exactly the rules they trip (scan-level
     // conditionals + the Unique rule's key-sized dup join) — production
@@ -1834,6 +1869,22 @@ object ExtQueries {
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY bin""",
       // each rule's count re-derived relationally; pass = (violations == 0)
+      "q_stream_quarantine" -> """
+        WITH tagged AS (
+          SELECT event_id, concat_ws(';',
+            CASE WHEN event_type IS NULL
+                      OR event_type NOT IN ('view', 'click', 'purchase')
+                 THEN 'in_set(event_type)' END,
+            CASE WHEN value IS NULL OR value < 0.0 OR value > 40.0
+                 THEN 'in_range(value, 0.0, 40.0)' END) AS failed
+          FROM events)
+        SELECT event_id, failed FROM tagged
+        WHERE length(failed) > 0
+        ORDER BY event_id""",
+      "q_snapshot_compact" -> """
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(8 AS BIGINT) AS n_files_before, CAST(2 AS BIGINT) AS n_files_after
+        FROM documents GROUP BY lang ORDER BY lang""",
       "q_expectations_quarantine" -> """
         WITH dup AS (SELECT l_orderkey, l_linenumber FROM lineitem
                      GROUP BY 1, 2 HAVING count(*) > 1),

@@ -214,6 +214,56 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming QUARANTINE — expectations ENFORCED at ingest: each event
+    * tagged scan-level with the scalar rules it trips
+    * ([[graft.ops.Expectations.scalarFailedTag]] — the same predicates the
+    * batch quarantine uses, so stream and batch can't drift), violators
+    * routed to the quarantine output in append mode. Stateless: scalar
+    * rules are per-row, so the streamed quarantine equals the batch filter
+    * exactly for any micro-batch boundaries.
+    */
+  def streamingQuarantine(
+      spark: SparkSession, sfDir: String,
+      rules: Seq[graft.ops.Expectations.Rule]): DataFrame = {
+    val name = s"graft_squar_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .withColumn("failed", graft.ops.Expectations.scalarFailedTag(rules))
+      .filter(length(col("failed")) > 0)
+      .select(col("event_id"), col("failed"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Small-file COMPACTION over the versioned snapshot — the OPTIMIZE op:
+    * read the current version, rewrite the SAME rows into `targetFiles`
+    * files as a new version, flip the `_LATEST` pointer. Purely a layout
+    * rewrite (the nightly job that keeps a streaming-appended table's file
+    * count from degrading scan planning); riding [[commitSnapshot]]'s
+    * pointer-flip protocol means readers never observe a mix of old and
+    * new layouts, and time travel across the retain window still works.
+    */
+  def compactSnapshot(
+      spark: SparkSession, outDir: String, newVersion: Long,
+      targetFiles: Int, retain: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    // localCheckpoint pins the rows read from the OLD version before the
+    // commit prunes it out from under the lazy plan
+    val cur = readSnapshot(spark, outDir).localCheckpoint(true)
+    commitSnapshot(cur.repartition(targetFiles).toDF(), outDir, newVersion, retain)
+  }
+
+  /** Data files of a committed snapshot version (audit helper for the
+    * compaction gate).
+    */
+  def snapshotFileCount(spark: SparkSession, outDir: String, version: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/v_$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.startsWith("part-")).toLong
+  }
+
   /** Streaming embedding-covariance moment maintenance — the live side of
     * the feature store's whitening/PCA artifact (q_stream_cov): each
     * arriving vector expands SCAN-LEVEL to its upper-triangle (i, j)
