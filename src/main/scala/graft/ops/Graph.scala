@@ -68,4 +68,39 @@ object Graph {
     }
     pr
   }
+
+  /** k-CORE decomposition for a fixed k — the maximal subgraph where every
+    * node keeps degree ≥ k (the standard graph-density filter: spam rings
+    * and tight communities survive, tendrils peel away). Iterative peel:
+    * drop sub-k nodes, restrict edges, repeat to the fixpoint. Each round
+    * is one edge-sized degree aggregate + two semi-joins with per-round
+    * `localCheckpoint` lineage truncation (the pageRank discipline); the
+    * round count is bounded by the peeling depth, not the node count.
+    * Input edges are undirected (src < dst once); returns each surviving
+    * node with its degree INSIDE the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var ee = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = ee.count()
+    var it = 0
+    var done = prev == 0L
+    while (!done && it < maxIter) {
+      val keep = ee.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val ne = ee.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val n = ne.count()
+      done = n == prev
+      prev = n
+      ee = ne
+      it += 1
+    }
+    require(done, s"kCore did not converge in $maxIter rounds")
+    ee.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Graph, TextOps}
 import graft.streaming.Streams
 
 /** Round-11 wave 4: ML feature engineering (the training-data shapes a
@@ -33,6 +33,8 @@ object FeatureQueries {
   private val ENC_M = 100          // target-encoding smoothing pseudo-count
   private val SCALE6 = 1000000L    // embedding fixed-point scale (1e6 units)
   private val CC_MINW = 35         // weight floor for the components graph (fragments it)
+  private val KCORE_K = 3          // k-core density threshold
+  private val KCORE_ROUNDS = 6     // peel rounds unrolled in the oracle
   private val PSI_BINS = 10        // PSI bucket count
   private val PSI_CUTOFF = "2024-01-16" // reference/current period split
   private val BASKET_MIN = 3       // association-rule min co-occurrence
@@ -544,6 +546,37 @@ object FeatureQueries {
     // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
     // the heaviest key (min-id tiebreak); key-sized frames after the first
     // aggregate.
+    // k-CORE of the co-occurrence graph — the density filter that keeps
+    // tight communities and peels tendrils: iterative sub-k removal to the
+    // fixpoint (edge-sized rounds, per-round lineage truncation). The
+    // oracle unrolls 6 peel rounds as CTEs; min(core_deg) ≥ k in the
+    // result proves the fixpoint landed inside the unroll.
+    "q_graph_kcore" -> { (s, dir) =>
+      Graph.kCore(coEdges(s, dir, TRI_MINW), KCORE_K)
+        .orderBy(col("node"))
+    },
+
+    // exponential time-decay activity score — the feature-store classic
+    // (recent actions weigh more): half-life decay with EXACT integer
+    // weights (weight_ppm = 10⁶ div 2^weeks — the power-of-two half-life
+    // makes the weight table exact, the ppm floor makes it integral), so
+    // the per-user sum is an order-independent long and the only float op
+    // is the final display division.
+    "q_feature_decay" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(to_date(col("ts"))).as("maxd"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          (round(col("value") * 100).cast("long") *
+            expr("1000000L div shiftleft(1L, cast(least(" +
+              "datediff(maxd, to_date(ts)) div 7, 20) as int))")).as("term"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("term")).as("s"))
+        .select(col("user_id"), col("n_events"),
+          round(col("s").cast("double") / 1e8, 6).as("decay_score"))
+        .orderBy(col("user_id"))
+    },
+
     // degree assortativity of the co-occurrence graph — do hubs link to
     // hubs? (Newman's r: Pearson correlation of endpoint degrees over the
     // directed edge list, both orientations so the statistic is
@@ -987,6 +1020,36 @@ object FeatureQueries {
              CASE WHEN s9 > 50000000000 THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS dependent
       FROM agg""",
+    "q_graph_kcore" -> {
+      val rounds = (0 until KCORE_ROUNDS).map { r =>
+        s""",
+        d$r AS (SELECT src, count(*) AS deg FROM e$r GROUP BY 1),
+        k$r AS (SELECT src FROM d$r WHERE deg >= $KCORE_K),
+        e${r + 1} AS (SELECT e.src, e.dst FROM e$r e
+                      JOIN k$r a ON e.src = a.src
+                      JOIN k$r b ON e.dst = b.src)"""
+      }.mkString
+      s"""
+      WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+      ew AS (SELECT a.sk AS s1, b.sk AS s2
+             FROM so a JOIN so b ON a.o = b.o AND a.sk < b.sk
+             GROUP BY 1, 2 HAVING count(*) >= $TRI_MINW),
+      e0 AS (SELECT s1 AS src, s2 AS dst FROM ew
+             UNION ALL SELECT s2, s1 FROM ew)$rounds
+      SELECT src AS node, count(*) AS core_deg FROM e$KCORE_ROUNDS
+      GROUP BY 1 ORDER BY node"""
+    },
+    "q_feature_decay" -> """
+      WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+      t AS (SELECT user_id,
+              CAST(round(value * 100) AS BIGINT)
+                * (1000000 // (CAST(1 AS BIGINT) <<
+                    CAST(least(date_diff('day', CAST(ts AS DATE), maxd) // 7, 20)
+                      AS INTEGER))) AS term
+            FROM events, anchor)
+      SELECT user_id, count(*) AS n_events,
+             round(CAST(sum(term) AS DOUBLE) / 1e8, 6) AS decay_score
+      FROM t GROUP BY 1 ORDER BY user_id""",
     "q_graph_assortativity" -> s"""
       WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
       e0 AS (SELECT a.sk AS src, b.sk AS dst
