@@ -273,6 +273,28 @@ object CoreQueries {
         .orderBy(col("lang"))
     },
 
+    // schema-EVOLVED multi-file source: old files written before a column
+    // existed read together with new files under mergeSchema — the
+    // append-only data-lake reality (TChain across schema versions). The
+    // gate proves union semantics AND the null-fill contract: missing
+    // column → NULL, audited per group, never silently zero.
+    "q_source_merge_schema" -> { (s, dir) =>
+      val base = s"/tmp/graft_merge_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") < 250).select(col("doc_id"), col("lang"))
+        .write.parquet(s"$base/p1")
+      docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.parquet(s"$base/p2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/p1", s"$base/p2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // union-of-chains: the TChain analog — multi-path read of the same table
     "q_union_chain" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A")
@@ -347,6 +369,13 @@ object CoreQueries {
     "q_source_orc" -> """
       SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              count(DISTINCT md5(text)) AS n_digests
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "q_source_merge_schema" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang""",
     "q_histo_weighted" -> s"""
       SELECT CASE WHEN z < 0.0 THEN -1 WHEN z >= 110000.0 THEN 11

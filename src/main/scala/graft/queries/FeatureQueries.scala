@@ -35,6 +35,7 @@ object FeatureQueries {
   private val CC_MINW = 35         // weight floor for the components graph (fragments it)
   private val KCORE_K = 3          // k-core density threshold
   private val KCORE_ROUNDS = 6     // peel rounds unrolled in the oracle
+  private val KANON_K = 8          // k-anonymity suppression threshold
   private val PSI_BINS = 10        // PSI bucket count
   private val PSI_CUTOFF = "2024-01-16" // reference/current period split
   private val BASKET_MIN = 3       // association-rule min co-occurrence
@@ -546,6 +547,21 @@ object FeatureQueries {
     // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
     // the heaviest key (min-id tiebreak); key-sized frames after the first
     // aggregate.
+    // k-ANONYMITY audit — the re-identification risk table a governed
+    // dataset publishes before release: equivalence-class sizes over the
+    // quasi-identifier tuple (nation × market segment), classes below k
+    // flagged for suppression/generalization. One class-sized aggregate;
+    // at 100 TB the QI grid is still dimension-sized.
+    "q_privacy_kanon" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"))
+        .select(col("n_name"), col("c_mktsegment"), col("k"),
+          when(col("k") < KANON_K, 1L).otherwise(0L).as("risky"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+
     // k-CORE of the co-occurrence graph — the density filter that keeps
     // tight communities and peels tendrils: iterative sub-k removal to the
     // fixpoint (edge-sized rounds, per-round lineage truncation). The
@@ -1020,6 +1036,12 @@ object FeatureQueries {
              CASE WHEN s9 > 50000000000 THEN CAST(1 AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS dependent
       FROM agg""",
+    "q_privacy_kanon" -> s"""
+      SELECT n.n_name, c.c_mktsegment, count(*) AS k,
+             CAST(CASE WHEN count(*) < $KANON_K THEN 1 ELSE 0 END AS BIGINT) AS risky
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     "q_graph_kcore" -> {
       val rounds = (0 until KCORE_ROUNDS).map { r =>
         s""",

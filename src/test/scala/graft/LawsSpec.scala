@@ -525,6 +525,40 @@ object LawsSpec extends Properties("graft") {
         r
     }
 
+  // kCore's peel must land on the true k-core for any graph: compare
+  // against an in-memory reference peel (remove sub-k nodes until stable)
+  // on random undirected graphs
+  property("kCore equals the reference iterative peel") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1, 40), Gen.choose(1, 4)) {
+      (seed, nEdges, k) =>
+        import graft.ops.Graph
+        val rnd = new scala.util.Random(seed)
+        val raw = (0 until nEdges).map { _ =>
+          val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter { case (a, b) => a != b }.distinct
+        // reference: peel in plain Scala
+        var edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+        var changed = true
+        while (changed) {
+          val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          val ne = edges.filter { case (a, b) => keep(a) && keep(b) }
+          changed = ne.size != edges.size
+          edges = ne
+        }
+        val expected = edges.groupBy(_._1)
+          .map { case (n, es) => (n, es.size.toLong) }.toSet
+        if (raw.isEmpty) true
+        else {
+          val got = Graph.kCore(raw.toDF("src", "dst"), k)
+            .as[(Long, Long)].collect().toSet
+          val r = got == expected
+          if (!r) println(s"seed=$seed k=$k got=$got expected=$expected")
+          r
+        }
+    }
+
   // incremental containment admission orders tokens by CORPUS dfs only and
   // prefixes the BATCH side against the corpus's full postings —
   // completeness must survive both choices
