@@ -528,6 +528,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the STREAMING multimodal twin: the stub decode runs per micro-batch
+    // through the same mapPartitions plumbing (stateless ⇒ equals batch
+    // extraction; shared oracle) — the ingest-time decode cell a real
+    // pipeline drops its codec into
+    "q_stream_multimodal" -> { (s, dir) =>
+      Streams.streamingMultimodal(s, dir)
+        .orderBy(col("doc_id"))
+    },
+
     // video-style frame sampling: every 3rd 64-byte frame, max 5 per doc —
     // the 1→N fan-out batch shape of a real keyframe extractor
     "q_multimodal_frames" -> { (s, dir) =>
@@ -1013,6 +1022,16 @@ object ExtQueries {
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
+    // stub-decoder features over the utf-8 media bytes — batch extraction
+    // and the stateless streaming cell define the same relation
+    val multimodalSql = """
+        WITH b AS (SELECT doc_id, text,
+          list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1))) AS codes
+          FROM documents)
+        SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
+               list_sum(codes)::BIGINT AS sum_bytes,
+               list_sum(codes)::DOUBLE / length(text) AS mean_byte
+        FROM b ORDER BY doc_id"""
     // dim-pair covariance/correlation from exact 1e6-scaled-long moment
     // sums — the batch outer-product aggregate and the streaming moment
     // state define the same relation (q_embed_cov + q_stream_cov)
@@ -1728,14 +1747,9 @@ object ExtQueries {
          AND a.rk <= ${graft.ops.Similarity.DEFAULT_MAX_BUCKET}
         WHERE ${cosSql("a", "b")} >= $NEARDUP_COS
         ORDER BY id_a, id_b""",
-      "q_multimodal" -> """
-        WITH b AS (SELECT doc_id, text,
-          list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1))) AS codes
-          FROM documents)
-        SELECT doc_id, length(text)::BIGINT AS n_bytes, sha256(text) AS sha256,
-               list_sum(codes)::BIGINT AS sum_bytes,
-               list_sum(codes)::DOUBLE / length(text) AS mean_byte
-        FROM b ORDER BY doc_id""",
+      "q_multimodal" -> multimodalSql,
+      // the stateless streaming twin defines the same relation
+      "q_stream_multimodal" -> multimodalSql,
       // frames = 64-byte slices of the utf-8 media bytes (ASCII text, so byte
       // slices == substrings); every 3rd frame, max 5 (idx < 3*5)
       "q_multimodal_frames" -> """

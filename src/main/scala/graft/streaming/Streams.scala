@@ -214,6 +214,27 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming multimodal feature extraction — the ingest-time decode cell:
+    * the stub decoder runs per micro-batch over the binary column through
+    * the SAME `mapPartitions` plumbing as batch
+    * ([[graft.ops.Multimodal.extractFeatures]] — one decoder instance per
+    * task, rows streamed through), stateless ⇒ the streamed output equals
+    * batch extraction exactly (shared oracle). A real pipeline swaps the
+    * stub for the codec call without touching this cell.
+    */
+  def streamingMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_smm_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df => graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.attachBinary(df, "doc_id", "text"), "doc_id").toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming QUARANTINE — expectations ENFORCED at ingest: each event
     * tagged scan-level with the scalar rules it trips
     * ([[graft.ops.Expectations.scalarFailedTag]] — the same predicates the
