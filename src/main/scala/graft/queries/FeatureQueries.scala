@@ -547,6 +547,35 @@ object FeatureQueries {
     // per-key frequencies → key-count, max, mean, max/mean skew ratio, and
     // the heaviest key (min-id tiebreak); key-sized frames after the first
     // aggregate.
+    // robust daily-volume anomaly monitor — median/MAD instead of mean/σ
+    // (q_anomaly_days' z-score breaks when the anomaly itself inflates σ;
+    // the median absolute deviation doesn't): lower-median by row_number
+    // over the (value, day) total order, MAD the same way over the
+    // absolute deviations, flag = |n − med| > 3·MAD in pure longs. All
+    // frames are days-sized; the global order windows are the exact
+    // anchor (approx_percentile is the 100 TB path).
+    "q_anomaly_mad" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame = {
+        val w = Window.orderBy(col(vCol), col("day"))
+        df.withColumn("__rn", row_number().over(w))
+          .crossJoin(broadcast(nd))
+          .filter(col("__rn") === expr("(nd + 1) div 2"))
+          .select(col(vCol).as(out))
+      }
+      val med = lowerMedian(daily, "n", "med")
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = lowerMedian(dev, "dev", "mad")
+      dev.crossJoin(broadcast(mad))
+        .select(col("day"), col("n"), col("med"), col("dev"), col("mad"),
+          when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L).as("anomaly"))
+        .orderBy(col("day"))
+    },
+
     // k-ANONYMITY audit — the re-identification risk table a governed
     // dataset publishes before release: equivalence-class sizes over the
     // quasi-identifier tuple (nation × market segment), classes below k
@@ -1042,6 +1071,22 @@ object FeatureQueries {
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+    "q_anomaly_mad" -> """
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+      nd AS (SELECT count(*) AS nd FROM daily),
+      med AS (SELECT n AS med FROM
+               (SELECT n, row_number() OVER (ORDER BY n, day) AS rn FROM daily), nd
+              WHERE rn = (nd + 1) // 2),
+      dev AS (SELECT d.day, d.n, m.med, abs(d.n - m.med) AS dev
+              FROM daily d, med m),
+      mad AS (SELECT dev AS mad FROM
+               (SELECT dev, row_number() OVER (ORDER BY dev, day) AS rn FROM dev), nd
+              WHERE rn = (nd + 1) // 2)
+      SELECT d.day, d.n, d.med, d.dev, m.mad,
+             CAST(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      FROM dev d, mad m
+      ORDER BY d.day""",
     "q_graph_kcore" -> {
       val rounds = (0 until KCORE_ROUNDS).map { r =>
         s""",

@@ -1096,6 +1096,15 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("symbol")).limit(20)
     },
 
+    // STREAMING exact near-dup admission: the ppJoin (complete prefix-
+    // filter Jaccard) form of streaming admission — stateless per batch
+    // against the static corpus, shares q_dedup_ppjoin_inc's oracle
+    "q_stream_ppjoin" -> { (s, dir) =>
+      graft.streaming.Streams.streamingPpAdmission(
+        s, dir, "/tmp/graft_stream_ppjoin", NGRAM, 50, 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // STREAMING containment admission: the doc stream (id >= 400) checked
     // per micro-batch against the static stored corpus — stateless per
     // batch (the corpus's inverted postings are the persisted artifact),
@@ -1506,6 +1515,21 @@ object PipelineQueries {
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN rf USING (fp)),
         $winnowCutTail"""
+    // brute-force cross jaccard admission (corpus < 400 vs batch ≥ 400) —
+    // shared by the batch incremental ppJoin and its streaming twin
+    val ppJoinIncSql = s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+               (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM z a JOIN z b ON a.doc_id < 400 AND b.doc_id >= 400
+          AND len(list_intersect(a.sh, b.sh)) * 100
+            >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b"""
     // brute-force containment admission (batch ≥ 400 vs corpus < 400) —
     // shared by the batch incremental form and its streaming twin
     val containmentIncSql = s"""
@@ -2554,19 +2578,9 @@ object PipelineQueries {
         SELECT doc_id, count(*) AS n_matches,
                CAST(min(pos) AS BIGINT) AS first_pos
         FROM m GROUP BY 1 ORDER BY doc_id""",
-      "q_dedup_ppjoin_inc" -> s"""
-        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        s AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-        z AS (SELECT doc_id, sh, len(sh)::BIGINT AS sz FROM s WHERE len(sh) > 0)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
-               (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        FROM z a JOIN z b ON a.doc_id < 400 AND b.doc_id >= 400
-          AND len(list_intersect(a.sh, b.sh)) * 100
-            >= 50 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
-        ORDER BY id_a, id_b""",
+      "q_dedup_ppjoin_inc" -> ppJoinIncSql,
+      // stateless per-batch exact admission == the batch incremental join
+      "q_stream_ppjoin" -> ppJoinIncSql,
       "q_dedup_containment_inc" -> containmentIncSql,
       // stateless per-batch admission against the static corpus == the
       // batch incremental form: one oracle

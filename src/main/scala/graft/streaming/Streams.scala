@@ -1750,6 +1750,22 @@ object Streams {
         corpus, b, "doc_id", "text", shingleN, tPct))
   }
 
+  /** Streaming EXACT near-dup admission — [[streamingContainment]]'s
+    * Jaccard sibling: each micro-batch ppJoin-admitted against the static
+    * corpus ([[graft.ops.Dedup.ppJoinIncremental]], corpus-df prefix
+    * order), complete by the prefix lemma, stateless per batch ⇒ equals
+    * the batch incremental join exactly (shared oracle).
+    */
+  def streamingPpAdmission(
+      spark: SparkSession, sfDir: String, outDir: String,
+      shingleN: Int, tPct: Int, batches: Int): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 400).localCheckpoint(false)
+    streamingSearch(docs.filter(col("doc_id") >= 400), outDir, batches,
+      b => graft.ops.Dedup.ppJoinIncremental(
+        corpus, b, "doc_id", "text", shingleN, tPct))
+  }
+
   /** The per-micro-batch sink of the streaming searches, factored out so
     * specs can replay a batch id and assert idempotence: batch `i`
     * overwrites `outDir/batch=i`, nothing else — a retry replaces itself.
