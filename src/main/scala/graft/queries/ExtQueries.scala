@@ -119,6 +119,59 @@ object ExtQueries {
       covAssemble(Streams.streamingCovMoments(s, dir, DIM, 3))
     },
 
+    // PCA top component — 3 power-iteration rounds over the EXACT
+    // covariance artifact (q_embed_cov's matrix, symmetrized): each
+    // matrix-vector product folds its 64 terms as round9-scaled longs
+    // (order-independent), the norm likewise, and each new iterate rounds
+    // to 6 decimals — so the APPROXIMATE eigensolver is engine-exact and
+    // the oracle unrolls the same rounds as CTEs. All frames are
+    // dim²-sized; at 100 TB only the moment aggregate touches data, the
+    // iteration is metric-sized. Output: per-dim loading + the Rayleigh
+    // eigenvalue estimate.
+    "q_embed_pca" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+      val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
+          Seq("vec_id"))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"))
+        .select(col("i"), col("j"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
+      val cov = mUp.unionByName(
+          mUp.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("c")))
+        .localCheckpoint(false)
+      var v = cov.select(col("j")).distinct()
+        .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      var it = 0
+      while (it < 3) {
+        val w = cov.join(v, Seq("j"))
+          .groupBy(col("i"))
+          .agg((sum(round(col("c") * col("v") * 1e9).cast("long")).cast("double") / 1e9)
+            .as("w"))
+        val nrm = w.agg(
+          sqrt(sum(round(col("w") * col("w") * 1e9).cast("long")).cast("double") / 1e9)
+            .as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), round(col("w") / col("nrm"), 6).as("v"))
+          .localCheckpoint(false)
+        it += 1
+      }
+      val lambda = cov
+        .join(v.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
+        .join(v.select(col("j"), col("v").as("vj")), Seq("j"))
+        .agg((sum(round(col("c") * col("vi") * col("vj") * 1e9).cast("long"))
+          .cast("double") / 1e9).as("lambda"))
+      v.crossJoin(broadcast(lambda))
+        .select(col("j").cast("long").as("dim"), col("v").as("loading"), col("lambda"))
+        .orderBy(col("dim"))
+    },
+
     // mutual-kNN graph clustering: every vector's LSH-bucketed top-k
     // (q_ann_lsh's graph — corpus IS the query set, never all-pairs), keep
     // only MUTUAL edges (a ∈ knn(b) AND b ∈ knn(a) — the standard
@@ -1365,6 +1418,41 @@ object ExtQueries {
       // one oracle
       "q_stream_cov" -> embedCovSql,
       "q_embed_cov" -> embedCovSql,
+      // the cov matrix (0-based, symmetrized) + 3 power-iteration rounds
+      // unrolled: every matrix-vector/norm fold through round9-scaled
+      // longs, iterates rounded to 6 — the trainer's exact arithmetic
+      "q_embed_pca" -> {
+        val iters = (1 to 3).map { k =>
+          s""",
+        w$k AS (SELECT cv.i,
+                  CAST(sum(CAST(round(cv.c * v${k - 1}.v * 1e9) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS w
+                FROM cv JOIN v${k - 1} ON cv.j = v${k - 1}.j GROUP BY 1),
+        n$k AS (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9) AS nrm FROM w$k),
+        v$k AS (SELECT i AS j, round(w / (SELECT nrm FROM n$k), 6) AS v FROM w$k)"""
+        }.mkString
+        s"""
+        WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
+        up AS (SELECT a.i - 1 AS i0, b.i - 1 AS j0,
+                 round(CAST(count(*) * sum(a.x6 * b.x6)
+                     - sum(a.x6) * sum(b.x6) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12), 9)
+                   AS c
+               FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+               GROUP BY a.i, b.i),
+        cv AS (SELECT i0 AS i, j0 AS j, c FROM up
+               UNION ALL SELECT j0, i0, c FROM up WHERE i0 <> j0),
+        v0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
+               FROM cv)$iters,
+        lam AS (SELECT CAST(sum(CAST(round(cv.c * a.v * b.v * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9 AS lambda
+                FROM cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j)
+        SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading, lam.lambda
+        FROM v3, lam ORDER BY dim"""
+      },
       // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
       // reachability (the q_graph_components fixpoint) over the mutual
       // edges; isolated vectors label themselves
