@@ -172,6 +172,25 @@ object ExtQueries {
         .orderBy(col("dim"))
     },
 
+    // the learned component APPLIED — each vector's scalar projection onto
+    // the trained loading (the dimensionality-reduction serving path):
+    // loadings broadcast as a 64-row frame, the per-vector dot folds as
+    // round9-scaled longs — scan-level over the corpus, zero shuffle past
+    // the explode-join
+    "q_embed_pca_apply" -> { (s, dir) =>
+      val loadings = queries("q_embed_pca")(s, dir)
+        .select(col("dim").cast("int").as("i"), col("loading"))
+        .localCheckpoint(false)
+      Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .join(broadcast(loadings), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg((sum(round(col("x").cast("double") * col("loading") * 1e9).cast("long"))
+          .cast("double") / 1e9).as("projection"))
+        .select(col("vec_id"), round(col("projection"), 6).as("projection"))
+        .orderBy(col("vec_id"))
+    },
+
     // mutual-kNN graph clustering: every vector's LSH-bucketed top-k
     // (q_ann_lsh's graph — corpus IS the query set, never all-pairs), keep
     // only MUTUAL edges (a ∈ knn(b) AND b ∈ knn(a) — the standard
@@ -1075,6 +1094,35 @@ object ExtQueries {
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)"""
+    // the power-iteration chain through v3 (0-based symmetrized cov →
+    // 3 rounds of round9-long matrix-vector + norm + round6 iterate),
+    // shared by the PCA train oracle and its projection-apply tail
+    val pcaCtes = {
+      val iters = (1 to 3).map { k =>
+        s""",
+        w$k AS (SELECT cv.i,
+                  CAST(sum(CAST(round(cv.c * v${k - 1}.v * 1e9) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS w
+                FROM cv JOIN v${k - 1} ON cv.j = v${k - 1}.j GROUP BY 1),
+        n$k AS (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9) AS nrm FROM w$k),
+        v$k AS (SELECT i AS j, round(w / (SELECT nrm FROM n$k), 6) AS v FROM w$k)"""
+      }.mkString
+      s"""WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
+                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
+        up AS (SELECT a.i - 1 AS i0, b.i - 1 AS j0,
+                 round(CAST(count(*) * sum(a.x6 * b.x6)
+                     - sum(a.x6) * sum(b.x6) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12), 9)
+                   AS c
+               FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+               GROUP BY a.i, b.i),
+        cv AS (SELECT i0 AS i, j0 AS j, c FROM up
+               UNION ALL SELECT j0, i0, c FROM up WHERE i0 <> j0),
+        v0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
+               FROM cv)$iters"""
+    }
     // stub-decoder features over the utf-8 media bytes — batch extraction
     // and the stateless streaming cell define the same relation
     val multimodalSql = """
@@ -1421,38 +1469,26 @@ object ExtQueries {
       // the cov matrix (0-based, symmetrized) + 3 power-iteration rounds
       // unrolled: every matrix-vector/norm fold through round9-scaled
       // longs, iterates rounded to 6 — the trainer's exact arithmetic
-      "q_embed_pca" -> {
-        val iters = (1 to 3).map { k =>
-          s""",
-        w$k AS (SELECT cv.i,
-                  CAST(sum(CAST(round(cv.c * v${k - 1}.v * 1e9) AS BIGINT))
-                    AS DOUBLE) / 1e9 AS w
-                FROM cv JOIN v${k - 1} ON cv.j = v${k - 1}.j GROUP BY 1),
-        n$k AS (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e9) AS BIGINT))
-                  AS DOUBLE) / 1e9) AS nrm FROM w$k),
-        v$k AS (SELECT i AS j, round(w / (SELECT nrm FROM n$k), 6) AS v FROM w$k)"""
-        }.mkString
-        s"""
-        WITH e AS (SELECT vec_id, CAST(i AS INTEGER) AS i,
-                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x6
-                   FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)),
-        up AS (SELECT a.i - 1 AS i0, b.i - 1 AS j0,
-                 round(CAST(count(*) * sum(a.x6 * b.x6)
-                     - sum(a.x6) * sum(b.x6) AS DOUBLE)
-                   / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12), 9)
-                   AS c
-               FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-               GROUP BY a.i, b.i),
-        cv AS (SELECT i0 AS i, j0 AS j, c FROM up
-               UNION ALL SELECT j0, i0, c FROM up WHERE i0 <> j0),
-        v0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
-               FROM cv)$iters,
+      "q_embed_pca" -> s"""
+        $pcaCtes,
         lam AS (SELECT CAST(sum(CAST(round(cv.c * a.v * b.v * 1e9) AS BIGINT))
                   AS DOUBLE) / 1e9 AS lambda
                 FROM cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j)
         SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading, lam.lambda
-        FROM v3, lam ORDER BY dim"""
-      },
+        FROM v3, lam ORDER BY dim""",
+      // the trained loadings applied: per-vector scalar projection through
+      // the same round9-scaled-long dot fold
+      "q_embed_pca_apply" -> s"""
+        $pcaCtes,
+        ev AS (SELECT vec_id, CAST(i AS INTEGER) - 1 AS i0,
+                 CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)
+               WHERE vec_id < 50)
+        SELECT ev.vec_id,
+               round(CAST(sum(CAST(round(ev.x * v3.v * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9, 6) AS projection
+        FROM ev JOIN v3 ON ev.i0 = v3.j
+        GROUP BY 1 ORDER BY ev.vec_id""",
       // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
       // reachability (the q_graph_components fixpoint) over the mutual
       // edges; isolated vectors label themselves
