@@ -762,5 +762,12 @@ class ScaleSpec extends AnyFunSuite {
       s"covariance self-join must stay keyed on vec_id:\n$covPlan")
     assert("Exchange hashpartitioning".r.findAllIn(covPlan).size <= 3,
       s"covariance must not grow an extra shuffle chain:\n$covPlan")
+    // PCA power iteration: after the moment aggregate, the iteration is
+    // METRIC-sized — its final plan must read checkpointed dim²-frames,
+    // never rescan the embeddings source
+    val pca = graft.queries.ExtQueries.queries("q_embed_pca")(spark, dir)
+    val pcaPlan = pca.queryExecution.executedPlan.toString
+    assert(!pcaPlan.contains("embeddings.parquet"),
+      s"PCA iteration must not rescan the corpus (lineage not truncated):\n$pcaPlan")
   }
 }
