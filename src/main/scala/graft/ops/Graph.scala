@@ -69,6 +69,48 @@ object Graph {
     pr
   }
 
+  /** PERSONALIZED PageRank — restart mass concentrated on a seed cohort
+    * (trust/recommendation propagation FROM known-good nodes): identical
+    * scaled-long damped rounds to [[pageRankFixedPoint]], but the start
+    * vector and the (1−d) teleport term apply only to seeds (SCALE/|seeds|
+    * each; non-seeds start at 0 and receive only propagated mass). Same
+    * exactness and lineage-truncation discipline.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int, dampingPct: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(false)
+    val seeded = nodes
+      .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
+        Seq("node"), "left")
+      .localCheckpoint(false)
+    val ns = seeded.agg(sum(coalesce(col("is_seed"), lit(0L))).as("n"))
+    var pr = seeded.crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("is_seed") === 1L, expr(s"$SCALE div n")).otherwise(lit(0L)).as("pr"))
+    val damp = dampingPct.toLong
+    val baseNum = (100L - damp) * SCALE
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(outw, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = seeded.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          (when(col("is_seed") === 1L, expr(s"$baseNum div (100 * n)")).otherwise(lit(0L)) +
+            expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
+        .localCheckpoint(false)
+    }
+    pr
+  }
+
   /** k-CORE decomposition for a fixed k — the maximal subgraph where every
     * node keeps degree ≥ k (the standard graph-density filter: spam rings
     * and tight communities survive, tendrils peel away). Iterative peel:

@@ -454,18 +454,37 @@ object AnalyticsQueries {
     // Suppliers are offset into their own id space to keep the bipartite
     // node set in one long column.
     "q_graph_pagerank" -> { (s, dir) =>
-      val e0 = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .agg(count(lit(1)).as("w"))
-      val edges = e0.select(col("cust").as("src"),
-          (col("supp") + 1000000L).as("dst"), col("w"))
-        .union(e0.select((col("supp") + 1000000L).as("src"),
-          col("cust").as("dst"), col("w")))
+      val edges = tradeEdges(s, dir)
       Graph.pageRankFixedPoint(edges, 3, 85)
+        .orderBy(col("pr").desc, col("node"))
+    },
+
+    // PERSONALIZED PageRank from a seed cohort (every 50th customer) —
+    // propagation-from-known-good: the same exact scaled-long rounds, but
+    // start + teleport mass live only on the seeds, so the ranking answers
+    // "which suppliers are most reachable FROM this cohort's trade"
+    "q_graph_ppr" -> { (s, dir) =>
+      val edges = tradeEdges(s, dir)
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") < 1000000L && col("node") % 50 === 0).distinct()
+      Graph.personalizedPageRank(edges, seeds, 3, 85)
         .orderBy(col("pr").desc, col("node"))
     }
   )
+
+  /** the symmetrized customer↔supplier trade graph shared by the PageRank
+    * gates (suppliers offset into their own id space)
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("w"))
+    e0.select(col("cust").as("src"),
+        (col("supp") + 1000000L).as("dst"), col("w"))
+      .union(e0.select((col("supp") + 1000000L).as("src"),
+        col("cust").as("dst"), col("w")))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_tpch_shipping" -> """
@@ -821,6 +840,40 @@ object AnalyticsQueries {
       outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
       nn AS (SELECT count(*) AS n FROM nodes),
       pr0 AS (SELECT node, 1000000000 // n AS pr FROM nodes, nn),
+      $iterCtes
+      SELECT node, pr FROM pr3 ORDER BY pr DESC, node"""
+    },
+    // the personalized twin: identical rounds, start + teleport only on
+    // the seed cohort (customers % 50 = 0)
+    "q_graph_ppr" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS node,
+                 CAST(sum((p.pr * e.w) // o.ow) AS BIGINT) AS s
+               FROM edges e JOIN outw o ON o.src = e.src
+                 JOIN pr${k - 1} p ON p.node = e.src
+               GROUP BY 1),
+        pr$k AS (SELECT n.node,
+                   CAST(CASE WHEN sd.node IS NOT NULL
+                          THEN 15000000000 // (100 * ns.n) ELSE 0 END
+                     + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+                 FROM nodes n LEFT JOIN c$k c USING (node)
+                 LEFT JOIN seeds sd ON n.node = sd.node, ns)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS (SELECT o_custkey AS cust, l_suppkey AS supp, count(*) AS w
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+      edges AS (SELECT cust AS src, supp + 1000000 AS dst, w FROM e0
+                UNION ALL
+                SELECT supp + 1000000 AS src, cust AS dst, w FROM e0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+      seeds AS (SELECT DISTINCT src AS node FROM edges
+                WHERE src < 1000000 AND src % 50 = 0),
+      ns AS (SELECT count(*) AS n FROM seeds),
+      pr0 AS (SELECT n.node,
+                CASE WHEN sd.node IS NOT NULL THEN 1000000000 // ns.n ELSE 0 END AS pr
+              FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node, ns),
       $iterCtes
       SELECT node, pr FROM pr3 ORDER BY pr DESC, node"""
     }
