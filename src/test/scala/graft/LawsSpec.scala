@@ -762,6 +762,45 @@ object LawsSpec extends Properties("graft") {
         }
     }
 
+  // the personalized form inherits the same determinism contract: identical
+  // results under any partitioning, and total mass stays within the same
+  // truncation bound (teleport mass is seed-confined but bounded alike)
+  property("personalized PageRank is partition-invariant with bounded mass drift") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(2, 30), Gen.choose(1, 4)) {
+      (seed, nEdges, iters) =>
+        import graft.ops.Graph
+        val rnd = new scala.util.Random(seed)
+        val raw = (0 until nEdges).map { _ =>
+          (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong, (1 + rnd.nextInt(5)).toLong)
+        }.filter { case (s, d, _) => s != d }
+        if (raw.isEmpty) true
+        else {
+          val e = raw.toDF("src", "dst", "w")
+          val edges = e.union(e.select(col("dst"), col("src"), col("w")))
+          // seeds: even-id nodes present in the graph (nonempty: node ids
+          // 0..7 and at least one edge exists, so some endpoint is even or
+          // we fall back to the smallest node)
+          val nodeIds = raw.flatMap { case (s, d, _) => Seq(s, d) }.distinct
+          val seedIds = {
+            val evens = nodeIds.filter(_ % 2 == 0)
+            if (evens.nonEmpty) evens else nodeIds.take(1)
+          }
+          val seeds = seedIds.toDF("node")
+          def run(df: org.apache.spark.sql.DataFrame) =
+            Graph.personalizedPageRank(df, seeds, iters, 85)
+              .as[(Long, Long)].collect().toMap
+          val a = run(edges.repartition(1))
+          val b = run(edges.repartition(7, col("dst")))
+          val nN = a.size.toLong
+          val nE = edges.count()
+          val drift = math.abs(a.values.sum - Graph.SCALE)
+          val bound = iters * (nE + 2 * nN) + nN
+          val r = a == b && drift <= bound
+          if (!r) println(s"seed=$seed drift=$drift bound=$bound eq=${a == b}")
+          r
+        }
+    }
+
   // incremental MV maintenance is EXACT and batching-invariant: random base
   // and target tables (overlapping keys -> updates, including group-moving
   // ones; disjoint keys -> inserts/deletes), the maintained view equals a
