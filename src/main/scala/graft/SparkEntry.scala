@@ -17,27 +17,48 @@ object SparkEntry {
     queries("q_histo_fixed")(spark, dir)
   }
 
+  /** Merge per-file maps, FAILING LOUDLY on key collisions: a duplicate
+    * gate name would otherwise silently shadow an existing query (and its
+    * oracle) with no count change — an existing correctness gate vanishing
+    * without a failure (the r11 q_profile_cols near-miss).
+    */
+  private def mergeDisjoint[V](parts: (String, Map[String, V])*): Map[String, V] = {
+    val seen = scala.collection.mutable.Map[String, String]()
+    val out = Map.newBuilder[String, V]
+    for ((src, m) <- parts; (k, v) <- m) {
+      seen.put(k, src).foreach { prev =>
+        throw new IllegalStateException(
+          s"duplicate gate key '$k' defined in both $prev and $src — " +
+            "rename one; silent shadowing loses a correctness gate")
+      }
+      out += k -> v
+    }
+    out.result()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++
-      graft.queries.RelationalQueries.queries ++
-      graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtQueries.queries ++
-      graft.queries.SqlSurfaceQueries.queries ++
-      graft.queries.AnalyticsQueries.queries ++
-      graft.queries.FeatureQueries.queries ++
-      graft.queries.OlapQueries.queries
+    mergeDisjoint(
+      "CoreQueries" -> graft.queries.CoreQueries.queries,
+      "RelationalQueries" -> graft.queries.RelationalQueries.queries,
+      "PipelineQueries" -> graft.queries.PipelineQueries.queries,
+      "ExtQueries" -> graft.queries.ExtQueries.queries,
+      "SqlSurfaceQueries" -> graft.queries.SqlSurfaceQueries.queries,
+      "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries,
+      "FeatureQueries" -> graft.queries.FeatureQueries.queries,
+      "OlapQueries" -> graft.queries.OlapQueries.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles ++
-      graft.queries.RelationalQueries.oracles ++
-      graft.queries.PipelineQueries.oracles ++
-      graft.queries.ExtQueries.oracles ++
-      graft.queries.SqlSurfaceQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles ++
-      graft.queries.FeatureQueries.oracles ++
-      graft.queries.OlapQueries.oracles
+    mergeDisjoint(
+      "CoreQueries" -> graft.queries.CoreQueries.oracles,
+      "RelationalQueries" -> graft.queries.RelationalQueries.oracles,
+      "PipelineQueries" -> graft.queries.PipelineQueries.oracles,
+      "ExtQueries" -> graft.queries.ExtQueries.oracles,
+      "SqlSurfaceQueries" -> graft.queries.SqlSurfaceQueries.oracles,
+      "AnalyticsQueries" -> graft.queries.AnalyticsQueries.oracles,
+      "FeatureQueries" -> graft.queries.FeatureQueries.oracles,
+      "OlapQueries" -> graft.queries.OlapQueries.oracles)
 }

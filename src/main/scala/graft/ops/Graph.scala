@@ -89,6 +89,14 @@ object Graph {
       .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
       .localCheckpoint(false)
+    // an empty/graph-disjoint seed set would make n=0 and turn every
+    // `div n` below into NULL pr for every node — fail loudly instead
+    // (mirrors the iters/dampingPct requires; the count is over the
+    // node-sized frame, not the edge fact, so the eager check is cheap)
+    require(
+      seeded.filter(col("is_seed") === 1L).limit(1).count() == 1L,
+      "personalizedPageRank: no seed node is present in the graph " +
+        "(seeds must intersect the edge endpoints)")
     val ns = seeded.agg(sum(coalesce(col("is_seed"), lit(0L))).as("n"))
     var pr = seeded.crossJoin(broadcast(ns))
       .select(col("node"),

@@ -45,10 +45,15 @@ object Scd2 {
         count(lit(1)).as("n_rows"))
   }
 
-  /** Batch SCD2 build: islands + lead() close + sentinel open row. */
+  /** Batch SCD2 build: islands + lead() close + sentinel open row.
+    * Sentinel must stay within datetime64[ns] range (max 2262-04-11):
+    * arrow/pandas readers canonicalize timestamps at ns precision, and an
+    * out-of-range open-row date (the classic 9999-12-31) round-trips
+    * differently across readers even when the value is semantically equal.
+    */
   def batch(
       df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
-      attrCol: String, sentinel: String = "9999-12-31 00:00:00"): DataFrame = {
+      attrCol: String, sentinel: String = "2200-01-01 00:00:00"): DataFrame = {
     val segs = islands(df, keyCol, tsCol, ordCol, attrCol)
       .withColumnRenamed("bver", "version")
     val wv = Window.partitionBy(col(keyCol)).orderBy(col("version"))
@@ -114,7 +119,7 @@ object Scd2 {
   /** Final read of a fold: closed history + open rows with the sentinel. */
   def finish(
       closed: DataFrame, open: DataFrame, keyCol: String,
-      sentinel: String = "9999-12-31 00:00:00"): DataFrame =
+      sentinel: String = "2200-01-01 00:00:00"): DataFrame =
     closed.withColumn("is_current", lit(0L))
       .unionByName(open
         .withColumn("valid_to", lit(sentinel).cast("timestamp"))

@@ -622,7 +622,7 @@ object AnalyticsQueries {
       closed AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
                      ORDER BY version) AS next_from FROM segs)
       SELECT user_id, version, segment, valid_from,
-             coalesce(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             coalesce(next_from, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
              n_rows,
              CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
                AS is_current
@@ -644,7 +644,7 @@ object AnalyticsQueries {
       closed AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
                      ORDER BY version) AS next_from FROM segs)
       SELECT user_id, version, segment, valid_from,
-             coalesce(next_from, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             coalesce(next_from, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
              n_rows,
              CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
                AS is_current

@@ -54,9 +54,17 @@ object ExtQueries {
     * share one oracle.
     */
   private def covAssemble(m: DataFrame): DataFrame = {
-    val num = col("n") * col("sxy") - col("sx") * col("sy")
-    val denx = col("n") * col("sxx") - col("sx") * col("sx")
-    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    // the products n*sxy etc. overflow BIGINT well before the sums do
+    // (1e6-scaled components: ~2e3 vectors already reaches ~4e18 of the
+    // 9.2e18 long range, and Spark would WRAP silently where DuckDB
+    // errors) — widen to decimal(38,0) so the integer arithmetic stays
+    // exact at any corpus size; cov/corr remain ONE final IEEE division
+    // over the exact integers (decimal→double is correctly rounded, same
+    // as DuckDB's HUGEINT→DOUBLE)
+    def d(c: String) = col(c).cast("decimal(38,0)")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
     m.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
         round(num.cast("double")
           / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("cov"),
@@ -1147,12 +1155,15 @@ object ExtQueries {
                 CAST(sum(b.x6 * b.x6) AS BIGINT) AS syy
               FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
               GROUP BY 1, 2)
+        -- HUGEINT products mirror the Spark side's decimal(38,0) widening:
+        -- n*sxy etc. overflow BIGINT at larger corpora (silent wrap in
+        -- Spark, error here) — exact int128 keeps both engines identical
         SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, n,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
+               round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+               round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS corr
         FROM m ORDER BY i, j"""
     def cosSql(a: String, b: String) =
       s"round(list_sum(list_transform(range(1, ${DIM + 1}), i -> $a.v[i]*$b.v[i]))/($a.nrm*$b.nrm), 6)"

@@ -661,7 +661,7 @@ object FeatureQueries {
     // (column, stats) shape downstream monitors join against. At 100 TB the
     // exact distincts swap for approx_count_distinct (same plan minus the
     // Expand) — this gate is the exact anchor.
-    "q_profile_cols" -> { (s, dir) =>
+    "q_profile_events" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       ev.agg(
         count(lit(1)).as("n_rows"),
@@ -1137,7 +1137,7 @@ object FeatureQueries {
                / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
                       * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) AS assortativity
       FROM m""",
-    "q_profile_cols" -> """
+    "q_profile_events" -> """
       WITH s AS (SELECT count(*) AS n_rows,
         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
         count(DISTINCT user_id) AS du,

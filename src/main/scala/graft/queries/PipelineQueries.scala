@@ -1101,7 +1101,8 @@ object PipelineQueries {
     // against the static corpus, shares q_dedup_ppjoin_inc's oracle
     "q_stream_ppjoin" -> { (s, dir) =>
       graft.streaming.Streams.streamingPpAdmission(
-        s, dir, "/tmp/graft_stream_ppjoin", NGRAM, 50, 3)
+        s, dir, s"/tmp/graft_stream_ppjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+        NGRAM, 50, 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1112,7 +1113,8 @@ object PipelineQueries {
     // q_dedup_containment_inc's oracle
     "q_stream_containment" -> { (s, dir) =>
       graft.streaming.Streams.streamingContainment(
-        s, dir, s"/tmp/graft_stream_containment", NGRAM, 80, 3)
+        s, dir, s"/tmp/graft_stream_containment_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+        NGRAM, 80, 3)
         .orderBy(col("id_b"), col("id_c"))
     },
 
