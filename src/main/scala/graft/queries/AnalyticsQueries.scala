@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,61 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     },
 
+    // the 100 TB equi-depth path: approx_percentile cutpoints broadcast
+    // back, bucket membership by comparison — NO global sort anywhere (the
+    // exact gate above is the opt-in anchor, this is the default shape).
+    // Sketch cutpoints differ per engine, so the gate emits only exact
+    // values plus 0/1 law flags (the q_approx_sketch discipline):
+    // boundary_ok pins each cutpoint's EXACT rank interval
+    // [count(<cut)+1, count(<=cut)] against the documented rank-error
+    // envelope n*(q ± 2/accuracy) — the precise approx_percentile
+    // guarantee, immune to tie blocks — and cover_ok pins that the bucket
+    // counts tile the table. DuckDB reproduces the exact columns and
+    // asserts every flag is 1.
+    "q_histo_equidepth_approx" -> { (s, dir) =>
+      val b = 10
+      val acc = 1000
+      val eps = 2.0 / acc
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val cuts = li.agg(approx_percentile(col("v"),
+        typedLit((1 until b).map(_.toDouble / b)), lit(acc)).as("cuts"))
+      val withCuts = li.crossJoin(broadcast(cuts))
+      val probeAggs =
+        Seq(count(lit(1)).as("n"), sum(dec(col("v"))).cast("double").as("total")) ++
+          (0 until b - 1).flatMap { i =>
+            Seq(sum(when(col("v") < col("cuts")(i), 1L).otherwise(0L)).as(s"lt$i"),
+              sum(when(col("v") <= col("cuts")(i), 1L).otherwise(0L)).as(s"le$i"))
+          }
+      val probes = withCuts.agg(probeAggs.head, probeAggs.tail: _*)
+      val bucketed = withCuts
+        .withColumn("bucket", lit(1L) + (0 until b - 1)
+          .map(i => when(col("v") > col("cuts")(i), 1L).otherwise(0L))
+          .reduce(_ + _))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      // heavy ties can merge cutpoints and empty a bucket — keep the
+      // 10-row contract via a generated bucket spine
+      val spine = cuts.select(explode(sequence(lit(1L), lit(b.toLong))).as("bucket"))
+      val bnTotal = bucketed.agg(sum(col("bn")).as("sum_bn"))
+      spine.join(bucketed, Seq("bucket"), "left")
+        .withColumn("bn", coalesce(col("bn"), lit(0L)))
+        .crossJoin(broadcast(probes))
+        .crossJoin(broadcast(bnTotal))
+        .withColumn("boundary_ok",
+          when(col("bucket") === b, 1L).otherwise(
+            (0 until b - 1).map { i =>
+              when(col("bucket") === i + 1,
+                ((col(s"lt$i") + 1).cast("double") <=
+                  ceil(col("n") * ((i + 1).toDouble / b + eps)) &&
+                  col(s"le$i").cast("double") >=
+                    floor(col("n") * ((i + 1).toDouble / b - eps)))
+                  .cast("long"))
+            }.reduceRight(_.otherwise(_))))
+        .select(col("bucket"), col("n").as("n_total"),
+          col("total").as("sum_price"), col("boundary_ok"),
+          (col("sum_bn") === col("n")).cast("long").as("cover_ok"))
+        .orderBy(col("bucket"))
+    },
+
     // incremental materialized-view maintenance: a per-(user, event_type)
     // COUNT/SUM view kept in sync by folding the keyed CDC between two base
     // versions (inserts + deletes + group-MOVING updates), never re-scanning
@@ -272,9 +327,23 @@ object AnalyticsQueries {
         .agg(min(col("bucket")).as("bucket"))
         .withColumn("est_cents",
           col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
-      val ranked = cents.withColumn("rn", row_number().over(
-        Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))))
-      est.join(ranked, col("rn") === col("rank_target"))
+      // exact leg, BUCKET-BRACKETED: the histogram already isolates each
+      // target rank into one bucket, so the exact value is the
+      // (rank_target − rows-before-bucket)-th smallest INSIDE that bucket —
+      // only ~cnt/64 rows are ranked, the window partitions by percentile,
+      // and the whole-table single-partition sort (the sketch's own enemy)
+      // never appears. Lower buckets hold strictly smaller cents, so the
+      // within-bucket (c, tiebreak) order is the global order restricted to
+      // the bucket — bit-identical to a global row_number.
+      val brk = est.join(cum.select(col("bucket"),
+          (col("cum") - col("n")).as("cum_before")), Seq("bucket"))
+      val inBucket = cents.join(broadcast(brk),
+        col("c") >= col("lo") + col("bucket") * col("width") &&
+          col("c") < col("lo") + (col("bucket") + lit(1L)) * col("width"))
+      inBucket.withColumn("rn", row_number().over(
+          Window.partitionBy(col("p"))
+            .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") === col("rank_target") - col("cum_before"))
         .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
           col("c").as("exact_cents"),
           abs(col("est_cents") - col("c")).as("abs_err"),
@@ -310,9 +379,16 @@ object AnalyticsQueries {
         .agg(min(col("bucket")).as("bucket"))
         .withColumn("est_cents",
           col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
-      val ranked = cents.withColumn("rn", row_number().over(
-        Window.orderBy(col("c"), col("event_id"))))
-      est.join(ranked, col("rn") === col("rank_target"))
+      // exact leg bucket-bracketed exactly as in q_sketch_quantile: rank
+      // only the bracketing bucket's rows, partitioned per percentile
+      val brk = est.join(cum.select(col("bucket"),
+          (col("cum") - col("n")).as("cum_before")), Seq("bucket"))
+      val inBucket = cents.join(broadcast(brk),
+        col("c") >= col("lo") + col("bucket") * col("width") &&
+          col("c") < col("lo") + (col("bucket") + lit(1L)) * col("width"))
+      inBucket.withColumn("rn", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("c"), col("event_id"))))
+        .filter(col("rn") === col("rank_target") - col("cum_before"))
         .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
           col("c").as("exact_cents"),
           abs(col("est_cents") - col("c")).as("abs_err"),
@@ -372,8 +448,14 @@ object AnalyticsQueries {
 
     // RFM segmentation — the classic customer-scoring matrix: per-user
     // recency (days since last purchase, anchored to the series' own max
-    // day), frequency, monetary (exact cents), each quartiled by ntile
-    // over a total order; frames are user-sized after the first aggregate
+    // day), frequency, monetary (exact cents). Quartiles are VALUE
+    // quartiles: one 9-cutpoint percentile_disc aggregate (SQL-standard
+    // smallest-value-with-cume_dist≥p, identical in DuckDB — probed) is
+    // broadcast back and membership is pure comparison, so equal values
+    // always share a segment and the per-user frame is never globally
+    // sorted (the old ntile form moved every user to ONE task — the
+    // crawl-scale killer). disc percentiles are actual data values, so
+    // the long round-trip through Spark's double return type is exact.
     "q_rfm_segments" -> { (s, dir) =>
       val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
       val peruser = ev.groupBy(col("user_id")).agg(
@@ -383,13 +465,27 @@ object AnalyticsQueries {
       val anchored = peruser
         .crossJoin(broadcast(peruser.agg(max(col("last_day")).as("d1"))))
         .withColumn("recency_days", datediff(col("d1"), col("last_day")).cast("long"))
-      val byR = Window.orderBy(col("recency_days"), col("user_id"))
-      val byF = Window.orderBy(col("frequency").desc, col("user_id"))
-      val byM = Window.orderBy(col("cents").desc, col("user_id"))
-      anchored
-        .withColumn("r_quartile", ntile(4).over(byR).cast("long"))
-        .withColumn("f_quartile", ntile(4).over(byF).cast("long"))
-        .withColumn("m_quartile", ntile(4).over(byM).cast("long"))
+      def pd(p: String, order: String) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $order)").cast("long")
+      val cuts = anchored.agg(
+        pd("0.25", "recency_days").as("r25"), pd("0.5", "recency_days").as("r50"),
+        pd("0.75", "recency_days").as("r75"),
+        pd("0.25", "frequency DESC").as("f25"), pd("0.5", "frequency DESC").as("f50"),
+        pd("0.75", "frequency DESC").as("f75"),
+        pd("0.25", "cents DESC").as("m25"), pd("0.5", "cents DESC").as("m50"),
+        pd("0.75", "cents DESC").as("m75"))
+      def tile(v: Column, c1: Column, c2: Column, c3: Column, desc: Boolean) = {
+        def g(c: Column) =
+          when(if (desc) v < c else v > c, 1L).otherwise(0L)
+        lit(1L) + g(c1) + g(c2) + g(c3)
+      }
+      anchored.crossJoin(broadcast(cuts))
+        .withColumn("r_quartile",
+          tile(col("recency_days"), col("r25"), col("r50"), col("r75"), desc = false))
+        .withColumn("f_quartile",
+          tile(col("frequency"), col("f25"), col("f50"), col("f75"), desc = true))
+        .withColumn("m_quartile",
+          tile(col("cents"), col("m25"), col("m50"), col("m75"), desc = true))
         .select(col("user_id"), col("recency_days"), col("frequency"), col("cents"),
           col("r_quartile"), col("f_quartile"), col("m_quartile"),
           concat(col("r_quartile"), col("f_quartile"), col("m_quartile")).as("segment"))
@@ -580,6 +676,16 @@ object AnalyticsQueries {
              max(l_extendedprice) AS hi,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       FROM t GROUP BY bucket ORDER BY bucket""",
+    // sketch cutpoints are engine-specific, so only the EXACT columns and
+    // the always-1 law flags are compared (q_approx_sketch discipline)
+    "q_histo_equidepth_approx" -> """
+      WITH s AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total
+                 FROM lineitem)
+      SELECT CAST(u AS BIGINT) AS bucket, n AS n_total, total AS sum_price,
+             CAST(1 AS BIGINT) AS boundary_ok, CAST(1 AS BIGINT) AS cover_ok
+      FROM s, unnest(range(1, 11)) AS r(u) ORDER BY bucket""",
     // full recompute over v2 — the incremental path must land exactly here
     "q_mv_incremental" -> """
       WITH v2 AS (
@@ -756,14 +862,27 @@ object AnalyticsQueries {
                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
       a AS (SELECT *, CAST(datediff('day', last_day,
               (SELECT max(last_day) FROM p)) AS BIGINT) AS recency_days FROM p),
-      q AS (SELECT *,
-              CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT)
-                AS r_quartile,
-              CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
-                AS f_quartile,
-              CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
-                AS m_quartile
-            FROM a)
+      -- VALUE quartiles (SQL-standard percentile_disc cutpoints, ties
+      -- share a segment) — mirrors the engine's broadcast-membership form
+      cuts AS (SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY recency_days) AS r50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency DESC) AS f25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY frequency DESC) AS f50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency DESC) AS f75,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY cents DESC) AS m25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents DESC) AS m50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY cents DESC) AS m75
+        FROM a),
+      q AS (SELECT a.*,
+              CAST(1 + (recency_days > r25)::INT + (recency_days > r50)::INT
+                     + (recency_days > r75)::INT AS BIGINT) AS r_quartile,
+              CAST(1 + (frequency < f25)::INT + (frequency < f50)::INT
+                     + (frequency < f75)::INT AS BIGINT) AS f_quartile,
+              CAST(1 + (cents < m25)::INT + (cents < m50)::INT
+                     + (cents < m75)::INT AS BIGINT) AS m_quartile
+            FROM a CROSS JOIN cuts)
       SELECT user_id, recency_days, frequency, cents,
              r_quartile, f_quartile, m_quartile,
              r_quartile || f_quartile || m_quartile AS segment

@@ -770,4 +770,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!pcaPlan.contains("embeddings.parquet"),
       s"PCA iteration must not rescan the corpus (lineage not truncated):\n$pcaPlan")
   }
+
+  test("sketch-quantile exact leg never ranks the whole fact table") {
+    // the exact-rank lookup must be bucket-bracketed: any row_number window
+    // over fact rows has to carry a partition spec (per-percentile, over
+    // the ~n/64 bracketing-bucket rows). An unpartitioned row_number here
+    // would move every fact row to ONE task — the failure mode this gate's
+    // own sketch exists to avoid. The only unpartitioned windows allowed
+    // are the cumulative sums over the ≤64-row histogram.
+    val q = graft.queries.AnalyticsQueries.queries("q_sketch_quantile")(
+      spark, "/root/testdata/sf0.001")
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val rn = wins.filter(_.windowExpressions.exists(_.toString.contains("row_number")))
+    assert(rn.nonEmpty, "expected the bracketed row_number window in the plan")
+    rn.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"row_number over fact rows must be partitioned (bucket-bracketed):\n$w")
+    }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.forall(!_.windowExpressions.exists(_.toString.contains("row_number"))),
+      "unpartitioned windows must be histogram-sized cumulative sums only")
+  }
 }
