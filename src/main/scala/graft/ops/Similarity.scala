@@ -1778,6 +1778,24 @@ object Similarity {
         .as("max_err"))
   }
 
+  /** Scalar projection of each vector onto a trained PCA loading — the
+    * dimensionality-reduction SERVING path, shared by the batch apply gate
+    * and the streaming drift monitor. `loadings` is the persisted component
+    * artifact as (i: int dim index, loading: double); it is dim-sized, so
+    * it broadcasts and the dot product folds per vector as round9-scaled
+    * longs (order-independent ⇒ engine-exact) — scan-level over the corpus,
+    * zero shuffle past the explode-join.
+    */
+  def pcaProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      loadings: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .join(broadcast(loadings), Seq("i"))
+      .groupBy(col(idCol))
+      .agg((sum(round(col("x").cast("double") * col("loading") * 1e9).cast("long"))
+        .cast("double") / 1e9).as("__proj"))
+      .select(col(idCol), round(col("__proj"), 6).as("projection"))
+
   /** Embedding near-duplicate pairs above a cosine threshold, candidates from
     * the LSH bucket join (scale path; exact-over-bucket semantics).
     */

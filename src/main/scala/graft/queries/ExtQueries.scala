@@ -189,13 +189,26 @@ object ExtQueries {
       val loadings = queries("q_embed_pca")(s, dir)
         .select(col("dim").cast("int").as("i"), col("loading"))
         .localCheckpoint(false)
-      Tables.embeddings(s, dir).filter(col("vec_id") < 50)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .join(broadcast(loadings), Seq("i"))
-        .groupBy(col("vec_id"))
-        .agg((sum(round(col("x").cast("double") * col("loading") * 1e9).cast("long"))
-          .cast("double") / 1e9).as("projection"))
-        .select(col("vec_id"), round(col("projection"), 6).as("projection"))
+      Similarity.pcaProject(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+        "vec_id", "embedding", loadings)
+        .orderBy(col("vec_id"))
+    },
+
+    // the STREAMING PCA-apply twin — the drift-monitor serving shape: the
+    // trained loading is PERSISTED as a parquet component artifact, the
+    // vector stream projects each micro-batch against it statelessly
+    // (stream-static, no state store — each vector needs only its own
+    // batch), so the streamed union equals the batch apply exactly and the
+    // gate shares q_embed_pca_apply's oracle. At 100 TB the artifact is
+    // dim-sized and broadcast; the stream is whatever vectors arrived.
+    "q_stream_pca" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val artifact = s"/tmp/graft_pca_artifact_$tag"
+      queries("q_embed_pca")(s, dir)
+        .select(col("dim").cast("int").as("i"), col("loading"))
+        .write.mode("overwrite").parquet(artifact)
+      Streams.streamingPcaApply(s, dir, artifact, s"/tmp/graft_stream_pca_$tag")
         .orderBy(col("vec_id"))
     },
 
@@ -1131,6 +1144,20 @@ object ExtQueries {
         v0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
                FROM cv)$iters"""
     }
+    // trained loadings applied to the vec_id < 50 slice: the scalar
+    // projection through the same round9-scaled-long dot fold — shared by
+    // the batch apply gate and the streaming artifact-serving twin
+    val pcaApplySql = s"""
+        $pcaCtes,
+        ev AS (SELECT vec_id, CAST(i AS INTEGER) - 1 AS i0,
+                 CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)
+               WHERE vec_id < 50)
+        SELECT ev.vec_id,
+               round(CAST(sum(CAST(round(ev.x * v3.v * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9, 6) AS projection
+        FROM ev JOIN v3 ON ev.i0 = v3.j
+        GROUP BY 1 ORDER BY ev.vec_id"""
     // stub-decoder features over the utf-8 media bytes — batch extraction
     // and the stateless streaming cell define the same relation
     val multimodalSql = """
@@ -1489,17 +1516,10 @@ object ExtQueries {
         FROM v3, lam ORDER BY dim""",
       // the trained loadings applied: per-vector scalar projection through
       // the same round9-scaled-long dot fold
-      "q_embed_pca_apply" -> s"""
-        $pcaCtes,
-        ev AS (SELECT vec_id, CAST(i AS INTEGER) - 1 AS i0,
-                 CAST(embedding[i] AS DOUBLE) AS x
-               FROM embeddings, unnest(range(1, ${DIM + 1})) AS u(i)
-               WHERE vec_id < 50)
-        SELECT ev.vec_id,
-               round(CAST(sum(CAST(round(ev.x * v3.v * 1e9) AS BIGINT))
-                 AS DOUBLE) / 1e9, 6) AS projection
-        FROM ev JOIN v3 ON ev.i0 = v3.j
-        GROUP BY 1 ORDER BY ev.vec_id""",
+      "q_embed_pca_apply" -> pcaApplySql,
+      // streamed projection over the persisted artifact is stateless per
+      // batch ⇒ equals the batch apply exactly (shared oracle)
+      "q_stream_pca" -> pcaApplySql,
       // q_ann_lsh's ranked pairs → mutual-edge filter → recursive-CTE
       // reachability (the q_graph_components fixpoint) over the mutual
       // edges; isolated vectors label themselves

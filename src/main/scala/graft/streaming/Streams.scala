@@ -1703,6 +1703,26 @@ object Streams {
           col("c_ts").as("ts"), col("v_ts").as("prev_view_ts")))
   }
 
+  /** Streaming PCA-apply — the drift-monitor serving path: vectors arrive
+    * on a stream and each micro-batch projects onto the PERSISTED component
+    * artifact (`artifactPath`, written by the batch trainer as
+    * (i, loading) parquet) via [[graft.ops.Similarity.pcaProject]].
+    * Stateless stream-static — the artifact is dim-sized and broadcast per
+    * batch, no state store, output independent of batching ⇒ the streamed
+    * union equals the batch apply exactly (shared oracle). Rides the
+    * staged-stream harness with the retry-idempotent `batch=<id>` sink.
+    */
+  def streamingPcaApply(
+      spark: SparkSession, sfDir: String, artifactPath: String,
+      outDir: String, batches: Int = 4): DataFrame = {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    streamingSearch(vecs, outDir, batches, b =>
+      graft.ops.Similarity.pcaProject(b, "vec_id", "embedding",
+        b.sparkSession.read.parquet(artifactPath)))
+  }
+
   private def streamingSearch(
       queries: DataFrame, outDir: String, batches: Int,
       searchFn: DataFrame => DataFrame): DataFrame = {
