@@ -160,7 +160,19 @@ object Bench {
       "q_tpch_localvol" -> sink("q_tpch_localvol"),
       "q_dedup_containment" -> sink("q_dedup_containment"),
       "q_cluster_knn" -> sink("q_cluster_knn"),
-      "q_embed_cov" -> sink("q_embed_cov"))
+      "q_embed_cov" -> sink("q_embed_cov"),
+      // round-11 wave 8+ / round-12: seed-restart pagerank, robust anomaly
+      // monitor, k-anonymity audit, PCA train, and the round-12 additions —
+      // point-in-time feature join, bracketed sketch quantile, cutpoint RFM,
+      // sort-free approx equi-depth
+      "q_graph_ppr" -> sink("q_graph_ppr"),
+      "q_anomaly_mad" -> sink("q_anomaly_mad"),
+      "q_privacy_kanon" -> sink("q_privacy_kanon"),
+      "q_embed_pca" -> sink("q_embed_pca"),
+      "q_asof_features" -> sink("q_asof_features"),
+      "q_sketch_quantile" -> sink("q_sketch_quantile"),
+      "q_rfm_segments" -> sink("q_rfm_segments"),
+      "q_histo_equidepth_approx" -> sink("q_histo_equidepth_approx"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
