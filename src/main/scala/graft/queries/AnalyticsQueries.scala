@@ -306,50 +306,19 @@ object AnalyticsQueries {
       val cents = Tables.lineitem(s, dir)
         .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag").as("shard"))
-      val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-          count(lit(1)).as("cnt"))
-        .withColumn("width",
-          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
+      val bounds = graft.ops.Quantiles.bounds(cents, b)
+      // per-shard bucket counts merged by pure addition — demonstrates the
+      // shard-additive artifact shape (a global histogram() would land on
+      // the identical counts)
       val perShard = cents.crossJoin(broadcast(bounds))
         .withColumn("bucket", expr("(c - lo) div width"))
         .groupBy(col("shard"), col("bucket")).agg(count(lit(1)).as("n"))
       val hist = perShard.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
-      // global windows/joins below are histogram- or percentile-sized
-      val cum = hist.withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val ps = bounds.select(
-          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
-          col("lo"), col("width"), col("cnt"))
-        .withColumn("rank_target", ceil(col("p") * col("cnt")).cast("long"))
-      val est = ps.join(cum, col("cum") >= col("rank_target"))
-        .groupBy(col("p"), col("rank_target"), col("lo"), col("width"))
-        .agg(min(col("bucket")).as("bucket"))
-        .withColumn("est_cents",
-          col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
-      // exact leg, BUCKET-BRACKETED: the histogram already isolates each
-      // target rank into one bucket, so the exact value is the
-      // (rank_target − rows-before-bucket)-th smallest INSIDE that bucket —
-      // only ~cnt/64 rows are ranked, the window partitions by percentile,
-      // and the whole-table single-partition sort (the sketch's own enemy)
-      // never appears. Lower buckets hold strictly smaller cents, so the
-      // within-bucket (c, tiebreak) order is the global order restricted to
-      // the bucket — bit-identical to a global row_number.
-      val brk = est.join(cum.select(col("bucket"),
-          (col("cum") - col("n")).as("cum_before")), Seq("bucket"))
-      val inBucket = cents.join(broadcast(brk),
-        col("c") >= col("lo") + col("bucket") * col("width") &&
-          col("c") < col("lo") + (col("bucket") + lit(1L)) * col("width"))
-      inBucket.withColumn("rn", row_number().over(
-          Window.partitionBy(col("p"))
-            .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))))
-        .filter(col("rn") === col("rank_target") - col("cum_before"))
-        .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
-          col("c").as("exact_cents"),
-          abs(col("est_cents") - col("c")).as("abs_err"),
-          col("width").as("bucket_width"),
-          when(abs(col("est_cents") - col("c")) <= col("width"), 1L)
-            .otherwise(0L).as("within_bound"))
+      // estimates + BUCKET-BRACKETED exact ranks (Quantiles scaladoc; the
+      // LawsSpec property pins bracketed == global rank)
+      graft.ops.Quantiles.estimateWithExact(
+          cents, Seq("l_orderkey", "l_linenumber"), bounds, hist,
+          Seq(0.5, 0.9, 0.99))
         .orderBy(col("p"))
     },
 
@@ -361,40 +330,15 @@ object AnalyticsQueries {
       val b = 64
       val cents = Tables.events(s, dir)
         .select(round(col("value") * 100).cast("long").as("c"), col("event_id"))
-      val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-          count(lit(1)).as("cnt"))
-        .withColumn("width",
-          ceil((col("hi") - col("lo") + 1).cast("double") / b).cast("long"))
-        .localCheckpoint()
+      // bucket layout FROZEN batch-side (the stored-artifact shape); the
+      // stream maintains the ≤64-key count table
+      val bounds = graft.ops.Quantiles.bounds(cents, b).localCheckpoint()
       val hist = Streams.streamingQuantileHisto(s, dir, bounds)
-      val cum = hist.withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val ps = bounds.select(
-          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"),
-          col("lo"), col("width"), col("cnt"))
-        .withColumn("rank_target", ceil(col("p") * col("cnt")).cast("long"))
-      val est = ps.join(cum, col("cum") >= col("rank_target"))
-        .groupBy(col("p"), col("rank_target"), col("lo"), col("width"))
-        .agg(min(col("bucket")).as("bucket"))
-        .withColumn("est_cents",
-          col("lo") + col("bucket") * col("width") + expr("(width - 1) div 2"))
-      // exact leg bucket-bracketed exactly as in q_sketch_quantile: rank
-      // only the bracketing bucket's rows, partitioned per percentile
-      val brk = est.join(cum.select(col("bucket"),
-          (col("cum") - col("n")).as("cum_before")), Seq("bucket"))
-      val inBucket = cents.join(broadcast(brk),
-        col("c") >= col("lo") + col("bucket") * col("width") &&
-          col("c") < col("lo") + (col("bucket") + lit(1L)) * col("width"))
-      inBucket.withColumn("rn", row_number().over(
-          Window.partitionBy(col("p")).orderBy(col("c"), col("event_id"))))
-        .filter(col("rn") === col("rank_target") - col("cum_before"))
-        .select(col("p"), col("rank_target"), col("bucket"), col("est_cents"),
-          col("c").as("exact_cents"),
-          abs(col("est_cents") - col("c")).as("abs_err"),
-          col("width").as("bucket_width"),
-          when(abs(col("est_cents") - col("c")) <= col("width"), 1L)
-            .otherwise(0L).as("within_bound"))
+      // estimates + bucket-bracketed exact ranks through the shared tail —
+      // count-additive stream state lands on the same histogram, so this
+      // equals the batch path exactly
+      graft.ops.Quantiles.estimateWithExact(
+          cents, Seq("event_id"), bounds, hist, Seq(0.5, 0.9, 0.99))
         .orderBy(col("p"))
     },
 

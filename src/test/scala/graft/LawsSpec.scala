@@ -938,4 +938,31 @@ object LawsSpec extends Properties("graft") {
       }.max
       Prop(maxD == brute) :| s"frame=$maxD brute=$brute"
     }
+
+  // the exact leg of the quantile sketch ranks ONLY the bracketing bucket's
+  // rows — this law pins that the bracketed rank equals the naive global
+  // (value, tiebreak) rank on arbitrary tie-heavy data, any partitioning,
+  // any bucket count (boundary ranks, duplicate runs spanning buckets,
+  // single-row and all-equal inputs included), and that the estimate always
+  // lands within its one-bucket-width envelope
+  property("bucket-bracketed exact quantile equals naive global rank") =
+    Prop.forAll(Gen.choose(1, 250), Gen.choose(1, 9), Gen.choose(1, 16),
+      Gen.choose(0, 999)) { (n, parts, b, seed) =>
+      val rows = (0 until n).map(i =>
+        (((seed * 31L + i * 17L) % 53L) - 26L, i.toLong))
+      val df = rows.toDF("c", "tid").repartition(parts)
+      val bounds = graft.ops.Quantiles.bounds(df, b).localCheckpoint(false)
+      val hist = graft.ops.Quantiles.histogram(df, bounds)
+      val ps = Seq(0.5, 0.9, 0.99)
+      val got = graft.ops.Quantiles
+        .estimateWithExact(df, Seq("tid"), bounds, hist, ps)
+        .select(col("p"), col("exact_cents"), col("within_bound")).collect()
+      val sorted = rows.map(_._1).sorted
+      val ok = got.forall { r =>
+        val target = math.ceil(r.getDouble(0) * n).toInt
+        r.getLong(1) == sorted(target - 1) && r.getLong(2) == 1L
+      }
+      Prop(ok && got.length == ps.length) :|
+        s"n=$n parts=$parts b=$b got=${got.mkString(";")}"
+    }
 }
