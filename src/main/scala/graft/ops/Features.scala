@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time feature engineering — the feature-store primitive shared
+  * by the batch gate (q_asof_features) and its streaming serving twin:
+  * rolling last-k aggregates are computed ON THE HISTORY side with a
+  * key-partitioned window (cumulative sum minus the k-lagged cumulative —
+  * never a per-prediction-point range product), collapsed to one row per
+  * (key, ts) instant so an as-of attachment is deterministic under
+  * timestamp ties. Prediction points then attach the latest feature row
+  * STRICTLY below their timestamp via the custom as-of operator — no label
+  * leakage by construction, O(1) merge state per task.
+  */
+object Features {
+
+  /** Rolling last-k features over a purchase-shaped history frame with
+    * columns (p_user, p_ts, p_eid, cents): returns one row per (p_user,
+    * p_ts) instant carrying (n{k}, cents{k}) — the count and cents sum of
+    * the last k history rows through that instant (latest event of an
+    * instant wins, so its cumulative covers the whole instant). One key
+    * shuffle; output is history-sized.
+    */
+  def lastK(history: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wp = Window.partitionBy(col("p_user")).orderBy(col("p_ts"), col("p_eid"))
+    history
+      .withColumn("ccum", sum(col("cents"))
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pidx", row_number().over(wp))
+      .withColumn(s"cents$k",
+        col("ccum") - coalesce(lag(col("ccum"), k).over(wp), lit(0L)))
+      .withColumn(s"n$k", least(col("pidx"), lit(k)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_user"), col("p_ts"))
+          .orderBy(col("p_eid").desc)))
+      .filter(col("rn") === 1)
+      .select(col("p_user"), col("p_ts"), col(s"n$k"), col(s"cents$k"))
+  }
+
+  /** Attach the last-3 feature frame to click-shaped prediction points
+    * (click_id, c_user, c_ts) via the backward-strict custom as-of join;
+    * the serving tail shared by batch and streaming.
+    */
+  def attachLast3(points: DataFrame, feat: DataFrame): DataFrame =
+    graft.plans.AsOfJoin.join(points, feat, "c_user", "p_user", "c_ts", "p_ts")
+      .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+        col("c_ts").as("ts"), col("p_ts").as("last_purchase_ts"),
+        col("n3"), col("cents3"),
+        round(col("cents3").cast("double") / col("n3"), 6).as("mean_cents3"))
+}

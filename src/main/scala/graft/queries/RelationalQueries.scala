@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.streaming.Streams
 
 /** Relational extensions beyond the reference surface (SURVEY.md §2.5):
   * joins, grouped aggregation, windows, rollup, set ops, as-of join.
@@ -356,29 +357,33 @@ object RelationalQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
-      val wp = Window.partitionBy(col("p_user")).orderBy(col("p_ts"), col("p_eid"))
-      val feat = ev.filter(col("event_type") === "purchase")
+      val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_eid"),
           round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("ccum", sum(col("cents"))
-          .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("pidx", row_number().over(wp))
-        .withColumn("cents3",
-          col("ccum") - coalesce(lag(col("ccum"), 3).over(wp), lit(0L)))
-        .withColumn("n3", least(col("pidx"), lit(3)).cast("long"))
-        // one feature row per (user, ts) instant: the latest event wins, so
-        // an as-of tie on ts is deterministic in both engines
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("p_user"), col("p_ts"))
-            .orderBy(col("p_eid").desc)))
-        .filter(col("rn") === 1)
-        .select(col("p_user"), col("p_ts"), col("n3"), col("cents3"))
-      graft.plans.AsOfJoin.join(clicks, feat, "c_user", "p_user", "c_ts", "p_ts")
-        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
-          col("c_ts").as("ts"), col("p_ts").as("last_purchase_ts"),
-          col("n3"), col("cents3"),
-          round(col("cents3").cast("double") / col("n3"), 6).as("mean_cents3"))
+      graft.ops.Features.attachLast3(
+          clicks, graft.ops.Features.lastK(purchases, 3))
+        .orderBy(col("event_id"))
+    },
+
+    // the STREAMING point-in-time serving twin: the last-3 feature frame is
+    // PERSISTED as a parquet artifact (the feature-registry shape), clicks
+    // arrive on a stream and each micro-batch as-of-attaches against it —
+    // stateless stream-static (each click needs only its own batch + the
+    // frozen artifact), so the streamed union equals the batch join exactly
+    // (shared oracle). Retry-idempotent `batch=<id>` sink.
+    "q_stream_features" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val artifact = s"/tmp/graft_feat_artifact_$tag"
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_eid"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Features.lastK(purchases, 3)
+        .write.mode("overwrite").parquet(artifact)
+      Streams.streamingPointInTime(s, dir, artifact,
+          s"/tmp/graft_stream_feat_$tag")
         .orderBy(col("event_id"))
     },
 
@@ -431,7 +436,27 @@ object RelationalQueries {
     }
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    // rolling last-3 purchase features, instant-deduped, as-of-attached per
+    // click — shared by the batch gate and the stateless streaming serve
+    val pitFeaturesSql = """
+      WITH p AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      f AS (SELECT user_id, ts, event_id,
+              CAST(sum(cents) OVER w3 AS BIGINT) AS cents3,
+              CAST(count(*) OVER w3 AS BIGINT) AS n3
+            FROM p WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+      d AS (SELECT user_id, ts, n3, cents3 FROM f
+            QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) = 1)
+      SELECT c.event_id, c.user_id, c.ts, d.ts AS last_purchase_ts,
+             d.n3, d.cents3,
+             round(CAST(d.cents3 AS DOUBLE) / d.n3, 6) AS mean_cents3
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN d ON c.user_id = d.user_id AND c.ts > d.ts
+      ORDER BY c.event_id"""
+    Map(
     "q_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
@@ -563,25 +588,10 @@ object RelationalQueries {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts < v.ts
       ORDER BY c.event_id""",
-    // window-over-ASOF: rolling last-3 purchase features, instant-deduped,
-    // attached per click as of strictly before its ts
-    "q_asof_features" -> """
-      WITH p AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents
-                 FROM events WHERE event_type = 'purchase'),
-      f AS (SELECT user_id, ts, event_id,
-              CAST(sum(cents) OVER w3 AS BIGINT) AS cents3,
-              CAST(count(*) OVER w3 AS BIGINT) AS n3
-            FROM p WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
-      d AS (SELECT user_id, ts, n3, cents3 FROM f
-            QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                                       ORDER BY event_id DESC) = 1)
-      SELECT c.event_id, c.user_id, c.ts, d.ts AS last_purchase_ts,
-             d.n3, d.cents3,
-             round(CAST(d.cents3 AS DOUBLE) / d.n3, 6) AS mean_cents3
-      FROM (SELECT * FROM events WHERE event_type = 'click') c
-      ASOF JOIN d ON c.user_id = d.user_id AND c.ts > d.ts
-      ORDER BY c.event_id""",
+    "q_asof_features" -> pitFeaturesSql,
+    // streamed attach against the persisted artifact is stateless per
+    // batch ⇒ equals the batch join exactly (shared oracle)
+    "q_stream_features" -> pitFeaturesSql,
     // the DIRECT range aggregate — independently proves the engine's
     // two-as-of cumulative-subtraction identity
     "q_asof_features_window" -> """
@@ -611,5 +621,6 @@ object RelationalQueries {
           ON c.user_id = v.user_id AND c.ts <> v.ts)
       SELECT event_id, user_id, ts, v_ts AS nearest_view_ts, gap_us, side
       FROM j WHERE rn = 1 ORDER BY event_id"""
-  )
+    )
+  }
 }

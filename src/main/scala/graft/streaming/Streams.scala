@@ -1723,6 +1723,27 @@ object Streams {
         b.sparkSession.read.parquet(artifactPath)))
   }
 
+  /** Streaming point-in-time feature serving — clicks arrive on a stream
+    * and each micro-batch as-of-attaches the PERSISTED last-3 feature
+    * artifact (`artifactPath`, written by [[graft.ops.Features.lastK]] as
+    * (p_user, p_ts, n3, cents3) parquet) via
+    * [[graft.ops.Features.attachLast3]]. Stateless stream-static (each
+    * click needs only its own batch against the frozen artifact), so the
+    * streamed union equals the batch join exactly — shares
+    * q_asof_features' oracle. Retry-idempotent `batch=<id>` sink.
+    */
+  def streamingPointInTime(
+      spark: SparkSession, sfDir: String, artifactPath: String,
+      outDir: String, batches: Int = 4): DataFrame = {
+    val clicks = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    streamingSearch(clicks, outDir, batches, b =>
+      graft.ops.Features.attachLast3(
+        b, b.sparkSession.read.parquet(artifactPath)))
+  }
+
   private def streamingSearch(
       queries: DataFrame, outDir: String, batches: Int,
       searchFn: DataFrame => DataFrame): DataFrame = {
