@@ -580,6 +580,57 @@ object Dedup {
     * sort-merge join of sidecar-per-doc spans back to the text. Text never
     * rides the fp shuffle.
     */
+  /** PARAGRAPH-level exact dedup — the C4/Gopher block-dedup shape, adapted
+    * to the unpunctuated synthetic corpus by defining a "paragraph" as a
+    * fixed run of `chunkTokens` whitespace tokens (the final partial run
+    * included). Every chunk instance whose content was already seen at an
+    * earlier (doc, position) — in ANY document, the same one included — is
+    * removed; the first instance corpus-wide survives. Complements the
+    * winnowing substring family: block-aligned exact units instead of
+    * fingerprint-approximated spans, so removal is a strict content
+    * guarantee, not a sampling of one.
+    *
+    * Scale shape: only the 32-char digest + (id, idx) ride the ownership
+    * shuffle; the per-doc keep-index arrays come back id-keyed, and text
+    * moves exactly once — in the final id-join where the cleaned doc is
+    * rebuilt scan-level from the original token array (inherent to a
+    * rewrite). Output: (id, n_chunks, n_removed, cleaned).
+    */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = split(col(textCol), " ")
+    val nch = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val hashed = df
+      .select(col(idCol).as("id"), toks.as("__t"), nch.as("__n"))
+      .select(col("id"), posexplode(transform(
+          sequence(lit(0), col("__n") - 1),
+          i => md5(array_join(
+            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+        .as(Seq("chunk_idx", "h")))
+    val owner = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("chunk_idx"))))
+      .filter(col("rn") === 1)
+      .select(col("h"), col("id").as("o_id"), col("chunk_idx").as("o_idx"))
+    val flags = hashed.join(owner, Seq("h"))
+      .withColumn("keep",
+        col("id") === col("o_id") && col("chunk_idx") === col("o_idx"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(col("keep"), col("chunk_idx"))))
+          .as("__keep_idx"))
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .join(flags, Seq("id"))
+      .select(col("id"), col("n_chunks"), col("n_removed"),
+        array_join(transform(col("__keep_idx"),
+          i => array_join(
+            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " ")),
+          " ").as("cleaned"))
+  }
+
   def removeDuplicateSubstrings(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {

@@ -25,6 +25,7 @@ object PipelineQueries {
   private val WINNOW_K = 16   // winnowing char-gram width
   private val WINNOW_W = 8    // winnowing window (guarantee: k+w-1 = 23 chars)
   private val WINNOW_MS = 4L  // min shared fingerprints for a candidate pair
+  private val PARA_TOKENS = 12 // "paragraph" unit for block dedup (tokens)
   private val PMI_MIN = 3L    // collocation min bigram count
   private val PMI_TOPK = 50   // collocations reported
   private val BM25_TOPK = 10  // bm25 results per query
@@ -872,6 +873,19 @@ object PipelineQueries {
       Dedup.removeDuplicateSubstrings(Tables.documentsParallel(s, dir), "doc_id", "text",
         WINNOW_K, WINNOW_W)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PARAGRAPH-level exact dedup (C4/Gopher block dedup; "paragraph" =
+    // 12-token run on this unpunctuated corpus): first instance of each
+    // block survives corpus-wide, every later instance is cut — exact
+    // block-aligned guarantee complementing the winnow span family; only
+    // digests ride the ownership shuffle, text moves once in the rebuild
+    "q_dedup_paragraph" -> { (s, dir) =>
+      Dedup.paragraphDedup(Tables.documentsParallel(s, dir), "doc_id", "text",
+        PARA_TOKENS)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
           col("cleaned"))
         .orderBy(col("doc_id"))
     },
@@ -2427,6 +2441,31 @@ object PipelineQueries {
         rem AS (SELECT fps.doc_id, fps.pos, fps.pos + ${WINNOW_K - 1} AS e
                 FROM fps JOIN own USING (fp) WHERE fps.doc_id > own.owner),
         $winnowCutTail""",
+      // block-aligned exact paragraph dedup: 12-token chunks, first
+      // instance per content hash survives (order by doc_id, chunk_idx)
+      "q_dedup_paragraph" -> s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 array_to_string(
+                   toks[(i*$PARA_TOKENS+1):(i*$PARA_TOKENS+$PARA_TOKENS)],
+                   ' ') AS chunk
+               FROM t, unnest(range(0,
+                 CAST(ceil(len(toks) / $PARA_TOKENS.0) AS BIGINT))) AS u(i)),
+        h AS (SELECT *, md5(chunk) AS hh FROM ch),
+        own AS (SELECT hh, doc_id AS o_id, chunk_idx AS o_idx FROM (
+                  SELECT *, row_number() OVER (PARTITION BY hh
+                    ORDER BY doc_id, chunk_idx) AS rn FROM h)
+                WHERE rn = 1),
+        m AS (SELECT b.doc_id, b.chunk_idx, b.chunk,
+                (b.doc_id = o.o_id AND b.chunk_idx = o.o_idx) AS keep
+              FROM h b JOIN own o USING (hh))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+                 ORDER BY chunk_idx), '') AS cleaned
+        FROM m GROUP BY doc_id ORDER BY doc_id""",
       // scrub mirror: the reference's DISTINCT fingerprint VALUES replace
       // ownership — every selected occurrence matching the reference is cut
       "q_dedup_scrub" -> scrubSql,
