@@ -965,4 +965,27 @@ object LawsSpec extends Properties("graft") {
       Prop(ok && got.length == ps.length) :|
         s"n=$n parts=$parts b=$b got=${got.mkString(";")}"
     }
+
+  // paragraph dedup's contract: across the whole corpus exactly ONE
+  // instance of each distinct block content survives (the corpus-wide
+  // first), nothing else is touched — so kept == distinct contents and
+  // chunk counts conserve, for any doc sizes, vocab density (tie-heavy),
+  // chunk width, and partitioning
+  property("paragraph dedup keeps exactly one instance per distinct block") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 8), Gen.choose(2, 30),
+      Gen.choose(1, 6), Gen.choose(0, 99)) { (nd, parts, vocab, ct, seed) =>
+      val docs = (0 until nd).map { d =>
+        val len = 1 + (seed + d * 7) % 40
+        val words = (0 until len).map(i => s"w${(seed * 13 + d * 31 + i * 17) % vocab}")
+        (d.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      val out = graft.ops.Dedup.paragraphDedup(df, "doc_id", "text", ct).collect()
+      val allChunks = docs.flatMap { case (_, t) =>
+        t.split(" ").grouped(ct).map(_.mkString(" ")) }
+      val kept = out.map(r => r.getLong(1) - r.getLong(2)).sum
+      val total = out.map(_.getLong(1)).sum
+      Prop(total == allChunks.size && kept == allChunks.distinct.size.toLong) :|
+        s"total=$total vs ${allChunks.size}; kept=$kept vs ${allChunks.distinct.size}"
+    }
 }
