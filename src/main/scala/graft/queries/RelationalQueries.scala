@@ -387,6 +387,35 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     },
 
+    // MULTI-KEY as-of through the custom operator: for each order, the SAME
+    // customer's most recent strictly-earlier order of the SAME priority —
+    // the composite (custkey, priority) key rides as one derived column
+    // through the single-key merge (key equality is exact, so concat with a
+    // separator loses nothing), dates lift to timestamps for the ordered
+    // comparator, and same-day ties collapse instant-style (max orderkey
+    // wins) so the as-of candidate is deterministic in both engines.
+    "q_asof_multikey" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val left = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"),
+        concat_ws("|", col("o_custkey"), col("o_orderpriority")).as("lk"),
+        col("o_orderdate").cast("timestamp").as("lts"))
+      val right = o.withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"), col("o_orderpriority"),
+            col("o_orderdate")).orderBy(col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(concat_ws("|", col("o_custkey"), col("o_orderpriority")).as("rk"),
+          col("o_orderdate").cast("timestamp").as("rts"),
+          col("o_orderdate").as("prev_date"), col("cents").as("prev_cents"))
+      graft.plans.AsOfJoin.join(left, right, "lk", "rk", "lts", "rts")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("prev_date"), col("prev_cents"),
+          datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // TIME-windowed point-in-time features — [[q_asof_features]]'s range
     // sibling: per click, count/sum/mean of the user's purchases in
     // [t−7d, t). The range aggregate is a DIFFERENCE OF TWO AS-OF LOOKUPS
@@ -592,6 +621,23 @@ object RelationalQueries {
     // streamed attach against the persisted artifact is stateless per
     // batch ⇒ equals the batch join exactly (shared oracle)
     "q_stream_features" -> pitFeaturesSql,
+    // multi-equality ASOF: DuckDB takes the composite key as plain extra
+    // equality conditions — same relation as the engine's concat key
+    "q_asof_multikey" -> """
+      WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+                   round(o_totalprice*100)::BIGINT AS cents FROM orders),
+      d AS (SELECT o_custkey, o_orderpriority, o_orderdate, cents FROM o
+            QUALIFY row_number() OVER (PARTITION BY o_custkey,
+                o_orderpriority, o_orderdate ORDER BY o_orderkey DESC) = 1)
+      SELECT l.o_orderkey, l.o_custkey, l.o_orderpriority, l.o_orderdate,
+             r.o_orderdate AS prev_date, r.cents AS prev_cents,
+             CAST(datediff('day', r.o_orderdate, l.o_orderdate) AS BIGINT)
+               AS gap_days
+      FROM o l ASOF JOIN d r
+        ON l.o_custkey = r.o_custkey
+       AND l.o_orderpriority = r.o_orderpriority
+       AND l.o_orderdate > r.o_orderdate
+      ORDER BY l.o_orderkey""",
     // the DIRECT range aggregate — independently proves the engine's
     // two-as-of cumulative-subtraction identity
     "q_asof_features_window" -> """
