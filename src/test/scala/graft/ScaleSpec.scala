@@ -771,6 +771,22 @@ class ScaleSpec extends AnyFunSuite {
       s"PCA iteration must not rescan the corpus (lineage not truncated):\n$pcaPlan")
   }
 
+  test("point-in-time feature gates execute through the custom as-of merge") {
+    // the feature-store family must ride AsOfJoinExec (one co-partitioned
+    // streaming merge, O(1) state), never degrade to a range/nested-loop
+    // product — the failure mode a Catalyst change could silently introduce
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q_asof_features", "q_asof_features_window", "q_asof_multikey")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"),
+        s"$name must plan the custom as-of operator:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must never fall back to a per-point product:\n$plan")
+    }
+  }
+
   test("sketch-quantile exact leg never ranks the whole fact table") {
     // the exact-rank lookup must be bucket-bracketed: any row_number window
     // over fact rows has to carry a partition spec (per-percentile, over
