@@ -599,30 +599,66 @@ object Dedup {
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    val toks = split(col(textCol), " ")
-    val nch = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    val hashed = df
-      .select(col(idCol).as("id"), toks.as("__t"), nch.as("__n"))
-      .select(col("id"), posexplode(transform(
-          sequence(lit(0), col("__n") - 1),
-          i => md5(array_join(
-            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
-        .as(Seq("chunk_idx", "h")))
+    val hashed = paragraphDigests(df, idCol, textCol, chunkTokens)
     val owner = hashed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("id"), col("chunk_idx"))))
       .filter(col("rn") === 1)
       .select(col("h"), col("id").as("o_id"), col("chunk_idx").as("o_idx"))
-    val flags = hashed.join(owner, Seq("h"))
+    val marked = hashed.join(owner, Seq("h"))
       .withColumn("keep",
         col("id") === col("o_id") && col("chunk_idx") === col("o_idx"))
-      .groupBy(col("id"))
+    rebuildKeptBlocks(df, idCol, textCol, marked, chunkTokens)
+  }
+
+  /** (id, chunk_idx, h) digests of every `chunkTokens`-token block — the
+    * paragraph family's shared front end AND the persistable block-digest
+    * index (store `h` distinct for admission). Scan-level; text stays out.
+    */
+  def paragraphDigests(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = split(col(textCol), " ")
+    val nch = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    df.select(col(idCol).as("id"), toks.as("__t"), nch.as("__n"))
+      .select(col("id"), posexplode(transform(
+          sequence(lit(0), col("__n") - 1),
+          i => md5(array_join(
+            slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+        .as(Seq("chunk_idx", "h")))
+  }
+
+  /** Cut every block whose digest occurs in the STORED reference index
+    * (`refDigests`, column `h` — built once by [[paragraphDigests]] and
+    * persisted): the admission form of [[paragraphDedup]]. Per-doc against
+    * a static reference ⇒ batching-invariant, so the streaming twin equals
+    * this exactly. Digests-only join; text moves once in the rebuild.
+    */
+  def paragraphScrub(
+      df: DataFrame, idCol: String, textCol: String,
+      refDigests: DataFrame, chunkTokens: Int): DataFrame = {
+    val hashed = paragraphDigests(df, idCol, textCol, chunkTokens)
+    val marked = hashed.join(
+        refDigests.select(col("h")).distinct().withColumn("__hit", lit(1)),
+        Seq("h"), "left")
+      .withColumn("keep", col("__hit").isNull)
+    rebuildKeptBlocks(df, idCol, textCol, marked, chunkTokens)
+  }
+
+  /** shared tail: fold keep-flags per doc, rebuild cleaned text scan-level
+    * from the original token array (text's only shuffle) →
+    * (id, n_chunks, n_removed, cleaned)
+    */
+  private def rebuildKeptBlocks(
+      df: DataFrame, idCol: String, textCol: String,
+      marked: DataFrame, chunkTokens: Int): DataFrame = {
+    val flags = marked.groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
         array_sort(collect_list(when(col("keep"), col("chunk_idx"))))
           .as("__keep_idx"))
-    df.select(col(idCol).as("id"), toks.as("__t"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .join(flags, Seq("id"))
       .select(col("id"), col("n_chunks"), col("n_removed"),
         array_join(transform(col("__keep_idx"),

@@ -890,6 +890,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the ADMISSION form: new docs (id >= 400) cut every block whose digest
+    // is in the STORED index of the existing corpus (< 400) — the persisted
+    // parquet digest artifact is the incremental-ingest shape; per-doc vs
+    // the static index ⇒ the streaming twin shares this oracle
+    "q_dedup_paragraph_inc" -> { (s, dir) =>
+      val docs = Tables.documentsParallel(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"/tmp/graft_para_idx_$tag"
+      Dedup.paragraphDigests(docs.filter(col("doc_id") < 400), "doc_id", "text",
+          PARA_TOKENS)
+        .select(col("h")).distinct()
+        .write.mode("overwrite").parquet(idx)
+      Dedup.paragraphScrub(docs.filter(col("doc_id") >= 400), "doc_id", "text",
+          s.read.parquet(idx), PARA_TOKENS)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // the same admission as an ingest-time streaming cell (stateless per
+    // batch vs the stored digest index; retry-idempotent batch=<id> sink)
+    "q_stream_paragraph" -> { (s, dir) =>
+      val docs = Tables.documentsParallel(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"/tmp/graft_para_idx_stream_$tag"
+      Dedup.paragraphDigests(docs.filter(col("doc_id") < 400), "doc_id", "text",
+          PARA_TOKENS)
+        .select(col("h")).distinct()
+        .write.mode("overwrite").parquet(idx)
+      graft.streaming.Streams.streamingParagraphScrub(s, dir, idx,
+          s"/tmp/graft_stream_para_$tag", PARA_TOKENS)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     // span-level DECONTAMINATION: cut every winnow-selected span that
     // duplicates a static reference corpus (the benchmark/eval set) — finer
     // than q_decontaminate's doc-level flags; first 50 docs play reference
@@ -1516,6 +1552,27 @@ object PipelineQueries {
                coalesce(a.n_removed, 0) AS n_removed,
                coalesce(a.cleaned, d.text) AS cleaned
         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    // block admission vs the stored digest index of the < 400 corpus —
+    // per-doc vs static ⇒ shared by the batch and streaming twins
+    val paragraphScrubSql = s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 array_to_string(
+                   toks[(i*$PARA_TOKENS+1):(i*$PARA_TOKENS+$PARA_TOKENS)],
+                   ' ') AS chunk
+               FROM t, unnest(range(0,
+                 CAST(ceil(len(toks) / $PARA_TOKENS.0) AS BIGINT))) AS u(i)),
+        ref AS (SELECT DISTINCT md5(chunk) AS hh FROM ch WHERE doc_id < 400),
+        m AS (SELECT c.doc_id, c.chunk_idx, c.chunk, r.hh IS NULL AS keep
+              FROM (SELECT *, md5(chunk) AS hh FROM ch WHERE doc_id >= 400) c
+              LEFT JOIN ref r USING (hh))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+                 ORDER BY chunk_idx), '') AS cleaned
+        FROM m GROUP BY doc_id ORDER BY doc_id"""
     val scrubSql = s"""
         WITH dall AS (SELECT doc_id, text FROM documents),
         d AS (SELECT doc_id, text FROM dall WHERE doc_id >= 50),
@@ -2466,6 +2523,9 @@ object PipelineQueries {
                coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
                  ORDER BY chunk_idx), '') AS cleaned
         FROM m GROUP BY doc_id ORDER BY doc_id""",
+      "q_dedup_paragraph_inc" -> paragraphScrubSql,
+      // per-doc vs the static stored index ⇒ batching-invariant twin
+      "q_stream_paragraph" -> paragraphScrubSql,
       // scrub mirror: the reference's DISTINCT fingerprint VALUES replace
       // ownership — every selected occurrence matching the reference is cut
       "q_dedup_scrub" -> scrubSql,

@@ -1723,6 +1723,23 @@ object Streams {
         b.sparkSession.read.parquet(artifactPath)))
   }
 
+  /** Streaming paragraph-block admission — arriving docs (id >= 400) cut
+    * every `chunkTokens`-token block whose digest occurs in the STORED
+    * reference index ([[graft.ops.Dedup.paragraphDigests]] persisted as an
+    * `h`-column parquet) via [[graft.ops.Dedup.paragraphScrub]] per
+    * micro-batch. Per-doc against the static index ⇒ batching-invariant,
+    * shares the batch admission oracle. Retry-idempotent `batch=<id>` sink.
+    */
+  def streamingParagraphScrub(
+      spark: SparkSession, sfDir: String, indexPath: String,
+      outDir: String, chunkTokens: Int, batches: Int = 4): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 400)
+    streamingSearch(docs, outDir, batches, b =>
+      graft.ops.Dedup.paragraphScrub(b, "doc_id", "text",
+        b.sparkSession.read.parquet(indexPath), chunkTokens))
+  }
+
   /** Streaming point-in-time feature serving — clicks arrive on a stream
     * and each micro-batch as-of-attaches the PERSISTED last-3 feature
     * artifact (`artifactPath`, written by [[graft.ops.Features.lastK]] as
