@@ -988,4 +988,42 @@ object LawsSpec extends Properties("graft") {
       Prop(total == allChunks.size && kept == allChunks.distinct.size.toLong) :|
         s"total=$total vs ${allChunks.size}; kept=$kept vs ${allChunks.distinct.size}"
     }
+
+  // the whole point-in-time composition — rolling lastK on the history
+  // side, instant dedup, as-of attach — must equal the brute per-point
+  // definition ("the last 3 history rows strictly before t") on arbitrary
+  // tie-heavy event streams and partitionings. Ties both on (user, ts)
+  // across history rows and between history and prediction instants are
+  // the cases a naive implementation gets wrong.
+  property("point-in-time last-3 features equal brute per-point scan") =
+    Prop.forAll(Gen.choose(1, 120), Gen.choose(1, 8), Gen.choose(1, 5),
+      Gen.choose(2, 12), Gen.choose(0, 99)) { (n, parts, users, tsDom, seed) =>
+      val evs = (0 until n).map { i =>
+        val u = (seed + i * 13) % users
+        val t = ((seed * 7 + i * 31) % tsDom).toLong
+        val isClick = (seed + i * 17) % 3 == 0
+        (i.toLong, u.toLong, t, isClick, ((seed + i * 11) % 500).toLong)
+      }
+      val clicks = evs.filter(_._4)
+        .map(e => (e._1, e._2, e._3)).toDF("click_id", "c_user", "c_ts")
+        .repartition(parts)
+      val hist = evs.filterNot(_._4)
+        .map(e => (e._2, e._3, e._1, e._5))
+        .toDF("p_user", "p_ts", "p_eid", "cents").repartition(parts)
+      val got = graft.ops.Features.attachLast3(
+          clicks, graft.ops.Features.lastK(hist, 3))
+        .select(col("event_id"), col("n3"), col("cents3")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val histSeq = evs.filterNot(_._4)
+      val expect = evs.filter(_._4).flatMap { c =>
+        val before = histSeq.filter(h => h._2 == c._2 && h._3 < c._3)
+          .sortBy(h => (h._3, h._1))
+        if (before.isEmpty) None
+        else {
+          val last3 = before.takeRight(3)
+          Some(c._1 -> (last3.size.toLong, last3.map(_._5).sum))
+        }
+      }.toMap
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    }
 }
