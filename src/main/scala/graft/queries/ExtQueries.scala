@@ -73,6 +73,61 @@ object ExtQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** the exact dim-pair covariance matrix (i, j, c) — symmetrized, entries
+    * round9 over the integer moment sums; the PCA family's shared input
+    */
+  private def pcaCovFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+    val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
+        Seq("vec_id"))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"))
+      .select(col("i"), col("j"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
+    mUp.unionByName(
+        mUp.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(false)
+  }
+
+  /** `iters` engine-exact power rounds from e₀ over a (i, j, c) matrix:
+    * each matrix-vector product and norm folds round9-scaled longs
+    * (order-independent), iterates round to 6 — returns the (j, v) iterate
+    */
+  private def pcaPowerIterate(cov: DataFrame, iters: Int): DataFrame = {
+    var v = cov.select(col("j")).distinct()
+      .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    var it = 0
+    while (it < iters) {
+      val w = cov.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg((sum(round(col("c") * col("v") * 1e9).cast("long")).cast("double") / 1e9)
+          .as("w"))
+      val nrm = w.agg(
+        sqrt(sum(round(col("w") * col("w") * 1e9).cast("long")).cast("double") / 1e9)
+          .as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), round(col("w") / col("nrm"), 6).as("v"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    v
+  }
+
+  /** Rayleigh eigenvalue estimate vᵀCv through the same long fold. */
+  private def pcaRayleigh(cov: DataFrame, v: DataFrame): DataFrame =
+    cov
+      .join(v.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
+      .join(v.select(col("j"), col("v").as("vj")), Seq("j"))
+      .agg((sum(round(col("c") * col("vi") * col("vj") * 1e9).cast("long"))
+        .cast("double") / 1e9).as("lambda"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -137,46 +192,36 @@ object ExtQueries {
     // iteration is metric-sized. Output: per-dim loading + the Rayleigh
     // eigenvalue estimate.
     "q_embed_pca" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
-      val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
-          Seq("vec_id"))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
-          sum(col("x6") * col("y6")).as("sxy"))
-        .select(col("i"), col("j"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
-      val cov = mUp.unionByName(
-          mUp.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("c")))
-        .localCheckpoint(false)
-      var v = cov.select(col("j")).distinct()
-        .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      var it = 0
-      while (it < 3) {
-        val w = cov.join(v, Seq("j"))
-          .groupBy(col("i"))
-          .agg((sum(round(col("c") * col("v") * 1e9).cast("long")).cast("double") / 1e9)
-            .as("w"))
-        val nrm = w.agg(
-          sqrt(sum(round(col("w") * col("w") * 1e9).cast("long")).cast("double") / 1e9)
-            .as("nrm"))
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("i").as("j"), round(col("w") / col("nrm"), 6).as("v"))
-          .localCheckpoint(false)
-        it += 1
-      }
-      val lambda = cov
-        .join(v.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
-        .join(v.select(col("j"), col("v").as("vj")), Seq("j"))
-        .agg((sum(round(col("c") * col("vi") * col("vj") * 1e9).cast("long"))
-          .cast("double") / 1e9).as("lambda"))
-      v.crossJoin(broadcast(lambda))
+      val cov = pcaCovFrame(s, dir)
+      val v = pcaPowerIterate(cov, 3)
+      v.crossJoin(broadcast(pcaRayleigh(cov, v)))
         .select(col("j").cast("long").as("dim"), col("v").as("loading"), col("lambda"))
+        .orderBy(col("dim"))
+    },
+
+    // SECOND principal component by DEFLATION: subtract λ₁·v₁v₁ᵀ from the
+    // exact covariance artifact (per-entry IEEE formula over the already-
+    // rounded λ₁/v₁ — deterministic in both engines — re-rounded to 9) and
+    // run the same 3 engine-exact power rounds + Rayleigh on the deflated
+    // matrix. Everything after the moment aggregate stays dim²-sized; the
+    // oracle unrolls deflation + rounds as CTEs. Together with q_embed_pca
+    // this is the top-2 PCA basis a whitening/visualisation pipeline
+    // freezes.
+    "q_embed_pca2" -> { (s, dir) =>
+      val cov = pcaCovFrame(s, dir)
+      val v1 = pcaPowerIterate(cov, 3)
+      val l1 = pcaRayleigh(cov, v1)
+      val cov2 = cov
+        .join(v1.select(col("j").as("i"), col("v").as("__vi")), Seq("i"))
+        .join(v1.select(col("j"), col("v").as("__vj")), Seq("j"))
+        .crossJoin(broadcast(l1))
+        .select(col("i"), col("j"),
+          round(col("c") - col("lambda") * col("__vi") * col("__vj"), 9).as("c"))
+        .localCheckpoint(false)
+      val v2 = pcaPowerIterate(cov2, 3)
+      v2.crossJoin(broadcast(pcaRayleigh(cov2, v2)))
+        .select(col("j").cast("long").as("dim"), col("v").as("loading2"),
+          col("lambda").as("lambda2"))
         .orderBy(col("dim"))
     },
 
@@ -1139,11 +1184,44 @@ object ExtQueries {
                    AS c
                FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
                GROUP BY a.i, b.i),
-        cv AS (SELECT i0 AS i, j0 AS j, c FROM up
+        -- MATERIALIZED: cv is referenced once per unrolled round (and the
+        -- deflation chain doubles that) — inlining re-opens the parquet
+        -- self-join per reference and trips the fd limit
+        cv AS MATERIALIZED (SELECT i0 AS i, j0 AS j, c FROM up
                UNION ALL SELECT j0, i0, c FROM up WHERE i0 <> j0),
         v0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
                FROM cv)$iters"""
     }
+    // second component: deflate (c − λ₁·v₁v₁ᵀ, re-rounded to 9) then the
+    // identical unrolled round structure over the deflated matrix
+    val pca2Iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "vb0" else s"vb${k - 1}"
+      s""",
+        wb$k AS (SELECT cv2.i,
+                   CAST(sum(CAST(round(cv2.c * $prev.v * 1e9) AS BIGINT))
+                     AS DOUBLE) / 1e9 AS w
+                 FROM cv2 JOIN $prev ON cv2.j = $prev.j GROUP BY 1),
+        nb$k AS (SELECT sqrt(CAST(sum(CAST(round(w * w * 1e9) AS BIGINT))
+                   AS DOUBLE) / 1e9) AS nrm FROM wb$k),
+        vb$k AS (SELECT i AS j, round(w / (SELECT nrm FROM nb$k), 6) AS v
+                 FROM wb$k)"""
+    }.mkString
+    val pca2Sql = s"""
+        $pcaCtes,
+        lamx AS (SELECT CAST(sum(CAST(round(cv.c * a.v * b.v * 1e9) AS BIGINT))
+                   AS DOUBLE) / 1e9 AS lambda
+                 FROM cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j),
+        cv2 AS MATERIALIZED (SELECT cv.i, cv.j,
+                  round(cv.c - (SELECT lambda FROM lamx) * a.v * b.v, 9) AS c
+                FROM cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j),
+        vb0 AS (SELECT DISTINCT j, CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v
+                FROM cv2)$pca2Iters,
+        lam2 AS (SELECT CAST(sum(CAST(round(cv2.c * a.v * b.v * 1e9) AS BIGINT))
+                   AS DOUBLE) / 1e9 AS lambda
+                 FROM cv2 JOIN vb3 a ON cv2.i = a.j JOIN vb3 b ON cv2.j = b.j)
+        SELECT CAST(vb3.j AS BIGINT) AS dim, vb3.v AS loading2,
+               lam2.lambda AS lambda2
+        FROM vb3, lam2 ORDER BY dim"""
     // trained loadings applied to the vec_id < 50 slice: the scalar
     // projection through the same round9-scaled-long dot fold — shared by
     // the batch apply gate and the streaming artifact-serving twin
@@ -1514,6 +1592,8 @@ object ExtQueries {
                 FROM cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j)
         SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading, lam.lambda
         FROM v3, lam ORDER BY dim""",
+      // deflation + the same unrolled engine-exact rounds → component 2
+      "q_embed_pca2" -> pca2Sql,
       // the trained loadings applied: per-vector scalar projection through
       // the same round9-scaled-long dot fold
       "q_embed_pca_apply" -> pcaApplySql,
