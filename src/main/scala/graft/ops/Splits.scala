@@ -63,6 +63,41 @@ object Splits {
       .withColumn("bin", floor(col("start_off") / budget).cast("long"))
   }
 
+  /** Length-bucketed micro-batch assembly — the padding-efficiency batching
+    * of sequence training: rows group into coarse length buckets
+    * (`sizeCol div bucketWidth`), order deterministically INSIDE each
+    * bucket by the md5 hash of their key (a reproducible shuffle — no RNG,
+    * the [[bucket100]] convention), and cut into `batchSize`-row batches.
+    * Each batch later pads to ITS OWN max length, so per-batch waste is
+    * bounded by the bucket width instead of the corpus max — the emitted
+    * `padding_waste` (= n_rows·max_len − Σlen) makes that bound auditable.
+    *
+    * Scale shape: windows partition per bucket (never a global order), one
+    * shuffle on the bucket key, batch-sized output. Deterministic across
+    * engines and partitionings.
+    */
+  def batchByLength(
+      df: DataFrame, keyCol: String, sizeCol: String,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketWidth and batchSize must be positive, got $bucketWidth / $batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("len_bucket"))
+      .orderBy(
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        col(keyCol))
+    df.select(col(keyCol), col(sizeCol).cast("long").as("__len"))
+      .withColumn("len_bucket", expr(s"__len div $bucketWidth"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(__rn - 1) div $batchSize"))
+      .groupBy(col("len_bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_rows") * col("max_len") - col("sum_len"))
+  }
+
   /** Per-user EVENT-SEQUENCE assembly — the sequence-model data-prep op
     * (recommendation / behavioral-LM training consumes per-entity ordered
     * action histories, most-recent-N): each user's events rank from the

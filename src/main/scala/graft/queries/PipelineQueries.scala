@@ -466,6 +466,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // length-bucketed batch assembly: padding-efficiency batching for
+    // sequence training — whitespace-token lengths bucket at width 16,
+    // md5-ordered inside the bucket, cut into 8-row batches; per-batch
+    // padding_waste audits the bound (waste < n_rows·bucket_width)
+    "q_batch_bucketed" -> { (s, dir) =>
+      graft.ops.Splits.batchByLength(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens", 16L, 8)
+        .orderBy(col("len_bucket"), col("batch_idx"))
+    },
+
     // deterministic FIXED-SIZE per-group sample: exactly k docs per language
     // by md5-hash order — the balanced training-mix op (rate sampling above
     // keeps group skew; this equalizes it)
@@ -2337,6 +2349,23 @@ object PipelineQueries {
                    AS BIGINT) AS start_off
           FROM documents)
         ORDER BY doc_id""",
+      // per-bucket md5 order, 8-row batches, per-batch padding audit
+      "q_batch_bucketed" -> s"""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        r AS (SELECT *, n_tokens // 16 AS len_bucket,
+                row_number() OVER (PARTITION BY n_tokens // 16
+                  ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+                  AS rn
+              FROM d)
+        SELECT len_bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               max(n_tokens) AS max_len,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+               CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+                 AS padding_waste
+        FROM r GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""",
       "q_sample_group" -> s"""
         SELECT doc_id, lang, sample_rank FROM (
           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
