@@ -172,7 +172,11 @@ object Bench {
       "q_asof_features" -> sink("q_asof_features"),
       "q_sketch_quantile" -> sink("q_sketch_quantile"),
       "q_rfm_segments" -> sink("q_rfm_segments"),
-      "q_histo_equidepth_approx" -> sink("q_histo_equidepth_approx"))
+      "q_histo_equidepth_approx" -> sink("q_histo_equidepth_approx"),
+      // round-12 wave 2: block dedup, windowed feature join, batch assembly
+      "q_dedup_paragraph" -> sink("q_dedup_paragraph"),
+      "q_asof_features_window" -> sink("q_asof_features_window"),
+      "q_batch_bucketed" -> sink("q_batch_bucketed"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
