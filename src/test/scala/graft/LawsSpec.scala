@@ -1026,4 +1026,29 @@ object LawsSpec extends Properties("graft") {
       }.toMap
       Prop(got == expect) :| s"got=$got expect=$expect"
     }
+
+  // batch assembly invariants: rows conserve, every batch except possibly
+  // the last of its bucket is exactly batchSize, lengths inside a batch
+  // stay inside the bucket (max - min < bucketWidth), and padding waste is
+  // strictly bounded by n_rows * bucketWidth
+  property("length-bucketed batches conserve rows and bound padding waste") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 8), Gen.choose(1L, 40L),
+      Gen.choose(1, 7), Gen.choose(0, 99)) { (n, parts, bw, bs, seed) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, ((seed * 31 + i * 17) % 300).toLong))
+      val df = rows.toDF("doc_id", "n_tokens").repartition(parts)
+      val got = graft.ops.Splits.batchByLength(df, "doc_id", "n_tokens", bw, bs)
+        .collect()
+      val total = got.map(_.getAs[Long]("n_rows")).sum
+      val lastPerBucket = got.groupBy(_.getAs[Long]("len_bucket"))
+        .values.map(_.maxBy(_.getAs[Long]("batch_idx"))).toSet
+      val fullOk = got.filterNot(lastPerBucket)
+        .forall(_.getAs[Long]("n_rows") == bs.toLong)
+      val wasteOk = got.forall { r =>
+        r.getAs[Long]("padding_waste") < r.getAs[Long]("n_rows") * bw &&
+          r.getAs[Long]("padding_waste") >= 0
+      }
+      Prop(total == n.toLong && fullOk && wasteOk) :|
+        s"total=$total fullOk=$fullOk wasteOk=$wasteOk"
+    }
 }
