@@ -828,6 +828,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ENTITY-level (leakage-safe) split: users assign to train/val/test by
+    // md5 bucket and every event INHERITS its user's split, so no entity
+    // ever spans splits (the doc-level q_split cannot promise that for
+    // grouped data). One join on the entity key; the assignment itself is
+    // scan-level on the user-sized frame.
+    "q_split_grouped" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val users = Splits.assign(ev.select(col("user_id")).distinct(),
+        "user_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      ev.join(users, Seq("user_id"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("split"))
+    },
+
     // native checkpointed streaming file sink: split-routed append with the
     // exactly-once _spark_metadata commit log, read back from the directory
     "q_stream_split" -> { (s, dir) =>
@@ -2120,6 +2136,20 @@ object PipelineQueries {
                      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
               FROM documents)
         ORDER BY doc_id""",
+      // events inherit their user's md5-bucket split — no entity leakage
+      "q_split_grouped" -> """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        a AS (SELECT user_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM (SELECT user_id,
+                      CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS b
+                    FROM u))
+        SELECT a.split, count(DISTINCT e.user_id) AS n_users,
+               count(*) AS n_events
+        FROM events e JOIN a USING (user_id)
+        GROUP BY 1 ORDER BY split""",
       "q_dedup_incremental" -> """
         WITH corpus AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250),
         batch AS (SELECT md5(text) AS digest, min(doc_id) AS keeper
