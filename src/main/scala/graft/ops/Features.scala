@@ -50,4 +50,49 @@ object Features {
         col("c_ts").as("ts"), col("p_ts").as("last_purchase_ts"),
         col("n3"), col("cents3"),
         round(col("cents3").cast("double") / col("n3"), 6).as("mean_cents3"))
+
+  /** Per-instant cumulative series over a purchase-shaped history frame
+    * (p_user, p_ts, p_eid, cents): (p_user, p_ts, ccum, pidx), one row per
+    * (user, ts) instant (latest event's cumulative covers the instant) —
+    * the persistable artifact the TIME-window attach serves from.
+    */
+  def cumulative(history: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("p_user")).orderBy(col("p_ts"), col("p_eid"))
+    history
+      .withColumn("ccum", sum(col("cents"))
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pidx", row_number().over(wp).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_user"), col("p_ts"))
+          .orderBy(col("p_eid").desc)))
+      .filter(col("rn") === 1)
+      .select(col("p_user"), col("p_ts"), col("ccum"), col("pidx"))
+  }
+
+  /** TIME-window feature attach: for points (click_id, c_user, c_ts,
+    * c_ts_lo = t − window), the count/sum/mean of history rows in
+    * [t−window, t) as a DIFFERENCE OF TWO AS-OF LOOKUPS against the
+    * [[cumulative]] series — two O(1) sort-merge as-ofs instead of a range
+    * join with unbounded per-point candidates. Points with nothing in the
+    * window drop (inner range semantics).
+    */
+  def attachWindow(points: DataFrame, cum: DataFrame): DataFrame = {
+    val hi = graft.plans.AsOfJoin.join(points, cum,
+        "c_user", "p_user", "c_ts", "p_ts")
+      .select(col("click_id"), col("c_user"), col("c_ts"),
+        col("ccum").as("ccum_hi"), col("pidx").as("pidx_hi"))
+    val lo = graft.plans.AsOfJoin.join(
+        points.select(col("click_id"), col("c_user").as("l_user"), col("c_ts_lo")),
+        cum.select(col("p_user").as("q_user"), col("p_ts").as("q_ts"),
+          col("ccum").as("ccum_lo"), col("pidx").as("pidx_lo")),
+        "l_user", "q_user", "c_ts_lo", "q_ts")
+      .select(col("click_id"), col("ccum_lo"), col("pidx_lo"))
+    hi.join(lo, Seq("click_id"), "left")
+      .withColumn("n7", col("pidx_hi") - coalesce(col("pidx_lo"), lit(0L)))
+      .withColumn("cents7", col("ccum_hi") - coalesce(col("ccum_lo"), lit(0L)))
+      .filter(col("n7") > 0)
+      .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+        col("c_ts").as("ts"), col("n7"), col("cents7"),
+        round(col("cents7").cast("double") / col("n7"), 6).as("mean7"))
+  }
 }

@@ -431,36 +431,31 @@ object RelationalQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"), (col("ts") - expr("INTERVAL 7 DAYS")).as("c_ts_lo"))
-      val wp = Window.partitionBy(col("p_user")).orderBy(col("p_ts"), col("p_eid"))
-      val cum = ev.filter(col("event_type") === "purchase")
+      val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_eid"),
           round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("ccum", sum(col("cents"))
-          .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("pidx", row_number().over(wp).cast("long"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("p_user"), col("p_ts"))
-            .orderBy(col("p_eid").desc)))
-        .filter(col("rn") === 1)
-        .select(col("p_user"), col("p_ts"), col("ccum"), col("pidx"))
-      val hi = graft.plans.AsOfJoin.join(clicks, cum,
-          "c_user", "p_user", "c_ts", "p_ts")
-        .select(col("click_id"), col("c_user"), col("c_ts"),
-          col("ccum").as("ccum_hi"), col("pidx").as("pidx_hi"))
-      val lo = graft.plans.AsOfJoin.join(
-          clicks.select(col("click_id"), col("c_user").as("l_user"), col("c_ts_lo")),
-          cum.select(col("p_user").as("q_user"), col("p_ts").as("q_ts"),
-            col("ccum").as("ccum_lo"), col("pidx").as("pidx_lo")),
-          "l_user", "q_user", "c_ts_lo", "q_ts")
-        .select(col("click_id"), col("ccum_lo"), col("pidx_lo"))
-      hi.join(lo, Seq("click_id"), "left")
-        .withColumn("n7", col("pidx_hi") - coalesce(col("pidx_lo"), lit(0L)))
-        .withColumn("cents7", col("ccum_hi") - coalesce(col("ccum_lo"), lit(0L)))
-        .filter(col("n7") > 0)
-        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
-          col("c_ts").as("ts"), col("n7"), col("cents7"),
-          round(col("cents7").cast("double") / col("n7"), 6).as("mean7"))
+      graft.ops.Features.attachWindow(
+          clicks, graft.ops.Features.cumulative(purchases))
+        .orderBy(col("event_id"))
+    },
+
+    // the STREAMING window-feature serving twin: the cumulative series is
+    // the persisted artifact, each click micro-batch runs its TWO as-of
+    // lookups against it statelessly ⇒ equals the batch windowed join
+    // exactly (shared oracle)
+    "q_stream_features_window" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val artifact = s"/tmp/graft_cum_artifact_$tag"
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_eid"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Features.cumulative(purchases)
+        .write.mode("overwrite").parquet(artifact)
+      Streams.streamingWindowFeatures(s, dir, artifact,
+          s"/tmp/graft_stream_featw_$tag")
         .orderBy(col("event_id"))
     }
   )
@@ -485,6 +480,21 @@ object RelationalQueries {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF JOIN d ON c.user_id = d.user_id AND c.ts > d.ts
       ORDER BY c.event_id"""
+    // the DIRECT [t−7d, t) range aggregate — independently proves the
+    // engine's two-as-of cumulative-subtraction identity; shared by the
+    // batch gate and the stateless streaming serve
+    val pitWindowSql = """
+      WITH p AS (SELECT user_id, ts, round(value*100)::BIGINT AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.ts,
+             CAST(count(*) AS BIGINT) AS n7,
+             CAST(sum(p.cents) AS BIGINT) AS cents7,
+             round(CAST(sum(p.cents) AS DOUBLE) / count(*), 6) AS mean7
+      FROM c JOIN p ON p.user_id = c.user_id
+        AND p.ts >= c.ts - INTERVAL 7 DAY AND p.ts < c.ts
+      GROUP BY 1, 2, 3 ORDER BY c.event_id"""
     Map(
     "q_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,
@@ -638,20 +648,9 @@ object RelationalQueries {
        AND l.o_orderpriority = r.o_orderpriority
        AND l.o_orderdate > r.o_orderdate
       ORDER BY l.o_orderkey""",
-    // the DIRECT range aggregate — independently proves the engine's
-    // two-as-of cumulative-subtraction identity
-    "q_asof_features_window" -> """
-      WITH p AS (SELECT user_id, ts, round(value*100)::BIGINT AS cents
-                 FROM events WHERE event_type = 'purchase'),
-      c AS (SELECT event_id, user_id, ts FROM events
-            WHERE event_type = 'click')
-      SELECT c.event_id, c.user_id, c.ts,
-             CAST(count(*) AS BIGINT) AS n7,
-             CAST(sum(p.cents) AS BIGINT) AS cents7,
-             round(CAST(sum(p.cents) AS DOUBLE) / count(*), 6) AS mean7
-      FROM c JOIN p ON p.user_id = c.user_id
-        AND p.ts >= c.ts - INTERVAL 7 DAY AND p.ts < c.ts
-      GROUP BY 1, 2, 3 ORDER BY c.event_id""",
+    "q_asof_features_window" -> pitWindowSql,
+    // stateless per batch vs the persisted cumulative artifact
+    "q_stream_features_window" -> pitWindowSql,
     // per-click argmin over the user's views (gap, then backward-first);
     // the reference semantics the two-merge composition must reproduce
     "q_asof_nearest" -> """

@@ -1740,6 +1740,26 @@ object Streams {
         b.sparkSession.read.parquet(indexPath), chunkTokens))
   }
 
+  /** Streaming TIME-window feature serving — clicks arrive on a stream and
+    * each micro-batch runs its two as-of lookups (window = difference of
+    * cumulative lookups) against the PERSISTED cumulative series
+    * ([[graft.ops.Features.cumulative]] parquet at `artifactPath`) via
+    * [[graft.ops.Features.attachWindow]]. Stateless stream-static ⇒ equals
+    * the batch windowed join exactly (shared oracle).
+    */
+  def streamingWindowFeatures(
+      spark: SparkSession, sfDir: String, artifactPath: String,
+      outDir: String, batches: Int = 4): DataFrame = {
+    val clicks = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        (col("ts") - expr("INTERVAL 7 DAYS")).as("c_ts_lo"))
+    streamingSearch(clicks, outDir, batches, b =>
+      graft.ops.Features.attachWindow(
+        b, b.sparkSession.read.parquet(artifactPath)))
+  }
+
   /** Streaming point-in-time feature serving — clicks arrive on a stream
     * and each micro-batch as-of-attaches the PERSISTED last-3 feature
     * artifact (`artifactPath`, written by [[graft.ops.Features.lastK]] as
