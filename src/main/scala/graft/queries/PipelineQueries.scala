@@ -275,6 +275,43 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     },
 
+    // PRECISION-RECALL curve at score-decile thresholds — the operating-
+    // point picker next to q_classifier_auc (ranking quality) and
+    // q_calibration_curve (probability quality): deciles by (margin DESC,
+    // doc_id) total order, threshold d = "predict positive for deciles
+    // ≤ d", cum TP/FP fold as exact integers over the 10-row decile tally,
+    // precision/recall/F1 are final IEEE divisions. The global ntile is
+    // eval-set-sized (q_calibration_curve's documented shape).
+    "q_eval_pr_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsParallel(s, dir)
+      val model = TextOps.collectClassifierModel(
+        TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
+        CLS_BUCKETS)
+      val deciles = TextOps.withTrainedClassifierScore(docs, "doc_id", "text",
+          model, CLS_BUCKETS)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), Seq("doc_id"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("margin").desc, col("doc_id"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val tot = deciles.agg(sum(col("n_pos")).as("total_pos"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciles
+        .withColumn("cum_tp", sum(col("n_pos")).over(wc))
+        .withColumn("cum_n", sum(col("n")).over(wc))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"), col("cum_tp"),
+          (col("cum_n") - col("cum_tp")).as("cum_fp"),
+          round(col("cum_tp").cast("double") / col("cum_n"), 6).as("precision"),
+          round(col("cum_tp").cast("double") / col("total_pos"), 6).as("recall"),
+          round(lit(2.0) * col("cum_tp").cast("double")
+            / (col("cum_n") + col("total_pos")), 6).as("f1"))
+        .orderBy(col("decile"))
+    },
+
     // retrieval ranking-quality eval — MRR and nDCG@k of the BM25 ranking
     // against a label relevance oracle (same-source docs are relevant; the
     // weak-supervision eval shape). Every DCG/IDCG term rounds into
@@ -1974,6 +2011,31 @@ object PipelineQueries {
                  / count(*), 6) AS pos_rate,
                round(CAST(sum(m6) AS DOUBLE) / 1e6 / count(*), 6) AS mean_margin
         FROM b GROUP BY 1 ORDER BY 1""",
+      // decile thresholds from the same (margin DESC, doc_id) total order;
+      // cum TP/FP over the 10 tally rows, F1 = 2TP/(cum_n + total_pos)
+      "q_eval_pr_curve" -> s"""
+        WITH pred AS ($trainedClassifierSql),
+        j AS (SELECT p.doc_id, p.margin, (d.lang = 'en') AS pos
+              FROM pred p JOIN documents d USING (doc_id)),
+        b AS (SELECT CAST(ntile(10) OVER (ORDER BY margin DESC, doc_id)
+                AS BIGINT) AS decile, pos
+              FROM j),
+        t AS (SELECT decile, count(*) AS n,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM b GROUP BY 1),
+        c AS (SELECT *,
+                CAST(sum(n_pos) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+                CAST(sum(n) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+              FROM t)
+        SELECT decile, n, n_pos, cum_tp, cum_n - cum_tp AS cum_fp,
+               round(CAST(cum_tp AS DOUBLE) / cum_n, 6) AS precision,
+               round(CAST(cum_tp AS DOUBLE) / total_pos, 6) AS recall,
+               round(2.0 * CAST(cum_tp AS DOUBLE) / (cum_n + total_pos), 6)
+                 AS f1
+        FROM c ORDER BY decile""",
       "q_feature_cross" -> s"""
         WITH c AS (SELECT event_type || '#' || CAST(dayofweek(ts) + 1 AS VARCHAR)
                      AS crossv
