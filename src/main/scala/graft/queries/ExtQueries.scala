@@ -799,6 +799,28 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RIGHT-TO-BE-FORGOTTEN: purge every row of a user cohort from the
+    // versioned partitioned table through the delete leg of the MERGE —
+    // the change set is (key, partition) pairs derived once from the
+    // request (a delete must NAME its partition; that is what keeps the
+    // touched set knowable without a table scan), the batch leg is empty,
+    // and only partitions holding cohort rows rewrite. The read-back must
+    // equal the source minus the cohort — deletion is verified by content,
+    // not by trusting the op.
+    "q_part_forget" -> { (s, dir) =>
+      val out = s"/tmp/graft_part_forget_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      graft.streaming.PartitionedSnapshot.upsert(ev, out, Seq("event_id"), "event_type")
+      val victims = ev.filter(col("user_id") % 97 === 5)
+        .select(col("event_id"), col("event_type"))
+      graft.streaming.PartitionedSnapshot.upsert(
+        ev.limit(0), out, Seq("event_id"), "event_type", Some(victims))
+      graft.streaming.PartitionedSnapshot.read(s, out)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
+        .orderBy(col("event_id"))
+    },
+
     // CDC stream applied at ingest: op-tagged change rows (upsert/delete)
     // upsert the versioned snapshot per micro-batch; disjoint keys make the
     // final table batching-invariant — it equals q_snapshot_upsert's
@@ -2069,6 +2091,12 @@ object ExtQueries {
       // partitioned merge: untouched langs carry over; en evens doubled and
       // re-inserted over the %7 delete, en odd %7 gone; xx is the new
       // partition (ids offset by 10000)
+      // the table after the purge is simply the source minus the cohort
+      "q_part_forget" -> """
+        SELECT event_id, user_id, event_type,
+               round(value*100)::BIGINT AS cents
+        FROM events WHERE user_id % 97 <> 5
+        ORDER BY event_id""",
       "q_part_upsert" -> """
         SELECT doc_id, lang, n_chars FROM (
           SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
