@@ -81,6 +81,12 @@ object ExtQueries {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"),
         round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+    // n*sxy − sx*sy widens to decimal(38,0) exactly like covAssemble: the
+    // BIGINT products reach ~4e18 of the long range at just 2e3 vectors
+    // and would wrap silently here while the oracle (DuckDB sum(BIGINT) →
+    // HUGEINT) stays exact — decimal→double is correctly rounded, so the
+    // fixture values are bit-identical
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
         Seq("vec_id"))
       .filter(col("j") >= col("i"))
@@ -88,7 +94,8 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
         sum(col("x6") * col("y6")).as("sxy"))
       .select(col("i"), col("j"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        round((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+            .cast("double")
           / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
     mUp.unionByName(
         mUp.filter(col("i") =!= col("j"))
@@ -812,7 +819,10 @@ object ExtQueries {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       graft.streaming.PartitionedSnapshot.upsert(ev, out, Seq("event_id"), "event_type")
-      val victims = ev.filter(col("user_id") % 97 === 5)
+      // NULL-safe cohort predicate (schema allows NULL user_id): NULL % 97
+      // is NULL — without the coalesce the engine would keep NULL-user
+      // rows while the oracle's `<> 5` drops them
+      val victims = ev.filter(coalesce(col("user_id"), lit(-1L)) % 97 === 5)
         .select(col("event_id"), col("event_type"))
       graft.streaming.PartitionedSnapshot.upsert(
         ev.limit(0), out, Seq("event_id"), "event_type", Some(victims))
@@ -2095,7 +2105,7 @@ object ExtQueries {
       "q_part_forget" -> """
         SELECT event_id, user_id, event_type,
                round(value*100)::BIGINT AS cents
-        FROM events WHERE user_id % 97 <> 5
+        FROM events WHERE coalesce(user_id, -1) % 97 <> 5
         ORDER BY event_id""",
       "q_part_upsert" -> """
         SELECT doc_id, lang, n_chars FROM (

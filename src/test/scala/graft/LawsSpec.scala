@@ -1027,6 +1027,42 @@ object LawsSpec extends Properties("graft") {
       Prop(got == expect) :| s"got=$got expect=$expect"
     }
 
+  // the TIME-window twin of the last-3 law: the two-as-of cumulative
+  // subtraction must equal the brute [t−W, t) range definition — the
+  // boundary cases (history rows at exactly t−W must be INCLUDED, rows at
+  // exactly t EXCLUDED) only bite under timestamp ties at the window
+  // edges, which the small ts domain here produces constantly and the
+  // fixture timestamps never do
+  property("time-window features equal brute range scan at tie boundaries") =
+    Prop.forAll(Gen.choose(1, 120), Gen.choose(1, 8), Gen.choose(1, 5),
+      Gen.choose(2, 12), Gen.choose(1L, 6L), Gen.choose(0, 99)) {
+      (n, parts, users, tsDom, win, seed) =>
+      val evs = (0 until n).map { i =>
+        val u = (seed + i * 13) % users
+        val t = ((seed * 7 + i * 31) % tsDom).toLong
+        val isClick = (seed + i * 17) % 3 == 0
+        (i.toLong, u.toLong, t, isClick, ((seed + i * 11) % 500).toLong)
+      }
+      val points = evs.filter(_._4)
+        .map(e => (e._1, e._2, e._3, e._3 - win))
+        .toDF("click_id", "c_user", "c_ts", "c_ts_lo").repartition(parts)
+      val hist = evs.filterNot(_._4)
+        .map(e => (e._2, e._3, e._1, e._5))
+        .toDF("p_user", "p_ts", "p_eid", "cents").repartition(parts)
+      val got = graft.ops.Features.attachWindow(
+          points, graft.ops.Features.cumulative(hist))
+        .select(col("event_id"), col("n7"), col("cents7")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val histSeq = evs.filterNot(_._4)
+      val expect = evs.filter(_._4).flatMap { c =>
+        val inWin = histSeq.filter(h =>
+          h._2 == c._2 && h._3 >= c._3 - win && h._3 < c._3)
+        if (inWin.isEmpty) None
+        else Some(c._1 -> (inWin.size.toLong, inWin.map(_._5).sum))
+      }.toMap
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    }
+
   // batch assembly invariants: rows conserve, every batch except possibly
   // the last of its bucket is exactly batchSize, lengths inside a batch
   // stay inside the bucket (max - min < bucketWidth), and padding waste is
