@@ -176,7 +176,14 @@ object Bench {
       // round-12 wave 2: block dedup, windowed feature join, batch assembly
       "q_dedup_paragraph" -> sink("q_dedup_paragraph"),
       "q_asof_features_window" -> sink("q_asof_features_window"),
-      "q_batch_bucketed" -> sink("q_batch_bucketed"))
+      "q_batch_bucketed" -> sink("q_batch_bucketed"),
+      // round-12 wave 3: stored-index block admission, deflated second
+      // component, eval trio completion, leakage-safe split, cohort purge
+      "q_dedup_paragraph_inc" -> sink("q_dedup_paragraph_inc"),
+      "q_embed_pca2" -> sink("q_embed_pca2"),
+      "q_eval_pr_curve" -> sink("q_eval_pr_curve"),
+      "q_split_grouped" -> sink("q_split_grouped"),
+      "q_part_forget" -> sink("q_part_forget"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
