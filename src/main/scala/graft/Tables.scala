@@ -72,4 +72,24 @@ object Tables {
       .repartition(p, org.apache.spark.sql.functions.col("doc_id"))
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** Stable scratch directory for a gate's snapshot/index artifacts:
+    * `/tmp/graft_<name>_<sfDir-tag>`, DELETED RECURSIVELY before returning
+    * so every build starts fresh. Replaces the old UUID-per-invocation
+    * naming, which leaked one table-sized directory per run (the bench
+    * harness re-runs each gate 4×). Dir-derived tag keeps different SFs
+    * from colliding in one process; delete-before-build keeps re-runs
+    * deterministic (a versioned snapshot must not MERGE into a stale
+    * prior run's table).
+    */
+  def scratch(name: String, sfDir: String): String = {
+    val path = s"/tmp/graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    path
+  }
 }

@@ -40,16 +40,21 @@ object Features {
       .select(col("p_user"), col("p_ts"), col(s"n$k"), col(s"cents$k"))
   }
 
-  /** Attach the last-3 feature frame to click-shaped prediction points
-    * (click_id, c_user, c_ts) via the backward-strict custom as-of join;
-    * the serving tail shared by batch and streaming.
+  /** Attach a last-k feature frame (the output shape of [[lastK]] for the
+    * same k) to click-shaped prediction points (click_id, c_user, c_ts) via
+    * the backward-strict custom as-of join; the serving tail shared by
+    * batch and streaming. Output columns are labeled n$k/cents$k/
+    * mean_cents$k to match the feature frame's actual window length.
     */
-  def attachLast3(points: DataFrame, feat: DataFrame): DataFrame =
+  def attachLastK(points: DataFrame, feat: DataFrame, k: Int): DataFrame =
     graft.plans.AsOfJoin.join(points, feat, "c_user", "p_user", "c_ts", "p_ts")
       .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
         col("c_ts").as("ts"), col("p_ts").as("last_purchase_ts"),
-        col("n3"), col("cents3"),
-        round(col("cents3").cast("double") / col("n3"), 6).as("mean_cents3"))
+        col(s"n$k"), col(s"cents$k"),
+        round(col(s"cents$k").cast("double") / col(s"n$k"), 6).as(s"mean_cents$k"))
+
+  def attachLast3(points: DataFrame, feat: DataFrame): DataFrame =
+    attachLastK(points, feat, 3)
 
   /** Per-instant cumulative series over a purchase-shaped history frame
     * (p_user, p_ts, p_eid, cents): (p_user, p_ts, ccum, pidx), one row per
@@ -74,9 +79,11 @@ object Features {
     * [t−window, t) as a DIFFERENCE OF TWO AS-OF LOOKUPS against the
     * [[cumulative]] series — two O(1) sort-merge as-ofs instead of a range
     * join with unbounded per-point candidates. Points with nothing in the
-    * window drop (inner range semantics).
+    * window drop (inner range semantics). `label` names the output columns
+    * (n$label/cents$label/mean$label) after the caller's actual window
+    * length — the window itself is whatever c_ts_lo encodes.
     */
-  def attachWindow(points: DataFrame, cum: DataFrame): DataFrame = {
+  def attachWindow(points: DataFrame, cum: DataFrame, label: String = "7"): DataFrame = {
     val hi = graft.plans.AsOfJoin.join(points, cum,
         "c_user", "p_user", "c_ts", "p_ts")
       .select(col("click_id"), col("c_user"), col("c_ts"),
@@ -88,11 +95,11 @@ object Features {
         "l_user", "q_user", "c_ts_lo", "q_ts")
       .select(col("click_id"), col("ccum_lo"), col("pidx_lo"))
     hi.join(lo, Seq("click_id"), "left")
-      .withColumn("n7", col("pidx_hi") - coalesce(col("pidx_lo"), lit(0L)))
-      .withColumn("cents7", col("ccum_hi") - coalesce(col("ccum_lo"), lit(0L)))
-      .filter(col("n7") > 0)
+      .withColumn(s"n$label", col("pidx_hi") - coalesce(col("pidx_lo"), lit(0L)))
+      .withColumn(s"cents$label", col("ccum_hi") - coalesce(col("ccum_lo"), lit(0L)))
+      .filter(col(s"n$label") > 0)
       .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
-        col("c_ts").as("ts"), col("n7"), col("cents7"),
-        round(col("cents7").cast("double") / col("n7"), 6).as("mean7"))
+        col("c_ts").as("ts"), col(s"n$label"), col(s"cents$label"),
+        round(col(s"cents$label").cast("double") / col(s"n$label"), 6).as(s"mean$label"))
   }
 }

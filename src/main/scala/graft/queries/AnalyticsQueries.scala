@@ -267,7 +267,7 @@ object AnalyticsQueries {
     "q_stream_mv" -> { (s, dir) =>
       val (v1, v2) = mvVersions(s, dir)
       val mv0 = Materialize.buildAggMv(v1, MV_DIMS, MV_MEASURES)
-      val stage = s"/tmp/graft_stream_mv_${java.util.UUID.randomUUID().toString.take(8)}"
+      val stage = Tables.scratch("stream_mv", dir)
       Streams.diffFrames(v1, v2, Seq("event_id"))
         .repartition(4, col("event_id")).write.parquet(stage)
       Streams.streamingMvApply(s, mv0, stage, MV_DIMS, MV_MEASURES)

@@ -478,10 +478,9 @@ object ExtQueries {
     "q_search_hybrid_stored" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
-      val tag = java.util.UUID.randomUUID().toString.take(8)
-      val ipath = s"/tmp/graft_hyb_idx_$tag"
+      val ipath = Tables.scratch("hyb_idx", dir)
       Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", ipath, IVF_CENTS)
-      val statsDir = s"/tmp/graft_hyb_stats_$tag"
+      val statsDir = Tables.scratch("hyb_stats", dir)
       Streams.commitSnapshot(
         graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
       graft.ops.Retrieval.hybridTopKStored(s, ipath,
@@ -662,7 +661,7 @@ object ExtQueries {
     // state; the admitted union equals batch semanticDedup (shared oracle)
     "q_stream_semantic" -> { (s, dir) =>
       Streams.streamingSemanticDedup(s, dir,
-        s"/tmp/graft_stream_sem_${java.util.UUID.randomUUID().toString.take(8)}",
+        Tables.scratch("stream_sem", dir),
         SEMDEDUP_COS, IVF_CENTS, IVF_TRAIN_ITERS)
         .orderBy(col("vec_id"))
     },
@@ -712,7 +711,7 @@ object ExtQueries {
     // replace-snapshot to parquet, result read back from the directory
     "q_stream_sink" -> { (s, dir) =>
       Streams.streamingHistoToParquet(s, dir, 8, 0.0, 400.0,
-        s"/tmp/graft_stream_sink_${java.util.UUID.randomUUID().toString.take(8)}")
+        Tables.scratch("stream_sink", dir))
         .orderBy(col("bin"))
     },
 
@@ -720,7 +719,7 @@ object ExtQueries {
     // (v1 = first 4 days; v2 = everything minus simulated account deletions)
     // then diff them — inserts, deletes and updates all exercised
     "q_snapshot_diff" -> { (s, dir) =>
-      val out = s"/tmp/graft_snap_diff_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("snap_diff", dir)
       val ev = Tables.events(s, dir)
       def agg(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("user_id"), col("event_type"))
@@ -744,7 +743,7 @@ object ExtQueries {
     // merge doubles n_chars for evens (update present / insert missing),
     // deletes multiples of 7 (evens win the overlap: delete-then-reinsert)
     "q_snapshot_upsert" -> { (s, dir) =>
-      val out = s"/tmp/graft_snap_upsert_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("snap_upsert", dir)
       val docs = Tables.documents(s, dir)
       def proj(df: org.apache.spark.sql.DataFrame) = df.select(
         col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
@@ -763,7 +762,7 @@ object ExtQueries {
     // min/max stats sidecar, then range-read through it — only files whose
     // [min, max] intersects the range are opened (ScaleSpec pins the prune)
     "q_snapshot_skip" -> { (s, dir) =>
-      val out = s"/tmp/graft_snap_skip_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("snap_skip", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       Streams.commitSnapshotStats(docs, out, 0, Seq("doc_id"), layoutParts = 8)
@@ -775,7 +774,7 @@ object ExtQueries {
     // UNCORRELATED with the range layout (md5 of the text) — min/max can't
     // prune an equality on it, the per-file bitmap can
     "q_snapshot_point" -> { (s, dir) =>
-      val out = s"/tmp/graft_snap_point_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("snap_point", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         md5(col("text")).as("text_md5"), length(col("text")).cast("long").as("n_chars"))
       Streams.commitSnapshotStats(docs, out, 0, Seq("doc_id"), layoutParts = 8,
@@ -788,7 +787,7 @@ object ExtQueries {
     // batch rewrites ONLY the partitions it touches (en + the new xx) —
     // de/es/fr/zh keep their v0 files (OpsSpec pins the single-dir write)
     "q_part_upsert" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_upsert_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("part_upsert", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
@@ -815,7 +814,7 @@ object ExtQueries {
     // equal the source minus the cohort — deletion is verified by content,
     // not by trusting the op.
     "q_part_forget" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_forget_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("part_forget", dir)
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       graft.streaming.PartitionedSnapshot.upsert(ev, out, Seq("event_id"), "event_type")
@@ -836,7 +835,7 @@ object ExtQueries {
     // final table batching-invariant — it equals q_snapshot_upsert's
     "q_stream_upsert" -> { (s, dir) =>
       Streams.streamingUpsert(s, dir,
-        s"/tmp/graft_stream_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
+        Tables.scratch("stream_upsert", dir))
         .orderBy(col("doc_id"))
     },
 
@@ -845,7 +844,7 @@ object ExtQueries {
     // ONLY lang=en with real values — readers fill the default for every
     // untouched partition's pre-evolution files
     "q_part_evolve" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_evolve_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("part_evolve", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
@@ -862,7 +861,7 @@ object ExtQueries {
     // disappears from every read with no data I/O; the post-drop upsert
     // writes the narrow schema (and would be rejected if it carried src)
     "q_part_dropcol" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_dropcol_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("part_dropcol", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"), col("source"))
       graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")
@@ -880,7 +879,7 @@ object ExtQueries {
     // manifest-resolved per-partition stats that prove it: en vanishes
     // without touching a data file, every survivor still owned by v0
     "q_part_drop" -> { (s, dir) =>
-      val out = s"/tmp/graft_part_drop_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("part_drop", dir)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       graft.streaming.PartitionedSnapshot.upsert(docs, out, Seq("doc_id"), "lang")

@@ -884,10 +884,9 @@ object PipelineQueries {
     // native checkpointed streaming file sink: split-routed append with the
     // exactly-once _spark_metadata commit log, read back from the directory
     "q_stream_split" -> { (s, dir) =>
-      val tag = java.util.UUID.randomUUID().toString.take(8)
       graft.streaming.Streams.streamingSplitRoute(s, dir,
         Seq("train" -> 80, "val" -> 10, "test" -> 10),
-        s"/tmp/graft_stream_split_$tag", s"/tmp/graft_stream_split_ckpt_$tag")
+        Tables.scratch("stream_split", dir), Tables.scratch("stream_split_ckpt", dir))
         .orderBy(col("doc_id"))
     },
 
@@ -1140,7 +1139,7 @@ object PipelineQueries {
     // phrase query answered entirely from the stored index — the corpus is
     // never re-scanned (the bm25-stored / ann-index discipline)
     "q_search_phrase_stored" -> { (s, dir) =>
-      val out = s"/tmp/graft_postings_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = Tables.scratch("postings", dir)
       graft.streaming.Streams.commitSnapshot(
         Retrieval.buildPostings(Tables.documents(s, dir), "doc_id", "text"),
         out, 1, retain = 3)
@@ -1449,7 +1448,7 @@ object PipelineQueries {
     // corpus is never re-tokenized at serve time
     "q_text_bm25_stored" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val statsDir = s"/tmp/graft_bm25_stats_${java.util.UUID.randomUUID().toString.take(8)}"
+      val statsDir = Tables.scratch("bm25_stats", dir)
       graft.streaming.Streams.commitSnapshot(
         Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
       Retrieval.bm25TopKStored(
@@ -1464,13 +1463,13 @@ object PipelineQueries {
     // never crosses batches, so batching cannot change the result)
     "q_stream_bm25" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val statsDir = s"/tmp/graft_bm25_sstats_${java.util.UUID.randomUUID().toString.take(8)}"
+      val statsDir = Tables.scratch("bm25_sstats", dir)
       graft.streaming.Streams.commitSnapshot(
         Retrieval.bm25StatsTable(docs, "doc_id", "text"), statsDir, 1L)
       graft.streaming.Streams.streamingBm25Search(
         docs.filter(col("doc_id") < NQUERIES).select(col("doc_id"), col("text")),
         graft.streaming.Streams.readSnapshot(s, statsDir),
-        s"/tmp/graft_stream_bm25_${java.util.UUID.randomUUID().toString.take(8)}",
+        Tables.scratch("stream_bm25", dir),
         "doc_id", "text", BM25_TOPK, excludeSelf = true, batches = 3)
         .orderBy(col("query_id"), col("rank"))
     },

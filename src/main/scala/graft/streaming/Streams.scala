@@ -1337,10 +1337,12 @@ object Streams {
     * time-partitioned). Returns the stage directory.
     */
   private def stageTimeChunks(
-      df: DataFrame, prefix: String, tsCol: String, ordCol: String,
+      df: DataFrame, prefix: String, sfDir: String, tsCol: String, ordCol: String,
       nChunks: Int): java.nio.file.Path = {
-    val stage = java.nio.file.Paths.get(
-      s"/tmp/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // stable per-prefix path, cleared before staging (callers' prefixes are
+    // gate- and sfDir-specific); the old UUID naming leaked one stage dir
+    // per invocation under the bench harness's 4× re-runs
+    val stage = java.nio.file.Paths.get(graft.Tables.scratch(s"stage_$prefix", sfDir))
     java.nio.file.Files.createDirectories(stage)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol), col(ordCol))
     val chunked = df.withColumn("__c", ntile(nChunks).over(w)).localCheckpoint()
@@ -1368,7 +1370,7 @@ object Streams {
     import graft.ops.Scd2
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val stage = stageTimeChunks(ev, "graft_stream_scd2", "ts", "event_id", nChunks)
+    val stage = stageTimeChunks(ev, "scd2", sfDir, "ts", "event_id", nChunks)
     val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
     val empty = ev.limit(0)
     var open = Scd2.islands(empty, "user_id", "ts", "event_id", "event_type")
@@ -1403,7 +1405,7 @@ object Streams {
     import graft.ops.Transitions
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val stage = stageTimeChunks(ev, "graft_stream_trans", "ts", "event_id", nChunks)
+    val stage = stageTimeChunks(ev, "trans", sfDir, "ts", "event_id", nChunks)
     val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
     val empty = ev.limit(0)
     var state = empty.select(col("user_id"), col("event_type").as("attr"))
