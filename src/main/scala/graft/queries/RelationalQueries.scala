@@ -366,6 +366,29 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     },
 
+    // AS-OF LAST-K — the sequence-model serving shape: for each click, the
+    // user's 3 most recent strictly-earlier purchases AS ROWS (rank 1 =
+    // most recent), through the k-deque variant of the custom merge
+    // operator — one shuffle per side, O(k) retained rows per task, never
+    // a per-point range product. p_eid tiebreaks same-timestamp purchases
+    // so ranks are deterministic in both engines.
+    "q_asof_lastk" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_eid"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.plans.AsOfJoin.joinLastK(clicks, purchases,
+          "c_user", "p_user", "c_ts", "p_ts", 3, Some("p_eid"))
+        .select(col("click_id").as("event_id"), col("c_user").as("user_id"),
+          col("c_ts").as("ts"), col("asof_rank").as("rnk"),
+          col("p_ts"), col("cents"))
+        .orderBy(col("event_id"), col("rnk"))
+    },
+
     // the STREAMING point-in-time serving twin: the last-3 feature frame is
     // PERSISTED as a parquet artifact (the feature-registry shape), clicks
     // arrive on a stream and each micro-batch as-of-attaches against it —
@@ -631,6 +654,20 @@ object RelationalQueries {
     // streamed attach against the persisted artifact is stateless per
     // batch ⇒ equals the batch join exactly (shared oracle)
     "q_stream_features" -> pitFeaturesSql,
+    // last-k as rows: the oracle ranks ALL earlier purchases per click
+    // (ts desc, event_id desc tiebreak — mirroring the engine's p_eid
+    // tiebreak) and keeps rank <= 3; the k-deque merge must equal it
+    "q_asof_lastk" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, event_id, round(value*100)::BIGINT AS cents
+            FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.cents,
+                   row_number() OVER (PARTITION BY c.event_id
+                     ORDER BY p.ts DESC, p.event_id DESC) AS rnk
+            FROM c JOIN p ON p.user_id = c.user_id AND p.ts < c.ts)
+      SELECT event_id, user_id, ts, rnk, p_ts, cents
+      FROM r WHERE rnk <= 3 ORDER BY event_id, rnk""",
     // multi-equality ASOF: DuckDB takes the composite key as plain extra
     // equality conditions — same relation as the engine's concat key
     "q_asof_multikey" -> """

@@ -113,4 +113,70 @@ class AsOfJoinSpec extends AnyFunSuite {
     val viaCustom = joined.select($"v", $"rt").as[(Long, Timestamp)].collect().toSet
     assert(viaCustom == viaWindow)
   }
+
+  test("last-k: the k most recent strictly-earlier rows, rank 1 = newest") {
+    val left = Seq(
+      (1L, 100L, "l1"), // sees r10,r20,r30 → top-3 of 3
+      (1L, 25L, "l2"),  // sees r10,r20 → 2 rows
+      (1L, 10L, "l3"),  // nothing strictly earlier → drops
+      (2L, 50L, "l4")   // key 2: one row
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, "r10"), (1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 40L, "r40"),
+      (2L, 40L, "r2a")
+    ).toDF("rk", "rt", "rtag")
+    val got = AsOfJoin.joinLastK(left, right, "k", "rk", "t", "rt", 3)
+      .select($"tag", $"rtag", $"asof_rank").as[(String, String, Long)]
+      .collect().toSet
+    // l1@100: last-3 of {10,20,30,40} = 40,30,20
+    assert(got == Set(
+      ("l1", "r40", 1L), ("l1", "r30", 2L), ("l1", "r20", 3L),
+      ("l2", "r20", 1L), ("l2", "r10", 2L),
+      ("l4", "r2a", 1L)), s"got $got")
+  }
+
+  test("last-k: tiebreak column orders same-timestamp rows deterministically") {
+    val left = Seq((7L, 100L, "p")).toDF("k", "t", "tag")
+    val right = Seq(
+      (7L, 50L, 1L, "a"), (7L, 50L, 3L, "c"), (7L, 50L, 2L, "b")
+    ).toDF("rk", "rt", "rid", "rtag")
+    val got = AsOfJoin.joinLastK(left, right, "k", "rk", "t", "rt", 2,
+        rightTieBreak = Some("rid"))
+      .select($"rtag", $"asof_rank").as[(String, Long)].collect().toSet
+    // higher rid = more recent among ties: rank1=c(rid 3), rank2=b(rid 2)
+    assert(got == Set(("c", 1L), ("b", 2L)), s"got $got")
+  }
+
+  test("last-k law: equals the window-ranked top-k under any partitioning") {
+    val left = (0L until 300L).map(i =>
+      (i % 5, 1000L + (i * 37) % 900, i)).toDF("k", "t", "v")
+    val right = (0L until 800L).map(i =>
+      (i % 5, 1000L + (i * 13) % 900, i)).toDF("rk", "rt", "rid")
+    val viaCustom = AsOfJoin.joinLastK(
+        left.repartition(7), right.repartition(4), "k", "rk", "t", "rt", 4,
+        rightTieBreak = Some("rid"))
+      .select($"v", $"rid", $"asof_rank").as[(Long, Long, Long)].collect().toSet
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val j = left.join(right, $"k" === $"rk" && $"rt" < $"t")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"k", $"v").orderBy($"rt".desc, $"rid".desc)))
+        .filter($"rnk" <= 4)
+      j.select($"v", $"rid", $"rnk".cast("long")).as[(Long, Long, Long)]
+        .collect().toSet
+    }
+    assert(viaCustom == viaWindow)
+  }
+
+  test("last-k plan: custom exec, one exchange per side, no window/product") {
+    val left = (0L until 100L).map(i => (i % 3, 100L + i, i)).toDF("k", "t", "v")
+    val right = (0L until 100L).map(i => (i % 3, 50L + i, i)).toDF("rk", "rt", "rid")
+    val plan = AsOfJoin.joinLastK(left, right, "k", "rk", "t", "rt", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfLastK"), s"custom exec missing:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("WindowExec") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"last-k must stay a merge, not a rank-then-filter or product:\n$plan")
+  }
 }

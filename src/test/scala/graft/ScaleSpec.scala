@@ -785,6 +785,15 @@ class ScaleSpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name must never fall back to a per-point product:\n$plan")
     }
+    // the last-k serving gate rides the k-deque merge variant: O(k) state
+    // per task, never a rank-every-candidate window or a range product
+    val lkPlan = graft.SparkEntry.queries("q_asof_lastk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(lkPlan.contains("AsOfLastK"),
+      s"q_asof_lastk must plan the k-deque merge operator:\n$lkPlan")
+    assert(!lkPlan.contains("WindowExec") && !lkPlan.contains("CartesianProduct") &&
+      !lkPlan.contains("BroadcastNestedLoopJoin"),
+      s"q_asof_lastk must never rank the full candidate set:\n$lkPlan")
   }
 
   test("sketch-quantile exact leg never ranks the whole fact table") {
