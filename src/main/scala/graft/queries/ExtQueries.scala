@@ -13,6 +13,24 @@ import graft.streaming.Streams
   */
 object ExtQueries {
 
+  /** A USER-side media decoder exercising [[Multimodal.MediaDecoder]]'s
+    * injection seam (q_multimodal_custom): SHA-256 of the reversed bytes,
+    * position-weighted byte sum (1-indexed), weighted mean. Deliberately
+    * defined in query glue, not the library — the seam's whole point.
+    */
+  private object PositionWeightedDecoder extends Multimodal.MediaDecoder {
+    def decode(id: Long, bytes: Array[Byte]): Multimodal.MediaFeature = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val rev = bytes.reverse
+      val hex = md.digest(rev).map(b => f"$b%02x").mkString
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (i + 1).toLong * (bytes(i) & 0xFF); i += 1 }
+      Multimodal.MediaFeature(id, bytes.length.toLong, hex, sum,
+        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+    }
+  }
+
   private val DIM = 64
   private val PROJ_DIM = 8
 
@@ -687,6 +705,18 @@ object ExtQueries {
       val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.sampleFrames(withMedia, "doc_id", 64, 3, 5).toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // CUSTOM-DECODER injection through the multimodal seam: a user-side
+    // MediaDecoder (defined here in the query glue, not in the library)
+    // rides the identical attachBinary → mapPartitions plumbing — digest of
+    // the REVERSED bytes, position-weighted byte sum — and the oracle
+    // recomputes the custom decode independently, proving the seam carries
+    // arbitrary decode bodies without touching the Spark side
+    "q_multimodal_custom" -> { (s, dir) =>
+      val withMedia = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(withMedia, "doc_id", PositionWeightedDecoder).toDF()
+        .orderBy(col("doc_id"))
     },
 
     "q_stream_tumbling" -> { (s, dir) =>
@@ -2016,6 +2046,19 @@ object ExtQueries {
       "q_multimodal" -> multimodalSql,
       // the stateless streaming twin defines the same relation
       "q_stream_multimodal" -> multimodalSql,
+      // the injected custom decoder, recomputed independently: digest of
+      // the reversed text, 1-indexed position-weighted byte sum (ASCII
+      // corpus ⇒ bytes == character codes)
+      "q_multimodal_custom" -> """
+        WITH b AS (SELECT doc_id, text,
+          list_transform(range(1, length(text)+1),
+                         i -> i * ascii(substring(text, i, 1))) AS w
+          FROM documents)
+        SELECT doc_id, length(text)::BIGINT AS n_bytes,
+               sha256(reverse(text)) AS sha256,
+               CAST(list_sum(w) AS BIGINT) AS sum_bytes,
+               CAST(list_sum(w) AS DOUBLE) / length(text) AS mean_byte
+        FROM b ORDER BY doc_id""",
       // frames = 64-byte slices of the utf-8 media bytes (ASCII text, so byte
       // slices == substrings); every 3rd frame, max 5 (idx < 3*5)
       "q_multimodal_frames" -> """

@@ -964,6 +964,44 @@ class OpsSpec extends AnyFunSuite {
     assert(f.mean_byte == (97 + 98) / 2.0)
   }
 
+  test("multimodal decoder seam: a custom decoder flows through unchanged") {
+    // injection law: wrapping the stub must change ONLY what the wrapper
+    // changes — same rows, same ids, plumbing untouched. open() must run
+    // once per task (the codec-init contract).
+    val opened = spark.sparkContext.longAccumulator("opened")
+    val shifted = new Multimodal.MediaDecoder {
+      override def open(): Unit = opened.add(1)
+      def decode(id: Long, bytes: Array[Byte]): Multimodal.MediaFeature = {
+        val f = Multimodal.StubDecoder.decode(id, bytes)
+        f.copy(sum_bytes = f.sum_bytes + 1)
+      }
+    }
+    val df = Seq((1L, "abc", 3L), (2L, "wxyz", 4L), (3L, "", 0L))
+      .toDF("doc_id", "text", "n_chars").repartition(2)
+    val media = Multimodal.attachBinary(df, "doc_id", "text")
+    val stub = Multimodal.extractFeatures(media, "doc_id")
+      .collect().map(f => f.doc_id -> f).toMap
+    val custom = Multimodal.extractFeatures(media, "doc_id", shifted)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(custom.keySet == stub.keySet)
+    custom.foreach { case (id, f) =>
+      assert(f == stub(id).copy(sum_bytes = stub(id).sum_bytes + 1),
+        s"doc $id: custom decode must differ from stub only in the wrapped field")
+    }
+    assert(opened.value >= 1 && opened.value <= 2,
+      s"open() must run once per task with rows, got ${opened.value}")
+
+    // frame seam: a custom frame digest rides the same fan-out — identical
+    // (doc, frame_idx) set, only the digest column re-derived
+    val defFrames = Multimodal.sampleFrames(media, "doc_id", 2, 1, 3)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.frame_md5).toMap
+    val hexLen = Multimodal.sampleFrames(media, "doc_id", 2, 1, 3,
+        frameDigest = b => b.map(x => f"${x & 0xFF}%02x").mkString)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.frame_md5).toMap
+    assert(hexLen.keySet == defFrames.keySet)
+    assert(hexLen((1L, 0L)) == "6162") // bytes "ab" hex-dumped, not hashed
+  }
+
   test("connected components: chain collapses to one label, isolates keep own") {
     // chain 1-2-3-4 plus pair 10-11: components {1,2,3,4} and {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
