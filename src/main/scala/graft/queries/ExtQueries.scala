@@ -951,6 +951,24 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // QUARANTINE REPLAY — the DQ loop's closure: strict rules route the
+    // stream into promoted (snapshot v1) + quarantine; the rules are then
+    // relaxed (signup admitted, range widened to 200) and the quarantine
+    // re-validated in batch, newly-passing rows merged through the
+    // versioned snapshot as v2. The oracle derives both admissions
+    // independently; admitted_v proves WHICH pass admitted each row.
+    "q_stream_readmit" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      Streams.streamingReadmit(s, dir, Tables.scratch("stream_readmit", dir),
+          strict = Seq(InSet("event_type", Seq("view", "click", "purchase")),
+            InRange("value", 0, 40)),
+          relaxed = Seq(InSet("event_type", Seq("view", "click", "purchase", "signup")),
+            InRange("value", 0, 200)))
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"), col("admitted_v"))
+        .orderBy(col("event_id"))
+    },
+
     // snapshot small-file COMPACTION (the OPTIMIZE op): v1 committed as 8
     // files, compacted to a 2-file v2 holding the SAME rows through the
     // pointer-flip commit — the layout rewrite that keeps a streaming-
@@ -2209,6 +2227,21 @@ object ExtQueries {
           FROM events)
         SELECT event_id, failed FROM tagged
         WHERE length(failed) > 0
+        ORDER BY event_id""",
+      // both admissions derived independently: strict-pass rows carry v1,
+      // strict-fail-but-relaxed-pass rows carry v2, the rest stay out
+      // (NULL event_type/value violate every rule, as in the engine)
+      "q_stream_readmit" -> """
+        WITH t AS (
+          SELECT event_id, event_type, round(value*100)::BIGINT AS cents,
+            coalesce(event_type IN ('view','click','purchase')
+              AND value >= 0.0 AND value <= 40.0, FALSE) AS ok_strict,
+            coalesce(event_type IN ('view','click','purchase','signup')
+              AND value >= 0.0 AND value <= 200.0, FALSE) AS ok_relaxed
+          FROM events)
+        SELECT event_id, event_type, cents,
+               CASE WHEN ok_strict THEN 1 ELSE 2 END::BIGINT AS admitted_v
+        FROM t WHERE ok_strict OR ok_relaxed
         ORDER BY event_id""",
       "q_snapshot_compact" -> """
         SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -258,6 +258,67 @@ object Streams {
     spark.table(name)
   }
 
+  /** QUARANTINE REPLAY — the closure of the streaming DQ loop ("fix the
+    * rule, replay the quarantine"): the event stream routes per micro-batch
+    * into a PROMOTED side (passes `strict`, committed as snapshot v1) and a
+    * QUARANTINE table (tagged with the tripped rules, retry-idempotent
+    * `batch=<id>` sink). The rules are then "fixed" (`relaxed`) and the
+    * quarantine re-validated IN BATCH — the production replay is a batch
+    * job over the quarantine table, not a re-stream — with newly-passing
+    * rows merged into the versioned snapshot as v2. A row reaches exactly
+    * one side of the route, so promoted ∩ quarantined = ∅ and the merge is
+    * a pure append through the pointer-flip commit; rows still violating
+    * the relaxed rules stay quarantined. Returns the v2 table (admitted_v
+    * = 1 first-pass, 2 readmitted).
+    */
+  def streamingReadmit(
+      spark: SparkSession, sfDir: String, outDir: String,
+      strict: Seq[graft.ops.Expectations.Rule],
+      relaxed: Seq[graft.ops.Expectations.Rule]): DataFrame = {
+    import graft.ops.Expectations.scalarFailedTag
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    val promoted = s"$outDir/promoted"
+    val quar = s"$outDir/quarantine"
+    val table = s"$outDir/table"
+    val q = eventStream(spark, sfDir)
+      .withColumn("failed", scalarFailedTag(strict))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          val bb = b.toDF().persist()
+          bb.filter(length(col("failed")) === 0).drop("failed")
+            .write.mode("overwrite").parquet(s"$promoted/batch=$id")
+          val viol = bb.filter(length(col("failed")) > 0)
+          if (!viol.isEmpty)
+            viol.write.mode("overwrite").parquet(s"$quar/batch=$id")
+          bb.unpersist()
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val clean = spark.read.option("basePath", promoted).parquet(promoted)
+      .drop("batch")
+    commitSnapshot(clean.withColumn("admitted_v", lit(1L)), table, 1L)
+    val readmitted =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(quar)))
+        clean.limit(0).withColumn("admitted_v", lit(2L))
+      else spark.read.option("basePath", quar).parquet(quar)
+        .drop("batch", "failed")
+        .withColumn("failed", scalarFailedTag(relaxed))
+        .filter(length(col("failed")) === 0).drop("failed")
+        .withColumn("admitted_v", lit(2L))
+    // disjoint keys (a row routed to exactly one side) ⇒ append IS the merge
+    commitSnapshot(
+      readSnapshot(spark, table).unionByName(readmitted).localCheckpoint(true),
+      table, 2L)
+    readSnapshot(spark, table)
+  }
+
   /** Small-file COMPACTION over the versioned snapshot — the OPTIMIZE op:
     * read the current version, rewrite the SAME rows into `targetFiles`
     * files as a new version, flip the `_LATEST` pointer. Purely a layout
