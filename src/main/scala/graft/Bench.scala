@@ -183,7 +183,11 @@ object Bench {
       "q_embed_pca2" -> sink("q_embed_pca2"),
       "q_eval_pr_curve" -> sink("q_eval_pr_curve"),
       "q_split_grouped" -> sink("q_split_grouped"),
-      "q_part_forget" -> sink("q_part_forget"))
+      "q_part_forget" -> sink("q_part_forget"),
+      // round-13: production-dim covariance — 16× the dim-64 gate's matrix
+      // entries; paired with q_embed_cov it shows assembly cost growing
+      // linearly in dim² now that ExactProducts keeps the hot path BIGINT
+      "q_embed_cov_dim256" -> sink("q_embed_cov_dim256"))
 
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the

@@ -56,14 +56,23 @@ object Histo2D {
   * observable, the other member of ROOT's histogram family next to TH1/TH2;
   * the reference road-mapped the Histo family, TDataFrame.hxx:483-517).
   * Exactness discipline matches [[WeightedHisto]]: y is quantized to `yScale`
-  * decimals, per-bin sums accumulate exact integers (squares computed AND
-  * summed in decimal(38,0) — a long product wraps at |y|·10^yScale ≥ ~3.04e9
-  * and long sums of squares overflow at real row counts), and the mean/rms
-  * doubles derive from those exact integers through
-  * one fixed expression chain, so the result is order-independent across
-  * partitions and engines. Fully codegen'd, map-side partials, spillable —
-  * the 100 TB shape. Bin convention matches the family: underflow = -1,
-  * overflow = nbins.
+  * decimals, per-bin sums accumulate exact integers, and the mean/rms
+  * doubles derive from those exact integers through one fixed expression
+  * chain, so the result is order-independent across partitions and engines.
+  *
+  * The sum of squares is a TWO-LIMB BIGINT accumulation: the per-row square
+  * yu² (a plain long multiply — ANSI mode makes any |yu| > ~3.04e9 input
+  * error loudly rather than wrap) splits into hi = yu² >> 31 and
+  * lo = yu² & (2³¹−1), each summed as a long; the exact total
+  * hi·2³¹ + lo reassembles in decimal(38,0) on the BIN-COUNT-sized result
+  * only. This keeps the data-sized hot path pure codegen'd long arithmetic
+  * (the previous version paid a decimal128 multiply+add per row) while the
+  * final double is the same correctly-rounded conversion of the same exact
+  * integer. Headroom: lo-sums wrap past 2^32 rows/bin and hi-sums past
+  * ~2^30·(3e9/max|yu|)² rows/bin — both error loudly under ANSI, never
+  * silently. Fully codegen'd, map-side partials, spillable — the 100 TB
+  * shape. Bin convention matches the family: underflow = -1, overflow =
+  * nbins.
   */
 object ProfileHisto {
 
@@ -80,11 +89,16 @@ object ProfileHisto {
       .agg(
         count(lit(1)).as("n_fills"),
         sum(yu).as("__sy"),
-        // square in decimal, not long: yu*yu over longs silently wraps once
-        // |y|*10^yScale exceeds ~3.04e9 (sqrt(Long.Max)); decimal(19,0)
-        // operands make the per-row product exact up to the full long range
-        sum((yu.cast("decimal(19,0)") * yu.cast("decimal(19,0)"))
-          .cast("decimal(38,0)")).cast("double").as("__syy"))
+        // two-limb long accumulation of Σ yu² (see scaladoc): yu² ≥ 0, so
+        // the arithmetic shift and mask split it exactly; ANSI errors
+        // loudly on any |yu| > ~3.04e9 input instead of wrapping
+        sum(shiftright(yu * yu, 31)).as("__syy_hi"),
+        sum((yu * yu).bitwiseAND(lit((1L << 31) - 1))).as("__syy_lo"))
+      // exact reassembly on the bin-count-sized frame only; decimal →
+      // double is the same correctly-rounded conversion as before
+      .withColumn("__syy",
+        (col("__syy_hi").cast("decimal(38,0)") * lit(1L << 31)
+          + col("__syy_lo")).cast("double"))
       .select(
         col("bin"), col("n_fills"),
         (col("__sy").cast("double") / col("n_fills").cast("double") / unit)

@@ -72,22 +72,22 @@ object ExtQueries {
     * share one oracle.
     */
   private def covAssemble(m: DataFrame): DataFrame = {
-    // the products n*sxy etc. overflow BIGINT well before the sums do
-    // (1e6-scaled components: ~2e3 vectors already reaches ~4e18 of the
-    // 9.2e18 long range, and Spark would WRAP silently where DuckDB
-    // errors) — widen to decimal(38,0) so the integer arithmetic stays
-    // exact at any corpus size; cov/corr remain ONE final IEEE division
-    // over the exact integers (decimal→double is correctly rounded, same
-    // as DuckDB's HUGEINT→DOUBLE)
-    def d(c: String) = col(c).cast("decimal(38,0)")
-    val num = d("n") * d("sxy") - d("sx") * d("sy")
-    val denx = d("n") * d("sxx") - d("sx") * d("sx")
-    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    // n*sxy etc. overflow BIGINT well before the sums do (1e6-scaled
+    // components: ~2e3 vectors already reaches ~4e18 of the 9.2e18 long
+    // range) — ExactProducts takes the BIGINT fast path when the actual
+    // operands prove no wrap (runtime bounds check) and widens to
+    // decimal(38,0) only past that, so integer arithmetic stays exact at
+    // any corpus size WITHOUT paying decimal128 cost at small n. Both
+    // paths are one correctly-rounded conversion of the same exact
+    // integer, matching DuckDB's HUGEINT→DOUBLE bit-for-bit.
+    import graft.functions.ExactProducts.prodDiffDouble
+    val num = prodDiffDouble(col("n"), col("sxy"), col("sx"), col("sy"))
+    val denx = prodDiffDouble(col("n"), col("sxx"), col("sx"), col("sx"))
+    val deny = prodDiffDouble(col("n"), col("syy"), col("sy"), col("sy"))
     m.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
-        round(num.cast("double")
+        round(num
           / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("cov"),
-        round(num.cast("double")
-          / sqrt(denx.cast("double") * deny.cast("double")), 6).as("corr"))
+        round(num / sqrt(denx * deny), 6).as("corr"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -99,12 +99,11 @@ object ExtQueries {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"),
         round(col("x").cast("double") * 1e6).cast("long").as("x6"))
-    // n*sxy − sx*sy widens to decimal(38,0) exactly like covAssemble: the
-    // BIGINT products reach ~4e18 of the long range at just 2e3 vectors
-    // and would wrap silently here while the oracle (DuckDB sum(BIGINT) →
-    // HUGEINT) stays exact — decimal→double is correctly rounded, so the
-    // fixture values are bit-identical
-    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // n*sxy − sx*sy assembles through ExactProducts exactly like
+    // covAssemble: BIGINT while the runtime bounds check proves no wrap
+    // (the products reach ~4e18 of the long range at just 2e3 vectors),
+    // decimal(38,0) past that — bit-identical to the oracle's
+    // sum(BIGINT) → HUGEINT → DOUBLE either way
     val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
         Seq("vec_id"))
       .filter(col("j") >= col("i"))
@@ -112,8 +111,8 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
         sum(col("x6") * col("y6")).as("sxy"))
       .select(col("i"), col("j"),
-        round((d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
-            .cast("double")
+        round(graft.functions.ExactProducts.prodDiffDouble(
+            col("n"), col("sxy"), col("sx"), col("sy"))
           / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
     mUp.unionByName(
         mUp.filter(col("i") =!= col("j"))
@@ -205,6 +204,39 @@ object ExtQueries {
     // outer-product aggregate exactly — shared oracle.
     "q_stream_cov" -> { (s, dir) =>
       covAssemble(Streams.streamingCovMoments(s, dir, DIM, 3))
+    },
+
+    // PRODUCTION-DIM covariance (dim 256 = 4× the table's 64): the vector
+    // is four CIRCULARLY-SHIFTED copies of the stored embedding (shift
+    // 16k — a pure permutation, exact in both engines, non-degenerate
+    // cross-block correlations), over a fixed 512-vector slice. The full
+    // 256²/2-entry upper triangle aggregates through the same scaled-long
+    // moments + ExactProducts assembly as q_embed_cov — demonstrating the
+    // BIGINT fast path keeps assembly cost linear in dim² at 16× the
+    // entry count (the dim-64 gate pays decimal on none of its rows
+    // either; past the runtime bound both would fall back loudly-exactly).
+    // Output is the i < 4 band of the full matrix (4·256 − 6 rows) to keep
+    // the gate artifact compact; the matrix is computed in full.
+    "q_embed_cov_dim256" -> { (s, dir) =>
+      val blocks = (0 until 4).map { k =>
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), 16 * k + 1, 64 - 16 * k),
+          slice(col("embedding"), 1, 16 * k))
+      }
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 512)
+        .select(col("vec_id"), posexplode(flatten(array(blocks: _*))).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+      val m = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
+          Seq("vec_id"))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"),
+          sum(col("y6") * col("y6")).as("syy"))
+      covAssemble(m.filter(col("i") < 4))
     },
 
     // PCA top component — 3 power-iteration rounds over the EXACT
@@ -1661,6 +1693,34 @@ object ExtQueries {
       // one oracle
       "q_stream_cov" -> embedCovSql,
       "q_embed_cov" -> embedCovSql,
+      // dim-256 band: the shifted-block index mapping is
+      // src = ((i mod 64) + 16·(i div 64)) mod 64; the oracle prunes to
+      // the a.i < 4 band up front — the band of the full matrix is
+      // band-computable, so the relation matches the engine's
+      // full-triangle-then-filter exactly
+      "q_embed_cov_dim256" -> """
+        WITH e AS (
+          SELECT vec_id, CAST(i0 AS INTEGER) AS i,
+            CAST(round(CAST(embedding[
+                CAST(((i0 % 64) + 16 * (i0 // 64)) % 64 + 1 AS INTEGER)]
+              AS DOUBLE) * 1e6) AS BIGINT) AS x6
+          FROM embeddings, unnest(range(0, 256)) AS u(i0)
+          WHERE vec_id < 512),
+        m AS (SELECT a.i, b.i AS j, count(*) AS n,
+                CAST(sum(a.x6) AS BIGINT) AS sx, CAST(sum(b.x6) AS BIGINT) AS sy,
+                CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy,
+                CAST(sum(a.x6 * a.x6) AS BIGINT) AS sxx,
+                CAST(sum(b.x6 * b.x6) AS BIGINT) AS syy
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+              WHERE a.i < 4
+              GROUP BY 1, 2)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+               round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov,
+               round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS corr
+        FROM m ORDER BY i, j""",
       // the cov matrix (0-based, symmetrized) + 3 power-iteration rounds
       // unrolled: every matrix-vector/norm fold through round9-scaled
       // longs, iterates rounded to 6 — the trainer's exact arithmetic

@@ -1087,4 +1087,30 @@ object LawsSpec extends Properties("graft") {
       Prop(total == n.toLong && fullOk && wasteOk) :|
         s"total=$total fullOk=$fullOk wasteOk=$wasteOk"
     }
+
+  // ExactProducts: the guarded BIGINT fast path and the decimal(38,0)
+  // reference produce the SAME double for a·b − c·d on moment sums that
+  // straddle the overflow boundary in every combination (products from
+  // ~1e9 up to ~8e18, both signs) — the law that lets the covariance/PCA
+  // family take the fast path without an exactness caveat
+  property("guarded product-difference equals the all-decimal reference") =
+    Prop.forAll(
+      Gen.choose(1L, 3L << 30), Gen.choose(1L, 3L << 30),
+      Gen.choose(1L, 3L << 30), Gen.choose(1L, 3L << 30),
+      Gen.oneOf(1L, -1L), Gen.oneOf(1L, -1L),
+      Gen.choose(0, 3)) { (a0, b0, c0, d0, sa, sc, boost) =>
+      // boost pushes one operand pair past the 2^62 product bound so the
+      // decimal branch is genuinely exercised alongside the long branch
+      val (a, b) = if (boost % 2 == 1) (a0 * sa * 7, b0 * 5) else (a0 * sa, b0)
+      val (c, d) = if (boost >= 2) (c0 * sc * 7, d0 * 5) else (c0 * sc, d0)
+      val df = Seq((a, b, c, d)).toDF("a", "b", "c", "d")
+      val got = df.select(graft.functions.ExactProducts.prodDiffDouble(
+        col("a"), col("b"), col("c"), col("d")).as("v")).head().getDouble(0)
+      val want = df.select(
+        (col("a").cast("decimal(38,0)") * col("b").cast("decimal(38,0)")
+          - col("c").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+          .cast("double").as("v")).head().getDouble(0)
+      Prop(java.lang.Double.compare(got, want) == 0) :|
+        s"a=$a b=$b c=$c d=$d got=$got want=$want"
+    }
 }
