@@ -1,0 +1,197 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity}
+
+/** Empirical scaling curves for the most expensive candidate-generation
+  * paths (near-dup ppJoin, mutual-kNN clustering, paragraph dedup, IVF
+  * search): run each op at 1× and 10× rows and record the wall-time ratio.
+  * A sub-quadratic path shows ≤ ~12× wall at 10× rows; an accidentally
+  * quadratic one shows ~100× — the measurement the plan-shape pins can't
+  * provide. This mirrors the reference's own correctness-at-scale probe
+  * (tests/test_par.cxx:12-40, the 100M-entry stress) for the extension ops.
+  *
+  * The 10× corpus must preserve the 1× corpus's candidate DENSITY, or the
+  * ratio measures the data generator instead of the operator:
+  *
+  *  - Naive replication (10 copies of each doc) creates a 10-clique of
+  *    near-duplicates per original — true pairs grow ~45× and any engine
+  *    looks super-linear.
+  *  - Independent random text changes vocabulary statistics (doc frequency
+  *    drives ppJoin's prefix ordering) and cluster structure.
+  *
+  * So replica k is an ISOMORPHIC DISJOINT SHARD of the original corpus:
+  *
+  *  - documents: every letter Caesar-rotated by k (`translate` over a–z, a
+  *    pure scan-level char map). Token lengths, zipf shape, and per-doc
+  *    token-set relations are preserved exactly within a shard, while a
+  *    rotated word almost never equals a real word from another shard, so
+  *    cross-shard token overlap is negligible — the prefix filter and the
+  *    digest grouping see 10 independent corpora of the original density,
+  *    and true near-dup pairs grow exactly linearly.
+  *  - embeddings: coordinates multiplied by a deterministic per-replica
+  *    ±1 Rademacher mask. Intra-shard dot products and norms are EXACTLY
+  *    preserved (s_i² = 1), so each shard reproduces the original
+  *    neighborhood structure; cross-shard cosines have mean 0 (random
+  *    relative signs), so shards don't manufacture new neighbors.
+  *
+  * The one scale lever a real deployment would turn: LSH bucket count
+  * grows with the corpus (occupancy-constant bucketing — at 100 TB you
+  * size buckets ∝ n, not fix 64 of them). The 10× kNN leg therefore uses
+  * nBits + log2(copies) hyperplane bits (64 → 512 buckets at 10×), keeping
+  * per-bucket occupancy ~constant, which is exactly how the op is meant to
+  * be operated at scale. IVF keeps nCents fixed: with nprobe pruning the
+  * per-query scan is n/nCents·nprobe — already linear in n.
+  */
+object ScaleCurves {
+
+  private val ABC = "abcdefghijklmnopqrstuvwxyz"
+
+  /** `copies` disjoint isomorphic shards of the documents table; replica k
+    * rotates a–z by k and offsets doc_id by k·10⁷.
+    */
+  def amplifyDocs(docs: DataFrame, copies: Int): DataFrame = {
+    require(copies >= 1 && copies <= 26, s"copies in [1,26], got $copies")
+    (0 until copies).map { k =>
+      val rot = ABC.drop(k) + ABC.take(k)
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        translate(col("text"), ABC, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `copies` disjoint isomorphic shards of the embeddings table; replica k
+    * applies a deterministic Rademacher sign mask (splitmix-style bit mix of
+    * (k, i) — reproducible across runs and engines) and offsets vec_id.
+    */
+  def amplifyEmbeddings(emb: DataFrame, copies: Int, dim: Int = 64): DataFrame = {
+    require(copies >= 1, s"copies >= 1, got $copies")
+    (0 until copies).map { k =>
+      val signs: Seq[Float] = (0 until dim).map { i =>
+        var z = k.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+        if (((z >>> 17) & 1L) == 0L) 1.0f else -1.0f
+      }
+      emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        zip_with(col("embedding"), typedlit(signs), (x, s) => x * s).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- the four measured legs: IDENTICAL op parameters to their gates
+  // (PipelineQueries/ExtQueries constants), input swapped for the amplified
+  // shard union. Each returns the DataFrame so the bench can noop-sink it
+  // and probe plan shapes.
+
+  /** q_dedup_ppjoin's op (3-shingles, J ≥ 0.5) over `copies`× documents. */
+  def ppjoinLeg(s: SparkSession, dir: String, copies: Int): DataFrame =
+    Dedup.ppJoin(amplifyDocs(Tables.documents(s, dir), copies),
+      "doc_id", "text", 3, 50)
+
+  /** q_dedup_paragraph's op (12-token blocks) over `copies`× documents. */
+  def paragraphLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    Dedup.paragraphDedup(
+      amplifyDocs(Tables.documents(s, dir), copies).repartition(p, col("doc_id")),
+      "doc_id", "text", 12)
+  }
+
+  /** q_cluster_knn's full chain (LSH top-3 → mutual filter → connected
+    * components → sizes) over `copies`× embeddings, with occupancy-constant
+    * bucketing: nBits = 6 + floor(log2(copies)).
+    */
+  def clusterKnnLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
+    val bits = 6 + (31 - Integer.numberOfLeadingZeros(copies))
+    val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies)
+    val knn = Similarity.lshTopK(emb, "vec_id", "embedding", 3, bits, 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val mutual = knn.join(
+        knn.select(col("query_id").as("neighbor_id"), col("neighbor_id").as("query_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val labels = Dedup.connectedComponents(mutual)
+    val base = emb.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster"))
+    val sizes = base.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    base.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
+  /** q_ann_ivf's op (top-3, 16 centroids, nprobe 2, 10 fixed queries) over
+    * `copies`× embeddings — query count held constant so the ratio isolates
+    * corpus growth; the nprobe-pruned scan is n/nCents·nprobe per query.
+    */
+  def ivfLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
+    val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      3, 16, 2)
+  }
+
+  val legs: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
+    "ppjoin" -> (ppjoinLeg _),
+    "paragraph" -> (paragraphLeg _),
+    "cluster_knn" -> (clusterKnnLeg _),
+    "ivf_search" -> (ivfLeg _))
+
+  /** Standalone quiet-box runner: prints one JSON object with raw samples,
+    * ratios and plan shapes at 1× and 10× (the bench embeds the same
+    * measurement; this exists so the curve can be re-measured alone on a
+    * quiet box without paying for the full suite).
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-curves")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(measureJson(spark, sfDir, samplesPerLeg = 3))
+    spark.stop()
+  }
+
+  /** `{"ppjoin":{"x1":[..],"x10":[..],"ratio":..,"shuffles_x1":..,...},..}` —
+    * ratio = median(10×)/median(1×). Each sample noop-sinks the full plan.
+    */
+  def measureJson(spark: SparkSession, sfDir: String, samplesPerLeg: Int): String = {
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def planCounts(df: DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      ("Exchange".r.findAllIn(p).size - bc - reused, bc)
+    }
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    legs.map { case (name, leg) =>
+      def samples(copies: Int): Seq[Double] = {
+        run(leg(spark, sfDir, copies)) // warm-up (codegen, I/O cache)
+        (0 until samplesPerLeg).map(_ => run(leg(spark, sfDir, copies)))
+      }
+      val x1 = samples(1)
+      val x10 = samples(10)
+      val (sh1, bc1) = planCounts(leg(spark, sfDir, 1))
+      val (sh10, bc10) = planCounts(leg(spark, sfDir, 10))
+      val ratio = median(x10) / median(x1)
+      def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      f""""$name":{"x1":${arr(x1)},"x10":${arr(x10)},"ratio":$ratio%.2f,""" +
+        s""""shuffles_x1":$sh1,"broadcasts_x1":$bc1,""" +
+        s""""shuffles_x10":$sh10,"broadcasts_x10":$bc10}"""
+    }.mkString("{", ",", "}")
+  }
+}
