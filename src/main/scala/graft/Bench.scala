@@ -236,7 +236,7 @@ object Bench {
       "q_search_expand", "q_mine_triplets",
       // dedup variants
       "q_dedup_simhash", "q_dedup_canonical", "q_decontaminate",
-      "q_dedup_lsh_recall",
+      "q_decontaminate_bloom", "q_dedup_lsh_recall",
       // ANN variants
       "q_ann_ivf", "q_ann_pq", "q_ann_mmr", "q_ann_recall",
       // embedding ops

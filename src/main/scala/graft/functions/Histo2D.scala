@@ -60,14 +60,16 @@ object Histo2D {
   * doubles derive from those exact integers through one fixed expression
   * chain, so the result is order-independent across partitions and engines.
   *
-  * The sum of squares is a TWO-LIMB BIGINT accumulation: the per-row square
-  * yu² (a plain long multiply — ANSI mode makes any |yu| > ~3.04e9 input
-  * error loudly rather than wrap) splits into hi = yu² >> 31 and
-  * lo = yu² & (2³¹−1), each summed as a long; the exact total
-  * hi·2³¹ + lo reassembles in decimal(38,0) on the BIN-COUNT-sized result
-  * only. This keeps the data-sized hot path pure codegen'd long arithmetic
-  * (the previous version paid a decimal128 multiply+add per row) while the
-  * final double is the same correctly-rounded conversion of the same exact
+  * The sum of squares is a TWO-LIMB BIGINT accumulation with a per-row
+  * decimal escape hatch: rows with |yu| ≤ floor(√(2⁶³−1)) square as a plain
+  * long multiply split into hi = yu² >> 31 and lo = yu² & (2³¹−1), each
+  * summed as a long; rows beyond that bound (profile outliers — |y| past
+  * ~3.04e9/unit) square in decimal(38,0) per row and sum separately, so NO
+  * input range errors or wraps. The exact total hi·2³¹ + lo + big
+  * reassembles in decimal(38,0) on the BIN-COUNT-sized result only. This
+  * keeps the data-sized hot path pure codegen'd long arithmetic (the
+  * previous version paid a decimal128 multiply+add per row) while the final
+  * double is the same correctly-rounded conversion of the same exact
   * integer. Headroom: lo-sums wrap past 2^32 rows/bin and hi-sums past
   * ~2^30·(3e9/max|yu|)² rows/bin — both error loudly under ANSI, never
   * silently. Fully codegen'd, map-side partials, spillable — the 100 TB
@@ -75,6 +77,11 @@ object Histo2D {
   * nbins.
   */
 object ProfileHisto {
+
+  /** floor(√(2⁶³−1)) — the largest |yu| whose square fits a long; rows
+    * beyond it take the per-row decimal square branch
+    */
+  private val SQUARE_BOUND = 3037000499L
 
   def apply(
       df: DataFrame, x: Column, y: Column, nbins: Int, lo: Double, hi: Double,
@@ -89,16 +96,25 @@ object ProfileHisto {
       .agg(
         count(lit(1)).as("n_fills"),
         sum(yu).as("__sy"),
-        // two-limb long accumulation of Σ yu² (see scaladoc): yu² ≥ 0, so
-        // the arithmetic shift and mask split it exactly; ANSI errors
-        // loudly on any |yu| > ~3.04e9 input instead of wrapping
-        sum(shiftright(yu * yu, 31)).as("__syy_hi"),
-        sum((yu * yu).bitwiseAND(lit((1L << 31) - 1))).as("__syy_lo"))
+        // two-limb long accumulation of Σ yu² (see scaladoc) for the rows
+        // whose square fits a long (|yu| ≤ floor(√(2⁶³−1))): yu² ≥ 0, so the
+        // arithmetic shift and mask split it exactly. CaseWhen evaluates
+        // only the taken branch, so the guarded multiply cannot ANSI-throw.
+        sum(when(abs(yu) <= SQUARE_BOUND, shiftright(yu * yu, 31))
+          .otherwise(lit(0L))).as("__syy_hi"),
+        sum(when(abs(yu) <= SQUARE_BOUND, (yu * yu).bitwiseAND(lit((1L << 31) - 1)))
+          .otherwise(lit(0L))).as("__syy_lo"),
+        // out-of-bound rows (|y| beyond ~3.04e9/unit — profile outliers)
+        // square in decimal(38,0) per row; typical data never takes this
+        // branch, so the hot path stays pure long arithmetic
+        sum(when(abs(yu) > SQUARE_BOUND,
+            yu.cast("decimal(19,0)") * yu.cast("decimal(19,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__syy_big"))
       // exact reassembly on the bin-count-sized frame only; decimal →
       // double is the same correctly-rounded conversion as before
       .withColumn("__syy",
         (col("__syy_hi").cast("decimal(38,0)") * lit(1L << 31)
-          + col("__syy_lo")).cast("double"))
+          + col("__syy_lo") + col("__syy_big")).cast("double"))
       .select(
         col("bin"), col("n_fills"),
         (col("__sy").cast("double") / col("n_fills").cast("double") / unit)

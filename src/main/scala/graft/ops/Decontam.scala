@@ -96,6 +96,61 @@ object Decontam {
         when(col("n_grams") > 0 && frac >= threshold, 1L).otherwise(0L))
   }
 
+  /** [[flags]] for the held-out side too large to broadcast — decontaminating
+    * against a PRIOR TRAINING CORPUS or a big benchmark suite rather than a
+    * megabytes-sized eval set. The broadcast gram probe of [[flags]] stops
+    * working there; the naive alternative (shuffle-join all corpus grams
+    * against all held grams) moves ~n grams per corpus doc through the wire —
+    * the dominant cost at 100 TB.
+    *
+    * Shape: a Bloom filter over xxhash64 of the held grams (bits ∝
+    * `expectedGrams`, built once with one pass over the held side) rides the
+    * corpus scan as a codegen'd [[graft.functions.BloomMightContain]] probe
+    * and drops non-matching grams BEFORE any shuffle; only the survivors —
+    * true hits + the `fpp` false-positive slice — reach the exact string
+    * verify join (which AQE sizes at runtime; with tiny survivors it
+    * broadcasts THEM). The verify is on the gram STRING, not its hash, so
+    * the result is bit-exactly [[flags]]' output: the Bloom pass can only
+    * let extra candidates through, never drop a true hit, and the verify
+    * removes every false positive.
+    */
+  def flagsBloomed(
+      corpus: DataFrame, idCol: String, textCol: String,
+      heldout: DataFrame, heldTextCol: String, n: Int,
+      expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+    val heldDigests = heldout.select(md5(col(heldTextCol)).as("__digest")).distinct()
+    // read twice (bloom build action + verify join) — pin so the held-side
+    // tokenize/explode/distinct runs once; the bloom build's job
+    // materializes the lazy checkpoint
+    val heldGrams = heldout
+      .withColumn("__toks", tokens(col(heldTextCol)))
+      .select(explode(shingles("__toks", n)).as("__g")).distinct()
+      .localCheckpoint(false)
+    val bloom = heldGrams.select(xxhash64(col("__g")).as("__gh"))
+      .stat.bloomFilter("__gh", expectedGrams, fpp)
+    val gramHits = corpus
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shingles("__toks", n)).as("__g"))
+      .filter(graft.functions.BloomExprs.mightContain(xxhash64(col("__g")), bloom))
+      .join(heldGrams, Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__ng", lit(1))
+    val aqeOn = corpus.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    val hits = if (aqeOn) gramHits else broadcast(gramHits)
+    corpus
+      .withColumn("__d", md5(col(textCol)))
+      .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
+        col("__d") === col("__digest"), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__ex"), lit(0)).as("exact_hit"),
+        coalesce(col("__ng"), lit(0)).as("ngram_hit"))
+      .withColumn("kept",
+        when(col("exact_hit") === 0 && col("ngram_hit") === 0, 1).otherwise(0))
+  }
+
   /** The filtering form: corpus minus contaminated docs. */
   def clean(
       corpus: DataFrame, idCol: String, textCol: String,

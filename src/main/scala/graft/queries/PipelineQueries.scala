@@ -1071,6 +1071,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the same decontamination when the held-out side is TOO LARGE TO
+    // BROADCAST (a prior training corpus, a full benchmark suite): a Bloom
+    // filter over held-gram hashes rides the corpus scan codegen'd and drops
+    // non-candidate grams before any shuffle; survivors (true hits + the fpp
+    // slice) get an exact string verify, so the output is bit-identical to
+    // q_decontaminate — shared oracle. fpp deliberately loose (5%) so the
+    // false-positive path is genuinely exercised at gate scale.
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val held = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Decontam.flagsBloomed(corpus, "doc_id", "text", held, "text", 5,
+        expectedGrams = 20000L, fpp = 0.05)
+        .orderBy(col("doc_id"))
+    },
+
     // graded train/test-overlap MEASUREMENT (the model-card contamination
     // statistic, vs q_decontaminate's binary rule): per doc, the fraction
     // of its distinct 5-grams found anywhere in the held-out set —
@@ -1881,7 +1897,7 @@ object PipelineQueries {
                  / (count(*) * 1000000.0), 6) AS avg_logp,
                round(min(logp), 6) AS min_logp
         FROM sc0 GROUP BY doc_id ORDER BY doc_id"""
-    Map(
+    val base = Map(
       "q_text_stats" -> s"""
         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
                len(list_distinct(toks))::BIGINT AS n_unique,
@@ -3037,5 +3053,9 @@ object PipelineQueries {
         SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rank
         FROM fr WHERE rank <= $HYBRID_TOPK ORDER BY query_id, rank"""
     )
+    // the Bloom-prefiltered gate is result-identical to the broadcast form
+    // by construction (exact string verify after the probabilistic prefilter),
+    // so it shares q_decontaminate's oracle verbatim
+    base + ("q_decontaminate_bloom" -> base("q_decontaminate"))
   }
 }
