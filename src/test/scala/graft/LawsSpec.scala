@@ -180,6 +180,29 @@ object LawsSpec extends Properties("graft") {
         clean.count() == kept
     }
 
+  property("Bloom-prefiltered decontamination equals the broadcast form at any fpp") =
+    Prop.forAll(Gen.choose(9, 60), Gen.choose(2, 10),
+      Gen.oneOf(0.01, 0.05, 0.3)) { (n, mod, fpp) =>
+      // same corpus construction as the flags law; the Bloom pass may only
+      // ADD candidates (its false positives), which the exact string verify
+      // must remove — so the two forms must agree row-for-row even at a
+      // deliberately terrible fpp. expectedGrams deliberately UNDERSIZED
+      // (raising the real FP rate further) to stress the verify.
+      val docs = (0 until n).map { i =>
+        val leak = if (i % 3 == 0) " one two three four five" else s" u$i v$i w$i x$i y$i"
+        (i.toLong, s"alpha beta gamma$leak tail$i")
+      }.toDF("doc_id", "text")
+      val held = docs.filter(col("doc_id") % mod === 0)
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      val exact = graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+        .collect().map(_.toString).sorted.toSeq
+      val bloomed = graft.ops.Decontam.flagsBloomed(
+          corpus, "doc_id", "text", held, "text", 5,
+          expectedGrams = 8L, fpp = fpp)
+        .collect().map(_.toString).sorted.toSeq
+      exact == bloomed
+    }
+
   // The driver gate now checks the sketch LAWS exactly (q_approx_sketch
   // emits exact values + in-query pass flags DuckDB asserts). Keep the
   // deeper local pin on the RAW sketch values — true-rank verification the
