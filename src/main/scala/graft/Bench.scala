@@ -242,7 +242,8 @@ object Bench {
       // embedding ops
       "q_embed_centroids", "q_embed_neardup", "q_embed_pca_apply",
       // sampling / splits / ordering
-      "q_sample_stratified", "q_sample_mixture", "q_split", "q_train_order",
+      "q_sample_stratified", "q_sample_mixture", "q_sample_epochs", "q_split",
+      "q_train_order",
       // multimodal
       "q_multimodal", "q_dedup_multimodal",
       // data quality / profiling

@@ -272,6 +272,56 @@ object Splits {
         lit(1000000L)) < thresholdCol)
   }
 
+  /** Deterministic fractional-epoch UPSAMPLING — the other half of the
+    * data-mixing recipe ([[sampleMixture]] only downsamples): repeat each
+    * domain e_d times where e_d may be fractional ("books × 2.4, code × 1.0,
+    * web × 0.5"), the multi-epoch weighting pretraining recipes use when a
+    * high-quality domain is too small for its target share. Every row of
+    * domain d appears floor(e_d) times (epoch 0..floor−1), plus once more at
+    * epoch floor(e_d) iff its md5 hash lands in the fractional slice
+    * (hash ppm < frac(e_d)·10⁶ — e_d quantized to ppm once, so the
+    * arithmetic is integer end to end and the output MULTISET is a
+    * deterministic function of (key, domain), bit-reproducible across
+    * engines and partitionings). e_d < 1 degenerates to pure hash-rate
+    * downsampling (a fractional epoch 0 — consistent with [[sampleMixture]]'s
+    * ppm convention); domains outside `epochs` are dropped.
+    *
+    * 100 TB: ZERO shuffle — one scan-level sequence-explode of exactly
+    * n_copies elements per row (rows with zero copies are filtered before
+    * the explode, so the sequence bounds are always valid); output size is
+    * Σ e_d·n_d by construction. Feed the result to [[trainingOrder]] with
+    * the epoch column in the key to interleave copies far apart.
+    */
+  def upsampleEpochs(
+      df: DataFrame, domainCol: String, keyCol: String,
+      epochs: Seq[(String, Double)], epochCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty && epochs.forall(e => e._2 > 0.0 && e._2 <= 1000.0),
+      s"epoch weights must be in (0, 1000], got $epochs")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"duplicate domain in $epochs")
+    // quantize once: e_d → (full epochs, fractional ppm)
+    val parts = epochs.map { case (d, e) =>
+      val ppm = math.round(e * 1e6)
+      (d, ppm / 1000000L, ppm % 1000000L)
+    }
+    val full = parts.foldRight(lit(0L)) { case ((d, k, _), rest) =>
+      when(col(domainCol) === d, lit(k)).otherwise(rest)
+    }
+    val fracPpm = parts.foldRight(lit(0L)) { case ((d, _, f), rest) =>
+      when(col(domainCol) === d, lit(f)).otherwise(rest)
+    }
+    val hashPpm = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+    df.filter(col(domainCol).isin(epochs.map(_._1): _*))
+      .withColumn("__n_copies",
+        full + when(hashPpm < fracPpm, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n_copies") > 0)
+      .withColumn(epochCol,
+        explode(sequence(lit(0L), col("__n_copies") - 1, lit(1L))))
+      .drop("__n_copies")
+  }
+
   /** Deterministic token-budget fill — select documents per domain until a
     * token (or char) budget is reached, the "give me 50 B tokens of web and
     * 20 B of code" selection step. Documents are taken in md5-hash order (a

@@ -546,6 +546,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // fractional-epoch upsampling (the LLaMA-recipe "books × 2.4" weighting,
+    // the inverse of q_sample_mixture's downsampling): en appears 2.4× (2
+    // full epochs + the md5-lowest 40% a third time), de 1.0×, fr 0.5×
+    // (pure fractional epoch 0); zh/es dropped. Zero shuffle — scan-level
+    // sequence-explode of exactly n_copies per row.
+    "q_sample_epochs" -> { (s, dir) =>
+      Splits.upsampleEpochs(Tables.documents(s, dir), "lang", "doc_id",
+        Seq("en" -> 2.4, "de" -> 1.0, "fr" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // token-budget fill: 3002 chars per language, spread over 4 md5 shards
     // (shards 0,1 get the remainder unit) — docs taken in hash order while
     // the domain-shard budget is unexhausted at their start
@@ -2507,6 +2519,19 @@ object PipelineQueries {
         SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
         ORDER BY d.doc_id""",
+      // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
+      // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
+      // its md5 ppm lands under the fractional threshold
+      "q_sample_epochs" -> s"""
+        WITH e(domain, fullk, fppm) AS
+          (VALUES ('en', 2, 400000), ('de', 1, 0), ('fr', 0, 500000)),
+        d AS (SELECT doc_id, lang,
+                fullk + CASE WHEN ${hash32Sql("CAST(doc_id AS VARCHAR)")}
+                  % 1000000 < fppm THEN 1 ELSE 0 END AS n
+              FROM documents JOIN e ON lang = e.domain)
+        SELECT doc_id, lang, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+        FROM d WHERE n > 0
+        ORDER BY doc_id, epoch""",
       // budget 3002 over 4 shards: floor 750 per shard, shards 0,1 take the
       // remainder unit; a doc is in iff its shard budget is unexhausted at
       // its start_off (belongs-where-it-starts, as q_pack_sequences)

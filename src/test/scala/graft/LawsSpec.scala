@@ -180,6 +180,31 @@ object LawsSpec extends Properties("graft") {
         clean.count() == kept
     }
 
+  property("fractional-epoch upsampling emits exactly floor(e)+frac-indicator copies") =
+    Prop.forAll(Gen.choose(5, 40), Gen.choose(1L, 3999L)) { (n, ppmK) =>
+      // e in (0.001, 4.0) quantized to ppm — brute-compute each key's copy
+      // count with the same md5-ppm convention and compare multisets
+      val e = ppmK / 1000.0
+      val docs = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "dom")
+      val got = graft.ops.Splits.upsampleEpochs(docs, "dom", "id", Seq("a" -> e))
+        .groupBy(col("id")).agg(
+          count(lit(1)).as("copies"),
+          min(col("epoch")).as("emin"),
+          max(col("epoch")).as("emax"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val ppm = math.round(e * 1e6)
+      val expected = (0 until n).collect { case i if i % 2 == 0 =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).take(8), 16)
+        val copies = ppm / 1000000L + (if (h % 1000000L < ppm % 1000000L) 1L else 0L)
+        (i.toLong, copies)
+      }.filter(_._2 > 0)
+        .map { case (id, c) => (id, c, 0L, c - 1) }.toSeq
+      got == expected
+    }
+
   property("Bloom-prefiltered decontamination equals the broadcast form at any fpp") =
     Prop.forAll(Gen.choose(9, 60), Gen.choose(2, 10),
       Gen.oneOf(0.01, 0.05, 0.3)) { (n, mod, fpp) =>
