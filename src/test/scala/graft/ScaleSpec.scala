@@ -54,6 +54,21 @@ class ScaleSpec extends AnyFunSuite {
       s"corpus must not sort-merge against the tiny held-out set:\n$plan")
   }
 
+  test("Bloom decontamination probe is codegen'd into the gram scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val held = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val f = graft.ops.Decontam.flagsBloomed(
+      corpus, "doc_id", "text", held, "text", 5, expectedGrams = 20000L)
+    val plan = f.queryExecution.executedPlan.toString
+    // the probe must ride the corpus gram scan as the native expression
+    // (dropping non-candidates BEFORE the verify join's shuffle), not a UDF
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"gram prefilter must be the codegen'd Bloom expression:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"no UDF may carry the probe:\n$plan")
+  }
+
   test("streaming decontamination gram probe is a hash-set probe, not a list scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val held = docs.filter($"doc_id" % 97 === 0)
@@ -170,6 +185,13 @@ class ScaleSpec extends AnyFunSuite {
       Seq("en" -> 40, "de" -> 20, "es" -> 20, "fr" -> 20))
     assert(!mix.queryExecution.executedPlan.toString.contains("Exchange"),
       "mixture sample must be scan-level (no shuffle)")
+    // fractional-epoch upsampling: pure scan-level — the copy count and the
+    // sequence-explode both ride the scan, zero exchanges at any corpus size
+    val ups = graft.ops.Splits.upsampleEpochs(
+      Tables.documents(spark, dir), "lang", "doc_id",
+      Seq("en" -> 2.4, "de" -> 1.0, "fr" -> 0.5))
+    assert(!ups.queryExecution.executedPlan.toString.contains("Exchange"),
+      "epoch upsampling must be scan-level (no shuffle)")
     // token-budget fill: one shuffle on (domain, shard) — sharding keeps a
     // few-domain corpus parallel instead of one window task per domain
     val budg = graft.ops.Splits.takeTokenBudget(
