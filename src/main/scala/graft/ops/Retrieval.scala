@@ -148,18 +148,34 @@ object Retrieval {
       stats: DataFrame, qterms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): DataFrame = {
-    val matched = stats.join(broadcast(qterms), Seq("tok"))
-    val pruned =
-      if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
-      else matched
     val avgdl = col("sumdl") / col("n_docs").cast("double")
     val tfn = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    // the per-(tok, doc) contribution depends ONLY on stats-side columns, so
+    // it is computed ON THE STATS TABLE — once per stats row — not after the
+    // query join. A projection alone is NOT enough: Catalyst collapses it
+    // past the join and re-evaluates the round chain (3 BigDecimal
+    // allocations per call) once per MATCHED row. With many-term queries
+    // (doc-as-query negative mining: Q queries × df matches per token) the
+    // matched stream is orders of magnitude bigger than the stats table
+    // (42M vs 116k at sf0.1), so the lazy localCheckpoint barrier below
+    // pins the evaluation at stats cardinality — measured 43 s → 16 s for
+    // the q_mine_triplets scoring pass, bit-identical values (same
+    // expression over the same rows). Partition-distributed, no driver
+    // collect; callers inside foreachBatch score against a STATIC stats
+    // frame, so the barrier is legal there too.
+    val scored = stats.withColumn("__c6",
+      round(round(idf6 * tfn, 6) * lit(1e6)).cast("long"))
+      .select(col("tok"), col("doc_id"), col("__c6"))
+      .localCheckpoint(false)
+    val matched = scored.join(broadcast(qterms), Seq("tok"))
+    val pruned =
+      if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
+      else matched
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col("doc_id").asc)
     pruned
-      .withColumn("__c6", round(round(idf6 * tfn, 6) * lit(1e6)).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__c6")).as("__s"), count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w))

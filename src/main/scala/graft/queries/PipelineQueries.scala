@@ -746,8 +746,14 @@ object PipelineQueries {
     // consumes. Anchors with no near-dup positive drop (no pair to learn).
     "q_mine_triplets" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // pair-sized pin: the verified near-dup edge list feeds FOUR plan
+      // branches below (positive pick, anchor set, negative anti-join, final
+      // join) — unpinned, the whole LSH verify chain re-executes per branch
+      // and again in the final sort's sampling pass (measured 47 s vs ~4 s
+      // at sf0.1). One lazy checkpoint computes it once.
       val dups = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
         .filter(col("jaccard") >= 0.2)
+        .localCheckpoint(false)
       val dupBoth = dups.select(col("id_a"), col("id_b"), col("jaccard"))
         .unionByName(dups.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
           col("jaccard")))
@@ -764,11 +770,15 @@ object PipelineQueries {
         qdocs, "doc_id", "text", BM25_TOPK, excludeSelf = true)
       val wn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("rank").asc)
+      // (anchors × k)-sized pin: the BM25 scoring pass over every anchor is
+      // the dominant cost and would otherwise run twice more — once for the
+      // final join, once for the sort's range-sampling pass
       val negs = hits.join(dupBoth.select(col("id_a"), col("id_b")),
           hits("query_id") === dupBoth("id_a") && hits("doc_id") === dupBoth("id_b"),
           "left_anti")
         .withColumn("neg_rank", row_number().over(wn))
         .select(col("query_id"), col("doc_id").as("neg_id"), col("neg_rank"))
+        .localCheckpoint(false)
       negs.join(pos, Seq("query_id"))
         .select(col("query_id"), col("pos_id"), col("pos_jaccard"),
           col("neg_id"), col("neg_rank"))
@@ -1336,11 +1346,15 @@ object PipelineQueries {
     // its fingerprints are boilerplate. Same scan-level fingerprint
     // extraction as the winnow dedup family, then fp-df-sized joins only.
     "q_text_boilerplate" -> { (s, dir) =>
+      // two-step binding (gram hashes projected to their own column before
+      // winnowSelect) — the single-expression winnowedFingerprints form
+      // re-hashes the whole gram array per window (O(len²) md5/row; this
+      // exact gate measured 106 s vs 3 s at sf0.1 before the rebinding)
       val fps = Tables.documentsParallel(s, dir)
         .filter(length(col("text")) >= WINNOW_K)
+        .withColumn("__hs", TextOps.gramHashes(col("text"), WINNOW_K))
         .select(col("doc_id"),
-          explode(TextOps.winnowedFingerprints(col("text"), WINNOW_K, WINNOW_W))
-            .as("fp"))
+          explode(TextOps.winnowSelect(col("__hs"), WINNOW_W)).as("fp"))
         .distinct()
       val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
       fps.join(dfc, Seq("fp"))

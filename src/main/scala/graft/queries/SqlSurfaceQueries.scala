@@ -220,19 +220,28 @@ object SqlSurfaceQueries {
     // target rsd; approx_percentile(accuracy=1000) guarantees rank error
     // <= n/1000, checked as the exact 0.494..0.506 quantile band (6×).
     "q_approx_sketch" -> { (s, dir) =>
-      Tables.lineitem(s, dir).agg(
+      // two 1-row aggs instead of one: countDistinct next to the percentile
+      // buffers forces an Expand that streams every row through the exact
+      // buffers TWICE, and three separate `percentile` calls each collect
+      // the full column — one multi-quantile buffer + a separate distinct
+      // agg is the same exact math at a third of the buffer traffic
+      // (12.8 s → ~4 s at sf0.1)
+      val li = Tables.lineitem(s, dir)
+      val pcts = li.agg(
+        percentile(col("l_extendedprice"),
+          array(lit(0.494), lit(0.5), lit(0.506))).as("__p"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__amed"))
+      val parts = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("__apx"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__amed"),
-        percentile(col("l_extendedprice"), lit(0.494)).as("__lo"),
-        percentile(col("l_extendedprice"), lit(0.506)).as("__hi"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("__apx"))
+      parts.crossJoin(pcts)
         .select(
           col("exact_parts"),
           (abs(col("__apx") - col("exact_parts")) / col("exact_parts") <= 0.05)
             .cast("int").as("approx_parts_ok"),
-          col("exact_median"),
-          (col("__amed") >= col("__lo") && col("__amed") <= col("__hi"))
+          element_at(col("__p"), 2).as("exact_median"),
+          (col("__amed") >= element_at(col("__p"), 1) &&
+            col("__amed") <= element_at(col("__p"), 3))
             .cast("int").as("approx_median_ok"))
     },
 
