@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Retrieval, Splits, TextOps}
+import graft.ops.{Dedup, Retrieval, Selection, Splits, TextOps}
 
 /** Training-data pipeline queries over `documents`: text analysis and the
   * dedup family. Oracles replicate each deterministic computation (md5-based
@@ -39,6 +39,8 @@ object PipelineQueries {
   private val ZIPF_RANKS = 200  // rank-frequency points in the Zipf fit
   private val BOILER_DF = 10    // winnow-fp doc frequency that marks boilerplate
   private val BPE_MERGES = 3    // BPE training rounds in the gate
+  private val DSIR_B = 256      // DSIR hashed-feature buckets
+  private val DSIR_K = 100      // DSIR resampled subset size
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -87,6 +89,29 @@ object PipelineQueries {
         br AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY s DESC, doc_id) AS rank FROM ba)"""
   private def hash32Sql(x: String) = s"CAST(('0x' || substring(md5($x),1,8)) AS BIGINT)"
+  // DSIR scoring chain (mirrors ops/Selection.scala): unigram+bigram gram
+  // stream → md5 hash into DSIR_B buckets → add-1-smoothed target/raw
+  // log-ratio table → per-doc exact scaled-long weight
+  private def dsirScSql = s"""
+        dd AS (SELECT doc_id, lang, $toksSql AS t
+               FROM documents WHERE length(trim(text)) > 0),
+        dg AS (SELECT doc_id, lang, unnest(list_concat(t,
+                 CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1]) ELSE CAST([] AS VARCHAR[]) END)) AS gram
+               FROM dd),
+        dbk AS (SELECT doc_id, lang, ${hash32Sql("gram")} % $DSIR_B AS bucket FROM dg),
+        ddist AS (SELECT bucket,
+                    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+                    count(*) AS n_a
+                  FROM dbk GROUP BY bucket),
+        dtot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                   count(*) AS na FROM dbk),
+        dlr AS (SELECT bucket, CAST(round(round(
+                  ln((n_t + 1.0) / (nt + $DSIR_B)) -
+                  ln((n_a + 1.0) / (na + $DSIR_B)), 6) * 1e6) AS BIGINT) AS lr6
+                FROM ddist, dtot),
+        dsc AS (SELECT doc_id, count(*) AS n_grams, sum(lr6) AS s6
+                FROM dbk JOIN dlr USING (bucket) GROUP BY doc_id)"""
   private val shinglesSql =
     s"""list_distinct(list_transform(range(1, greatest(len(toks)-${NGRAM - 1},0)+1),
         i -> array_to_string(toks[i:i+${NGRAM - 1}], ' ')))"""
@@ -565,6 +590,27 @@ object PipelineQueries {
       Splits.takeTokenBudget(
         Tables.documents(s, dir), "lang", "doc_id", "n_chars", 3002L, 4)
         .select(col("doc_id"), col("lang"), col("shard"), col("start_off"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-n-gram importance
+    // weights against the lang=en target, then a DETERMINISTIC Gumbel-top-k
+    // pick — a true weighted sample without replacement whose noise derives
+    // from md5 of the doc id, which is what makes a sampled selection
+    // oracle-checkable at all
+    "q_select_dsir" -> { (s, dir) =>
+      Selection.dsirResample(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", DSIR_B, DSIR_K)
+        .orderBy(col("rank"))
+    },
+
+    // the full DSIR importance-weight table (every doc scored against the
+    // lang=en target, exact scaled-long sums) — the artifact the resample
+    // consumes and a reusable domain-relevance quality signal
+    "q_select_dsir_scores" -> { (s, dir) =>
+      Selection.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", DSIR_B)
+        .select(col("doc_id"), col("n_grams"), col("logw"))
         .orderBy(col("doc_id"))
     },
 
@@ -2533,6 +2579,26 @@ object PipelineQueries {
         SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
         ORDER BY d.doc_id""",
+      // DSIR: weight table over every doc (exact scaled-long sums)
+      "q_select_dsir_scores" -> s"""
+        WITH $dsirScSql
+        SELECT doc_id, n_grams, round(s6 / 1e6, 6) AS logw
+        FROM dsc ORDER BY doc_id""",
+      // DSIR Gumbel-top-k resample: key = s6 + round6(-ln(-ln(u)))·1e6 with
+      // u the md5-ppm uniform of 'dsir:<doc_id>' — the Gumbel-max trick with
+      // engine-reproducible noise
+      "q_select_dsir" -> s"""
+        WITH $dsirScSql,
+        dsel AS (SELECT doc_id, n_grams, s6, s6 + CAST(round(-ln(-ln(
+                   (${hash32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
+                     % 1000000 + 0.5) / 1e6)) * 1e6) AS BIGINT) AS k6
+                 FROM dsc),
+        dr AS (SELECT doc_id, n_grams, round(s6 / 1e6, 6) AS logw,
+                 round(k6 / 1e6, 6) AS "key",
+                 row_number() OVER (ORDER BY k6 DESC, doc_id) AS "rank"
+               FROM dsel)
+        SELECT doc_id, n_grams, logw, "key", "rank" FROM dr
+        WHERE "rank" <= $DSIR_K ORDER BY "rank"""",
       // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
       // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
       // its md5 ppm lands under the fractional threshold

@@ -1817,4 +1817,39 @@ class OpsSpec extends AnyFunSuite {
         s"user $u newest-event mismatch")
     }
   }
+
+  test("DSIR: bucket table is bounded, target docs are upweighted, top-k plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isTarget = $"lang" === "en"
+    val B = 64
+    // state bound: the fitted artifact never exceeds the bucket space
+    val tbl = graft.ops.Selection.dsirBucketTable(docs, "doc_id", "text", isTarget, B)
+    assert(tbl.count() <= B)
+    // the selection signal points the right way: target-language docs score
+    // a higher mean importance weight than the rest (that is the whole point
+    // of importance resampling toward a target domain)
+    val scored = graft.ops.Selection
+      .dsirScores(docs, "doc_id", "text", isTarget, B)
+      .join(docs.select($"doc_id", isTarget.as("is_t")), Seq("doc_id"))
+    val Array(tMean, oMean) = scored.groupBy($"is_t")
+      .agg(avg($"logw").as("m")).orderBy($"is_t".desc)
+      .collect().map(_.getDouble(1))
+    assert(tMean > oMean,
+      s"target mean logw $tMean should exceed non-target $oMean")
+    // resample: exactly k rows, ranks 1..k, and the global ordering step
+    // plans as TakeOrderedAndProject (per-partition heaps), never a full
+    // corpus sort — the unpartitioned rank window runs on k rows post-limit
+    val sel = graft.ops.Selection
+      .dsirResample(docs, "doc_id", "text", isTarget, B, 25)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val ranks = sel.select($"rank").as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 25))
+    // deterministic: same inputs, same picks, twice
+    val a = sel.select($"doc_id", $"key").collect().toSeq
+    val b = graft.ops.Selection
+      .dsirResample(docs, "doc_id", "text", isTarget, B, 25)
+      .select($"doc_id", $"key").collect().toSeq
+    assert(a == b)
+  }
 }
