@@ -61,9 +61,17 @@ object Selection {
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
     val g = docBuckets(docs, idCol, textCol, isTarget, buckets)
-    val dist = g.groupBy(col("bucket")).agg(
+    val observed = g.groupBy(col("bucket")).agg(
       sum(col("is_t")).cast("long").as("n_target"),
       count(lit(1)).as("n_all"))
+    // DENSE over the full bucket space: a bucket unseen in the fit corpus
+    // still gets its add-1-smoothed log-ratio, so scoring LATER data (the
+    // serving/streaming path) is defined for any input — zero-count rows
+    // fall out of the same formula
+    val dist = docs.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(observed, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_target", "n_all"))
     val tot = g.agg(
       sum(col("is_t")).cast("long").as("__Nt"),
       count(lit(1)).as("__Na"))
@@ -100,6 +108,104 @@ object Selection {
       .agg(count(lit(1)).as("n_grams"), sum(col("lr6")).as("__s6"))
       .withColumn("logw", round(col("__s6").cast("double") / 1e6, 6))
       .select(col("doc_id"), col("n_grams"), col("logw"), col("__s6"))
+  }
+
+  /** CCNet-style per-language HEAD/MIDDLE/TAIL quality buckets (Wenzek et
+    * al. 2020, arXiv:1911.00359): each document is scored by its mean
+    * bigram log-probability under ITS OWN language's corpus statistics
+    * (low perplexity = typical, clean text), then each language splits at
+    * its own tercile cutpoints — head = the most LM-typical third, the
+    * slice CCNet keeps for pretraining. The per-language conditioning is
+    * the point: a fluent-German doc must not land in `tail` because the
+    * corpus is mostly English.
+    *
+    * Exactness: per-bigram log-probs round to 6 decimals and per-doc means
+    * use exact scaled-long sums ([[TextOps.unigramLogProb]] discipline);
+    * cutpoints are SQL-standard `percentile_disc` values (existing scores,
+    * no interpolation) compared with broadcast membership — the RFM-segment
+    * pattern, grouped per language so the cutpoint pass parallelizes across
+    * languages. Docs with < 2 tokens drop (no bigrams).
+    *
+    * Shape at 100 TB: bigram extraction is scan-level; counts shuffle on
+    * (lang, bigram) — bigram-vocab-sized, never assumed broadcastable; the
+    * per-doc mean is one doc-keyed aggregation; the cutpoint aggregate
+    * buffers per-language score lists (the accepted RFM trade — if a single
+    * language's corpus outgrows one task's memory, the bucket-bracketed
+    * [[Quantiles]] machinery per language is the upgrade path) and
+    * broadcasts back a |langs|-row table.
+    */
+  def ccnetBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = base.select(col("doc_id"), col("lang"),
+      explode(TextOps.shinglesAll(col("toks"), 2)).as("bg"))
+    val withW1 = bg.withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cnt2 = withW1.groupBy(col("lang"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("n2"))
+    // n(lang, w1·) derived from the bigram table itself (position-specific
+    // marginal, the PMI convention) — no second corpus pass
+    val cnt1 = cnt2.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("n2")).as("n1"))
+    val lp = cnt2.join(cnt1, Seq("lang", "w1"))
+      .withColumn("lp6", round(round(
+        log10(col("n2").cast("double") / col("n1").cast("double")), 6) * 1e6)
+        .cast("long"))
+      .select(col("lang"), col("bg"), col("lp6"))
+    val scored = withW1.join(lp, Seq("lang", "bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("__s6"))
+      .withColumn("avg_logp", round(
+        col("__s6").cast("double") / (col("n_bigrams") * lit(1e6)), 6))
+    val cuts = scored.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_logp)")
+        .as("c_lo"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_logp)")
+        .as("c_hi"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("c_hi"), lit("head"))
+          .when(col("avg_logp") >= col("c_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_logp"),
+        col("bucket"))
+  }
+
+  /** Driver-side fetch of the fitted artifact as a dense lr6 array — a
+    * BOUNDED collect (exactly `buckets` rows, the centroid/model-literal
+    * convention; never corpus-sized). The array feeds the scan-level
+    * serving form below.
+    */
+  def dsirLr6Array(bucketTable: DataFrame, buckets: Int): Array[Long] = {
+    val arr = Array.fill[Long](buckets)(0L)
+    bucketTable
+      .select(col("bucket"), round(col("logr") * 1e6).cast("long").as("lr6"))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** SCAN-LEVEL scoring against a literal lr6 array — the streaming/online
+    * serving form: the whole per-doc weight is one codegen'd expression
+    * chain (hash → bucket → literal-array lookup → long fold), no join, no
+    * shuffle, no state — safe on an unbounded stream. Bit-identical to the
+    * join form on the same artifact (same rounded longs, same grams); docs
+    * with no grams drop, matching [[dsirScoresAgainst]]'s inner join.
+    */
+  def dsirScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      lr6: Array[Long], buckets: Int): DataFrame = {
+    val lrLit = array(lr6.map(lit(_)): _*)
+    docs
+      .withColumn("__g", gramStream(col(textCol)))
+      .withColumn("__s6", aggregate(col("__g"), lit(0L), (acc, g) =>
+        acc + element_at(lrLit,
+          (TextOps.hash32(g) % buckets).cast("int") + lit(1))))
+      .withColumn("n_grams", size(col("__g")).cast("long"))
+      .filter(col("n_grams") > 0)
+      .withColumn("logw", round(col("__s6").cast("double") / 1e6, 6))
+      .select(col(idCol).as("doc_id"), col("n_grams"), col("logw"))
   }
 
   /** Gumbel-top-k importance RESAMPLING — the paper's sampling step, made

@@ -614,6 +614,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet head/middle/tail buckets: per-language bigram-LM perplexity
+    // terciles (each doc scored under its OWN language's statistics) — the
+    // classic "keep the LM-typical third" pretraining selection step
+    "q_select_ccnet" -> { (s, dir) =>
+      Selection.ccnetBuckets(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    },
+
+    // streaming DSIR serving: arriving docs scored scan-level against the
+    // pre-fitted bucket artifact (stateless stream-static, no join/state);
+    // equals the batch weight table for any batching → shares its oracle
+    "q_stream_dsir" -> { (s, dir) =>
+      graft.streaming.Streams.streamingDsirScores(s, dir, "lang = 'en'", DSIR_B)
+        .orderBy(col("doc_id"))
+    },
+
     // repetition detection: how dominant is the most-repeated word 3-gram —
     // a standard LLM-data quality signal (boilerplate / spam detector)
     "q_text_repetition" -> { (s, dir) =>
@@ -2584,6 +2600,12 @@ object PipelineQueries {
         WITH $dsirScSql
         SELECT doc_id, n_grams, round(s6 / 1e6, 6) AS logw
         FROM dsc ORDER BY doc_id""",
+      // streaming twin scores scan-level against the same fitted artifact —
+      // batching-invariant, so the oracle is the batch chain verbatim
+      "q_stream_dsir" -> s"""
+        WITH $dsirScSql
+        SELECT doc_id, n_grams, round(s6 / 1e6, 6) AS logw
+        FROM dsc ORDER BY doc_id""",
       // DSIR Gumbel-top-k resample: key = s6 + round6(-ln(-ln(u)))·1e6 with
       // u the md5-ppm uniform of 'dsir:<doc_id>' — the Gumbel-max trick with
       // engine-reproducible noise
@@ -2599,6 +2621,35 @@ object PipelineQueries {
                FROM dsel)
         SELECT doc_id, n_grams, logw, "key", "rank" FROM dr
         WHERE "rank" <= $DSIR_K ORDER BY "rank"""",
+      // CCNet terciles: per-lang bigram LM (position-specific marginal),
+      // exact scaled-long doc means, percentile_disc cutpoints + membership
+      "q_select_ccnet" -> s"""
+        WITH ct AS (SELECT doc_id, lang, $toksSql AS t FROM documents
+                    WHERE len($toksSql) >= 2),
+        cb AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS bg
+               FROM ct),
+        cw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM cb),
+        c2 AS (SELECT lang, w1, bg, count(*) AS n2 FROM cw GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, w1, sum(n2) AS n1 FROM c2 GROUP BY 1, 2),
+        clp AS (SELECT lang, bg, CAST(round(round(
+                  log10(n2 / CAST(n1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS lp6
+                FROM c2 JOIN c1 USING (lang, w1)),
+        csc AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(lp6) AS s6
+                FROM cw JOIN clp USING (lang, bg) GROUP BY 1, 2),
+        cs2 AS (SELECT doc_id, lang, n_bigrams,
+                  round(s6 / (n_bigrams * 1e6), 6) AS avg_logp FROM csc),
+        ccut AS (SELECT lang,
+                   percentile_disc(0.3333333333333333)
+                     WITHIN GROUP (ORDER BY avg_logp) AS c_lo,
+                   percentile_disc(0.6666666666666666)
+                     WITHIN GROUP (ORDER BY avg_logp) AS c_hi
+                 FROM cs2 GROUP BY lang)
+        SELECT doc_id, lang, n_bigrams, avg_logp,
+               CASE WHEN avg_logp >= c_hi THEN 'head'
+                    WHEN avg_logp >= c_lo THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM cs2 JOIN ccut USING (lang) ORDER BY doc_id""",
       // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
       // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
       // its md5 ppm lands under the fractional threshold

@@ -1339,6 +1339,34 @@ object Streams {
     * regardless of stream length, and a firehose scores at scan speed with
     * results identical to the batch op over the same rows.
     */
+  /** Streaming DSIR scoring — ONLINE domain-relevance scoring of arriving
+    * documents against a PRE-FITTED [[graft.ops.Selection.dsirBucketTable]]
+    * (fit once on the static corpus + target sample, broadcast as a dense
+    * lr6 literal): each doc's importance weight is a pure scan-level
+    * expression per micro-batch — no join, no state store, no watermark —
+    * so the drained table equals the batch weight table for ANY batching.
+    * The ingest-time filter of the DSIR selection recipe.
+    */
+  def streamingDsirScores(
+      spark: SparkSession, sfDir: String, isTargetSql: String,
+      buckets: Int): DataFrame = {
+    val name = s"graft_sdsir_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val lr6 = graft.ops.Selection.dsirLr6Array(
+      graft.ops.Selection.dsirBucketTable(
+        graft.Tables.documents(spark, sfDir), "doc_id", "text",
+        expr(isTargetSql), buckets),
+      buckets)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df =>
+        graft.ops.Selection.dsirScoreStream(df, "doc_id", "text", lr6, buckets))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   def streamingClassifierScore(
       spark: SparkSession, sfDir: String, nBuckets: Int, seed: String): DataFrame = {
     val name = s"graft_sclass_${System.nanoTime()}"

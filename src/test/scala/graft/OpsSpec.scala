@@ -1852,4 +1852,31 @@ class OpsSpec extends AnyFunSuite {
       .select($"doc_id", $"key").collect().toSeq
     assert(a == b)
   }
+
+  test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
+    // every multi-token doc lands in exactly one bucket
+    val eligible = docs.filter(size(graft.ops.TextOps.tokens($"text")) >= 2).count()
+    assert(got.count() == eligible)
+    // buckets are ordered by score WITHIN each language: min(head) >=
+    // max(middle) fails only on cutpoint ties, which share a bucket by
+    // construction — so the strict check is max(lower) <= min(upper)
+    val stats = got.groupBy($"lang", $"bucket")
+      .agg(min($"avg_logp").as("lo"), max($"avg_logp").as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val langs = stats.keys.map(_._1).toSet
+    langs.foreach { l =>
+      for (Seq(lower, upper) <- Seq("tail", "middle", "head").sliding(2)) {
+        (stats.get(l -> lower), stats.get(l -> upper)) match {
+          case (Some((_, loHi)), Some((upLo, _))) =>
+            assert(loHi <= upLo, s"$l: max($lower)=$loHi > min($upper)=$upLo")
+          case _ => // a tiny language may have an empty middle band
+        }
+      }
+      // with >= 3 docs a language always has a head and a tail
+      assert(stats.contains(l -> "head") && stats.contains(l -> "tail"))
+    }
+  }
 }
