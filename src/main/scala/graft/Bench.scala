@@ -243,7 +243,8 @@ object Bench {
       "q_embed_centroids", "q_embed_neardup", "q_embed_pca_apply",
       // sampling / splits / ordering
       "q_sample_stratified", "q_sample_mixture", "q_sample_epochs", "q_split",
-      "q_train_order", "q_select_dsir", "q_select_ccnet",
+      "q_train_order", "q_select_dsir", "q_select_ccnet", "q_select_gopher",
+      "q_dedup_soft",
       // multimodal
       "q_multimodal", "q_dedup_multimodal",
       // data quality / profiling

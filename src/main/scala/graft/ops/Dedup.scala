@@ -410,6 +410,37 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("id"), "left_anti")
   }
 
+  /** SOFT deduplication — duplicate-aware DOWNWEIGHTING instead of
+    * dropping (the SoftDeDup idea: near-duplicate content contributes ~once
+    * in expectation by giving each member of an n-doc cluster sampling
+    * weight 1/n, preserving diversity the hard keep-one loses). Output:
+    * `doc_id, label, csize, weight` for EVERY corpus doc — singletons get
+    * label = own id, csize 1, weight 1.0; cluster members share their
+    * component's min-id label and weight round₆(1/csize). The weight column
+    * feeds [[Splits]]' hash-rate samplers directly (accept iff md5-ppm <
+    * weight·10⁶).
+    *
+    * Scale shape: identical to [[canonicalCorpus]] up to the component
+    * frame (banded candidates, pairs-only clustering); the size count
+    * shuffles label-keyed component members only; the corpus pays ONE
+    * id-keyed left join against the member table (ids+sizes, no text).
+    */
+  def softDedupWeights(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
+      shingleN: Int, minJaccard: Double): DataFrame = {
+    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+    val comp = connectedComponents(pairs)
+    val sized = comp.join(
+      comp.groupBy(col("label")).agg(count(lit(1)).as("csize")), Seq("label"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sized, col("doc_id") === sized("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("weight", round(lit(1.0) / col("csize"), 6))
+  }
+
   /** [[canonicalCorpus]] with QUALITY-AWARE keeper selection: within each
     * near-duplicate component keep the member maximizing `score` (id
     * tiebreak) instead of the smallest id — what production dedup actually

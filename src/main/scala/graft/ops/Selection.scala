@@ -137,33 +137,69 @@ object Selection {
   def ccnetBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+    val lp = ccnetLpTable(docs, idCol, textCol, langCol)
+    val scored = ccnetScore(docs, idCol, textCol, langCol, lp)
+    ccnetBucketize(scored, ccnetCuts(scored))
+  }
+
+  /** (doc_id, lang, bg) exploded bigram stream with the leading word kept —
+    * shared by the fit and scoring passes
+    */
+  private def ccnetBigrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bg = base.select(col("doc_id"), col("lang"),
-      explode(TextOps.shinglesAll(col("toks"), 2)).as("bg"))
-    val withW1 = bg.withColumn("w1", substring_index(col("bg"), " ", 1))
-    val cnt2 = withW1.groupBy(col("lang"), col("w1"), col("bg"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.shinglesAll(col("toks"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+
+  /** The per-language bigram LM: `lang, bg, lp6` with lp6 the round-6
+    * scaled-long log10 conditional probability n(lang,w1w2)/n(lang,w1·).
+    * Bigram-vocab-sized — the persistable half of the CCNet artifact.
+    */
+  def ccnetLpTable(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val cnt2 = ccnetBigrams(docs, idCol, textCol, langCol)
+      .groupBy(col("lang"), col("w1"), col("bg"))
       .agg(count(lit(1)).as("n2"))
     // n(lang, w1·) derived from the bigram table itself (position-specific
     // marginal, the PMI convention) — no second corpus pass
     val cnt1 = cnt2.groupBy(col("lang"), col("w1"))
       .agg(sum(col("n2")).as("n1"))
-    val lp = cnt2.join(cnt1, Seq("lang", "w1"))
+    cnt2.join(cnt1, Seq("lang", "w1"))
       .withColumn("lp6", round(round(
         log10(col("n2").cast("double") / col("n1").cast("double")), 6) * 1e6)
         .cast("long"))
       .select(col("lang"), col("bg"), col("lp6"))
-    val scored = withW1.join(lp, Seq("lang", "bg"))
+  }
+
+  /** Mean bigram log-prob per doc under an explicit LM: `doc_id, lang,
+    * n_bigrams, avg_logp`. Fit-corpus bigrams all hit the LM; on LATER data
+    * an unseen bigram drops out of the mean (the inner join — only observed
+    * evidence scores, the same contract as [[dsirScoresAgainst]]'s grams).
+    */
+  def ccnetScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lp: DataFrame): DataFrame =
+    ccnetBigrams(docs, idCol, textCol, langCol)
+      .join(lp, Seq("lang", "bg"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("__s6"))
       .withColumn("avg_logp", round(
         col("__s6").cast("double") / (col("n_bigrams") * lit(1e6)), 6))
-    val cuts = scored.groupBy(col("lang")).agg(
+
+  /** Per-language tercile cutpoints of a scored frame — |langs| rows */
+  def ccnetCuts(scored: DataFrame): DataFrame =
+    scored.groupBy(col("lang")).agg(
       expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_logp)")
         .as("c_lo"),
       expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_logp)")
         .as("c_hi"))
+
+  private def ccnetBucketize(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), Seq("lang"))
       .withColumn("bucket",
         when(col("avg_logp") >= col("c_hi"), lit("head"))
@@ -171,6 +207,77 @@ object Selection {
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_logp"),
         col("bucket"))
+
+  /** The SERVING form: bucket later documents against a PRE-FITTED CCNet
+    * artifact (LM table + frozen cutpoints — fit once on the reference
+    * corpus via [[ccnetLpTable]] + [[ccnetCuts]], persist both, assign any
+    * later batch). Stateless per input row, so it streams per micro-batch
+    * unchanged.
+    */
+  def ccnetAssign(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      lp: DataFrame, cuts: DataFrame): DataFrame =
+    ccnetBucketize(ccnetScore(docs, idCol, textCol, langCol, lp), cuts)
+
+  /** Gopher-style document QUALITY RULES (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1): the repetition/format heuristics every
+    * pretraining pipeline applies before LM-based selection. The five rules
+    * meaningful for a whitespace-token corpus (the line-layout and
+    * symbol-density rules need raw formatting this corpus doesn't carry;
+    * they compose the same way):
+    *
+    *   r_words    word count within [minWords, maxWords]
+    *   r_wordlen  mean word length within [minMeanLen, maxMeanLen]
+    *   r_stop     ≥ minStopHits DISTINCT stopwords present (the "is this
+    *              natural language at all" check)
+    *   r_alpha    ≥ minAlphaFrac of words contain an alphabetic character
+    *   r_rep      most-frequent word bigram ≤ maxTop2Frac of all bigrams
+    *              (Gopher's duplicate-2-gram rule)
+    *
+    * `keep` = all five. Everything is ONE scan-level expression chain per
+    * document — no explode, no shuffle, no join (the stopword list is a
+    * literal array; the per-doc bigram mode is an in-row array fold over a
+    * ≤ doc-length array) — so the filter runs at read speed on any corpus
+    * size and composes into streaming ingest unchanged.
+    *
+    * Exactness: ratios round to 6 decimals; rule comparisons are on the
+    * rounded values, so bucket membership is engine-exact.
+    */
+  def gopherRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int,
+      minMeanLen: Double, maxMeanLen: Double,
+      stopwords: Seq[String], minStopHits: Int,
+      minAlphaFrac: Double, maxTop2Frac: Double): DataFrame = {
+    val stopLit = array(stopwords.map(lit(_)): _*)
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .withColumn("mean_wlen", round(
+        aggregate(col("__t"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / col("n_words"), 6))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("__t")), stopLit)).cast("long"))
+      .withColumn("alpha_frac", round(
+        size(filter(col("__t"), t => t.rlike("[a-zA-Z]")))
+          .cast("double") / col("n_words"), 6))
+      .withColumn("__bg", TextOps.shinglesAll(col("__t"), 2))
+      .withColumn("top2_frac",
+        when(size(col("__bg")) === 0, lit(0.0))
+          .otherwise(round(
+            array_max(transform(array_distinct(col("__bg")),
+              b => size(filter(col("__bg"), x => x === b))))
+              .cast("double") / size(col("__bg")), 6)))
+      .withColumn("r_words", col("n_words").between(minWords, maxWords))
+      .withColumn("r_wordlen", col("mean_wlen").between(minMeanLen, maxMeanLen))
+      .withColumn("r_stop", col("stop_hits") >= minStopHits)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_rep", col("top2_frac") <= maxTop2Frac)
+      .withColumn("keep", col("r_words") && col("r_wordlen") && col("r_stop") &&
+        col("r_alpha") && col("r_rep"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("stop_hits"),
+        col("alpha_frac"), col("top2_frac"), col("r_words"), col("r_wordlen"),
+        col("r_stop"), col("r_alpha"), col("r_rep"), col("keep"))
   }
 
   /** Driver-side fetch of the fitted artifact as a dense lr6 array — a

@@ -41,6 +41,18 @@ object PipelineQueries {
   private val BPE_MERGES = 3    // BPE training rounds in the gate
   private val DSIR_B = 256      // DSIR hashed-feature buckets
   private val DSIR_K = 100      // DSIR resampled subset size
+  // Gopher-rule thresholds, tuned so every rule is LIVE on this corpus
+  // (the published natural-text values — 50..100k words, mean len 3..10,
+  // top-2-gram 0.20 — are parameters of the same op)
+  private val GOPHER_MIN_WORDS = 20
+  private val GOPHER_MAX_WORDS = 1000
+  private val GOPHER_MIN_WLEN = 3.0
+  private val GOPHER_MAX_WLEN = 4.7
+  private val GOPHER_STOPWORDS =
+    Seq("the", "a", "and", "of", "to", "in", "is", "that")
+  private val GOPHER_MIN_STOP = 2
+  private val GOPHER_MIN_ALPHA = 0.8
+  private val GOPHER_MAX_TOP2 = 0.06
 
   // ---- shared SQL fragments (DuckDB dialect) --------------------------------
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -627,6 +639,34 @@ object PipelineQueries {
     // equals the batch weight table for any batching → shares its oracle
     "q_stream_dsir" -> { (s, dir) =>
       graft.streaming.Streams.streamingDsirScores(s, dir, "lang = 'en'", DSIR_B)
+        .orderBy(col("doc_id"))
+    },
+
+    // streaming CCNet serving: per-batch bucket assignment against the
+    // persisted LM + frozen cutpoints — batching-invariant, shares the
+    // batch gate's oracle verbatim
+    "q_stream_ccnet" -> { (s, dir) =>
+      graft.streaming.Streams.streamingCcnet(s, dir,
+        s"/tmp/graft_stream_ccnet_${dir.replaceAll("[^A-Za-z0-9]", "_")}", 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style quality rules: five scan-level repetition/format
+    // heuristics + the conjunction keep flag — the pre-LM filter stage of
+    // every pretraining pipeline, at read speed (no shuffle, no join)
+    "q_select_gopher" -> { (s, dir) =>
+      Selection.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
+        GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2)
+        .orderBy(col("doc_id"))
+    },
+
+    // soft dedup: duplicate-aware downweighting (1/cluster-size) instead of
+    // keep-one — every doc survives with a sampling weight the hash-rate
+    // samplers consume directly
+    "q_dedup_soft" -> { (s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text",
+        K, BAND, NGRAM, 0.2)
         .orderBy(col("doc_id"))
     },
 
@@ -1900,6 +1940,37 @@ object PipelineQueries {
     val bandsCte = s"""bands0 AS ($bandSelects),
         bands AS (SELECT *, row_number() OVER (PARTITION BY band, bkey
                     ORDER BY doc_id) AS rk FROM bands0)"""
+    // CCNet terciles: per-lang bigram LM (position-specific marginal),
+    // exact scaled-long doc means, percentile_disc cutpoints + membership —
+    // shared verbatim by q_select_ccnet and its batching-invariant
+    // streaming twin q_stream_ccnet
+    val ccnetSql = s"""
+        WITH ct AS (SELECT doc_id, lang, $toksSql AS t FROM documents
+                    WHERE len($toksSql) >= 2),
+        cb AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS bg
+               FROM ct),
+        cw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM cb),
+        c2 AS (SELECT lang, w1, bg, count(*) AS n2 FROM cw GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, w1, sum(n2) AS n1 FROM c2 GROUP BY 1, 2),
+        clp AS (SELECT lang, bg, CAST(round(round(
+                  log10(n2 / CAST(n1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS lp6
+                FROM c2 JOIN c1 USING (lang, w1)),
+        csc AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(lp6) AS s6
+                FROM cw JOIN clp USING (lang, bg) GROUP BY 1, 2),
+        cs2 AS (SELECT doc_id, lang, n_bigrams,
+                  round(s6 / (n_bigrams * 1e6), 6) AS avg_logp FROM csc),
+        ccut AS (SELECT lang,
+                   percentile_disc(0.3333333333333333)
+                     WITHIN GROUP (ORDER BY avg_logp) AS c_lo,
+                   percentile_disc(0.6666666666666666)
+                     WITHIN GROUP (ORDER BY avg_logp) AS c_hi
+                 FROM cs2 GROUP BY lang)
+        SELECT doc_id, lang, n_bigrams, avg_logp,
+               CASE WHEN avg_logp >= c_hi THEN 'head'
+                    WHEN avg_logp >= c_lo THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM cs2 JOIN ccut USING (lang) ORDER BY doc_id"""
     // the duplicate-cluster chain (LSH candidates -> jaccard-verified pairs
     // -> recursive reachability), shared by q_dedup_clusters and
     // q_dedup_canonical
@@ -2405,6 +2476,19 @@ object PipelineQueries {
       "q_dedup_clusters" -> s"""
         $dupClusterCtes
         SELECT id, min(label) AS label FROM reach GROUP BY id ORDER BY id""",
+      // soft dedup: the same cluster chain, closed as per-doc 1/cluster-size
+      // sampling weights (singletons label = own id, weight 1.0)
+      "q_dedup_soft" -> s"""
+        $dupClusterCtes,
+        lbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        cs AS (SELECT label, count(*) AS csize FROM lbl GROUP BY label)
+        SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label,
+               CAST(coalesce(cs.csize, 1) AS BIGINT) AS csize,
+               round(CAST(1.0 AS DOUBLE) / coalesce(cs.csize, 1), 6) AS weight
+        FROM documents d
+        LEFT JOIN lbl l ON l.id = d.doc_id
+        LEFT JOIN cs ON cs.label = l.label
+        ORDER BY d.doc_id""",
       // canonical corpus = everything except non-canonical component
       // members (id <> its component's min label)
       "q_dedup_canonical" -> s"""
@@ -2621,35 +2705,45 @@ object PipelineQueries {
                FROM dsel)
         SELECT doc_id, n_grams, logw, "key", "rank" FROM dr
         WHERE "rank" <= $DSIR_K ORDER BY "rank"""",
-      // CCNet terciles: per-lang bigram LM (position-specific marginal),
-      // exact scaled-long doc means, percentile_disc cutpoints + membership
-      "q_select_ccnet" -> s"""
-        WITH ct AS (SELECT doc_id, lang, $toksSql AS t FROM documents
-                    WHERE len($toksSql) >= 2),
-        cb AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
-                 i -> t[i] || ' ' || t[i + 1])) AS bg
-               FROM ct),
-        cw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM cb),
-        c2 AS (SELECT lang, w1, bg, count(*) AS n2 FROM cw GROUP BY 1, 2, 3),
-        c1 AS (SELECT lang, w1, sum(n2) AS n1 FROM c2 GROUP BY 1, 2),
-        clp AS (SELECT lang, bg, CAST(round(round(
-                  log10(n2 / CAST(n1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS lp6
-                FROM c2 JOIN c1 USING (lang, w1)),
-        csc AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(lp6) AS s6
-                FROM cw JOIN clp USING (lang, bg) GROUP BY 1, 2),
-        cs2 AS (SELECT doc_id, lang, n_bigrams,
-                  round(s6 / (n_bigrams * 1e6), 6) AS avg_logp FROM csc),
-        ccut AS (SELECT lang,
-                   percentile_disc(0.3333333333333333)
-                     WITHIN GROUP (ORDER BY avg_logp) AS c_lo,
-                   percentile_disc(0.6666666666666666)
-                     WITHIN GROUP (ORDER BY avg_logp) AS c_hi
-                 FROM cs2 GROUP BY lang)
-        SELECT doc_id, lang, n_bigrams, avg_logp,
-               CASE WHEN avg_logp >= c_hi THEN 'head'
-                    WHEN avg_logp >= c_lo THEN 'middle'
-                    ELSE 'tail' END AS bucket
-        FROM cs2 JOIN ccut USING (lang) ORDER BY doc_id""",
+      "q_select_ccnet" -> ccnetSql,
+      // the streaming twin buckets per micro-batch against the persisted
+      // LM + frozen cutpoints — batching-invariant, identical chain
+      "q_stream_ccnet" -> ccnetSql,
+      // Gopher quality rules: every signal and flag is a per-row list
+      // expression — the oracle mirrors the scan-level chain shape
+      "q_select_gopher" -> s"""
+        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                  AS DOUBLE) / len(toks), 6) AS mean_wlen,
+                CAST(len(list_intersect(list_distinct(toks),
+                  [${GOPHER_STOPWORDS.map("'" + _ + "'").mkString(", ")}]))
+                  AS BIGINT) AS stop_hits,
+                round(CAST(len(list_filter(toks, w ->
+                  regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6)
+                  AS alpha_frac,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM t),
+        s2 AS (SELECT *, CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE round(CAST(list_max(list_transform(list_distinct(bg),
+                   b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                   / len(bg), 6) END AS top2_frac
+               FROM s)
+        SELECT doc_id, n_words, mean_wlen, stop_hits, alpha_frac, top2_frac,
+               (n_words BETWEEN $GOPHER_MIN_WORDS AND $GOPHER_MAX_WORDS)
+                 AS r_words,
+               (mean_wlen BETWEEN $GOPHER_MIN_WLEN AND $GOPHER_MAX_WLEN)
+                 AS r_wordlen,
+               (stop_hits >= $GOPHER_MIN_STOP) AS r_stop,
+               (alpha_frac >= $GOPHER_MIN_ALPHA) AS r_alpha,
+               (top2_frac <= $GOPHER_MAX_TOP2) AS r_rep,
+               (r_words AND r_wordlen AND r_stop AND r_alpha AND r_rep)
+                 AS keep
+        FROM s2 ORDER BY doc_id""",
       // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
       // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
       // its md5 ppm lands under the fractional threshold

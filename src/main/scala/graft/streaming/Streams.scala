@@ -1367,6 +1367,34 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming CCNet bucket ASSIGNMENT — arriving documents bucketed per
+    * micro-batch against the PRE-FITTED per-language artifact
+    * ([[graft.ops.Selection.ccnetLpTable]] + frozen tercile
+    * [[graft.ops.Selection.ccnetCuts]], fit once on the static corpus and
+    * PERSISTED to parquet — the stored-model serving pattern; batches read
+    * the files, never refit). Each micro-batch is one stream-static LM join
+    * + a batch-local doc aggregation (a document is one row, so its bigrams
+    * never split across batches); no stream state, so the drained union
+    * equals the batch op for ANY batching and the gate shares
+    * q_select_ccnet's oracle verbatim.
+    */
+  def streamingCcnet(
+      spark: SparkSession, sfDir: String, outDir: String,
+      batches: Int): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lpDir = s"$outDir-lp"
+    val cutsDir = s"$outDir-cuts"
+    graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(lpDir)
+    val lp = spark.read.parquet(lpDir)
+    graft.ops.Selection.ccnetCuts(
+        graft.ops.Selection.ccnetScore(docs, "doc_id", "text", "lang", lp))
+      .write.mode("overwrite").parquet(cutsDir)
+    val cuts = spark.read.parquet(cutsDir)
+    streamingSearch(docs, outDir, batches, b =>
+      graft.ops.Selection.ccnetAssign(b, "doc_id", "text", "lang", lp, cuts))
+  }
+
   def streamingClassifierScore(
       spark: SparkSession, sfDir: String, nBuckets: Int, seed: String): DataFrame = {
     val name = s"graft_sclass_${System.nanoTime()}"

@@ -1853,6 +1853,61 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("Gopher rules: keep is the rule conjunction; each rule fires on its violator") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat and dog ran far away"), // clean: keep
+      (2L, "the a"),                                     // too short
+      (3L, "123 456 789 101 112 131 415 161"),           // no alpha, no stops
+      (4L, "the a go go go go go go go go"),             // dominant bigram
+      (5L, "the a honorificabilitudinitatibus pseudopseudohypoparathyroidism " +
+        "antidisestablishmentarianism floccinaucinihilipilification")) // word len
+      .toDF("doc_id", "text")
+    val got = graft.ops.Selection.gopherRules(docs, "doc_id", "text",
+        3, 100, 1.0, 10.0, Seq("the", "a", "and"), 2, 0.5, 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_words"), r.getAs[Boolean]("r_wordlen"),
+          r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("r_alpha"),
+          r.getAs[Boolean]("r_rep"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == (true, true, true, true, true, true))
+    assert(!got(2L)._1 && !got(2L)._6)              // r_words violated
+    assert(!got(3L)._4 && !got(3L)._3 && !got(3L)._6) // alpha + stopwords
+    assert(got(4L)._1 && got(4L)._3 && !got(4L)._5 && !got(4L)._6) // repetition
+    assert(!got(5L)._2 && !got(5L)._6)              // mean word length
+    // keep == conjunction on the real corpus too
+    val corpus = graft.ops.Selection.gopherRules(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text",
+      20, 1000, 3.0, 4.7, Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+      2, 0.8, 0.06)
+    assert(corpus.filter($"keep" =!= ($"r_words" && $"r_wordlen" && $"r_stop" &&
+      $"r_alpha" && $"r_rep")).count() == 0)
+  }
+
+  test("soft dedup: every doc keeps one row, weight = 1/cluster-size, singletons 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text", 16, 4, 3, 0.2)
+    assert(got.count() == docs.count())
+    assert(got.select($"doc_id").distinct().count() == docs.count())
+    // cross-check sizes against the cluster chain itself
+    val comp = Dedup.connectedComponents(
+      Dedup.nearDuplicatesLsh(docs, "doc_id", "text", 16, 4, 3)
+        .filter($"jaccard" >= 0.2))
+    val sizes = comp.groupBy($"label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      val (id, label, csize, w) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      members.get(id) match {
+        case Some(l) =>
+          assert(label == l && csize == sizes(l))
+          assert(w == BigDecimal(1.0 / csize)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case None => assert(label == id && csize == 1L && w == 1.0)
+      }
+    }
+  }
+
   test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")

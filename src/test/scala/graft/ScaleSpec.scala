@@ -840,4 +840,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(unpart.forall(!_.windowExpressions.exists(_.toString.contains("row_number"))),
       "unpartitioned windows must be histogram-sized cumulative sums only")
   }
+
+  test("r13 selection ops keep their scale shape: Gopher + DSIR-stream scan-level, CCNet cuts broadcast") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    // Gopher rules: the whole filter is one scan-level expression chain —
+    // no shuffle, no join, single corpus scan
+    val gp = graft.ops.Selection.gopherRules(docs, "doc_id", "text",
+      20, 1000, 3.0, 4.7, Seq("the", "a"), 2, 0.8, 0.06)
+      .queryExecution.executedPlan.toString
+    assert(!gp.contains("Exchange"),
+      s"gopherRules must be scan-level (no shuffle):\n$gp")
+    assert(!gp.contains("Join"), s"gopherRules must not join:\n$gp")
+    // streaming DSIR serving: scoring against the literal lr6 artifact is
+    // shuffle-free — safe on an unbounded stream by construction
+    val lr6 = Array.fill(256)(1L)
+    val ds = graft.ops.Selection.dsirScoreStream(docs, "doc_id", "text", lr6, 256)
+      .queryExecution.executedPlan.toString
+    assert(!ds.contains("Exchange"),
+      s"dsirScoreStream must be scan-level (no shuffle):\n$ds")
+    // CCNet serving: the |langs|-row cutpoint table rides a broadcast, the
+    // LM join is the only corpus-keyed exchange family
+    val lp = graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
+    val cuts = graft.ops.Selection.ccnetCuts(
+      graft.ops.Selection.ccnetScore(docs, "doc_id", "text", "lang", lp))
+    val as = graft.ops.Selection.ccnetAssign(docs, "doc_id", "text", "lang",
+      lp, cuts).queryExecution.executedPlan.toString
+    assert(as.contains("BroadcastExchange"),
+      s"ccnetAssign must broadcast the cutpoint table:\n$as")
+  }
 }
