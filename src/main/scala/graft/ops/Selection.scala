@@ -315,6 +315,44 @@ object Selection {
       .select(col(idCol).as("doc_id"), col("n_grams"), col("logw"))
   }
 
+  /** Selection-cascade ATTRIBUTION report — the per-stage retention funnel
+    * every production pretraining pipeline publishes ("N docs in, how many
+    * survived quality rules, how many the dedup pass, …"). `stages` are
+    * (name, keep-set) pairs applied IN ORDER; the output has one row per
+    * stage: `stage_idx, stage, n_in, n_out` with n_in the survivors
+    * entering the stage.
+    *
+    * Shape at 100 TB: each keep-set joins the id spine by id ONLY (no text,
+    * no signals — the stage frames project their id column before the
+    * join); all cumulative-survival counts come from ONE aggregation over
+    * the joined spine (conditional sums — a single pass, |stages| longs of
+    * state), and the row-per-stage unpivot explodes the 1-row aggregate,
+    * never data. Attribution is sequential (a doc dropped by stage 2 is
+    * never charged to stage 3), matching how cascade reports read.
+    */
+  def cascadeReport(
+      docs: DataFrame, idCol: String,
+      stages: Seq[(String, DataFrame)]): DataFrame = {
+    var spine = docs.select(col(idCol).as("__id"))
+    stages.zipWithIndex.foreach { case ((_, ks), i) =>
+      spine = spine.join(
+        ks.select(col(ks.columns.head).as("__id")).distinct()
+          .withColumn(s"__k$i", lit(1)),
+        Seq("__id"), "left")
+    }
+    val cums = stages.indices.map { i =>
+      sum((0 to i).map(j => coalesce(col(s"__k$j"), lit(0))).reduce(_ * _))
+        .as(s"__c$i")
+    }
+    val agg = spine.agg(count(lit(1)).as("__n0"), cums: _*)
+    val rows = stages.map(_._1).zipWithIndex.map { case (name, i) =>
+      val nIn = if (i == 0) col("__n0") else col(s"__c${i - 1}")
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        nIn.as("n_in"), col(s"__c$i").as("n_out"))
+    }
+    agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Gumbel-top-k importance RESAMPLING — the paper's sampling step, made
     * deterministic: pick the k docs maximizing logw + Gumbel(g) with
     * g = −ln(−ln(u)), u = (md5₃₂("dsir:"+doc_id) mod 10⁶ + 0.5)/10⁶ — i.e.

@@ -670,6 +670,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // streaming Gopher rules: the scan-level chain per micro-batch — no
+    // state, shares the batch oracle verbatim
+    "q_stream_gopher" -> { (s, dir) =>
+      graft.streaming.Streams.streamingGopher(s, dir,
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
+        GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2)
+        .orderBy(col("doc_id"))
+    },
+
+    // the selection CASCADE report: gopher rules → ccnet non-tail → near-dup
+    // canonical → decontamination, with per-stage retention attribution —
+    // the funnel table every pretraining pipeline publishes
+    "q_select_funnel" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val gop = Selection.gopherRules(docs, "doc_id", "text",
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
+        GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2)
+        .filter(col("keep")).select(col("doc_id"))
+      val cc = Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
+        .filter(col("bucket") =!= "tail").select(col("doc_id"))
+      val ded = Dedup.softDedupWeights(docs, "doc_id", "text", K, BAND, NGRAM, 0.2)
+        .filter(col("doc_id") === col("label")).select(col("doc_id"))
+      val dec = graft.ops.Decontam.flags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", 5)
+        .filter(col("kept") === 1).select(col("doc_id"))
+      Selection.cascadeReport(docs, "doc_id",
+        Seq("gopher" -> gop, "ccnet" -> cc, "dedup" -> ded, "decontam" -> dec))
+        .orderBy(col("stage_idx"))
+    },
+
     // repetition detection: how dominant is the most-repeated word 3-gram —
     // a standard LLM-data quality signal (boilerplate / spam detector)
     "q_text_repetition" -> { (s, dir) =>
@@ -1942,10 +1972,10 @@ object PipelineQueries {
                     ORDER BY doc_id) AS rk FROM bands0)"""
     // CCNet terciles: per-lang bigram LM (position-specific marginal),
     // exact scaled-long doc means, percentile_disc cutpoints + membership —
-    // shared verbatim by q_select_ccnet and its batching-invariant
-    // streaming twin q_stream_ccnet
-    val ccnetSql = s"""
-        WITH ct AS (SELECT doc_id, lang, $toksSql AS t FROM documents
+    // a WITH-less CTE fragment ending at `cbk` (the full bucket table) so
+    // the funnel can splice it; q_select_ccnet and its batching-invariant
+    // streaming twin q_stream_ccnet share the closed form verbatim
+    val ccnetCtes = s"""ct AS (SELECT doc_id, lang, $toksSql AS t FROM documents
                     WHERE len($toksSql) >= 2),
         cb AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
                  i -> t[i] || ' ' || t[i + 1])) AS bg
@@ -1965,12 +1995,58 @@ object PipelineQueries {
                      WITHIN GROUP (ORDER BY avg_logp) AS c_lo,
                    percentile_disc(0.6666666666666666)
                      WITHIN GROUP (ORDER BY avg_logp) AS c_hi
-                 FROM cs2 GROUP BY lang)
-        SELECT doc_id, lang, n_bigrams, avg_logp,
-               CASE WHEN avg_logp >= c_hi THEN 'head'
-                    WHEN avg_logp >= c_lo THEN 'middle'
-                    ELSE 'tail' END AS bucket
-        FROM cs2 JOIN ccut USING (lang) ORDER BY doc_id"""
+                 FROM cs2 GROUP BY lang),
+        cbk AS (SELECT doc_id, lang, n_bigrams, avg_logp,
+                  CASE WHEN avg_logp >= c_hi THEN 'head'
+                       WHEN avg_logp >= c_lo THEN 'middle'
+                       ELSE 'tail' END AS bucket
+                FROM cs2 JOIN ccut USING (lang))"""
+    val ccnetSql = s"""
+        WITH $ccnetCtes
+        SELECT doc_id, lang, n_bigrams, avg_logp, bucket
+        FROM cbk ORDER BY doc_id"""
+    // Gopher quality rules as a WITH-less fragment ending at `gflag` —
+    // every signal and flag is a per-row list expression mirroring the
+    // scan-level chain shape; shared by the batch gate, its streaming twin
+    // and the funnel
+    val gopherCtes = s"""gt AS (SELECT doc_id, $toksSql AS gtoks FROM documents),
+        gs AS (SELECT doc_id,
+                CAST(len(gtoks) AS BIGINT) AS n_words,
+                round(CAST(list_sum(list_transform(gtoks, w -> length(w)))
+                  AS DOUBLE) / len(gtoks), 6) AS mean_wlen,
+                CAST(len(list_intersect(list_distinct(gtoks),
+                  [${GOPHER_STOPWORDS.map("'" + _ + "'").mkString(", ")}]))
+                  AS BIGINT) AS stop_hits,
+                round(CAST(len(list_filter(gtoks, w ->
+                  regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(gtoks), 6)
+                  AS alpha_frac,
+                CASE WHEN len(gtoks) >= 2
+                     THEN list_transform(range(1, len(gtoks)),
+                       i -> gtoks[i] || ' ' || gtoks[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS gbg
+              FROM gt),
+        gs2 AS (SELECT *, CASE WHEN len(gbg) = 0 THEN 0.0
+                 ELSE round(CAST(list_max(list_transform(list_distinct(gbg),
+                   b -> len(list_filter(gbg, x -> x = b)))) AS DOUBLE)
+                   / len(gbg), 6) END AS top2_frac
+               FROM gs),
+        gflag AS (SELECT doc_id, n_words, mean_wlen, stop_hits, alpha_frac,
+                 top2_frac,
+               (n_words BETWEEN $GOPHER_MIN_WORDS AND $GOPHER_MAX_WORDS)
+                 AS r_words,
+               (mean_wlen BETWEEN $GOPHER_MIN_WLEN AND $GOPHER_MAX_WLEN)
+                 AS r_wordlen,
+               (stop_hits >= $GOPHER_MIN_STOP) AS r_stop,
+               (alpha_frac >= $GOPHER_MIN_ALPHA) AS r_alpha,
+               (top2_frac <= $GOPHER_MAX_TOP2) AS r_rep,
+               (r_words AND r_wordlen AND r_stop AND r_alpha AND r_rep)
+                 AS keep
+               FROM gs2)"""
+    val gopherSql = s"""
+        WITH $gopherCtes
+        SELECT doc_id, n_words, mean_wlen, stop_hits, alpha_frac, top2_frac,
+               r_words, r_wordlen, r_stop, r_alpha, r_rep, keep
+        FROM gflag ORDER BY doc_id"""
     // the duplicate-cluster chain (LSH candidates -> jaccard-verified pairs
     // -> recursive reachability), shared by q_dedup_clusters and
     // q_dedup_canonical
@@ -2709,41 +2785,50 @@ object PipelineQueries {
       // the streaming twin buckets per micro-batch against the persisted
       // LM + frozen cutpoints — batching-invariant, identical chain
       "q_stream_ccnet" -> ccnetSql,
-      // Gopher quality rules: every signal and flag is a per-row list
-      // expression — the oracle mirrors the scan-level chain shape
-      "q_select_gopher" -> s"""
-        WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        s AS (SELECT doc_id,
-                CAST(len(toks) AS BIGINT) AS n_words,
-                round(CAST(list_sum(list_transform(toks, w -> length(w)))
-                  AS DOUBLE) / len(toks), 6) AS mean_wlen,
-                CAST(len(list_intersect(list_distinct(toks),
-                  [${GOPHER_STOPWORDS.map("'" + _ + "'").mkString(", ")}]))
-                  AS BIGINT) AS stop_hits,
-                round(CAST(len(list_filter(toks, w ->
-                  regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6)
-                  AS alpha_frac,
-                CASE WHEN len(toks) >= 2
-                     THEN list_transform(range(1, len(toks)),
-                       i -> toks[i] || ' ' || toks[i + 1])
-                     ELSE CAST([] AS VARCHAR[]) END AS bg
-              FROM t),
-        s2 AS (SELECT *, CASE WHEN len(bg) = 0 THEN 0.0
-                 ELSE round(CAST(list_max(list_transform(list_distinct(bg),
-                   b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
-                   / len(bg), 6) END AS top2_frac
-               FROM s)
-        SELECT doc_id, n_words, mean_wlen, stop_hits, alpha_frac, top2_frac,
-               (n_words BETWEEN $GOPHER_MIN_WORDS AND $GOPHER_MAX_WORDS)
-                 AS r_words,
-               (mean_wlen BETWEEN $GOPHER_MIN_WLEN AND $GOPHER_MAX_WLEN)
-                 AS r_wordlen,
-               (stop_hits >= $GOPHER_MIN_STOP) AS r_stop,
-               (alpha_frac >= $GOPHER_MIN_ALPHA) AS r_alpha,
-               (top2_frac <= $GOPHER_MAX_TOP2) AS r_rep,
-               (r_words AND r_wordlen AND r_stop AND r_alpha AND r_rep)
-                 AS keep
-        FROM s2 ORDER BY doc_id""",
+      "q_select_gopher" -> gopherSql,
+      // the streaming twin is the same scan-level chain per micro-batch —
+      // no state, batching-invariant
+      "q_stream_gopher" -> gopherSql,
+      // the selection CASCADE: corpus-wide signals (gopher flags, ccnet
+      // buckets, dup clusters, decontam flags) applied as sequential stage
+      // filters with per-stage retention attribution
+      "q_select_funnel" -> s"""
+        $dupClusterCtes,
+        flbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        $gopherCtes,
+        $ccnetCtes,
+        gk AS (SELECT doc_id FROM gflag WHERE keep),
+        ck AS (SELECT doc_id FROM cbk WHERE bucket <> 'tail'),
+        dk AS (SELECT doc_id FROM documents WHERE doc_id NOT IN
+                 (SELECT id FROM flbl WHERE id <> label)),
+        fh AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        fhd AS (SELECT DISTINCT md5(text) AS digest FROM fh),
+        fhg AS (SELECT DISTINCT unnest(
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' ')))) AS g
+                FROM (SELECT $toksSql AS ftoks FROM fh)),
+        fhgl AS (SELECT list(g) AS gl FROM fhg),
+        fcg AS (SELECT doc_id, md5(text) AS d,
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' '))) AS sh
+                FROM (SELECT doc_id, text, $toksSql AS ftoks FROM documents)),
+        xk AS (SELECT fcg.doc_id FROM fcg, fhgl
+               WHERE fcg.d NOT IN (SELECT digest FROM fhd)
+                 AND len(list_intersect(fcg.sh, fhgl.gl)) = 0),
+        fc1 AS (SELECT doc_id FROM gk),
+        fc2 AS (SELECT doc_id FROM fc1 WHERE doc_id IN (SELECT doc_id FROM ck)),
+        fc3 AS (SELECT doc_id FROM fc2 WHERE doc_id IN (SELECT doc_id FROM dk)),
+        fc4 AS (SELECT doc_id FROM fc3 WHERE doc_id IN (SELECT doc_id FROM xk)),
+        ns AS (SELECT (SELECT count(*) FROM documents) AS n0,
+                      (SELECT count(*) FROM fc1) AS n1,
+                      (SELECT count(*) FROM fc2) AS n2,
+                      (SELECT count(*) FROM fc3) AS n3,
+                      (SELECT count(*) FROM fc4) AS n4)
+        SELECT 1 AS stage_idx, 'gopher' AS stage, n0 AS n_in, n1 AS n_out FROM ns
+        UNION ALL SELECT 2, 'ccnet', n1, n2 FROM ns
+        UNION ALL SELECT 3, 'dedup', n2, n3 FROM ns
+        UNION ALL SELECT 4, 'decontam', n3, n4 FROM ns
+        ORDER BY stage_idx""",
       // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
       // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
       // its md5 ppm lands under the fractional threshold

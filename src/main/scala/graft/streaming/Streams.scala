@@ -1367,6 +1367,30 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming Gopher quality rules — the heuristic pre-filter applied at
+    * INGEST: [[graft.ops.Selection.gopherRules]] is one scan-level
+    * expression chain (no shuffle/join/state — pinned in ScaleSpec), so it
+    * lifts onto the unbounded stream directly; the drained table equals
+    * the batch op for ANY batching.
+    */
+  def streamingGopher(
+      spark: SparkSession, sfDir: String,
+      minWords: Int, maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      stopwords: Seq[String], minStopHits: Int,
+      minAlphaFrac: Double, maxTop2Frac: Double): DataFrame = {
+    val name = s"graft_sgoph_${System.nanoTime()}"
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df => graft.ops.Selection.gopherRules(df, "doc_id", "text",
+        minWords, maxWords, minMeanLen, maxMeanLen, stopwords, minStopHits,
+        minAlphaFrac, maxTop2Frac))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming CCNet bucket ASSIGNMENT — arriving documents bucketed per
     * micro-batch against the PRE-FITTED per-language artifact
     * ([[graft.ops.Selection.ccnetLpTable]] + frozen tercile

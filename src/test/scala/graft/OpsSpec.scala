@@ -1908,6 +1908,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cascade report: stages chain (n_in = previous n_out), counts match direct filters") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val evens = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val third = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
+    val got = graft.ops.Selection.cascadeReport(docs, "doc_id",
+        Seq("even" -> evens, "third" -> third))
+      .orderBy($"stage_idx").collect()
+    assert(got.map(_.getAs[String]("stage")).toSeq == Seq("even", "third"))
+    assert(got(0).getAs[Long]("n_in") == docs.count())
+    assert(got(0).getAs[Long]("n_out") == evens.count())
+    // sequential attribution: stage 2 counts only docs that survived stage 1
+    assert(got(1).getAs[Long]("n_in") == got(0).getAs[Long]("n_out"))
+    assert(got(1).getAs[Long]("n_out") ==
+      docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 3 === 0).count())
+    // monotone non-increasing by construction
+    got.foreach(r => assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in")))
+  }
+
   test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
