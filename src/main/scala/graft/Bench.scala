@@ -242,7 +242,7 @@ object Bench {
       // embedding ops
       "q_embed_centroids", "q_embed_neardup", "q_embed_pca_apply",
       // sampling / splits / ordering
-      "q_sample_stratified", "q_sample_mixture", "q_sample_epochs", "q_split",
+      "q_sample_stratified", "q_sample_mixture", "q_sample_epochs", "q_sample_temperature", "q_split",
       "q_train_order", "q_select_dsir", "q_select_ccnet", "q_select_gopher",
       "q_dedup_soft", "q_select_funnel",
       // multimodal

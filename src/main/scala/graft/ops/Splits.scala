@@ -272,6 +272,61 @@ object Splits {
         lit(1000000L)) < thresholdCol)
   }
 
+  /** TEMPERATURE-scaled domain sampling (the T5 α-sampling / UNIMAX
+    * flattening recipe, Raffel et al. 2020 §3.4.3, arXiv:1910.10683;
+    * Chung et al. 2023, arXiv:2304.09151): target share p_d ∝ n_d^α with
+    * α ∈ [0, 1] — α = 1 keeps natural proportions, α → 0 flattens toward
+    * uniform, lifting low-resource domains without hand-written weights.
+    * The BINDING domain (largest target-to-size ratio) is kept whole;
+    * every other domain hash-rate downsamples to match, so the kept corpus
+    * realizes the tempered mixture with maximum data utilization and no
+    * upsampling (compose with [[upsampleEpochs]] when a domain should
+    * repeat instead).
+    *
+    * Determinism: n_d^α quantizes ONCE to a scaled long s6_d =
+    * round(n_d^α·10⁶) — via the correctly-rounded IEEE sqrt when α = 0.5
+    * (engine-exact everywhere) and libm pow otherwise (a documented ≤1-ulp
+    * cross-engine caveat) — after which everything is exact BigInt
+    * cross-multiplication and floor-division ([[sampleMixture]]'s
+    * discipline): binding = argmax s6_d/n_d compared cross-multiplied
+    * (name tiebreak), threshold_d = floor(10⁶·s6_d·n_b / (s6_b·n_d)).
+    *
+    * 100 TB: one |domains|-row counting job (broadcast-build pattern),
+    * then a PURE SCAN-LEVEL ppm-threshold filter — zero data-scale
+    * shuffles, no window, no skew sensitivity.
+    */
+  def temperatureMixture(
+      df: DataFrame, domainCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df
+      .groupBy(col(domainCol).cast("string").as(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture needs at least one domain")
+    val s6 = counts.map { case (d, n) =>
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      d -> math.round(p * 1e6)
+    }
+    // binding domain: argmax s6_d/n_d by exact cross-multiplication; the
+    // ascending-name fold keeps the FIRST maximum → smallest-name tiebreak
+    val dims = counts.keys.toSeq.sorted
+    val bStar = dims.reduceLeft { (best, d) =>
+      if (BigInt(s6(d)) * BigInt(counts(best)) >
+          BigInt(s6(best)) * BigInt(counts(d))) d else best
+    }
+    val thresholds = dims.map { d =>
+      d -> ((BigInt(1000000) * BigInt(s6(d)) * BigInt(counts(bStar))) /
+        (BigInt(s6(bStar)) * BigInt(counts(d)))).toLong.min(1000000L)
+    }
+    val thresholdCol = thresholds.foldRight(lit(0L)) { case ((d, t), rest) =>
+      when(col(domainCol) === d, lit(t)).otherwise(rest)
+    }
+    df.filter(pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L)) < thresholdCol)
+  }
+
   /** Deterministic fractional-epoch UPSAMPLING — the other half of the
     * data-mixing recipe ([[sampleMixture]] only downsamples): repeat each
     * domain e_d times where e_d may be fractional ("books × 2.4, code × 1.0,

@@ -583,6 +583,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // temperature-scaled sampling (α = 0.5): target share ∝ √n_d — the
+    // T5/UNIMAX flattening that lifts low-resource languages without
+    // hand-written weights; binding domain kept whole, rest hash-rate cut
+    "q_sample_temperature" -> { (s, dir) =>
+      Splits.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id", 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // fractional-epoch upsampling (the LLaMA-recipe "books × 2.4" weighting,
     // the inverse of q_sample_mixture's downsampling): en appears 2.4× (2
     // full epochs + the md5-lowest 40% a third time), de 1.0×, fr 0.5×
@@ -2752,6 +2761,27 @@ object PipelineQueries {
                  least(CAST((1000000::HUGEINT * s.n * j.wt) // (s.wt * j.n)
                    AS BIGINT), 1000000) AS thresh
                FROM j, star s)
+        SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
+        WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
+        ORDER BY d.doc_id""",
+      // temperature sampling: s6 = round(sqrt(n)·1e6) (correctly-rounded
+      // IEEE sqrt — engine-exact), then the mixture chain's NOT-EXISTS
+      // argmax + HUGEINT floor-div, binding domain kept whole
+      "q_sample_temperature" -> s"""
+        WITH c AS (SELECT lang AS domain, count(*) AS n
+                   FROM documents GROUP BY 1),
+        s AS (SELECT domain, n,
+                CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
+              FROM c),
+        star AS (SELECT domain, n, s6 FROM s s1 WHERE NOT EXISTS (
+          SELECT 1 FROM s s2 WHERE
+            CAST(s2.s6 AS HUGEINT) * s1.n > CAST(s1.s6 AS HUGEINT) * s2.n
+            OR (CAST(s2.s6 AS HUGEINT) * s1.n = CAST(s1.s6 AS HUGEINT) * s2.n
+                AND s2.domain < s1.domain))),
+        th AS (SELECT s.domain,
+                 least(CAST((1000000::HUGEINT * s.s6 * b.n) // (b.s6 * s.n)
+                   AS BIGINT), 1000000) AS thresh
+               FROM s, star b)
         SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
         ORDER BY d.doc_id""",

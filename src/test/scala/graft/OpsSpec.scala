@@ -1908,6 +1908,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling: alpha=1 is identity, alpha<1 keeps the smallest domain whole") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    assert(graft.ops.Splits.temperatureMixture(docs, "lang", "doc_id", 1.0)
+      .count() == n)
+    val byLang = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = byLang.minBy { case (l, c) => (c, l) }
+    val kept = graft.ops.Splits.temperatureMixture(docs, "lang", "doc_id", 0.5)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding domain (argmax n^(α-1) = the smallest) survives whole
+    assert(kept(smallest._1) == smallest._2)
+    // flattening: every domain's keep RATE is ≥ the rate it would get at
+    // its natural share — i.e. larger domains are cut harder (rate ordering
+    // inverse to size)
+    val rates = byLang.keys.toSeq.sortBy(byLang).map(l =>
+      kept(l).toDouble / byLang(l))
+    assert(rates == rates.sorted.reverse,
+      s"keep rates must fall as domain size grows: $rates")
+  }
+
   test("cascade report: stages chain (n_in = previous n_out), counts match direct filters") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val evens = docs.filter($"doc_id" % 2 === 0).select($"doc_id")

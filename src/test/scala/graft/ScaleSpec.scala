@@ -859,6 +859,12 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!ds.contains("Exchange"),
       s"dsirScoreStream must be scan-level (no shuffle):\n$ds")
+    // temperature mixture: after the |domains|-row counts job the kept-set
+    // filter is pure scan-level (the sampleMixture discipline)
+    val tm = graft.ops.Splits.temperatureMixture(docs, "lang", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!tm.contains("Exchange"),
+      s"temperatureMixture must filter scan-level (no shuffle):\n$tm")
     // CCNet serving: the |langs|-row cutpoint table rides a broadcast, the
     // LM join is the only corpus-keyed exchange family
     val lp = graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
