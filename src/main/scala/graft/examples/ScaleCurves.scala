@@ -134,11 +134,23 @@ object ScaleCurves {
       3, 16, 2)
   }
 
+  /** q_select_ccnet's full chain over `copies`× documents — the new
+    * selection family's only corpus-keyed shuffle path (per-(lang,bigram)
+    * LM counts + per-lang cutpoint aggregation). Caesar shards keep lang
+    * labels, so the per-lang LM absorbs `copies`× the bigram vocabulary
+    * and the cutpoint pass buffers `copies`× the scores — exactly the two
+    * costs that must stay linear.
+    */
+  def ccnetLeg(s: SparkSession, dir: String, copies: Int): DataFrame =
+    graft.ops.Selection.ccnetBuckets(
+      amplifyDocs(Tables.documents(s, dir), copies), "doc_id", "text", "lang")
+
   val legs: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
     "ppjoin" -> (ppjoinLeg _),
     "paragraph" -> (paragraphLeg _),
     "cluster_knn" -> (clusterKnnLeg _),
-    "ivf_search" -> (ivfLeg _))
+    "ivf_search" -> (ivfLeg _),
+    "ccnet" -> (ccnetLeg _))
 
   /** Standalone quiet-box runner: prints one JSON object with raw samples,
     * ratios and plan shapes at 1× and 10× (the bench embeds the same
