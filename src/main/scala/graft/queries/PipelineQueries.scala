@@ -709,6 +709,27 @@ object PipelineQueries {
         .orderBy(col("stage_idx"))
     },
 
+    // the funnel PER LANGUAGE: which slices is the cascade eating — a
+    // cascade keeping 60% overall but 5% of one language is a data-mix bug
+    // the global funnel hides
+    "q_select_funnel_lang" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val gop = Selection.gopherRules(docs, "doc_id", "text",
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
+        GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2)
+        .filter(col("keep")).select(col("doc_id"))
+      val cc = Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
+        .filter(col("bucket") =!= "tail").select(col("doc_id"))
+      val ded = Dedup.softDedupWeights(docs, "doc_id", "text", K, BAND, NGRAM, 0.2)
+        .filter(col("doc_id") === col("label")).select(col("doc_id"))
+      val dec = graft.ops.Decontam.flags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", 5)
+        .filter(col("kept") === 1).select(col("doc_id"))
+      Selection.cascadeReportBy(docs, "doc_id", "lang",
+        Seq("gopher" -> gop, "ccnet" -> cc, "dedup" -> ded, "decontam" -> dec))
+        .orderBy(col("dim"), col("stage_idx"))
+    },
+
     // repetition detection: how dominant is the most-repeated word 3-gram —
     // a standard LLM-data quality signal (boilerplate / spam detector)
     "q_text_repetition" -> { (s, dir) =>
@@ -2859,6 +2880,46 @@ object PipelineQueries {
         UNION ALL SELECT 3, 'dedup', n2, n3 FROM ns
         UNION ALL SELECT 4, 'decontam', n3, n4 FROM ns
         ORDER BY stage_idx""",
+      // the per-language funnel: same stage sets, counts grouped by lang
+      "q_select_funnel_lang" -> s"""
+        $dupClusterCtes,
+        flbl AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+        $gopherCtes,
+        $ccnetCtes,
+        gk AS (SELECT doc_id FROM gflag WHERE keep),
+        ck AS (SELECT doc_id FROM cbk WHERE bucket <> 'tail'),
+        dk AS (SELECT doc_id FROM documents WHERE doc_id NOT IN
+                 (SELECT id FROM flbl WHERE id <> label)),
+        fh AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        fhd AS (SELECT DISTINCT md5(text) AS digest FROM fh),
+        fhg AS (SELECT DISTINCT unnest(
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' ')))) AS g
+                FROM (SELECT $toksSql AS ftoks FROM fh)),
+        fhgl AS (SELECT list(g) AS gl FROM fhg),
+        fcg AS (SELECT doc_id, md5(text) AS d,
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' '))) AS sh
+                FROM (SELECT doc_id, text, $toksSql AS ftoks FROM documents)),
+        xk AS (SELECT fcg.doc_id FROM fcg, fhgl
+               WHERE fcg.d NOT IN (SELECT digest FROM fhd)
+                 AND len(list_intersect(fcg.sh, fhgl.gl)) = 0),
+        fc1 AS (SELECT doc_id FROM gk),
+        fc2 AS (SELECT doc_id FROM fc1 WHERE doc_id IN (SELECT doc_id FROM ck)),
+        fc3 AS (SELECT doc_id FROM fc2 WHERE doc_id IN (SELECT doc_id FROM dk)),
+        fc4 AS (SELECT doc_id FROM fc3 WHERE doc_id IN (SELECT doc_id FROM xk)),
+        nsl AS (SELECT lang AS dim,
+                  count(*) AS n0,
+                  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fc1)) AS n1,
+                  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fc2)) AS n2,
+                  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fc3)) AS n3,
+                  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fc4)) AS n4
+                FROM documents GROUP BY lang)
+        SELECT dim, 1 AS stage_idx, 'gopher' AS stage, n0 AS n_in, n1 AS n_out FROM nsl
+        UNION ALL SELECT dim, 2, 'ccnet', n1, n2 FROM nsl
+        UNION ALL SELECT dim, 3, 'dedup', n2, n3 FROM nsl
+        UNION ALL SELECT dim, 4, 'decontam', n3, n4 FROM nsl
+        ORDER BY dim, stage_idx""",
       // epoch weights quantized to ppm: en 2.4 -> (2, 400000), de 1.0 ->
       // (1, 0), fr 0.5 -> (0, 500000); a doc's copy count = fullk + 1 iff
       // its md5 ppm lands under the fractional threshold

@@ -1948,6 +1948,25 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in")))
   }
 
+  test("cascade by dimension: per-dim funnels sum to the global funnel") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stages = Seq(
+      "even" -> docs.filter($"doc_id" % 2 === 0).select($"doc_id"),
+      "third" -> docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    val global = graft.ops.Selection.cascadeReport(docs, "doc_id", stages)
+      .collect().map(r => r.getAs[Int]("stage_idx") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"))).toMap
+    val byLang = graft.ops.Selection.cascadeReportBy(docs, "doc_id", "lang", stages)
+    val summed = byLang.groupBy($"stage_idx")
+      .agg(sum($"n_in").as("n_in"), sum($"n_out").as("n_out"))
+      .collect().map(r => r.getAs[Int]("stage_idx") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"))).toMap
+    assert(summed == global)
+    // and each per-dim funnel chains internally
+    val n = byLang.filter($"n_in" < $"n_out").count()
+    assert(n == 0)
+  }
+
   test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
