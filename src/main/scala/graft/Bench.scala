@@ -244,7 +244,7 @@ object Bench {
       // sampling / splits / ordering
       "q_sample_stratified", "q_sample_mixture", "q_sample_epochs", "q_sample_temperature", "q_split",
       "q_train_order", "q_select_dsir", "q_select_ccnet", "q_select_gopher",
-      "q_dedup_soft", "q_select_funnel",
+      "q_dedup_soft", "q_select_funnel", "q_select_funnel_lang",
       // multimodal
       "q_multimodal", "q_dedup_multimodal",
       // data quality / profiling
