@@ -297,7 +297,16 @@ object Splits {
     */
   def temperatureMixture(
       df: DataFrame, domainCol: String, keyCol: String,
-      alpha: Double): DataFrame = {
+      alpha: Double): DataFrame =
+    applyPpmThresholds(df, domainCol, keyCol,
+      temperatureThresholds(df, domainCol, alpha))
+
+  /** The FITTED artifact of [[temperatureMixture]]: domain → keep-ppm.
+    * |domains|-sized (the model-literal convention) — persist it and serve
+    * any later batch or stream through [[applyPpmThresholds]].
+    */
+  def temperatureThresholds(
+      df: DataFrame, domainCol: String, alpha: Double): Seq[(String, Long)] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     val counts = df
       .groupBy(col(domainCol).cast("string").as(domainCol)).count()
@@ -315,10 +324,20 @@ object Splits {
       if (BigInt(s6(d)) * BigInt(counts(best)) >
           BigInt(s6(best)) * BigInt(counts(d))) d else best
     }
-    val thresholds = dims.map { d =>
+    dims.map { d =>
       d -> ((BigInt(1000000) * BigInt(s6(d)) * BigInt(counts(bStar))) /
         (BigInt(s6(bStar)) * BigInt(counts(d)))).toLong.min(1000000L)
     }
+  }
+
+  /** SCAN-LEVEL hash-rate filter against a literal (domain → keep-ppm)
+    * table — the serving form of the mixture/temperature samplers: no
+    * join, no shuffle, no state, safe on an unbounded stream. Domains
+    * absent from `thresholds` drop (threshold 0).
+    */
+  def applyPpmThresholds(
+      df: DataFrame, domainCol: String, keyCol: String,
+      thresholds: Seq[(String, Long)]): DataFrame = {
     val thresholdCol = thresholds.foldRight(lit(0L)) { case ((d, t), rest) =>
       when(col(domainCol) === d, lit(t)).otherwise(rest)
     }

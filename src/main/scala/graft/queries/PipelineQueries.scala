@@ -592,6 +592,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the streaming admission twin: the same α-sampling filter served
+    // scan-level from the pre-fitted threshold artifact — batching-
+    // invariant, shares the batch oracle
+    "q_stream_temperature" -> { (s, dir) =>
+      graft.streaming.Streams.streamingTemperature(s, dir, 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // fractional-epoch upsampling (the LLaMA-recipe "books × 2.4" weighting,
     // the inverse of q_sample_mixture's downsampling): en appears 2.4× (2
     // full epochs + the md5-lowest 40% a third time), de 1.0×, fr 0.5×
@@ -2077,6 +2086,28 @@ object PipelineQueries {
         SELECT doc_id, n_words, mean_wlen, stop_hits, alpha_frac, top2_frac,
                r_words, r_wordlen, r_stop, r_alpha, r_rep, keep
         FROM gflag ORDER BY doc_id"""
+    // temperature sampling: s6 = round(sqrt(n)·1e6) (correctly-rounded IEEE
+    // sqrt — engine-exact), then the mixture chain's NOT-EXISTS argmax +
+    // HUGEINT floor-div, binding domain kept whole; shared by the batch
+    // gate and its batching-invariant streaming twin
+    val temperatureSql = s"""
+        WITH c AS (SELECT lang AS domain, count(*) AS n
+                   FROM documents GROUP BY 1),
+        s AS (SELECT domain, n,
+                CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
+              FROM c),
+        star AS (SELECT domain, n, s6 FROM s s1 WHERE NOT EXISTS (
+          SELECT 1 FROM s s2 WHERE
+            CAST(s2.s6 AS HUGEINT) * s1.n > CAST(s1.s6 AS HUGEINT) * s2.n
+            OR (CAST(s2.s6 AS HUGEINT) * s1.n = CAST(s1.s6 AS HUGEINT) * s2.n
+                AND s2.domain < s1.domain))),
+        th AS (SELECT s.domain,
+                 least(CAST((1000000::HUGEINT * s.s6 * b.n) // (b.s6 * s.n)
+                   AS BIGINT), 1000000) AS thresh
+               FROM s, star b)
+        SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
+        WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
+        ORDER BY d.doc_id"""
     // the duplicate-cluster chain (LSH candidates -> jaccard-verified pairs
     // -> recursive reachability), shared by q_dedup_clusters and
     // q_dedup_canonical
@@ -2785,27 +2816,10 @@ object PipelineQueries {
         SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
         ORDER BY d.doc_id""",
-      // temperature sampling: s6 = round(sqrt(n)·1e6) (correctly-rounded
-      // IEEE sqrt — engine-exact), then the mixture chain's NOT-EXISTS
-      // argmax + HUGEINT floor-div, binding domain kept whole
-      "q_sample_temperature" -> s"""
-        WITH c AS (SELECT lang AS domain, count(*) AS n
-                   FROM documents GROUP BY 1),
-        s AS (SELECT domain, n,
-                CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
-              FROM c),
-        star AS (SELECT domain, n, s6 FROM s s1 WHERE NOT EXISTS (
-          SELECT 1 FROM s s2 WHERE
-            CAST(s2.s6 AS HUGEINT) * s1.n > CAST(s1.s6 AS HUGEINT) * s2.n
-            OR (CAST(s2.s6 AS HUGEINT) * s1.n = CAST(s1.s6 AS HUGEINT) * s2.n
-                AND s2.domain < s1.domain))),
-        th AS (SELECT s.domain,
-                 least(CAST((1000000::HUGEINT * s.s6 * b.n) // (b.s6 * s.n)
-                   AS BIGINT), 1000000) AS thresh
-               FROM s, star b)
-        SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.domain
-        WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < th.thresh
-        ORDER BY d.doc_id""",
+      "q_sample_temperature" -> temperatureSql,
+      // the streaming admission twin serves the same fitted thresholds
+      // scan-level — batching-invariant, identical chain
+      "q_stream_temperature" -> temperatureSql,
       // DSIR: weight table over every doc (exact scaled-long sums)
       "q_select_dsir_scores" -> s"""
         WITH $dsirScSql

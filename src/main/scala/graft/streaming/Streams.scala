@@ -1391,6 +1391,30 @@ object Streams {
     spark.table(name)
   }
 
+  /** Streaming temperature-mixture ADMISSION — arriving documents pass the
+    * α-sampling hash-rate filter against thresholds PRE-FITTED on the
+    * static corpus ([[graft.ops.Splits.temperatureThresholds]] — the
+    * |domains|-row artifact): a pure scan-level literal-threshold predicate
+    * per micro-batch, no join/state/watermark, so the drained table equals
+    * the batch op for ANY batching and the gate shares
+    * q_sample_temperature's oracle verbatim.
+    */
+  def streamingTemperature(
+      spark: SparkSession, sfDir: String, alpha: Double): DataFrame = {
+    val name = s"graft_stemp_${System.nanoTime()}"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val thresholds = graft.ops.Splits.temperatureThresholds(docs, "lang", alpha)
+    val docSchema = rawDocsSchema(spark, sfDir)
+    val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .transform(df =>
+        graft.ops.Splits.applyPpmThresholds(df, "lang", "doc_id", thresholds))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming CCNet bucket ASSIGNMENT — arriving documents bucketed per
     * micro-batch against the PRE-FITTED per-language artifact
     * ([[graft.ops.Selection.ccnetLpTable]] + frozen tercile

@@ -1161,4 +1161,23 @@ object LawsSpec extends Properties("graft") {
       Prop(java.lang.Double.compare(got, want) == 0) :|
         s"a=$a b=$b c=$c d=$d got=$got want=$want"
     }
+
+  property("gopher dominant-bigram = max multiplicity, on any token stream") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "go", "the"))) { toks =>
+      // the op computes max-equal-run over the SORTED bigram array (the
+      // O(L log L) predicate-safe form); the law checks it equals the naive
+      // max multiplicity the count-per-distinct form (and the oracle's
+      // list-expression) computes
+      val text = toks.mkString(" ")
+      val got = graft.ops.Selection.gopherRules(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        1, 10000, 0.0, 100.0, Seq("the"), 0, 0.0, 1.0)
+        .select(col("top2_frac")).head().getDouble(0)
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val want =
+        if (bgs.isEmpty) 0.0
+        else BigDecimal(bgs.groupBy(identity).values.map(_.size).max.toDouble /
+          bgs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Prop(got == want) :| s"toks=$toks got=$got want=$want"
+    }
 }
