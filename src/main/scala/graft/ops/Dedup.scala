@@ -400,13 +400,24 @@ object Dedup {
     * left_anti of the corpus against the dropped-id set (ids only — text
     * never joins back).
     */
+  /** The shared candidate→verify→cluster prelude of every keep-one/soft
+    * variant: banded LSH candidates at `minJaccard`, connected components.
+    * ONE definition so the cluster-membership discipline (threshold
+    * compare, candidate caps) can never fork between hard and soft dedup.
+    */
+  private def nearDupComponents(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
+      shingleN: Int, minJaccard: Double): DataFrame =
+    connectedComponents(
+      nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
+        .filter(col("jaccard") >= minJaccard))
+
   def canonicalCorpus(
       docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
       shingleN: Int, minJaccard: Double): DataFrame = {
-    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
-      .filter(col("jaccard") >= minJaccard)
-    val dropped = connectedComponents(pairs)
-      .filter(col("id") =!= col("label")).select(col("id"))
+    val dropped =
+      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
+        .filter(col("id") =!= col("label")).select(col("id"))
     docs.join(dropped, docs(idCol) === dropped("id"), "left_anti")
   }
 
@@ -428,9 +439,8 @@ object Dedup {
   def softDedupWeights(
       docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
       shingleN: Int, minJaccard: Double): DataFrame = {
-    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
-      .filter(col("jaccard") >= minJaccard)
-    val comp = connectedComponents(pairs)
+    val comp =
+      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
     val sized = comp.join(
       comp.groupBy(col("label")).agg(count(lit(1)).as("csize")), Seq("label"))
     docs.select(col(idCol).as("doc_id"))
@@ -456,9 +466,8 @@ object Dedup {
   def canonicalCorpusByScore(
       docs: DataFrame, idCol: String, textCol: String, score: Column,
       k: Int, bandSize: Int, shingleN: Int, minJaccard: Double): DataFrame = {
-    val pairs = nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
-      .filter(col("jaccard") >= minJaccard)
-    val members = connectedComponents(pairs)
+    val members =
+      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
       .join(docs, col("id") === docs(idCol))
       .select(col("id"), col("label"), score.as("__score"))
     val w = org.apache.spark.sql.expressions.Window

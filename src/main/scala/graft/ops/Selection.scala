@@ -303,10 +303,18 @@ object Selection {
     * serving form below.
     */
   def dsirLr6Array(bucketTable: DataFrame, buckets: Int): Array[Long] = {
-    val arr = Array.fill[Long](buckets)(0L)
-    bucketTable
+    val rows = bucketTable
       .select(col("bucket"), round(col("logr") * 1e6).cast("long").as("lr6"))
-      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      .collect()
+    // LOUD on partial artifacts: a sparse/filtered table would silently
+    // score its missing buckets as 0 instead of the smoothed default the
+    // dense [[dsirBucketTable]] carries — refuse rather than bias
+    require(rows.length == buckets &&
+        rows.map(_.getLong(0)).toSet == (0L until buckets).toSet,
+      s"bucket table must be DENSE over 0..${buckets - 1} " +
+        s"(got ${rows.length} rows) - fit it with dsirBucketTable(buckets = $buckets)")
+    val arr = Array.fill[Long](buckets)(0L)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
   }
 
@@ -320,7 +328,9 @@ object Selection {
   def dsirScoreStream(
       docs: DataFrame, idCol: String, textCol: String,
       lr6: Array[Long], buckets: Int): DataFrame = {
-    val lrLit = array(lr6.map(lit(_)): _*)
+    // one array Literal (the trained-classifier convention, TextOps:625) —
+    // not 256 CreateArray children inlined per-gram into the lambda
+    val lrLit = lit(lr6)
     docs
       .withColumn("__g", gramStream(col(textCol)))
       .withColumn("__s6", aggregate(col("__g"), lit(0L), (acc, g) =>
@@ -349,26 +359,13 @@ object Selection {
     */
   def cascadeReport(
       docs: DataFrame, idCol: String,
-      stages: Seq[(String, DataFrame)]): DataFrame = {
-    var spine = docs.select(col(idCol).as("__id"))
-    stages.zipWithIndex.foreach { case ((_, ks), i) =>
-      spine = spine.join(
-        ks.select(col(ks.columns.head).as("__id")).distinct()
-          .withColumn(s"__k$i", lit(1)),
-        Seq("__id"), "left")
-    }
-    val cums = stages.indices.map { i =>
-      sum((0 to i).map(j => coalesce(col(s"__k$j"), lit(0))).reduce(_ * _))
-        .as(s"__c$i")
-    }
-    val agg = spine.agg(count(lit(1)).as("__n0"), cums: _*)
-    val rows = stages.map(_._1).zipWithIndex.map { case (name, i) =>
-      val nIn = if (i == 0) col("__n0") else col(s"__c${i - 1}")
-      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
-        nIn.as("n_in"), col(s"__c$i").as("n_out"))
-    }
-    agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
-  }
+      stages: Seq[(String, DataFrame)]): DataFrame =
+    // the global funnel IS the grouped funnel over one constant slice (the
+    // per-dim-sums-to-global law, run in reverse) — one body to maintain
+    cascadeReportBy(
+      docs.select(col(idCol)).withColumn("__alldim", lit("all")),
+      idCol, "__alldim", stages)
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_out"))
 
   /** [[cascadeReport]] grouped by a DIMENSION (language, source, domain) —
     * "which languages is the quality cascade eating?", the per-slice funnel
@@ -384,6 +381,14 @@ object Selection {
   def cascadeReportBy(
       docs: DataFrame, idCol: String, dimCol: String,
       stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "cascadeReport needs at least one stage")
+    stages.foreach { case (name, ks) =>
+      // keep-sets are ID-ONLY by contract; a multi-column frame would
+      // silently join the spine on whatever column happens to be first
+      require(ks.columns.length == 1,
+        s"stage '$name' keep-set must be a single id column, " +
+          s"got ${ks.columns.mkString(", ")}")
+    }
     var spine = docs.select(col(idCol).as("__id"), col(dimCol).as("dim"))
     stages.zipWithIndex.foreach { case ((_, ks), i) =>
       spine = spine.join(

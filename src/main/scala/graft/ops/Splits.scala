@@ -263,13 +263,9 @@ object Splits {
       d -> ((BigInt(1000000) * BigInt(nStar) * BigInt(w)) /
         (BigInt(wmap(dStar)) * BigInt(counts(d)))).toLong.min(1000000L)
     }
-    val thresholdCol = thresholds.foldRight(lit(0L)) { case ((d, t), rest) =>
-      when(col(domainCol) === d, lit(t)).otherwise(rest)
-    }
-    df.filter(col(domainCol).isin(weights.map(_._1): _*))
-      .filter(pmod(
-        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
-        lit(1000000L)) < thresholdCol)
+    applyPpmThresholds(
+      df.filter(col(domainCol).isin(weights.map(_._1): _*)),
+      domainCol, keyCol, thresholds)
   }
 
   /** TEMPERATURE-scaled domain sampling (the T5 α-sampling / UNIMAX
@@ -308,10 +304,12 @@ object Splits {
   def temperatureThresholds(
       df: DataFrame, domainCol: String, alpha: Double): Seq[(String, Long)] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
-    val counts = df
+    // NULL domains carry no fittable identity: drop them here (they also
+    // drop at serve time — applyPpmThresholds' fold bottoms out at 0)
+    val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as(domainCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "temperatureMixture needs at least one domain")
+    require(counts.nonEmpty, "temperatureMixture needs at least one non-null domain")
     val s6 = counts.map { case (d, n) =>
       val p = if (alpha == 0.5) math.sqrt(n.toDouble)
               else math.pow(n.toDouble, alpha)

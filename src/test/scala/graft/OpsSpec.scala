@@ -1921,13 +1921,17 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // binding domain (argmax n^(α-1) = the smallest) survives whole
     assert(kept(smallest._1) == smallest._2)
-    // flattening: every domain's keep RATE is ≥ the rate it would get at
-    // its natural share — i.e. larger domains are cut harder (rate ordering
-    // inverse to size)
-    val rates = byLang.keys.toSeq.sortBy(byLang).map(l =>
-      kept(l).toDouble / byLang(l))
-    assert(rates == rates.sorted.reverse,
-      s"keep rates must fall as domain size grows: $rates")
+    // flattening: the fitted THRESHOLDS (exact, hash-noise-free — realized
+    // rates wobble ~sqrt(p(1-p)/n) and near-equal domains could invert)
+    // are non-increasing as domain size grows, ties allowed
+    val thr = graft.ops.Splits.temperatureThresholds(docs, "lang", 0.5).toMap
+    val bySize = byLang.toSeq.sortBy { case (l, c) => (c, l) }
+    bySize.sliding(2).foreach {
+      case Seq((la, _), (lb, _)) =>
+        assert(thr(la) >= thr(lb),
+          s"threshold must not rise with domain size: $la=${thr(la)} $lb=${thr(lb)}")
+      case _ =>
+    }
   }
 
   test("cascade report: stages chain (n_in = previous n_out), counts match direct filters") {
@@ -1989,8 +1993,11 @@ class OpsSpec extends AnyFunSuite {
           case _ => // a tiny language may have an empty middle band
         }
       }
-      // with >= 3 docs a language always has a head and a tail
-      assert(stats.contains(l -> "head") && stats.contains(l -> "tail"))
+      // head is never empty (the max score is always >= its tercile
+      // cutpoint); tail CAN be empty for tiny/tied languages — with 3
+      // distinct-scored docs a<b<c, percentile_disc puts {b,c} in head and
+      // {a} in middle — so only head-existence is an invariant
+      assert(stats.contains(l -> "head"))
     }
   }
 }
