@@ -688,6 +688,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the composed streaming ingest-admission pipeline: Gopher rules ∧
+    // temperature cut ∧ decontamination, all per-row against static/fitted
+    // artifacts — the full stateless admission filter at ingest
+    "q_stream_admit" -> { (s, dir) =>
+      graft.streaming.Streams.streamingAdmission(s, dir,
+        s"/tmp/graft_stream_admit_${dir.replaceAll("[^A-Za-z0-9]", "_")}", 0.5,
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
+        GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2, 3)
+        .orderBy(col("doc_id"))
+    },
+
     // streaming Gopher rules: the scan-level chain per micro-batch — no
     // state, shares the batch oracle verbatim
     "q_stream_gopher" -> { (s, dir) =>
@@ -2854,6 +2865,45 @@ object PipelineQueries {
       // the streaming twin is the same scan-level chain per micro-batch —
       // no state, batching-invariant
       "q_stream_gopher" -> gopherSql,
+      // composed ingest admission: gopher keep ∧ temperature ppm cut ∧
+      // decontam clean — all per-row against static artifacts, so the
+      // streamed union has a direct batch-semantics oracle
+      "q_stream_admit" -> s"""
+        WITH $gopherCtes,
+        tc AS (SELECT lang AS domain, count(*) AS n
+               FROM documents GROUP BY 1),
+        ts AS (SELECT domain, n,
+                CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s6
+              FROM tc),
+        tstar AS (SELECT domain, n, s6 FROM ts s1 WHERE NOT EXISTS (
+          SELECT 1 FROM ts s2 WHERE
+            CAST(s2.s6 AS HUGEINT) * s1.n > CAST(s1.s6 AS HUGEINT) * s2.n
+            OR (CAST(s2.s6 AS HUGEINT) * s1.n = CAST(s1.s6 AS HUGEINT) * s2.n
+                AND s2.domain < s1.domain))),
+        tth AS (SELECT ts.domain,
+                 least(CAST((1000000::HUGEINT * ts.s6 * b.n) // (b.s6 * ts.n)
+                   AS BIGINT), 1000000) AS thresh
+               FROM ts, tstar b),
+        fh AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        fhd AS (SELECT DISTINCT md5(text) AS digest FROM fh),
+        fhg AS (SELECT DISTINCT unnest(
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' ')))) AS g
+                FROM (SELECT $toksSql AS ftoks FROM fh)),
+        fhgl AS (SELECT list(g) AS gl FROM fhg),
+        fcg AS (SELECT doc_id, md5(text) AS d,
+                  list_distinct(list_transform(range(1, greatest(len(ftoks)-4,0)+1),
+                    i -> array_to_string(ftoks[i:i+4], ' '))) AS sh
+                FROM (SELECT doc_id, text, $toksSql AS ftoks FROM documents)),
+        xk AS (SELECT fcg.doc_id FROM fcg, fhgl
+               WHERE fcg.d NOT IN (SELECT digest FROM fhd)
+                 AND len(list_intersect(fcg.sh, fhgl.gl)) = 0)
+        SELECT d.doc_id, d.lang FROM documents d
+        JOIN tth ON d.lang = tth.domain
+        WHERE d.doc_id IN (SELECT doc_id FROM gflag WHERE keep)
+          AND ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < tth.thresh
+          AND d.doc_id IN (SELECT doc_id FROM xk)
+        ORDER BY d.doc_id""",
       // the selection CASCADE: corpus-wide signals (gopher flags, ccnet
       // buckets, dup clusters, decontam flags) applied as sequential stage
       // filters with per-stage retention attribution

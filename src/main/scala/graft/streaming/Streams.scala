@@ -1415,6 +1415,39 @@ object Streams {
     spark.table(name)
   }
 
+  /** The COMPOSED streaming ingest-admission pipeline — what actually
+    * fronts a pretraining corpus at ingest: per micro-batch, a document is
+    * admitted iff it (1) passes the Gopher quality rules, (2) survives the
+    * pre-fitted temperature-mixture hash-rate cut, and (3) is clean against
+    * the static held-out set ([[graft.ops.Decontam.flags]] kept = 1). All
+    * three filters are PER-ROW decisions against static/fitted artifacts
+    * (no cross-doc state), so the drained union equals the batch
+    * composition for ANY batching — the gate's oracle states the batch
+    * semantics directly. Runs through the idempotent per-batch sink
+    * harness because the decontam verify builds batch-local distincts.
+    */
+  def streamingAdmission(
+      spark: SparkSession, sfDir: String, outDir: String, alpha: Double,
+      minWords: Int, maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      stopwords: Seq[String], minStopHits: Int,
+      minAlphaFrac: Double, maxTop2Frac: Double, batches: Int): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val thresholds = graft.ops.Splits.temperatureThresholds(docs, "lang", alpha)
+    val held = docs.filter(col("doc_id") % 97 === 0)
+    streamingSearch(docs, outDir, batches, { b =>
+      val g = graft.ops.Selection.gopherRules(b, "doc_id", "text",
+        minWords, maxWords, minMeanLen, maxMeanLen, stopwords, minStopHits,
+        minAlphaFrac, maxTop2Frac)
+        .filter(col("keep")).select(col("doc_id"))
+      val t = graft.ops.Splits.applyPpmThresholds(
+        b.join(g, Seq("doc_id"), "left_semi"), "lang", "doc_id", thresholds)
+      val clean = graft.ops.Decontam.flags(t, "doc_id", "text", held, "text", 5)
+        .filter(col("kept") === 1).select(col("doc_id"))
+      t.join(clean, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+    })
+  }
+
   /** Streaming CCNet bucket ASSIGNMENT — arriving documents bucketed per
     * micro-batch against the PRE-FITTED per-language artifact
     * ([[graft.ops.Selection.ccnetLpTable]] + frozen tercile
