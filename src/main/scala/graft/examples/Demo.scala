@@ -311,6 +311,21 @@ object Demo {
       docs.filter(col("doc_id") % 97 === 0), "text", 5, 0.1)
     println(s"contamination scores: ${cont.filter(col("contaminated") === 1).count()} " +
       s"docs over the 10% overlap threshold")
+    // the selection cascade: gopher rules -> ccnet non-tail, with per-stage
+    // retention attribution (the funnel table a pretraining pipeline ships)
+    val rules = graft.ops.Selection.gopherRules(docs, "doc_id", "text",
+      10, 1000, 3.0, 5.0, Seq("the", "a", "and"), 1, 0.8, 0.2)
+    val terciles = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
+    val funnel = graft.ops.Selection.cascadeReport(docs, "doc_id", Seq(
+      "gopher" -> rules.filter(col("keep")).select(col("doc_id")),
+      "ccnet" -> terciles.filter(col("bucket") =!= "tail").select(col("doc_id"))))
+      .orderBy(col("stage_idx")).collect()
+    println("selection funnel: " + funnel.map(r =>
+      s"${r.getAs[String]("stage")} ${r.getAs[Long]("n_in")}->${r.getAs[Long]("n_out")}")
+      .mkString(", "))
+    // temperature-flattened mixture: √n target shares, binding domain whole
+    val temp = graft.ops.Splits.temperatureMixture(docs, "lang", "doc_id", 0.5)
+    println(s"temperature-sampled corpus (alpha=0.5): ${temp.count()} docs kept")
     spark.stop()
   }
 }
