@@ -1906,6 +1906,12 @@ class OpsSpec extends AnyFunSuite {
         case None => assert(label == id && csize == 1L && w == 1.0)
       }
     }
+    // weight-mass law: each n-doc cluster contributes n·round6(1/n) ≈ 1, so
+    // Σ weights == #distinct labels within n·5e-7 rounding slack
+    val totalW = got.agg(sum($"weight")).head().getDouble(0)
+    val nClusters = got.select($"label").distinct().count()
+    assert(math.abs(totalW - nClusters) < 1e-3,
+      s"weight mass $totalW must approximate cluster count $nClusters")
   }
 
   test("temperature sampling: alpha=1 is identity, alpha<1 keeps the smallest domain whole") {
@@ -1931,6 +1937,27 @@ class OpsSpec extends AnyFunSuite {
         assert(thr(la) >= thr(lb),
           s"threshold must not rise with domain size: $la=${thr(la)} $lb=${thr(lb)}")
       case _ =>
+    }
+  }
+
+  test("loud guards: sparse DSIR artifacts and malformed cascade stages are refused") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bt = graft.ops.Selection.dsirBucketTable(
+      docs, "doc_id", "text", expr("lang = 'en'"), 64)
+    // a filtered (sparse) artifact must fail loudly, not score missing
+    // buckets as 0
+    intercept[IllegalArgumentException] {
+      graft.ops.Selection.dsirLr6Array(bt.filter($"bucket" < 10), 64)
+    }
+    // the dense artifact passes and covers every bucket
+    assert(graft.ops.Selection.dsirLr6Array(bt, 64).length == 64)
+    // multi-column keep-set: would silently join on the wrong column
+    intercept[IllegalArgumentException] {
+      graft.ops.Selection.cascadeReport(docs, "doc_id",
+        Seq("bad" -> docs.select($"doc_id", $"lang")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Selection.cascadeReport(docs, "doc_id", Seq.empty)
     }
   }
 
