@@ -25,8 +25,9 @@ import graft.ops.{Dedup, Similarity}
   *
   * So replica k is an ISOMORPHIC DISJOINT SHARD of the original corpus:
   *
-  *  - documents: every letter Caesar-rotated by k (`translate` over a–z, a
-  *    pure scan-level char map). Token lengths, zipf shape, and per-doc
+  *  - documents: every letter/digit Caesar-rotated by k (`translate` over
+  *    a–z, A–Z and 0–9, a pure scan-level char map). Token lengths, zipf
+  *    shape, and per-doc
   *    token-set relations are preserved exactly within a shard, while a
   *    rotated word almost never equals a real word from another shard, so
   *    cross-shard token overlap is negligible — the prefix filter and the
@@ -48,18 +49,26 @@ import graft.ops.{Dedup, Similarity}
   */
 object ScaleCurves {
 
-  private val ABC = "abcdefghijklmnopqrstuvwxyz"
+  private val LOWER = "abcdefghijklmnopqrstuvwxyz"
+  private val UPPER = LOWER.toUpperCase
+  private val DIGITS = "0123456789"
 
   /** `copies` disjoint isomorphic shards of the documents table; replica k
-    * rotates a–z by k and offsets doc_id by k·10⁷.
+    * rotates the FULL token alphabet — a–z, A–Z and 0–9 (each class within
+    * itself, so case pattern and token shape are preserved) — and offsets
+    * doc_id by k·10⁷. Rotating only lowercase would leave uppercase/digit
+    * token mass identical across shards, manufacturing cross-shard gram and
+    * prefix overlap that the measured ratios would mis-attribute to the
+    * operator.
     */
   def amplifyDocs(docs: DataFrame, copies: Int): DataFrame = {
-    require(copies >= 1 && copies <= 26, s"copies in [1,26], got $copies")
+    require(copies >= 1 && copies <= 10, s"copies in [1,10], got $copies")
+    def rot(abc: String, k: Int) = abc.drop(k % abc.length) + abc.take(k % abc.length)
     (0 until copies).map { k =>
-      val rot = ABC.drop(k) + ABC.take(k)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        translate(col("text"), ABC, rot).as("text"),
+        translate(col("text"), LOWER + UPPER + DIGITS,
+          rot(LOWER, k) + rot(UPPER, k) + rot(DIGITS, k)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }
@@ -134,6 +143,40 @@ object ScaleCurves {
       3, 16, 2)
   }
 
+  /** The OCCUPANCY-AWARE IVF leg — the production posture the fixed-nCents
+    * [[ivfLeg]] deliberately omits, exercising Similarity's scale knobs at
+    * 10×: nCents grows √-with the corpus (16·√copies — per-probe work is
+    * nprobe·n/nCents ∝ √n instead of ∝ n, the standard nlist ≈ √N sizing
+    * that balances assignment cost n·nCents against probe cost), centroid
+    * TRAINING runs on a deterministic md5 half-sample (`trainSample = 0.5` —
+    * at 100 TB you never train on the full corpus), and assignment + probe
+    * selection route through the broadcast-matrix kernel
+    * (`assignKernel = true` — mandatory once nCents×dim literals outgrow
+    * codegen constant pools). Fixed ivfLeg measured 6.7× wall at 10× (lists
+    * grow 10×); this leg's target is ≤ ~√10 ≈ 3×. Recall is pinned at BOTH
+    * sizes ([[ivfScaledRecall]]) so the speed isn't bought with silent
+    * quality loss.
+    */
+  def ivfScaledLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
+    val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      3, scaledCents(copies), 2, trainSample = 0.5, assignKernel = true)
+  }
+
+  private def scaledCents(copies: Int): Int =
+    math.round(16.0 * math.sqrt(copies.toDouble)).toInt
+
+  /** mean recall@3 of the scaled-index IVF leg vs exact brute force on the
+    * same amplified corpus — the q_ann_recall pin, applied at scale
+    */
+  def ivfScaledRecall(s: SparkSession, dir: String, copies: Int): Double = {
+    val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies)
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+    Similarity.recallAtK(ivfScaledLeg(s, dir, copies), exact, 3)
+      .agg(avg(col("recall"))).head().getDouble(0)
+  }
+
   /** q_select_ccnet's full chain over `copies`× documents — the new
     * selection family's only corpus-keyed shuffle path (per-(lang,bigram)
     * LM counts + per-lang cutpoint aggregation). Caesar shards keep lang
@@ -150,6 +193,7 @@ object ScaleCurves {
     "paragraph" -> (paragraphLeg _),
     "cluster_knn" -> (clusterKnnLeg _),
     "ivf_search" -> (ivfLeg _),
+    "ivf_search_scaled" -> (ivfScaledLeg _),
     "ccnet" -> (ccnetLeg _))
 
   /** Standalone quiet-box runner: prints one JSON object with raw samples,
@@ -190,7 +234,7 @@ object ScaleCurves {
       ("Exchange".r.findAllIn(p).size - bc - reused, bc)
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    legs.map { case (name, leg) =>
+    val rows = legs.map { case (name, leg) =>
       def samples(copies: Int): Seq[Double] = {
         run(leg(spark, sfDir, copies)) // warm-up (codegen, I/O cache)
         (0 until samplesPerLeg).map(_ => run(leg(spark, sfDir, copies)))
@@ -201,9 +245,17 @@ object ScaleCurves {
       val (sh10, bc10) = planCounts(leg(spark, sfDir, 10))
       val ratio = median(x10) / median(x1)
       def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // the scaled-index leg buys its speed with a coarser probe budget —
+      // pin recall@3 vs brute force at BOTH sizes so a quality collapse at
+      // scale would show in the artifact, not just a nicer ratio
+      val recall =
+        if (name != "ivf_search_scaled") ""
+        else f""","recall_x1":${ivfScaledRecall(spark, sfDir, 1)}%.3f""" +
+          f""","recall_x10":${ivfScaledRecall(spark, sfDir, 10)}%.3f"""
       f""""$name":{"x1":${arr(x1)},"x10":${arr(x10)},"ratio":$ratio%.2f,""" +
         s""""shuffles_x1":$sh1,"broadcasts_x1":$bc1,""" +
-        s""""shuffles_x10":$sh10,"broadcasts_x10":$bc10}"""
-    }.mkString("{", ",", "}")
+        s""""shuffles_x10":$sh10,"broadcasts_x10":$bc10$recall}"""
+    }
+    rows.mkString("{", ",", "}")
   }
 }

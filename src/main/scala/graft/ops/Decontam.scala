@@ -112,13 +112,37 @@ object Decontam {
     * broadcasts THEM). The verify is on the gram STRING, not its hash, so
     * the result is bit-exactly [[flags]]' output: the Bloom pass can only
     * let extra candidates through, never drop a true hit, and the verify
-    * removes every false positive.
+    * removes every false positive. The EXACT-match path gets the same
+    * treatment (a digest Bloom + survivor verify — no broadcast of the
+    * held digest set, which is corpus-sized under the same premise);
+    * `expectedDocs` sizes that second Bloom (0 = fall back to
+    * `expectedGrams`, an over-size that only lowers its fpp).
     */
   def flagsBloomed(
       corpus: DataFrame, idCol: String, textCol: String,
       heldout: DataFrame, heldTextCol: String, n: Int,
-      expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+      expectedGrams: Long, fpp: Double = 0.01,
+      expectedDocs: Long = 0L): DataFrame = {
+    // the digest side gets the SAME treatment as the gram side: under the
+    // "held side too large to broadcast" premise this function exists for,
+    // the held digest set is corpus-sized too — a broadcast hint on it
+    // (flags' shape) would OOM the driver at exactly the target scale. So a
+    // second Bloom (over xxhash64 of the md5 digest; `expectedDocs` items,
+    // ≤ expectedGrams when unset) rides the corpus scan, the tiny survivor
+    // set (true exact dups + the fpp slice) meets the held digests through a
+    // semi-join whose SMALL side is the survivors, and the verified ids come
+    // back by id like the gram hits. Read twice (bloom build + verify) —
+    // pinned like heldGrams.
     val heldDigests = heldout.select(md5(col(heldTextCol)).as("__digest")).distinct()
+      .localCheckpoint(false)
+    val digestBloom = heldDigests.select(xxhash64(col("__digest")).as("__dh"))
+      .stat.bloomFilter("__dh", if (expectedDocs > 0L) expectedDocs else expectedGrams, fpp)
+    val exactHits = corpus
+      .select(col(idCol), md5(col(textCol)).as("__d"))
+      .filter(graft.functions.BloomExprs.mightContain(xxhash64(col("__d")), digestBloom))
+      .join(heldDigests, col("__d") === col("__digest"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__ex", lit(1))
     // read twice (bloom build action + verify join) — pin so the held-side
     // tokenize/explode/distinct runs once; the bloom build's job
     // materializes the lazy checkpoint
@@ -135,13 +159,16 @@ object Decontam {
       .join(heldGrams, Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__ng", lit(1))
+    // both hit sets are contaminated-doc-sized but data-dependent: AQE sizes
+    // the joins at runtime (the flags discipline); without AQE fall back to
+    // the static hint — the hit sets, unlike the held inputs, are small
+    // under the decontamination premise
     val aqeOn = corpus.sparkSession.conf
       .get("spark.sql.adaptive.enabled", "true").toBoolean
     val hits = if (aqeOn) gramHits else broadcast(gramHits)
+    val exact = if (aqeOn) exactHits else broadcast(exactHits)
     corpus
-      .withColumn("__d", md5(col(textCol)))
-      .join(broadcast(heldDigests.withColumn("__ex", lit(1))),
-        col("__d") === col("__digest"), "left")
+      .join(exact, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
       .select(
         col(idCol),

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * Shape at 100 TB: gram extraction is scan-level (array transforms — no
   * posexplode self-join); the distribution fit is ONE corpus scan into a
   * ≤ `buckets`-row aggregate (map-side combined — bucket count is the
-  * bound, not vocabulary); scoring joins the gram stream to the broadcast
-  * bucket table and sums exact scaled longs per doc; resampling is a
-  * deterministic Gumbel-top-k (`TakeOrderedAndProject` — per-partition
-  * heaps, no global sort). Nothing vocabulary-sized ever shuffles and the
-  * only broadcast is `buckets` rows.
+  * bound, not vocabulary); scoring is SCAN-LEVEL — the fitted table rides
+  * a `buckets`-long literal array and each doc folds its gram stream
+  * against it in one codegen'd expression (no explode, no join, no
+  * shuffle — batch and streaming share [[scoreLr6]] verbatim); resampling
+  * is a deterministic Gumbel-top-k (`TakeOrderedAndProject` —
+  * per-partition heaps, no global sort). Nothing vocabulary-sized ever
+  * shuffles and nothing larger than `buckets` rows ever leaves the
+  * executors.
   *
   * Determinism: log-ratios round to 6 decimals and per-doc totals are exact
   * scaled-long sums (the [[TextOps.unigramLogProb]] discipline); the Gumbel
@@ -41,7 +44,10 @@ object Selection {
     concat(toks, TextOps.shinglesAll(toks, 2))
   }
 
-  /** (doc_id, isTarget, bucket) — one row per gram occurrence */
+  /** (doc_id, isTarget, bucket) — one row per gram occurrence. FIT-ONLY:
+    * the one explode in the family, feeding the ≤ `buckets`-row count
+    * aggregate (map-side combined); scoring never explodes.
+    */
   private def docBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame =
@@ -93,22 +99,33 @@ object Selection {
     dsirScoresAgainst(docs, idCol, textCol,
       dsirBucketTable(docs, idCol, textCol, isTarget, buckets), buckets)
 
+  /** The `__s6`-carrying scorer [[dsirResample]] reuses (the exact scaled
+    * long total its Gumbel keys add to). PRIVATE: the public serving forms
+    * ([[dsirScoresAgainst]], [[dsirScoreStream]]) emit only the documented
+    * `doc_id, n_grams, logw` so the two serving schemas never diverge.
+    */
+  private def dsirScores6(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame =
+    scoreLr6(docs, idCol, textCol,
+      dsirLr6Array(dsirBucketTable(docs, idCol, textCol, isTarget, buckets),
+        buckets), buckets)
+
   /** Scoring against an EXPLICIT (possibly persisted) [[dsirBucketTable]] —
     * the serving form: fit once on a reference crawl + target sample, score
-    * any later batch against the stored artifact.
+    * any later batch against the stored artifact. Fetches the table
+    * driver-side ([[dsirLr6Array]] — a BOUNDED `buckets`-row collect, the
+    * centroid/model-literal convention) and scores scan-level through
+    * [[scoreLr6]]: no explode, no join, no shuffle. Bit-identical to the
+    * historical explode→broadcast-join→groupBy form (law-pinned in
+    * OpsSpec): same rounded lr6 longs per gram (the dense table joins
+    * every gram exactly once), same exact long sums, same zero-gram drop.
     */
   def dsirScoresAgainst(
       docs: DataFrame, idCol: String, textCol: String,
-      bucketTable: DataFrame, buckets: Int): DataFrame = {
-    val g = docBuckets(docs, idCol, textCol, lit(false), buckets)
-      .drop("is_t")
-    g.join(broadcast(bucketTable.select(col("bucket"), col("logr"))), Seq("bucket"))
-      .withColumn("lr6", round(col("logr") * 1e6).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr6")).as("__s6"))
-      .withColumn("logw", round(col("__s6").cast("double") / 1e6, 6))
-      .select(col("doc_id"), col("n_grams"), col("logw"), col("__s6"))
-  }
+      bucketTable: DataFrame, buckets: Int): DataFrame =
+    scoreLr6(docs, idCol, textCol, dsirLr6Array(bucketTable, buckets), buckets)
+      .select(col("doc_id"), col("n_grams"), col("logw"))
 
   /** CCNet-style per-language HEAD/MIDDLE/TAIL quality buckets (Wenzek et
     * al. 2020, arXiv:1911.00359): each document is scored by its mean
@@ -318,14 +335,26 @@ object Selection {
     arr
   }
 
-  /** SCAN-LEVEL scoring against a literal lr6 array — the streaming/online
-    * serving form: the whole per-doc weight is one codegen'd expression
-    * chain (hash → bucket → literal-array lookup → long fold), no join, no
-    * shuffle, no state — safe on an unbounded stream. Bit-identical to the
-    * join form on the same artifact (same rounded longs, same grams); docs
-    * with no grams drop, matching [[dsirScoresAgainst]]'s inner join.
+  /** Scoring against an already-fetched lr6 array — the streaming/online
+    * entry point (a micro-batch cannot collect the artifact itself). Same
+    * [[scoreLr6]] body as the batch serving form, so the two schemas and
+    * values can never diverge.
     */
   def dsirScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      lr6: Array[Long], buckets: Int): DataFrame =
+    scoreLr6(docs, idCol, textCol, lr6, buckets)
+      .select(col("doc_id"), col("n_grams"), col("logw"))
+
+  /** THE scorer — one body for batch serving, streaming serving and the
+    * resampler: the whole per-doc weight is one codegen'd expression chain
+    * (hash → bucket → literal-array lookup → exact long fold), no join, no
+    * shuffle, no state — safe on an unbounded stream and the fastest batch
+    * form alike. Docs with no grams drop (no evidence either way). Keeps
+    * the internal exact total `__s6` for [[dsirResample]]; public callers
+    * project it away.
+    */
+  private def scoreLr6(
       docs: DataFrame, idCol: String, textCol: String,
       lr6: Array[Long], buckets: Int): DataFrame = {
     // one array Literal (the trained-classifier convention, TextOps:625) —
@@ -339,7 +368,7 @@ object Selection {
       .withColumn("n_grams", size(col("__g")).cast("long"))
       .filter(col("n_grams") > 0)
       .withColumn("logw", round(col("__s6").cast("double") / 1e6, 6))
-      .select(col(idCol).as("doc_id"), col("n_grams"), col("logw"))
+      .select(col(idCol).as("doc_id"), col("n_grams"), col("logw"), col("__s6"))
   }
 
   /** Selection-cascade ATTRIBUTION report — the per-stage retention funnel
@@ -422,7 +451,7 @@ object Selection {
   def dsirResample(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int, k: Int): DataFrame = {
-    val scores = dsirScores(docs, idCol, textCol, isTarget, buckets)
+    val scores = dsirScores6(docs, idCol, textCol, isTarget, buckets)
     val u = (TextOps.hash32(concat(lit("dsir:"), col("doc_id").cast("string")))
       % lit(1000000L) + lit(0.5)) / lit(1e6)
     val keyed = scores

@@ -301,8 +301,14 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    val clean = spark.read.option("basePath", promoted).parquet(promoted)
-      .drop("batch")
+    // the promoted side needs the same existence guard as the quarantine:
+    // if EVERY event fails the strict rules (or the stream yields no
+    // non-empty batch) no promoted/batch=N was ever written, and v1 must be
+    // a zero-row snapshot with the event schema, not an AnalysisException
+    val clean =
+      if (fs.exists(new org.apache.hadoop.fs.Path(promoted)))
+        spark.read.option("basePath", promoted).parquet(promoted).drop("batch")
+      else graft.Tables.events(spark, sfDir).limit(0)
     commitSnapshot(clean.withColumn("admitted_v", lit(1L)), table, 1L)
     val readmitted =
       if (!fs.exists(new org.apache.hadoop.fs.Path(quar)))

@@ -1853,6 +1853,47 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("DSIR law: scan-level scorer == explode→join→groupBy reference, bit-exact") {
+    // the r13 shuffle scorer, preserved HERE as the independent reference
+    // implementation: every gram occurrence joins the dense bucket table and
+    // the per-doc exact lr6 longs sum. The production scorer (scoreLr6, one
+    // codegen'd fold against the literal array) must match it bit-for-bit on
+    // the same artifact — same doc set, same n_grams, same logw.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val B = 64
+    val bt = graft.ops.Selection.dsirBucketTable(
+      docs, "doc_id", "text", $"lang" === "en", B)
+    val toks = when(length(trim($"text")) > 0, graft.ops.TextOps.tokens($"text"))
+      .otherwise(array().cast("array<string>"))
+    val reference = docs
+      .select($"doc_id",
+        explode(concat(toks, graft.ops.TextOps.shinglesAll(toks, 2))).as("gram"))
+      .withColumn("bucket", graft.ops.TextOps.hash32($"gram") % B)
+      .join(broadcast(bt.select($"bucket", $"logr")), Seq("bucket"))
+      .withColumn("lr6", round($"logr" * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"lr6").as("s6"))
+      .withColumn("logw", round($"s6".cast("double") / 1e6, 6))
+      .select($"doc_id", $"n_grams", $"logw")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val served = graft.ops.Selection
+      .dsirScoresAgainst(docs, "doc_id", "text", bt, B)
+    // the public serving schema carries ONLY the documented columns — the
+    // internal exact total stays private (the r13 __s6 leak)
+    assert(served.columns.toSeq == Seq("doc_id", "n_grams", "logw"))
+    val got = served
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == reference)
+    // and the streaming entry point shares the body verbatim — same schema,
+    // same values (the two serving forms can never diverge)
+    val lr6 = graft.ops.Selection.dsirLr6Array(bt, B)
+    val stream = graft.ops.Selection
+      .dsirScoreStream(docs, "doc_id", "text", lr6, B)
+    assert(stream.columns.toSeq == Seq("doc_id", "n_grams", "logw"))
+    assert(stream.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap == reference)
+  }
+
   test("Gopher rules: keep is the rule conjunction; each rule fires on its violator") {
     val docs = Seq(
       (1L, "the cat sat on a mat and dog ran far away"), // clean: keep

@@ -859,6 +859,15 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!ds.contains("Exchange"),
       s"dsirScoreStream must be scan-level (no shuffle):\n$ds")
+    // batch serving against a fitted table shares the same scan-level body:
+    // after the bounded buckets-row fetch the scoring plan has NO exchange —
+    // the r13 explode→join→groupBy scorer is retired
+    val bt = graft.ops.Selection.dsirBucketTable(
+      docs, "doc_id", "text", org.apache.spark.sql.functions.expr("lang = 'en'"), 64)
+    val bs = graft.ops.Selection.dsirScoresAgainst(docs, "doc_id", "text", bt, 64)
+      .queryExecution.executedPlan.toString
+    assert(!bs.contains("Exchange"),
+      s"dsirScoresAgainst must score scan-level (no shuffle):\n$bs")
     // temperature mixture: after the |domains|-row counts job the kept-set
     // filter is pure scan-level (the sampleMixture discipline)
     val tm = graft.ops.Splits.temperatureMixture(docs, "lang", "doc_id", 0.5)
