@@ -260,6 +260,81 @@ object Bench {
       "q_stream_scd2", "q_stream_readmit"
     ).map(name => name -> sink(name))
 
+    // round-14: EVERY remaining batch gate family leaf — the long tail was
+    // bench-invisible through r13 (regressions there showed nowhere). Same
+    // out-of-`total` contract. Streaming twins stay a state-kind sample (8
+    // in coverage13 + the 8 below complete the kinds: sliding windows,
+    // stream-static as-of, CDC view maintenance, quarantine route, digest
+    // anti-join, capped owner state, complete-mode moments, DQ summary);
+    // the other ~30 stream gates are stateless scan twins whose batch form
+    // is benched — their machinery cost is the CONTROL ROW below.
+    val coverage14: Seq[(String, () => Unit)] = (Seq(
+      // TDF core actions + entry surface
+      "q_count", "q_sum", "q_mean", "q_min_max", "q_reduce", "q_foreach",
+      "q_head", "q_tail", "q_take", "q_range",
+      // histo family leaves
+      "q_histo_fixed", "q_histo_weighted", "q_histo_weighted_d",
+      "q_histo2d_weighted", "q_histo_equidepth",
+      // sources / snapshot family leaves
+      "q_source_json", "q_snapshot", "q_snapshot_compact", "q_snapshot_diff",
+      "q_snapshot_point", "q_zorder3", "q_part_drop", "q_part_dropcol",
+      "q_join_bucketed",
+      // as-of family leaves
+      "q_asof_join", "q_asof_forward", "q_asof_nearest", "q_asof_tolerance",
+      // scalar/array/string/struct/date/window function surface
+      "q_array_funcs", "q_string_funcs", "q_struct_funcs", "q_date_funcs",
+      "q_window_funcs", "q_window_running", "q_day_spine",
+      // TPC-H long tail
+      "q_tpch_bigorders", "q_tpch_disjunct", "q_tpch_excess",
+      "q_tpch_idle_customers", "q_tpch_shipmode", "q_tpch_smallqty",
+      "q_tpch_topsupp", "q_tpch_valueparts",
+      // ANN long tail (per-index + variant leaves)
+      "q_ann_lsh", "q_ann_int8", "q_ann_opq", "q_ann_matryoshka",
+      "q_ann_projected", "q_ann_filtered", "q_ann_pq_filtered",
+      "q_ann_pq_index", "q_ann_f16_index", "q_ann_ivf_index",
+      "q_ann_ivf_int8", "q_ann_ivf_append", "q_ann_ivf_trained",
+      "q_ann_ivf_kernel", "q_ann_index_stats",
+      // embeddings
+      "q_embed_quantize", "q_embed_quantize16", "q_embed_project",
+      "q_embed_centroid_sim", "q_cluster_topics",
+      // dedup / decontam long tail
+      "q_dedup_clusters", "q_dedup_canonical_best", "q_dedup_incremental",
+      "q_dedup_containment_inc", "q_dedup_ppjoin_inc", "q_dedup_jaccard_brute",
+      "q_dedup_scrub", "q_contamination_score",
+      // text analysis long tail
+      "q_text_stats", "q_text_tokenize", "q_text_unigram", "q_text_bigram_lm",
+      "q_text_backoff", "q_text_chunk", "q_text_redact", "q_text_repetition",
+      "q_text_zipf", "q_text_classifier", "q_text_classifier_eval",
+      "q_text_bpe_apply", "q_text_bpe_pairs", "q_token_topk", "q_vocab_coverage",
+      // retrieval long tail (stored-serving forms)
+      "q_text_bm25_stored", "q_text_bm25_inc", "q_search_hybrid_stored",
+      "q_search_phrase_stored", "q_mine_negatives",
+      // selection / sampling / splits long tail
+      "q_select_dsir_scores", "q_filter_quantile", "q_sample_diverse",
+      "q_sample_hash", "q_sample_weighted", "q_take_budget",
+      // features
+      "q_feature_scale", "q_feature_apply_scale", "q_feature_cross",
+      "q_feature_decay", "q_feature_target_enc", "q_feature_winsorize",
+      // sketches / stats / eval / monitoring
+      "q_sketch_cms", "q_sketch_hll_setops", "q_calibration_curve",
+      "q_classifier_by_group", "q_anomaly_days", "q_seasonality_profile",
+      "q_trend_fit", "q_graph_assortativity",
+      // event / customer analytics
+      "q_cohort_ltv", "q_session_conversion", "q_profile_events",
+      "q_expectations_quarantine",
+      // multimodal + composed pipeline
+      "q_multimodal_custom", "q_multimodal_frames", "q_pipeline_e2e",
+      // streaming state kinds not in coverage13
+      "q_stream_sliding", "q_stream_asof", "q_stream_mv", "q_stream_quarantine",
+      "q_stream_incremental", "q_stream_semantic", "q_stream_cov",
+      "q_stream_expectations"
+    ).map(name => name -> sink(name))) :+
+      // the no-op stream: staged source + readStream + memory drain, zero
+      // logic — the fixed machinery cost every streaming twin pays
+      ("q_stream_control" -> (() =>
+        graft.streaming.Streams.streamingControl(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()))
+
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
     // JSON: a contended run on a shared box is otherwise indistinguishable
@@ -319,7 +394,7 @@ object Bench {
     }
 
     val results = headline.map { case (name, run) => name -> samples3(name, run) }
-    val coverageResults = (coverage ++ coverage13).map { case (name, run) =>
+    val coverageResults = (coverage ++ coverage13 ++ coverage14).map { case (name, run) =>
       name -> samples3(name, run)
     }
 
@@ -457,7 +532,7 @@ object Bench {
     // each plan probe individually guarded: an analysis error in ONE query
     // must degrade to an `err` entry, never crash the whole artifact of
     // record (r10's bench died here on a single AnalysisException)
-    val plansJson = ((headline ++ coverage ++ coverage13).collect {
+    val plansJson = ((headline ++ coverage ++ coverage13 ++ coverage14).collect {
       case (name, _) if SparkEntry.queries.contains(name) =>
         try {
           val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
@@ -471,6 +546,19 @@ object Bench {
     val qs = (results ++ coverageResults ++ serveResults)
       .map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
       .mkString("{", ",", "}")
+    // streaming twins minus the no-op control: the stateful logic's own
+    // cost, with the fixed micro-batch machinery (staged source, readStream
+    // planning, memory-sink drain) subtracted out — the number a real
+    // regression in the state logic moves. Clamped at 0 (a twin can beat
+    // the control by run noise).
+    val controlMed = median(coverageResults
+      .find(_._1 == "q_stream_control").map(_._2).getOrElse(Seq(-1.0)))
+    val streamAdjJson = (results ++ coverageResults).collect {
+      case (k, ts) if k.startsWith("q_stream_") && k != "q_stream_control" =>
+        val m = median(ts)
+        val adj = if (m < 0 || controlMed < 0) -1.0 else math.max(0.0, m - controlMed)
+        f""""$k":$adj%.3f"""
+    }.mkString("{", ",", "}")
     val raw = (results ++ coverageResults ++ serveResults ++
       Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
       "q_join_plain_layout" -> plainTs, "q_join_bcast_bucketed" -> bucketTs))
@@ -490,6 +578,8 @@ object Bench {
       f""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}},""" +
       f""""serving":{"build_pq_sec":$buildPqSec%.3f,"build_int8_sec":$buildI8Sec%.3f},""" +
       s""""scale_curves":$scaleCurvesJson,""" +
+      f""""stream_control_sec":$controlMed%.3f,""" +
+      s""""stream_minus_control":$streamAdjJson,""" +
       f""""plans":$plansJson,""" +
       f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")

@@ -156,11 +156,21 @@ object ScaleCurves {
     * grow 10×); this leg's target is ≤ ~√10 ≈ 3×. Recall is pinned at BOTH
     * sizes ([[ivfScaledRecall]]) so the speed isn't bought with silent
     * quality loss.
+    *
+    * Knob choices are MEASURED, not assumed (examples/IvfScaleProbe sweep,
+    * sf0.1): √N cents + nprobe 2 + full-corpus init = ratio ~2.4 with
+    * recall@3 0.97→1.00; `trainSample = 0.5` at `trainIters = 0` changes
+    * WHICH vectors seed the centroids (smallest ids of the sample) and
+    * collapsed recall to 0.8/0.6, and one Lloyd iteration (rounded-mean
+    * centroids) cost 2 extra corpus passes and dropped recall to ~0.6 on
+    * this corpus — so the leg keeps init-from-corpus training. The sampled
+    * trainer's COST path is exercised by the probe; its quality effect is
+    * corpus-specific, exactly why the recall pin rides the artifact.
     */
   def ivfScaledLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
     val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      3, scaledCents(copies), 2, trainSample = 0.5, assignKernel = true)
+      3, scaledCents(copies), 2, assignKernel = true)
   }
 
   private def scaledCents(copies: Int): Int =

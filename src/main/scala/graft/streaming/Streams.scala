@@ -93,6 +93,23 @@ object Streams {
       spark.readStream.schema(raw).parquet(stage.toString))
   }
 
+  /** The NO-OP stream — the bench's control row: the same staged source,
+    * readStream machinery and memory-sink drain every streaming twin pays,
+    * with zero transform logic (one pass-through projection). At small SF
+    * the twins' wall time is dominated by this fixed micro-batch overhead;
+    * subtracting the control row isolates the stateful logic's real cost so
+    * a regression there can't hide under harness noise (and vice versa).
+    */
+  def streamingControl(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_sctl_${System.nanoTime()}"
+    val q = eventStream(spark, sfDir)
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Tumbling event-time window aggregation with watermark; drained to an
     * in-memory table and returned as a finished DataFrame.
     */

@@ -302,6 +302,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingReadmit with an all-violating strict rule commits a zero-row v1") {
+    // every event fails strict (value < -1 is impossible), so NO promoted
+    // batch dir is ever written — v1 must be an empty snapshot with the
+    // event schema, and v2 must hold exactly the relaxed-rule survivors as
+    // readmissions (admitted_v = 2), not throw on the missing directory
+    import graft.ops.Expectations._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.Tables.scratch("test_readmit_empty", dir)
+    val got = Streams.streamingReadmit(spark, dir, out,
+      strict = Seq(InRange("value", -10, -1)),
+      relaxed = Seq(InRange("value", 0, 40)))
+    assert(got.filter($"admitted_v" === 1L).count() == 0)
+    val expected = graft.Tables.events(spark, dir)
+      .filter($"value" >= 0.0 && $"value" <= 40.0).count()
+    assert(got.filter($"admitted_v" === 2L).count() == expected)
+  }
+
   test("streaming decontamination equals batch clean() (stream-static, stateless)") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
