@@ -99,17 +99,6 @@ object Selection {
     dsirScoresAgainst(docs, idCol, textCol,
       dsirBucketTable(docs, idCol, textCol, isTarget, buckets), buckets)
 
-  /** The `__s6`-carrying scorer [[dsirResample]] reuses (the exact scaled
-    * long total its Gumbel keys add to). PRIVATE: the public serving forms
-    * ([[dsirScoresAgainst]], [[dsirScoreStream]]) emit only the documented
-    * `doc_id, n_grams, logw` so the two serving schemas never diverge.
-    */
-  private def dsirScores6(
-      docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame =
-    scoreLr6(docs, idCol, textCol,
-      dsirLr6Array(dsirBucketTable(docs, idCol, textCol, isTarget, buckets),
-        buckets), buckets)
 
   /** Scoring against an EXPLICIT (possibly persisted) [[dsirBucketTable]] —
     * the serving form: fit once on a reference crawl + target sample, score
@@ -450,8 +439,20 @@ object Selection {
     */
   def dsirResample(
       docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int, k: Int): DataFrame = {
-    val scores = dsirScores6(docs, idCol, textCol, isTarget, buckets)
+      isTarget: Column, buckets: Int, k: Int): DataFrame =
+    dsirResampleAgainst(docs, idCol, textCol,
+      dsirLr6Array(dsirBucketTable(docs, idCol, textCol, isTarget, buckets),
+        buckets), buckets, k)
+
+  /** [[dsirResample]] against an already-fetched lr6 artifact — the serving
+    * form (fit once on the reference crawl, resample any later batch): the
+    * scoring is the same scan-level [[scoreLr6]] chain, so the whole pick
+    * is one corpus scan + one `TakeOrderedAndProject`.
+    */
+  def dsirResampleAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      lr6: Array[Long], buckets: Int, k: Int): DataFrame = {
+    val scores = scoreLr6(docs, idCol, textCol, lr6, buckets)
     val u = (TextOps.hash32(concat(lit("dsir:"), col("doc_id").cast("string")))
       % lit(1000000L) + lit(0.5)) / lit(1e6)
     val keyed = scores

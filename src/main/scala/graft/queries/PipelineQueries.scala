@@ -80,6 +80,28 @@ object PipelineQueries {
         .localCheckpoint(false)
     }
 
+  /** the fitted DSIR lr6 artifact (dense `DSIR_B`-long log-ratio array
+    * toward the lang=en target) both DSIR gates serve against — the exact
+    * analog of the persisted bucket table a deployment stores
+    */
+  private def dsirLr6(s: SparkSession, dir: String): Array[Long] =
+    artifact(s, dir, "dsir_lr6") {
+      Selection.dsirLr6Array(
+        Selection.dsirBucketTable(Tables.documentsParallel(s, dir),
+          "doc_id", "text", col("lang") === "en", DSIR_B), DSIR_B)
+    }
+
+  /** the verified near-dup edge list (MinHash LSH candidates, jaccard ≥ 0.2)
+    * both mining gates certify against — pair-sized, built once
+    */
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
+    artifact(s, dir, "neardup_edges") {
+      Dedup.nearDuplicatesLsh(Tables.documentsParallel(s, dir),
+          "doc_id", "text", K, BAND, NGRAM)
+        .filter(col("jaccard") >= 0.2)
+        .localCheckpoint(false)
+    }
+
   /** the CCNet serving artifact: per-language bigram LM + frozen tercile
     * cutpoints — the (lang,bigram) shuffle is paid HERE, once; every
     * consumer (the batch gate, the funnel's ccnet stage) scores against it
@@ -101,7 +123,10 @@ object PipelineQueries {
     */
   private def funnelStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
     artifact(s, dir, "funnel_stages") {
-      val docs = Tables.documents(s, dir)
+      // parallel ingest: the gopher keep-set is pure scan-level md5/token
+      // work and the other builders' pre-exchange map stages are tokenize-
+      // heavy — the one-time narrow repartition buys 32-wide builds
+      val docs = Tables.documentsParallel(s, dir)
       val (lp, cuts) = ccnetArtifact(s, dir)
       Seq(
         "gopher" -> Selection.gopherRules(docs, "doc_id", "text",
@@ -692,9 +717,17 @@ object PipelineQueries {
     // pick — a true weighted sample without replacement whose noise derives
     // from md5 of the doc id, which is what makes a sampled selection
     // oracle-checkable at all
+    // documentsParallel: with the r14 scan-level scorer the WHOLE per-doc
+    // weight (md5 per gram) computes inside the parquet scan, and the
+    // driver testdata is one row group = one task — the documented
+    // small-input lever buys full-width map stages (results are exact
+    // scaled longs, partition-invariant)
+    // + fit-once serving: the resample runs against the cached lr6 artifact
+    // (dsirLr6 — dsirResample(docs, …) IS dsirResampleAgainst(fit(docs), …)
+    // by construction), so per-run cost is ONE scan + a top-k
     "q_select_dsir" -> { (s, dir) =>
-      Selection.dsirResample(Tables.documents(s, dir), "doc_id", "text",
-        col("lang") === "en", DSIR_B, DSIR_K)
+      Selection.dsirResampleAgainst(Tables.documentsParallel(s, dir),
+        "doc_id", "text", dsirLr6(s, dir), DSIR_B, DSIR_K)
         .orderBy(col("rank"))
     },
 
@@ -702,9 +735,8 @@ object PipelineQueries {
     // lang=en target, exact scaled-long sums) — the artifact the resample
     // consumes and a reusable domain-relevance quality signal
     "q_select_dsir_scores" -> { (s, dir) =>
-      Selection.dsirScores(Tables.documents(s, dir), "doc_id", "text",
-        col("lang") === "en", DSIR_B)
-        .select(col("doc_id"), col("n_grams"), col("logw"))
+      Selection.dsirScoreStream(Tables.documentsParallel(s, dir),
+        "doc_id", "text", dsirLr6(s, dir), DSIR_B)
         .orderBy(col("doc_id"))
     },
 
@@ -959,8 +991,7 @@ object PipelineQueries {
       val hits = Retrieval.bm25TopKStored(bm25Stats(s, dir),
         docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
         BM25_TOPK, excludeSelf = true)
-      val dups = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
-        .filter(col("jaccard") >= 0.2)
+      val dups = nearDupEdges(s, dir)
       val dupBoth = dups.select(col("id_a"), col("id_b"))
         .unionByName(dups.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       val w = org.apache.spark.sql.expressions.Window
@@ -985,10 +1016,8 @@ object PipelineQueries {
       // branches below (positive pick, anchor set, negative anti-join, final
       // join) — unpinned, the whole LSH verify chain re-executes per branch
       // and again in the final sort's sampling pass (measured 47 s vs ~4 s
-      // at sf0.1). One lazy checkpoint computes it once.
-      val dups = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
-        .filter(col("jaccard") >= 0.2)
-        .localCheckpoint(false)
+      // at sf0.1). The pinned edge artifact is shared with q_mine_negatives.
+      val dups = nearDupEdges(s, dir)
       val dupBoth = dups.select(col("id_a"), col("id_b"), col("jaccard"))
         .unionByName(dups.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
           col("jaccard")))
