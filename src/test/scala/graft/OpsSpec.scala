@@ -2056,6 +2056,34 @@ class OpsSpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("artifact serving == one-shot fit, bit-exact (CCNet assign, DSIR resample)") {
+    // the r14 gates serve from fit-once pinned artifacts; this law pins
+    // that serving against a stored fit IS the one-shot op — same rows,
+    // same values — so the artifact path can never drift from the
+    // oracle-gated semantics
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lp = graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
+    val cuts = graft.ops.Selection.ccnetCuts(
+      graft.ops.Selection.ccnetScore(docs, "doc_id", "text", "lang", lp))
+    val served = graft.ops.Selection
+      .ccnetAssign(docs, "doc_id", "text", "lang", lp, cuts)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.ops.Selection
+      .ccnetBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(served == oneShot)
+    val isTarget = $"lang" === "en"
+    val lr6 = graft.ops.Selection.dsirLr6Array(
+      graft.ops.Selection.dsirBucketTable(docs, "doc_id", "text", isTarget, 64), 64)
+    val rServed = graft.ops.Selection
+      .dsirResampleAgainst(docs, "doc_id", "text", lr6, 64, 25)
+      .collect().map(_.toSeq).toSet
+    val rOneShot = graft.ops.Selection
+      .dsirResample(docs, "doc_id", "text", isTarget, 64, 25)
+      .collect().map(_.toSeq).toSet
+    assert(rServed == rOneShot)
+  }
+
   test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = graft.ops.Selection.ccnetBuckets(docs, "doc_id", "text", "lang")
