@@ -68,8 +68,14 @@ object PipelineQueries {
   private val artifactCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), AnyRef]
   private def artifact[T <: AnyRef](
-      s: SparkSession, dir: String, key: String)(build: => T): T =
+      s: SparkSession, dir: String, key: String)(build: => T): T = {
+    // entries keyed by a STOPPED session are dead weight (their pinned
+    // blocks died with the context) — sweep them so a long-lived process
+    // cycling sessions can't grow the cache unboundedly
+    artifactCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(artifactCache.remove)
     artifactCache.getOrElseUpdate((s, dir, key), build).asInstanceOf[T]
+  }
 
   /** the persisted-BM25-stats artifact ([[Retrieval.bm25StatsTable]]) the
     * mining gates score against — built once, (doc, term)-sized
