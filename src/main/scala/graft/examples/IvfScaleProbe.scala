@@ -13,12 +13,14 @@ import graft.ops.Similarity
   * recall@3 per config — the measurement that picks the sizing baked into
   * [[ScaleCurves.ivfScaledLeg]].
   *
-  * Finding r14 (sf0.1): with `trainIters = 0` the init takes the nCents
-  * SMALLEST-id vectors, which on the amplified corpus all live in shard 0 —
-  * recall@3 collapses (0.36 at 10×, 0.25 at 100×) because 9/10 of the
-  * corpus assigns to noise-nearest foreign centroids. Lloyd iterations (the
-  * library's own training path, a build-time cost the serving leg never
-  * times) spread the centroids across the data.
+  * Finding r14 (sf0.1): recall@3 vs the amplified exact truth sits at
+  * ~0.35 (10×) / ~0.25 (100×) and NO training configuration moves it —
+  * Lloyd 1–2 iterations, full or 0.2-sampled, land within noise of the
+  * init-only build. The `diag` mode explains why: the exact truth itself
+  * is 91% / 99.7% cross-shard Rademacher extreme-value noise at those
+  * sizes (see the ScaleCurves header caveat), so the recall ceiling is set
+  * by the fixture, not by centroid placement; nprobe is the only live
+  * lever (p8 lifts recall to 0.53/0.35 at ~2× probe cost).
   */
 object IvfScaleProbe {
 
