@@ -104,9 +104,39 @@ object ProbeTriplets {
       org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rank") <= BM25_TOPK)
     t("agg4 + window noop")(ranked4.write.format("noop").mode("overwrite").save())
-    val hits = Retrieval.bm25TopKStored(stats, qdocs, "doc_id", "text",
+    val hits = Retrieval.bm25TopKStoredForward(stats, qdocs, "doc_id", "text",
       BM25_TOPK, excludeSelf = true)
-    t("hits noop (current impl)")(hits.write.format("noop").mode("overwrite").save())
+    t("hits noop (forward)")(hits.write.format("noop").mode("overwrite").save())
+    t("hits noop (forward 2nd)")(hits.write.format("noop").mode("overwrite").save())
+    // forward sub-stages
+    val scored6 = stats.withColumn("__c6",
+      round(round(idf6 * tfn, 6) * lit(1e6)).cast("long"))
+    val fwd = scored6
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("__c6")))).as("__ts"))
+      .select(col("doc_id"),
+        transform(col("__ts"), x => x.getField("tok")).as("__dtoks"),
+        transform(col("__ts"), x => x.getField("__c6")).as("__dc6"))
+    t("fwd index noop")(fwd.write.format("noop").mode("overwrite").save())
+    val fwdPin = t("fwd pin")(fwd.localCheckpoint(true))
+    val qarr = qterms.groupBy(col("query_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("__qtoks"))
+    val pairs0 = fwdPin.crossJoin(broadcast(qarr))
+      .withColumn("__sn", graft.functions.SortedTermsScore(
+        col("__dtoks"), col("__dc6"), col("__qtoks")))
+      .filter(col("__sn").getField("n") > 0)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        col("__sn").getField("s").as("__s"),
+        col("__sn").getField("n").as("n_terms"))
+    t("pair scan noop")(pairs0.write.format("noop").mode("overwrite").save())
+    val ranked5 = pairs0.withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= BM25_TOPK)
+    t("pair scan + window noop")(ranked5.write.format("noop").mode("overwrite").save())
+    val hitsOld = Retrieval.bm25TopKStored(stats, qdocs, "doc_id", "text",
+      BM25_TOPK, excludeSelf = true)
+    t("hits noop (postings)")(hitsOld.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -990,11 +990,11 @@ object PipelineQueries {
     "q_mine_negatives" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       // mining scores against the persisted-stats artifact (bm25Stats — the
-      // q_text_bm25_stored serving path): bm25TopK(docs, …) IS
-      // bm25TopKStored(bm25StatsTable(docs), …) by construction, so scores
-      // are identical; the corpus tokenization + (doc,term) shuffle is paid
-      // once per session instead of once per mining gate
-      val hits = Retrieval.bm25TopKStored(bm25Stats(s, dir),
+      // q_text_bm25_stored serving path) through the FORWARD scorer: this
+      // corpus's query terms are dense (df ≈ 0.8·N, 31-token vocabulary), so
+      // the postings join fans out ~42M rows with a zero-reduction partial
+      // agg — the forward pair scan is bit-equal (LawsSpec) and ~7× faster
+      val hits = Retrieval.bm25TopKStoredForward(bm25Stats(s, dir),
         docs.filter(col("doc_id") < NQUERIES), "doc_id", "text",
         BM25_TOPK, excludeSelf = true)
       val dups = nearDupEdges(s, dir)
@@ -1036,9 +1036,9 @@ object PipelineQueries {
       // anchors = every doc that HAS a positive (metric-sized: bounded by
       // the near-dup pair count), so the gate exercises real triplets
       val qdocs = docs.join(pos.select(col("query_id").as("doc_id")), Seq("doc_id"))
-      // stored-stats scoring (see q_mine_negatives) — identical scores, the
-      // stats fit shared across both mining gates
-      val hits = Retrieval.bm25TopKStored(bm25Stats(s, dir),
+      // stored-stats FORWARD scoring (see q_mine_negatives) — identical
+      // scores, the stats fit shared across both mining gates
+      val hits = Retrieval.bm25TopKStoredForward(bm25Stats(s, dir),
         qdocs, "doc_id", "text", BM25_TOPK, excludeSelf = true)
       val wn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("rank").asc)

@@ -507,6 +507,31 @@ object LawsSpec extends Properties("graft") {
       merged == full
     }
 
+  // the forward (pair-scan, sorted-merge) BM25 scorer is bit-for-bit the
+  // postings (join + hash-agg) scorer for any corpus, query subset, k and
+  // excludeSelf — scores, matched-term counts, ranks and tiebreaks all equal.
+  // This is the law that licenses picking the scorer by COST (dense terms →
+  // forward; selective terms → postings) without a semantics question.
+  property("forward BM25 scorer equals postings scorer exactly") =
+    Prop.forAll(Gen.choose(6, 40), Gen.choose(1, 6), Gen.choose(1, 8),
+      Gen.oneOf(true, false)) { (n, qmod, k, exSelf) =>
+      val docs = (0 until n).map { i =>
+        // mix of dense (w0..w3) and rare (r<i>) terms so both cost regimes
+        // appear in the same corpus; duplicate texts exercise score ties
+        val rare = if (i % 5 == 0) s" r$i" else ""
+        (i.toLong, (0 to i % 4).map(j => s"w${(i + j) % 4}").mkString(" ") + rare)
+      }.toDF("doc_id", "text")
+      val stats = graft.ops.Retrieval.bm25StatsTable(docs, "doc_id", "text")
+      val queries = docs.filter(col("doc_id") % qmod === 0)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+      val post = key(graft.ops.Retrieval.bm25TopKStored(
+        stats, queries, "doc_id", "text", k, excludeSelf = exSelf))
+      val fwd = key(graft.ops.Retrieval.bm25TopKStoredForward(
+        stats, queries, "doc_id", "text", k, excludeSelf = exSelf))
+      post == fwd
+    }
+
   // count-min guarantees: every estimate dominates the true count (hash
   // collisions only inflate), and the counter matrix is additive across
   // corpus shards — the merge law that makes the sketch a persistable,
