@@ -400,23 +400,25 @@ object Dedup {
     * left_anti of the corpus against the dropped-id set (ids only — text
     * never joins back).
     */
-  /** The shared candidate→verify→cluster prelude of every keep-one/soft
-    * variant: banded LSH candidates at `minJaccard`, connected components.
-    * ONE definition so the cluster-membership discipline (threshold
-    * compare, candidate caps) can never fork between hard and soft dedup.
-    */
-  private def nearDupComponents(
-      docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
-      shingleN: Int, minJaccard: Double): DataFrame =
-    connectedComponents(
-      nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN)
-        .filter(col("jaccard") >= minJaccard))
-
   def canonicalCorpus(
       docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
-      shingleN: Int, minJaccard: Double): DataFrame = {
+      shingleN: Int, minJaccard: Double): DataFrame =
+    canonicalCorpusFromPairs(docs, idCol,
+      nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN), minJaccard)
+
+  /** [[canonicalCorpus]] consuming a PRECOMPUTED verified pair table (the
+    * [[nearDuplicatesLsh]] output shape: id_a, id_b, jaccard) — the serving
+    * form for a pipeline that builds the pair artifact once and feeds every
+    * duplicate-graph consumer (canonical corpora, soft weights, clusters,
+    * mining) from it instead of re-running shingle → signature → bands →
+    * verify per consumer. Semantics identical by construction: the one-shot
+    * forms above are now thin wrappers over these.
+    */
+  def canonicalCorpusFromPairs(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
     val dropped =
-      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
+      connectedComponents(pairs.filter(col("jaccard") >= minJaccard))
         .filter(col("id") =!= col("label")).select(col("id"))
     docs.join(dropped, docs(idCol) === dropped("id"), "left_anti")
   }
@@ -438,9 +440,17 @@ object Dedup {
     */
   def softDedupWeights(
       docs: DataFrame, idCol: String, textCol: String, k: Int, bandSize: Int,
-      shingleN: Int, minJaccard: Double): DataFrame = {
-    val comp =
-      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
+      shingleN: Int, minJaccard: Double): DataFrame =
+    softDedupWeightsFromPairs(docs, idCol,
+      nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN), minJaccard)
+
+  /** [[softDedupWeights]] over a precomputed verified pair table — see
+    * [[canonicalCorpusFromPairs]] for the artifact contract.
+    */
+  def softDedupWeightsFromPairs(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val comp = connectedComponents(pairs.filter(col("jaccard") >= minJaccard))
     val sized = comp.join(
       comp.groupBy(col("label")).agg(count(lit(1)).as("csize")), Seq("label"))
     docs.select(col(idCol).as("doc_id"))
@@ -465,9 +475,18 @@ object Dedup {
     */
   def canonicalCorpusByScore(
       docs: DataFrame, idCol: String, textCol: String, score: Column,
-      k: Int, bandSize: Int, shingleN: Int, minJaccard: Double): DataFrame = {
+      k: Int, bandSize: Int, shingleN: Int, minJaccard: Double): DataFrame =
+    canonicalCorpusByScoreFromPairs(docs, idCol, score,
+      nearDuplicatesLsh(docs, idCol, textCol, k, bandSize, shingleN), minJaccard)
+
+  /** [[canonicalCorpusByScore]] over a precomputed verified pair table — see
+    * [[canonicalCorpusFromPairs]] for the artifact contract.
+    */
+  def canonicalCorpusByScoreFromPairs(
+      docs: DataFrame, idCol: String, score: Column, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
     val members =
-      nearDupComponents(docs, idCol, textCol, k, bandSize, shingleN, minJaccard)
+      connectedComponents(pairs.filter(col("jaccard") >= minJaccard))
       .join(docs, col("id") === docs(idCol))
       .select(col("id"), col("label"), score.as("__score"))
     val w = org.apache.spark.sql.expressions.Window

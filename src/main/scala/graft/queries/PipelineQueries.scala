@@ -97,13 +97,28 @@ object PipelineQueries {
           "doc_id", "text", col("lang") === "en", DSIR_B), DSIR_B)
     }
 
+  /** the UNFILTERED verified LSH pair table ([[Dedup.nearDuplicatesLsh]]
+    * output: id_a, id_b, n_inter, n_union, jaccard) — the ONE
+    * shingle → signature → bands → verify pass every duplicate-graph
+    * consumer derives from: the minhash_lsh/clusters/canonical/soft/recall
+    * gates, the multimodal gate's text generator, the funnel's dedup stage
+    * and the mining gates' edge certification all re-ran the full chain
+    * independently through r14. Pair-sized pin.
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    artifact(s, dir, "lsh_pairs") {
+      Dedup.nearDuplicatesLsh(Tables.documentsParallel(s, dir),
+          "doc_id", "text", K, BAND, NGRAM)
+        .localCheckpoint(false)
+    }
+
   /** the verified near-dup edge list (MinHash LSH candidates, jaccard ≥ 0.2)
-    * both mining gates certify against — pair-sized, built once
+    * both mining gates certify against — a filter of [[lshPairs]], pinned
+    * separately because the triplets gate fans it into four plan branches
     */
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
     artifact(s, dir, "neardup_edges") {
-      Dedup.nearDuplicatesLsh(Tables.documentsParallel(s, dir),
-          "doc_id", "text", K, BAND, NGRAM)
+      lshPairs(s, dir)
         .filter(col("jaccard") >= 0.2)
         .localCheckpoint(false)
     }
@@ -141,7 +156,8 @@ object PipelineQueries {
           .filter(col("keep")).select(col("doc_id")),
         "ccnet" -> Selection.ccnetAssign(docs, "doc_id", "text", "lang", lp, cuts)
           .filter(col("bucket") =!= "tail").select(col("doc_id")),
-        "dedup" -> Dedup.softDedupWeights(docs, "doc_id", "text", K, BAND, NGRAM, 0.2)
+        "dedup" -> Dedup.softDedupWeightsFromPairs(docs, "doc_id",
+            lshPairs(s, dir), 0.2)
           .filter(col("doc_id") === col("label")).select(col("doc_id")),
         "decontam" -> graft.ops.Decontam.flags(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 97 === 0), "text", 5)
@@ -790,8 +806,8 @@ object PipelineQueries {
     // keep-one — every doc survives with a sampling weight the hash-rate
     // samplers consume directly
     "q_dedup_soft" -> { (s, dir) =>
-      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text",
-        K, BAND, NGRAM, 0.2)
+      Dedup.softDedupWeightsFromPairs(Tables.documents(s, dir), "doc_id",
+        lshPairs(s, dir), 0.2)
         .orderBy(col("doc_id"))
     },
 
@@ -856,8 +872,13 @@ object PipelineQueries {
     "q_dedup_multimodal" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", K, NGRAM)
-      val textCands = Dedup.lshCandidates(sig, "doc_id", K, BAND)
+      // the text generator IS the shared pair artifact's candidate set (same
+      // K/BAND/NGRAM): through r14 this gate re-ran shingle → signature →
+      // bands for pairs lshPairs already certifies — and their jaccard comes
+      // from the artifact too, so the per-gate verify below touches ONLY the
+      // embedding-only remainder
+      val textPairs = lshPairs(s, dir)
+      val textCands = textPairs
         .select(col("id_a"), col("id_b"), lit(1).as("src_text"), lit(0).as("src_embed"))
       val b = emb.select(col("vec_id").as("id"),
         graft.ops.Similarity.asDouble(col("embedding")).as("v"))
@@ -872,8 +893,14 @@ object PipelineQueries {
       val cands = textCands.unionByName(embCands)
         .groupBy(col("id_a"), col("id_b"))
         .agg(max(col("src_text")).as("src_text"), max(col("src_embed")).as("src_embed"))
-      val withJacc = Dedup.jaccardVerify(
-        cands.select(col("id_a"), col("id_b")), docs, "doc_id", "text", NGRAM)
+      val embOnly = cands.select(col("id_a"), col("id_b"))
+        .join(textPairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
+          "left_anti")
+      val withJacc = textPairs
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          col("jaccard"))
+        .unionByName(
+          Dedup.jaccardVerify(embOnly, docs, "doc_id", "text", NGRAM))
       val ev = emb.select(col("vec_id").as("id_a"),
         graft.ops.Similarity.asDouble(col("embedding")).as("va"))
       val ev2 = emb.select(col("vec_id").as("id_b"),
@@ -890,18 +917,15 @@ object PipelineQueries {
     // duplicate clusters: connected components over LSH near-dup pairs
     // (jaccard >= 0.2), labeled by smallest member id
     "q_dedup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.nearDuplicatesLsh(
-        Tables.documents(s, dir), "doc_id", "text", K, BAND, NGRAM)
-        .filter(col("jaccard") >= 0.2)
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponents(nearDupEdges(s, dir))
         .orderBy(col("id"))
     },
 
     // the corpus-producing closure of the cluster chain: keep each
     // duplicate component's canonical (min-id) member plus all singletons
     "q_dedup_canonical" -> { (s, dir) =>
-      Dedup.canonicalCorpus(Tables.documents(s, dir), "doc_id", "text",
-        K, BAND, NGRAM, 0.2)
+      Dedup.canonicalCorpusFromPairs(Tables.documents(s, dir), "doc_id",
+        lshPairs(s, dir), 0.2)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -1062,8 +1086,8 @@ object PipelineQueries {
     // keep-the-best-copy semantics of production dedup; the argmax window
     // touches only component members, the corpus pays one anti-join
     "q_dedup_canonical_best" -> { (s, dir) =>
-      Dedup.canonicalCorpusByScore(Tables.documents(s, dir), "doc_id", "text",
-        length(col("text")).cast("long"), K, BAND, NGRAM, 0.2)
+      Dedup.canonicalCorpusByScoreFromPairs(Tables.documents(s, dir), "doc_id",
+        length(col("text")).cast("long"), lshPairs(s, dir), 0.2)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -1209,7 +1233,7 @@ object PipelineQueries {
     },
 
     "q_dedup_minhash_lsh" -> { (s, dir) =>
-      Dedup.nearDuplicatesLsh(Tables.documents(s, dir), "doc_id", "text", K, BAND, NGRAM)
+      lshPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1679,7 +1703,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val truth = Dedup.ppJoin(docs, "doc_id", "text", NGRAM, 50)
         .select(col("id_a"), col("id_b"))
-      val found = Dedup.nearDuplicatesLsh(docs, "doc_id", "text", K, BAND, NGRAM)
+      val found = lshPairs(s, dir)
         .filter(col("n_inter") * 2 >= col("n_union"))
         .select(col("id_a"), col("id_b"))
       val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")

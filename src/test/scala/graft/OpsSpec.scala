@@ -2082,6 +2082,35 @@ class OpsSpec extends AnyFunSuite {
       .dsirResample(docs, "doc_id", "text", isTarget, 64, 25)
       .collect().map(_.toSeq).toSet
     assert(rServed == rOneShot)
+    // r15: the LSH pair-table artifact — every duplicate-graph consumer
+    // served from a precomputed nearDuplicatesLsh table equals its one-shot
+    // form (the FromPairs contract), including the jaccard-reuse split the
+    // multimodal gate does (cached jaccard for artifact pairs, fresh verify
+    // only for pairs from other generators)
+    val pairTable = graft.ops.Dedup
+      .nearDuplicatesLsh(docs, "doc_id", "text", 32, 4, 3)
+      .localCheckpoint(false)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      keyed(graft.ops.Dedup.canonicalCorpusFromPairs(docs, "doc_id", pairTable, 0.2)) ==
+      keyed(graft.ops.Dedup.canonicalCorpus(docs, "doc_id", "text", 32, 4, 3, 0.2)))
+    assert(
+      keyed(graft.ops.Dedup.softDedupWeightsFromPairs(docs, "doc_id", pairTable, 0.2)) ==
+      keyed(graft.ops.Dedup.softDedupWeights(docs, "doc_id", "text", 32, 4, 3, 0.2)))
+    // jaccard-reuse split == verify-everything, over a mixed candidate set
+    // (artifact pairs ∪ an id-adjacent synthetic generator)
+    val extra = docs.select(($"doc_id").as("id_a"), ($"doc_id" + 1).as("id_b"))
+      .filter($"id_b" % 7 === 0)
+    val allCands = pairTable.select($"id_a", $"id_b")
+      .unionByName(extra).distinct()
+    val embOnly = allCands
+      .join(pairTable.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_anti")
+    val split = pairTable
+      .select($"id_a", $"id_b", $"n_inter", $"n_union", $"jaccard")
+      .unionByName(graft.ops.Dedup.jaccardVerify(embOnly, docs, "doc_id", "text", 3))
+    val full = graft.ops.Dedup.jaccardVerify(allCands, docs, "doc_id", "text", 3)
+    assert(keyed(split) == keyed(full))
   }
 
   test("CCNet buckets: per-lang score-ordered partition into head/middle/tail") {
