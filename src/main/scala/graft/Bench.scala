@@ -81,6 +81,33 @@ object Bench {
     }
   }
 
+  /** Per-twin streaming telemetry: micro-batch count + final state-store
+    * rows, read from the engine's own progress events. This is what makes a
+    * stream twin's minus-control wall ATTRIBUTABLE: the machinery cost
+    * scales with `batches`, the logic's state with `state_rows` — a logic
+    * regression moves state/batch counts even when box noise hides the
+    * wall-clock (the r14 verdict's ask #6).
+    */
+  private final class StreamStats
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val lastState =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+    def reset(): Unit = { batches.set(0); lastState.clear() }
+    def stateRows: Long = {
+      var s = 0L; lastState.values.forEach(v => s += v); s
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      batches.incrementAndGet()
+      var s = 0L
+      e.progress.stateOperators.foreach(op => s += op.numRowsTotal)
+      lastState.put(e.progress.id, s)
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -335,6 +362,26 @@ object Bench {
         graft.streaming.Streams.streamingControl(spark, sfDir)
           .write.format("noop").mode("overwrite").save()))
 
+    // round-15: the remaining 38 streaming twins — the last bench-invisible
+    // gates (r14 covered the state-kind representatives and argued the rest
+    // ride the control row; the r14 verdict asked for every gate anyway:
+    // with the per-twin batches/state_rows telemetry below, each row is now
+    // individually attributable). Same out-of-`total` contract.
+    val coverage15: Seq[(String, () => Unit)] = Seq(
+      "q_stream_admit", "q_stream_ann", "q_stream_anomaly", "q_stream_backoff",
+      "q_stream_bm25", "q_stream_bpe_pairs", "q_stream_ccnet",
+      "q_stream_classify", "q_stream_classify_trained", "q_stream_cms",
+      "q_stream_containment", "q_stream_decontaminate", "q_stream_dsir",
+      "q_stream_f16", "q_stream_features", "q_stream_features_window",
+      "q_stream_funnel", "q_stream_gopher", "q_stream_histo",
+      "q_stream_histo_weighted", "q_stream_hll", "q_stream_multimodal",
+      "q_stream_neardup_band", "q_stream_paragraph", "q_stream_pca",
+      "q_stream_phrase", "q_stream_ppjoin", "q_stream_pq", "q_stream_psi",
+      "q_stream_quantile", "q_stream_scrub", "q_stream_seasonality",
+      "q_stream_sink", "q_stream_split", "q_stream_temperature",
+      "q_stream_transitions", "q_stream_upsert", "q_stream_winsorize"
+    ).map(name => name -> sink(name))
+
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
     // JSON: a contended run on a shared box is otherwise indistinguishable
@@ -394,9 +441,37 @@ object Bench {
     }
 
     val results = headline.map { case (name, run) => name -> samples3(name, run) }
-    val coverageResults = (coverage ++ coverage13 ++ coverage14).map { case (name, run) =>
-      name -> samples3(name, run)
+    val coverageResults =
+      (coverage ++ coverage13 ++ coverage14 ++ coverage15).map { case (name, run) =>
+        name -> samples3(name, run)
+      }
+
+    // per-twin streaming telemetry (batches + final state rows): one extra
+    // instrumented run per twin AFTER its timed samples — the listener bus
+    // is async, so each read spin-settles like the task listener above
+    val streamStats = new StreamStats
+    spark.streams.addListener(streamStats)
+    def settledStreamStats(): (Int, Long) = {
+      var last = -1
+      var n = streamStats.batches.get()
+      var spins = 0
+      while (n != last && spins < 50) {
+        Thread.sleep(100); last = n; n = streamStats.batches.get(); spins += 1
+      }
+      (n, streamStats.stateRows)
     }
+    val streamStatsJson =
+      (headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).collect {
+        case (name, run) if name.startsWith("q_stream_") =>
+          streamStats.reset()
+          val ok = try { run(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name stream stats: $e"); false }
+          val (b, sr) = settledStreamStats()
+          if (ok) s""""$name":{"batches":$b,"state_rows":$sr}"""
+          else s""""$name":{"batches":-1,"state_rows":-1}"""
+      }.mkString("{", ",", "}")
+    spark.streams.removeListener(streamStats)
 
     // serving probe: the ANN coverage rows above retrain codebooks and
     // rebuild lists on every run (the offline cost); production searches a
@@ -532,7 +607,7 @@ object Bench {
     // each plan probe individually guarded: an analysis error in ONE query
     // must degrade to an `err` entry, never crash the whole artifact of
     // record (r10's bench died here on a single AnalysisException)
-    val plansJson = ((headline ++ coverage ++ coverage13 ++ coverage14).collect {
+    val plansJson = ((headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).collect {
       case (name, _) if SparkEntry.queries.contains(name) =>
         try {
           val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
@@ -580,6 +655,7 @@ object Bench {
       s""""scale_curves":$scaleCurvesJson,""" +
       f""""stream_control_sec":$controlMed%.3f,""" +
       s""""stream_minus_control":$streamAdjJson,""" +
+      s""""stream_stats":$streamStatsJson,""" +
       f""""plans":$plansJson,""" +
       f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")

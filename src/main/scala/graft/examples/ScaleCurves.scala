@@ -62,23 +62,41 @@ object ScaleCurves {
   private val DIGITS = "0123456789"
 
   /** `copies` disjoint isomorphic shards of the documents table; replica k
-    * rotates the FULL token alphabet — a–z, A–Z and 0–9 (each class within
+    * permutes the FULL token alphabet — a–z, A–Z and 0–9 (each class within
     * itself, so case pattern and token shape are preserved) — and offsets
-    * doc_id by k·10⁷. Rotating only lowercase would leave uppercase/digit
+    * doc_id by k·10⁷. Permuting only lowercase would leave uppercase/digit
     * token mass identical across shards, manufacturing cross-shard gram and
     * prefix overlap that the measured ratios would mis-attribute to the
     * operator.
+    *
+    * The per-shard map is the AFFINE permutation π_k(i) = (a_k·i + b_k) mod
+    * |alphabet| (a_k coprime to the alphabet size, so `translate` stays a
+    * bijection and within-shard token relations are isomorphic to the
+    * original). Pure rotations (a = 1) top out at 26 distinct letter shards;
+    * the affine family gives 12·26 = 312 distinct letter permutations, which
+    * is what lets the 100× legs exist. (a_k, b_k) = (A[k/26 mod 12], k mod
+    * 26) is injective for k < 312, and for k < 26 it IS the old rotation —
+    * prior rounds' 1×/10× curve points are bit-identical.
     */
   def amplifyDocs(docs: DataFrame, copies: Int): DataFrame = {
-    require(copies >= 1 && copies <= 10, s"copies in [1,10], got $copies")
-    def rot(abc: String, k: Int) = abc.drop(k % abc.length) + abc.take(k % abc.length)
+    require(copies >= 1 && copies <= 100, s"copies in [1,100], got $copies")
     (0 until copies).map { k =>
+      val lo = affine(LOWER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
+      val up = affine(UPPER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
+      val dg = affine(DIGITS, DIGIT_AS((k / 10) % DIGIT_AS.length), k % 10)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        translate(col("text"), LOWER + UPPER + DIGITS,
-          rot(LOWER, k) + rot(UPPER, k) + rot(DIGITS, k)).as("text"),
+        translate(col("text"), LOWER + UPPER + DIGITS, lo + up + dg).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
+  }
+
+  // multipliers coprime to 26 / 10 — each (a, b) pair is a distinct bijection
+  private val LETTER_AS = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private val DIGIT_AS = Seq(1, 3, 7, 9)
+  private def affine(abc: String, a: Int, b: Int): String = {
+    val n = abc.length
+    (0 until n).map(i => abc((a * i + b) % n)).mkString
   }
 
   /** `copies` disjoint isomorphic shards of the embeddings table; replica k
@@ -237,13 +255,62 @@ object ScaleCurves {
     graft.ops.Selection.ccnetBuckets(
       amplifyDocs(Tables.documents(s, dir), copies), "doc_id", "text", "lang")
 
+  /** The ccnet SERVE leg — the fit/serve split the fixed [[ccnetLeg]]
+    * deliberately omits (the ivf_search vs ivf_search_scaled pattern applied
+    * to selection): the per-(lang, bigram) LM and the frozen tercile
+    * cutpoints are the FIT — paid once per corpus size, pinned untimed here
+    * exactly like the gates' fitted-artifact cache (PipelineQueries
+    * `ccnetArtifact`) — and the leg times only [[graft.ops.Selection
+    * .ccnetAssign]]: scan-level scoring of the amplified corpus against the
+    * stored artifact. This is the recurring cost a deployment pays per
+    * batch; the fit leg's ~6× at 10× is the exact (lang, bigram) LM build,
+    * inherent and pay-once. The split's claim: the serve ratio stays well
+    * under the fit ratio, and the serve plan carries exactly ONE shuffle —
+    * the map-side-combinable per-doc bigram aggregate, linear in rows —
+    * where the fit pays nine (LM count + score + two percentile passes);
+    * the shuffles_x* pins make that checkable per round.
+    */
+  def ccnetAssignLeg(s: SparkSession, dir: String, copies: Int): DataFrame = {
+    val (lp, cuts) = ccnetFit(s, dir, copies)
+    graft.ops.Selection.ccnetAssign(
+      amplifyDocs(Tables.documents(s, dir), copies), "doc_id", "text", "lang",
+      lp, cuts)
+  }
+
+  /** fit-once cache for the ccnet serving artifact (per JVM, per (dir,
+    * size) — the bench's warmup run pays the fit, samples time pure serve)
+    */
+  private val builtCcnet = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (DataFrame, DataFrame)]
+  private def ccnetFit(
+      s: SparkSession, dir: String, copies: Int): (DataFrame, DataFrame) =
+    builtCcnet.getOrElseUpdate((dir, copies), {
+      val docs = amplifyDocs(Tables.documents(s, dir), copies)
+      val lp = graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
+        .localCheckpoint(true)
+      val cuts = graft.ops.Selection.ccnetCuts(
+        graft.ops.Selection.ccnetScore(docs, "doc_id", "text", "lang", lp))
+        .localCheckpoint(true)
+      (lp, cuts)
+    })
+
   val legs: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
     "ppjoin" -> (ppjoinLeg _),
     "paragraph" -> (paragraphLeg _),
     "cluster_knn" -> (clusterKnnLeg _),
     "ivf_search" -> (ivfLeg _),
     "ivf_search_scaled" -> (ivfScaledLeg _),
-    "ccnet" -> (ccnetLeg _))
+    "ccnet" -> (ccnetLeg _),
+    "ccnet_assign" -> (ccnetAssignLeg _))
+
+  /** legs additionally measured at 100× shards — the two-decades-out pin on
+    * the banded/prefix-filtered candidate story (r14 verdict ask): ppjoin's
+    * candidate volume is Σ_token prefix-bucket², so 100 disjoint isomorphic
+    * shards must cost ~100× the 1× wall (linear in shards on saturated
+    * cores), with shuffle counts UNCHANGED — a super-linear ratio or a new
+    * exchange would mean cross-shard candidates leaked in.
+    */
+  val legs100: Set[String] = Set("ppjoin")
 
   /** Standalone quiet-box runner: prints one JSON object with raw samples,
     * ratios and plan shapes at 1× and 10× (the bench embeds the same
@@ -294,6 +361,17 @@ object ScaleCurves {
       val (sh10, bc10) = planCounts(leg(spark, sfDir, 10))
       val ratio = median(x10) / median(x1)
       def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // the 100× pin: two samples (the leg is minutes-scale there), ratio
+      // vs 1×, and the shuffle count — which must equal the 1×/10× counts
+      val x100 =
+        if (!legs100.contains(name)) ""
+        else {
+          val s100 = (0 until math.min(2, samplesPerLeg))
+            .map(_ => run(leg(spark, sfDir, 100)))
+          val (sh100, bc100) = planCounts(leg(spark, sfDir, 100))
+          f""","x100":${arr(s100)},"ratio_100":${median(s100) / median(x1)}%.2f""" +
+            s""","shuffles_x100":$sh100,"broadcasts_x100":$bc100"""
+        }
       // the scaled-index leg buys its speed with a coarser probe budget —
       // pin recall@3 vs brute force at BOTH sizes, alongside the exact
       // truth's cross-shard-noise fraction (the measured ceiling on what
@@ -309,7 +387,7 @@ object ScaleCurves {
         }
       f""""$name":{"x1":${arr(x1)},"x10":${arr(x10)},"ratio":$ratio%.2f,""" +
         s""""shuffles_x1":$sh1,"broadcasts_x1":$bc1,""" +
-        s""""shuffles_x10":$sh10,"broadcasts_x10":$bc10$recall}"""
+        s""""shuffles_x10":$sh10,"broadcasts_x10":$bc10$recall$x100}"""
     }
     rows.mkString("{", ",", "}")
   }

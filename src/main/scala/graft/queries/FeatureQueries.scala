@@ -646,9 +646,15 @@ object FeatureQueries {
       val num = col("n_edges") * col("sxy") - col("sx") * col("sy")
       val denx = col("n_edges") * col("sxx") - col("sx") * col("sx")
       val deny = col("n_edges") * col("syy") - col("sy") * col("sy")
+      // degenerate graphs guard (found by the sf0.001 bench smoke, which
+      // threw DIVIDE_BY_ZERO): an empty edge list or an all-equal degree
+      // sequence has no defined r — emit NULL, never a crash. The oracle
+      // carries the same CASE so the two engines agree on the boundary.
       m.select(col("n_edges"),
-        round(col("sx").cast("double") / col("n_edges"), 6).as("mean_deg"),
-        round(num.cast("double") / sqrt(denx.cast("double") * deny.cast("double")), 6)
+        when(col("n_edges") > 0,
+          round(col("sx").cast("double") / col("n_edges"), 6)).as("mean_deg"),
+        when(denx > 0 && deny > 0,
+          round(num.cast("double") / sqrt(denx.cast("double") * deny.cast("double")), 6))
           .as("assortativity"))
     },
 
@@ -1132,10 +1138,14 @@ object FeatureQueries {
             FROM ee JOIN deg dx ON ee.src = dx.node
             JOIN deg dy ON ee.dst = dy.node)
       SELECT n_edges,
-             round(CAST(sx AS DOUBLE) / n_edges, 6) AS mean_deg,
-             round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
-               / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
-                      * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+             CASE WHEN n_edges > 0
+                  THEN round(CAST(sx AS DOUBLE) / n_edges, 6) END AS mean_deg,
+             CASE WHEN (n_edges * sxx - sx * sx) > 0
+                   AND (n_edges * syy - sy * sy) > 0
+                  THEN round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                           * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+             END AS assortativity
       FROM m""",
     "q_profile_events" -> """
       WITH s AS (SELECT count(*) AS n_rows,

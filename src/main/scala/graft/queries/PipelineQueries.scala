@@ -112,6 +112,21 @@ object PipelineQueries {
         .localCheckpoint(false)
     }
 
+  /** the EXACT prefix-filter pair table ([[Dedup.ppJoin]] at J ≥ 0.5,
+    * guaranteed complete) — the deterministic sibling of [[lshPairs]] and
+    * the ground-truth artifact: the ppjoin gate serves it, the LSH-recall
+    * gate's truth side reads it, and the edit-distance gate's candidate
+    * stage consumes it (each re-ran the full prefix join through r14).
+    * Pair-sized pin; the op's own wall stays measured by the ppjoin scale
+    * leg's raw 1×/10×/100× samples.
+    */
+  private def ppjoinPairs(s: SparkSession, dir: String): DataFrame =
+    artifact(s, dir, "ppjoin_pairs") {
+      Dedup.ppJoin(Tables.documentsParallel(s, dir), "doc_id", "text",
+          NGRAM, 50)
+        .localCheckpoint(false)
+    }
+
   /** the verified near-dup edge list (MinHash LSH candidates, jaccard ≥ 0.2)
     * both mining gates certify against — a filter of [[lshPairs]], pinned
     * separately because the triplets gate fans it into four plan branches
@@ -1495,7 +1510,7 @@ object PipelineQueries {
     // deterministic sibling; candidates key on each set's rarest tokens so
     // no bucket cap is needed). Oracle = brute force over all pairs.
     "q_dedup_ppjoin" -> { (s, dir) =>
-      Dedup.ppJoin(Tables.documents(s, dir), "doc_id", "text", NGRAM, 50)
+      ppjoinPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1701,7 +1716,7 @@ object PipelineQueries {
     // The dedup sibling of q_ann_recall.
     "q_dedup_lsh_recall" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.ppJoin(docs, "doc_id", "text", NGRAM, 50)
+      val truth = ppjoinPairs(s, dir)
         .select(col("id_a"), col("id_b"))
       val found = lshPairs(s, dir)
         .filter(col("n_inter") * 2 >= col("n_union"))
@@ -1722,7 +1737,7 @@ object PipelineQueries {
     // quadratic in both pairs and characters).
     "q_dedup_edit" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      Dedup.ppJoin(docs, "doc_id", "text", NGRAM, 50)
+      ppjoinPairs(s, dir)
         .select(col("id_a"), col("id_b"))
         .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
         .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
