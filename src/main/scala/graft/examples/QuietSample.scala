@@ -42,7 +42,15 @@ object QuietSample {
       }
       run() // warmup
       val ts = (0 until n).map(_ => run())
-      s""""$name":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}"""
+      // plan counts ride along so a drift adjudication can pin "same plan,
+      // different wall" vs "plan changed" without a second tool
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      val sh = "Exchange".r.findAllIn(p).size - bc - reused
+      s""""$name":{"t":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""shuffles":$sh,"broadcasts":$bc}"""
     }
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
