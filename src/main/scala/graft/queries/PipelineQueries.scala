@@ -794,7 +794,9 @@ object PipelineQueries {
     // pre-fitted bucket artifact (stateless stream-static, no join/state);
     // equals the batch weight table for any batching → shares its oracle
     "q_stream_dsir" -> { (s, dir) =>
-      graft.streaming.Streams.streamingDsirScores(s, dir, "lang = 'en'", DSIR_B)
+      // serve from the session's fitted lr6 artifact (same fit the batch
+      // gates consume) instead of refitting per invocation
+      graft.streaming.Streams.streamingDsirScores(s, dir, dsirLr6(s, dir), DSIR_B)
         .orderBy(col("doc_id"))
     },
 

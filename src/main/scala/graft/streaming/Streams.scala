@@ -1372,18 +1372,36 @@ object Streams {
     */
   def streamingDsirScores(
       spark: SparkSession, sfDir: String, isTargetSql: String,
+      buckets: Int): DataFrame =
+    streamingDsirScores(spark, sfDir,
+      graft.ops.Selection.dsirLr6Array(
+        graft.ops.Selection.dsirBucketTable(
+          graft.Tables.documentsParallel(spark, sfDir), "doc_id", "text",
+          expr(isTargetSql), buckets),
+        buckets),
+      buckets)
+
+  /** the artifact-consuming form: score the stream against a PRE-FITTED
+    * lr6 array (the stored-model serving pattern — callers that already
+    * hold the session's fitted artifact pass it instead of refitting per
+    * invocation). The per-batch repartition exists because the staged
+    * fixture is ONE single-row-group file — a one-task scan that serializes
+    * the md5-heavy scorer (measured 14.6 s vs ~2 s wide at sf0.1); a
+    * production ingest stream arrives as many files and is naturally wide,
+    * so the explicit shuffle models the width the fixture lacks, and the
+    * per-row scores are partitioning-invariant.
+    */
+  def streamingDsirScores(
+      spark: SparkSession, sfDir: String, lr6: Array[Long],
       buckets: Int): DataFrame = {
     val name = s"graft_sdsir_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
-    val lr6 = graft.ops.Selection.dsirLr6Array(
-      graft.ops.Selection.dsirBucketTable(
-        graft.Tables.documents(spark, sfDir), "doc_id", "text",
-        expr(isTargetSql), buckets),
-      buckets)
+    val par = spark.sparkContext.defaultParallelism
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df =>
-        graft.ops.Selection.dsirScoreStream(df, "doc_id", "text", lr6, buckets))
+        graft.ops.Selection.dsirScoreStream(df.repartition(par),
+          "doc_id", "text", lr6, buckets))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -1457,6 +1475,10 @@ object Streams {
     val docs = graft.Tables.documents(spark, sfDir)
     val thresholds = graft.ops.Splits.temperatureThresholds(docs, "lang", alpha)
     val held = docs.filter(col("doc_id") % 97 === 0)
+    // NOTE (r15, measured): unlike the scan-only twins (dsir/scrub), an
+    // explicit per-batch repartition does NOT help here — the admission
+    // chain's semi-joins already shuffle the arriving rows wide, and the
+    // extra exchange only added wall (8.4 → 9.7 s at sf0.1)
     streamingSearch(docs, outDir, batches, { b =>
       val g = graft.ops.Selection.gopherRules(b, "doc_id", "text",
         minWords, maxWords, minMeanLen, maxMeanLen, stopwords, minStopHits,
@@ -1891,9 +1913,15 @@ object Streams {
   def streamingSubstringScrub(
       docs: DataFrame, ref: DataFrame, refTextCol: String,
       outDir: String, idCol: String, textCol: String,
-      k: Int, w: Int, batches: Int = 4): DataFrame =
+      k: Int, w: Int, batches: Int = 4): DataFrame = {
+    // staged batch files are single-row-group → one-task scans; the scrub's
+    // winnow fingerprinting is md5-per-gram, so widen each batch explicitly
+    // (per-doc op — partitioning-invariant output)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     streamingSearch(docs, outDir, batches,
-      b => graft.ops.Dedup.scrubSubstrings(b, idCol, textCol, ref, refTextCol, k, w))
+      b => graft.ops.Dedup.scrubSubstrings(b.repartition(par), idCol, textCol,
+        ref, refTextCol, k, w))
+  }
 
   /** Streaming AS-OF enrichment — the as-of family's streaming member:
     * click events arrive on a stream and each micro-batch is joined to the
