@@ -92,8 +92,11 @@ object ScaleCurves {
   }
 
   // multipliers coprime to 26 / 10 — each (a, b) pair is a distinct bijection
-  private val LETTER_AS = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-  private val DIGIT_AS = Seq(1, 3, 7, 9)
+  // (package-visible so the shard-disjointness laws can pin the claims)
+  private[graft] val LETTER_AS = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private[graft] val DIGIT_AS = Seq(1, 3, 7, 9)
+  private[graft] def shardLetterMap(k: Int): String =
+    affine(LOWER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
   private def affine(abc: String, a: Int, b: Int): String = {
     val n = abc.length
     (0 until n).map(i => abc((a * i + b) % n)).mkString
@@ -306,9 +309,14 @@ object ScaleCurves {
   /** legs additionally measured at 100× shards — the two-decades-out pin on
     * the banded/prefix-filtered candidate story (r14 verdict ask): ppjoin's
     * candidate volume is Σ_token prefix-bucket², so 100 disjoint isomorphic
-    * shards must cost ~100× the 1× wall (linear in shards on saturated
-    * cores), with shuffle counts UNCHANGED — a super-linear ratio or a new
-    * exchange would mean cross-shard candidates leaked in.
+    * shards must cost ≲100× the 1× wall (linear in shards on saturated
+    * cores) — a markedly super-linear ratio would mean cross-shard
+    * candidates leaked in. Measured (sf0.1, both r15 quiet runs): ratio_100
+    * ≈ 43–49. The exchange counts DO legitimately change at this size
+    * (broadcasts 5 → 0, shuffles 4 → 13): the df/prefix side tables outgrow
+    * the broadcast threshold and every broadcast join correctly shifts to a
+    * shuffle join — the plan pin to read is the broadcast/shuffle PAIR, not
+    * a raw exchange count.
     */
   val legs100: Set[String] = Set("ppjoin")
 

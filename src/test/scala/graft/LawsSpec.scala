@@ -507,6 +507,24 @@ object LawsSpec extends Properties("graft") {
       merged == full
     }
 
+  // the 100× amplification's structural claims, pinned without Spark: every
+  // shard's alphabet map is a PERMUTATION (translate stays a bijection, so
+  // within-shard token relations are isomorphic), any two shards' maps
+  // DIFFER (shards stay content-disjoint — the scale ratios measure the
+  // operator, not manufactured cross-shard duplicates), and for k < 26 the
+  // affine map IS the old rotation (prior rounds' curve points bit-compat).
+  property("amplification shard maps: bijective, pairwise distinct, rotation-compatible") =
+    Prop.forAll(Gen.choose(0, 99), Gen.choose(0, 99)) { (k1, k2) =>
+      val m1 = graft.examples.ScaleCurves.shardLetterMap(k1)
+      val m2 = graft.examples.ScaleCurves.shardLetterMap(k2)
+      val bijective = m1.toSet.size == 26
+      val distinctIffDifferent = (k1 == k2) == (m1 == m2)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val rotCompat = k1 >= 26 ||
+        m1 == (lower.drop(k1) + lower.take(k1))
+      bijective && distinctIffDifferent && rotCompat
+    }
+
   // the forward (pair-scan, sorted-merge) BM25 scorer is bit-for-bit the
   // postings (join + hash-agg) scorer for any corpus, query subset, k and
   // excludeSelf — scores, matched-term counts, ranks and tiebreaks all equal.
