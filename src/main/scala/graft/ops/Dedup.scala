@@ -232,32 +232,71 @@ object Dedup {
     * — which is what lets a deployment precompute the corpus prefix table
     * once and stream batches against it.
     */
-  def ppJoinIncremental(
-      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, tPct: Int): DataFrame = {
-    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
-    def mkSets(df: DataFrame) = shingleSets(df, idCol, textCol, shingleN)
+  /** The persisted CORPUS-SIDE INDEX of the incremental similarity joins —
+    * what a deployment stores once so admission never rescans the history:
+    * the sized shingle-set table (id, sh, sz), the token document
+    * frequencies, and the join's corpus token table (`tokens` — the prefix
+    * postings for the Jaccard form, the FULL postings for the containment
+    * form). All three are (doc, token)-or-smaller, the
+    * [[graft.ops.Retrieval.bm25StatsTable]] size class. Through r15's
+    * streaming gates the per-batch forms re-derived all of this on EVERY
+    * micro-batch — three corpus shuffles per trigger for a static corpus.
+    */
+  final case class IncrementalIndex(
+      sets: DataFrame, dfreq: DataFrame, tokens: DataFrame)
+
+  private def sizedSets(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    shingleSets(df, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")).cast("long"))
       .localCheckpoint(false)
-    val cs = mkSets(corpus)
-    val bs = mkSets(batch)
+
+  /** the shared prefix selector: each set's `sz − ceil(t·sz) + 1` rarest
+    * tokens under the index's (df, token) order; tokens absent from the
+    * index rank rarest (df = 0 — the batch-novel-token rule)
+    */
+  private def prefixUnder(sets: DataFrame, dfreq: DataFrame, tPct: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    sets.select(col("id"), col("sz"), explode(col("sh")).as("t"))
+      .join(dfreq, Seq("t"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
+      .select(col("t"), col("id"))
+  }
+
+  /** fit half of [[ppJoinIncremental]]: build + pin the corpus index once
+    * (threshold is part of the fit — the prefix postings depend on it)
+    */
+  def ppCorpusIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): IncrementalIndex = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    val cs = sizedSets(corpus, idCol, textCol, shingleN)
     val dfreq = cs.select(explode(col("sh")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    def prefix(sets: DataFrame) = {
-      val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
-      sets.select(col("id"), col("sz"), explode(col("sh")).as("t"))
-        .join(dfreq, Seq("t"), "left")
-        .withColumn("df", coalesce(col("df"), lit(0L)))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
-        .select(col("t"), col("id"))
-    }
-    val cand = prefix(cs).withColumnRenamed("id", "id_a")
-      .join(prefix(bs).withColumnRenamed("id", "id_b"), Seq("t"))
+      .localCheckpoint(false)
+    val cPrefix = prefixUnder(cs, dfreq, tPct)
+      .withColumnRenamed("id", "id_a")
+      .localCheckpoint(false)
+    IncrementalIndex(cs, dfreq, cPrefix)
+  }
+
+  /** serve half of [[ppJoinIncremental]]: admit one batch against the
+    * stored index — only batch-sized work plus the candidate/verify joins
+    */
+  def ppJoinIncrementalStored(
+      idx: IncrementalIndex, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
+    val bs = sizedSets(batch, idCol, textCol, shingleN)
+    val cand = idx.tokens
+      .join(prefixUnder(bs, idx.dfreq, tPct).withColumnRenamed("id", "id_b"),
+        Seq("t"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(cs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      .join(idx.sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), Seq("id_a"))
       .join(bs.select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("sz").as("sz_b")), Seq("id_b"))
@@ -267,6 +306,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
+
+  def ppJoinIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): DataFrame =
+    ppJoinIncrementalStored(
+      ppCorpusIndex(corpus, idCol, textCol, shingleN, tPct),
+      batch, idCol, textCol, shingleN, tPct)
 
   /** Exact CONTAINMENT join — every ordered pair (a, b) with
     * |A∩B| / |A| ≥ t: the asymmetric sibling of [[ppJoin]], which Jaccard
@@ -325,37 +371,48 @@ object Dedup {
     * (batch-novel tokens rank rarest, df = 0); the one-sided prefix lemma
     * holds under any fixed order applied to the batch side.
     */
-  def containmentJoinIncremental(
-      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+  /** fit half of [[containmentJoinIncremental]]: the stored corpus index —
+    * `tokens` holds the FULL postings (the one-sided prefix lemma puts the
+    * prefix on the batch side, so the corpus contributes everything)
+    */
+  def containmentCorpusIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): IncrementalIndex = {
+    val cs = sizedSets(corpus, idCol, textCol, shingleN)
+    val ctok = cs.select(col("id"), explode(col("sh")).as("t"))
+      .localCheckpoint(false)
+    val dfreq = ctok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    IncrementalIndex(cs, dfreq, ctok)
+  }
+
+  /** serve half of [[containmentJoinIncremental]] against a stored index */
+  def containmentJoinIncrementalStored(
+      idx: IncrementalIndex, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int, tPct: Int): DataFrame = {
     require(tPct >= 1 && tPct <= 100, s"tPct in [1,100], got $tPct")
-    def mkSets(df: DataFrame) = shingleSets(df, idCol, textCol, shingleN)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")).cast("long"))
-      .localCheckpoint(false)
-    val cs = mkSets(corpus)
-    val bs = mkSets(batch)
-    val ctok = cs.select(col("id"), explode(col("sh")).as("t"))
-    val dfreq = ctok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
-    val prefixB = bs.select(col("id"), col("sz"), explode(col("sh")).as("t"))
-      .join(dfreq, Seq("t"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
-      .select(col("t"), col("id").as("id_b"))
+    val bs = sizedSets(batch, idCol, textCol, shingleN)
+    val prefixB = prefixUnder(bs, idx.dfreq, tPct)
+      .withColumnRenamed("id", "id_b")
     val cand = prefixB
-      .join(ctok.select(col("t"), col("id").as("id_c")), Seq("t"))
+      .join(idx.tokens.select(col("t"), col("id").as("id_c")), Seq("t"))
       .select(col("id_b"), col("id_c")).distinct()
     cand
       .join(bs.select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("sz").as("sz_b")), Seq("id_b"))
-      .join(cs.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .join(idx.sets.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
       .withColumn("n_inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
       .filter(col("n_inter") * 100 >= lit(tPct.toLong) * col("sz_b"))
       .select(col("id_b"), col("id_c"), col("n_inter"), col("sz_b"),
         round(col("n_inter").cast("double") / col("sz_b"), 6).as("containment"))
   }
+
+  def containmentJoinIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tPct: Int): DataFrame =
+    containmentJoinIncrementalStored(
+      containmentCorpusIndex(corpus, idCol, textCol, shingleN),
+      batch, idCol, textCol, shingleN, tPct)
 
   /** Exact jaccard over word-shingle sets for given candidate pairs. */
   def jaccardVerify(

@@ -67,7 +67,7 @@ object PipelineQueries {
   // and live for the session like any persisted serving artifact would.
   private val artifactCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), AnyRef]
-  private def artifact[T <: AnyRef](
+  private[queries] def artifact[T <: AnyRef](
       s: SparkSession, dir: String, key: String)(build: => T): T = {
     // entries keyed by a STOPPED session are dead weight (their pinned
     // blocks died with the context) — sweep them so a long-lived process
@@ -603,11 +603,17 @@ object PipelineQueries {
     // batch scorer, so the oracle is q_text_backoff's verbatim
     "q_stream_backoff" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val half = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      // pin the two fitted LM tables once per (session, dir): passed
+      // unpinned, every micro-batch re-derived BOTH LMs from the corpus
+      // (4 triggers × 2 single-task fits)
+      val (lm, uni) = artifact(s, dir, "backoff_lms") {
+        val half = Tables.documentsParallel(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+        (TextOps.bigramLmTable(half, "text").localCheckpoint(false),
+          TextOps.unigramLmTable(half, "text").localCheckpoint(false))
+      }
       graft.streaming.Streams.streamingBackoffScore(s, dir,
-        s"/tmp/graft_stream_backoff_out_$tag",
-        TextOps.bigramLmTable(half, "text"),
-        TextOps.unigramLmTable(half, "text"))
+        s"/tmp/graft_stream_backoff_out_$tag", lm, uni)
         .orderBy(col("doc_id"))
     },
 
@@ -804,8 +810,13 @@ object PipelineQueries {
     // persisted LM + frozen cutpoints — batching-invariant, shares the
     // batch gate's oracle verbatim
     "q_stream_ccnet" -> { (s, dir) =>
-      graft.streaming.Streams.streamingCcnet(s, dir,
-        s"/tmp/graft_stream_ccnet_${dir.replaceAll("[^A-Za-z0-9]", "_")}", 3)
+      val out = s"/tmp/graft_stream_ccnet_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // fit-once per (session, dir): the LM+cuts persist is the pay-once
+      // half; every invocation serves the stream from the stored dirs
+      val (lpDir, cutsDir) = artifact(s, dir, "ccnet_stream_dirs") {
+        graft.streaming.Streams.ccnetFitDirs(s, dir, out)
+      }
+      graft.streaming.Streams.streamingCcnetServe(s, dir, lpDir, cutsDir, out, 3)
         .orderBy(col("doc_id"))
     },
 

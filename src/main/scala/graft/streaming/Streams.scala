@@ -1340,8 +1340,12 @@ object Streams {
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val heldDigests = heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
     val gramHit = gramHitFilter(spark, heldout, heldTextCol, n, col("__sh"))
+    // single-row-group staged file → widen before the gram explode + Bloom
+    // probes (per-row decisions, partitioning-invariant)
+    val par = spark.sparkContext.defaultParallelism
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .filter(docPredicate)
+      .repartition(par)
       .withColumn("__d", md5(col("text")))
       .withColumn("__toks", graft.ops.TextOps.tokens(col("text")))
       .withColumn("__sh", graft.ops.TextOps.shingles("__toks", n))
@@ -1507,7 +1511,18 @@ object Streams {
   def streamingCcnet(
       spark: SparkSession, sfDir: String, outDir: String,
       batches: Int): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
+    val (lpDir, cutsDir) = ccnetFitDirs(spark, sfDir, outDir)
+    streamingCcnetServe(spark, sfDir, lpDir, cutsDir, outDir, batches)
+  }
+
+  /** the FIT half of [[streamingCcnet]]: train the per-language LM + frozen
+    * tercile cutpoints on the static corpus and persist both — pay-once;
+    * callers cache the returned dirs and serve every stream run against
+    * them (the stored-model pattern the one-shot form demonstrates inline)
+    */
+  def ccnetFitDirs(
+      spark: SparkSession, sfDir: String, outDir: String): (String, String) = {
+    val docs = graft.Tables.documentsParallel(spark, sfDir)
     val lpDir = s"$outDir-lp"
     val cutsDir = s"$outDir-cuts"
     graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
@@ -1516,6 +1531,17 @@ object Streams {
     graft.ops.Selection.ccnetCuts(
         graft.ops.Selection.ccnetScore(docs, "doc_id", "text", "lang", lp))
       .write.mode("overwrite").parquet(cutsDir)
+    (lpDir, cutsDir)
+  }
+
+  /** the SERVE half of [[streamingCcnet]]: bucket the stream per micro-batch
+    * against the persisted artifact dirs (stateless stream-static)
+    */
+  def streamingCcnetServe(
+      spark: SparkSession, sfDir: String, lpDir: String, cutsDir: String,
+      outDir: String, batches: Int): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lp = spark.read.parquet(lpDir)
     val cuts = spark.read.parquet(cutsDir)
     streamingSearch(docs, outDir, batches, b =>
       graft.ops.Selection.ccnetAssign(b, "doc_id", "text", "lang", lp, cuts))
@@ -1526,9 +1552,13 @@ object Streams {
     val name = s"graft_sclass_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val par = spark.sparkContext.defaultParallelism
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df =>
-        graft.ops.TextOps.withClassifierScore(df, "doc_id", "text", nBuckets, seed))
+        // single-row-group staged file → widen before the md5-bucket scorer
+        // (per-row op, partitioning-invariant; measured 7.3 s one-task)
+        graft.ops.TextOps.withClassifierScore(df.repartition(par),
+          "doc_id", "text", nBuckets, seed))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -1685,7 +1715,10 @@ object Streams {
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
     val (nM, fP) = graft.ops.Retrieval.phraseMatchCols(
       graft.ops.TextOps.tokens(col("text")), phrase)
+    val par = spark.sparkContext.defaultParallelism
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      // single-row-group staged file → widen before the per-row HOF matcher
+      .repartition(par)
       .withColumn("n_matches", nM).withColumn("first_pos", fP)
       .filter(col("n_matches") > 0)
       .select(col("doc_id"), col("n_matches"), col("first_pos"))
@@ -1759,7 +1792,9 @@ object Streams {
     // micro-batch with full batch semantics is exact and needs no state
     // store or watermark — append-mode streaming aggs would demand both
     streamingSearch(docs, outDir, batches, b =>
-      graft.ops.TextOps.scoreWithBackoffLm(b, "doc_id", "text", lm, uni))
+      graft.ops.TextOps.scoreWithBackoffLm(
+        b.repartition(b.sparkSession.sparkContext.defaultParallelism),
+        "doc_id", "text", lm, uni))
   }
 
   /** Streaming EXPECTATIONS — the promote-gate contract check running AT
@@ -1815,9 +1850,12 @@ object Streams {
     val name = s"graft_stclass_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    val par = spark.sparkContext.defaultParallelism
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
       .transform(df => graft.ops.TextOps.withTrainedClassifierScore(
-        df, "doc_id", "text", model, nBuckets))
+        // single-row-group staged file → widen before the scorer (see
+        // streamingClassifierScore)
+        df.repartition(par), "doc_id", "text", model, nBuckets))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -1986,8 +2024,9 @@ object Streams {
       outDir: String, chunkTokens: Int, batches: Int = 4): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") >= 400)
+    val par = spark.sparkContext.defaultParallelism
     streamingSearch(docs, outDir, batches, b =>
-      graft.ops.Dedup.paragraphScrub(b, "doc_id", "text",
+      graft.ops.Dedup.paragraphScrub(b.repartition(par), "doc_id", "text",
         b.sparkSession.read.parquet(indexPath), chunkTokens))
   }
 
@@ -2073,10 +2112,18 @@ object Streams {
       spark: SparkSession, sfDir: String, outDir: String,
       shingleN: Int, tPct: Int, batches: Int): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") < 400).localCheckpoint(false)
+    // fit the corpus index ONCE (widened — the raw table is single-row-
+    // group); per batch only batch-sized work + the candidate/verify joins
+    // run. The per-batch form re-derived the corpus sets/df/postings on
+    // every trigger (three corpus shuffles per micro-batch, measured ~7 s
+    // flat at sf0.1 regardless of scan widening).
+    val par = spark.sparkContext.defaultParallelism
+    val idx = graft.ops.Dedup.containmentCorpusIndex(
+      docs.filter(col("doc_id") < 400).repartition(par),
+      "doc_id", "text", shingleN)
     streamingSearch(docs.filter(col("doc_id") >= 400), outDir, batches,
-      b => graft.ops.Dedup.containmentJoinIncremental(
-        corpus, b, "doc_id", "text", shingleN, tPct))
+      b => graft.ops.Dedup.containmentJoinIncrementalStored(
+        idx, b.repartition(par), "doc_id", "text", shingleN, tPct))
   }
 
   /** Streaming EXACT near-dup admission — [[streamingContainment]]'s
@@ -2089,10 +2136,14 @@ object Streams {
       spark: SparkSession, sfDir: String, outDir: String,
       shingleN: Int, tPct: Int, batches: Int): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") < 400).localCheckpoint(false)
+    // fit-once corpus index + per-batch serve (see streamingContainment)
+    val par = spark.sparkContext.defaultParallelism
+    val idx = graft.ops.Dedup.ppCorpusIndex(
+      docs.filter(col("doc_id") < 400).repartition(par),
+      "doc_id", "text", shingleN, tPct)
     streamingSearch(docs.filter(col("doc_id") >= 400), outDir, batches,
-      b => graft.ops.Dedup.ppJoinIncremental(
-        corpus, b, "doc_id", "text", shingleN, tPct))
+      b => graft.ops.Dedup.ppJoinIncrementalStored(
+        idx, b.repartition(par), "doc_id", "text", shingleN, tPct))
   }
 
   /** The per-micro-batch sink of the streaming searches, factored out so
