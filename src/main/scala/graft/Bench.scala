@@ -81,12 +81,14 @@ object Bench {
     }
   }
 
-  /** Per-twin streaming telemetry: micro-batch count + final state-store
-    * rows, read from the engine's own progress events. This is what makes a
-    * stream twin's minus-control wall ATTRIBUTABLE: the machinery cost
-    * scales with `batches`, the logic's state with `state_rows` — a logic
-    * regression moves state/batch counts even when box noise hides the
-    * wall-clock (the r14 verdict's ask #6).
+  /** Per-twin streaming telemetry: micro-batch count, final state-store
+    * rows, and per-batch trigger walls, read from the engine's own progress
+    * events. This is what makes a stream twin's minus-control wall
+    * ATTRIBUTABLE: the machinery cost scales with `batches`, the logic's
+    * state with `state_rows` (the r14 verdict's ask #6), and `batch_ms`
+    * separates trigger-0 (plan + state init) from steady state (the r15
+    * verdict's ask #6) — a steady-state regression becomes visible even
+    * when a heavy first trigger dominates the wall.
     */
   private final class StreamStats
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -94,18 +96,100 @@ object Bench {
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     private val lastState =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
-    def reset(): Unit = { batches.set(0); lastState.clear() }
+    private val batchMs =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def reset(): Unit = { batches.set(0); lastState.clear(); batchMs.clear() }
     def stateRows: Long = {
       var s = 0L; lastState.values.forEach(v => s += v); s
+    }
+    def batchWallsMs: Seq[Long] = {
+      val b = Seq.newBuilder[Long]; batchMs.forEach(v => b += v); b.result()
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       batches.incrementAndGet()
+      val d = e.progress.durationMs.get("triggerExecution")
+      batchMs.add(if (d == null) -1L else d.longValue)
       var s = 0L
       e.progress.stateOperators.foreach(op => s += op.numRowsTotal)
       lastState.put(e.progress.id, s)
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  // ---- incremental artifact state (r15 verdict ask #1) ---------------------
+  // BENCH_r15.json died on the driver's time budget with `parsed: null`: the
+  // JSON was only assembled at the very end, so a SIGTERM mid-run produced
+  // NOTHING. Every section now lands in this state the moment it is
+  // measured, and a shutdown hook flushes the JSON-so-far — a future timeout
+  // degrades to a partial artifact (flagged `"partial":true`) instead of a
+  // dead round. All access goes through `lock`: the hook thread may read
+  // while the main thread records.
+  private object Art {
+    val lock = new Object
+    // gate/serve rows (feed the `queries` medians and `samples` raw arrays)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // raw-only rows (scale_100m probes, layout runs — never in `queries`)
+    val extraSamples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val streamStats = scala.collection.mutable.LinkedHashMap[String, String]()
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    // whole top-level sections, pre-seeded with inert defaults so a partial
+    // artifact still parses with the full shape
+    val sections = scala.collection.mutable.LinkedHashMap[String, String](
+      "scale" -> """{"p1_sec":-1.000,"parallel_sec":-1.000,"speedup":-1.0}""",
+      "layout" -> ("""{"q_join_plain":-1.000,"q_join_bcast_bucketed":-1.000,""" +
+        """"layout_write_sec":-1.000}"""),
+      "serving" -> """{"build_pq_sec":-1.000,"build_int8_sec":-1.000}""",
+      "scale_curves" -> "{}")
+    var headlineNames: Seq[String] = Seq.empty
+    var emitted = false
+  }
+
+  private def medianOf(ts: Seq[Double]): Double =
+    if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+
+  private def buildJson(partial: Boolean, sfDir: String, loadStart: Double): String =
+    Art.lock.synchronized {
+      def jsonArr(ts: Seq[Double]): String =
+        ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val qs = Art.samples
+        .map { case (k, ts) => f""""$k":${medianOf(ts)}%.3f""" }
+        .mkString("{", ",", "}")
+      val total = Art.headlineNames
+        .flatMap(Art.samples.get).map(medianOf).filter(_ >= 0).sum
+      // streaming twins minus the no-op control: the stateful logic's own
+      // cost, with the fixed micro-batch machinery (staged source,
+      // readStream planning, memory-sink drain) subtracted out. Clamped at
+      // 0 (a twin can beat the control by run noise).
+      val controlMed = medianOf(Art.samples.getOrElse("q_stream_control", Seq(-1.0)))
+      val streamAdj = Art.samples.collect {
+        case (k, ts) if k.startsWith("q_stream_") && k != "q_stream_control" =>
+          val m = medianOf(ts)
+          val adj = if (m < 0 || controlMed < 0) -1.0 else math.max(0.0, m - controlMed)
+          f""""$k":$adj%.3f"""
+      }.mkString("{", ",", "}")
+      val raw = (Art.samples ++ Art.extraSamples)
+        .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
+      val loadEnd = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val partialField = if (partial) """"partial":true,""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$partialField"queries":$qs,""" +
+        s""""scale":${Art.sections("scale")},""" +
+        s""""layout":${Art.sections("layout")},""" +
+        s""""serving":${Art.sections("serving")},""" +
+        s""""scale_curves":${Art.sections("scale_curves")},""" +
+        f""""stream_control_sec":$controlMed%.3f,""" +
+        s""""stream_minus_control":$streamAdj,""" +
+        s""""stream_stats":${Art.streamStats.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")},""" +
+        s""""plans":${Art.plans.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")},""" +
+        f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+        f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}"""
+    }
+
+  private def emitOnce(json: String): Unit = Art.lock.synchronized {
+    if (!Art.emitted) { Art.emitted = true; println(json); System.out.flush() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,6 +213,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // the timeout escape hatch: `timeout` sends SIGTERM (rc 124), which runs
+    // shutdown hooks before the JVM dies — flush whatever has been measured.
+    // Normal completion emits first and the hook no-ops via Art.emitted.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      emitOnce(buildJson(partial = true, sfDir, loadStart))))
 
     // noop sink: executes the FULL plan users run (a bare .count() would let
     // Catalyst drop final orderBy / unreferenced projections and under-measure
@@ -382,12 +471,35 @@ object Bench {
       "q_stream_transitions", "q_stream_upsert", "q_stream_winsorize"
     ).map(name => name -> sink(name))
 
+    // per-twin streaming telemetry rides the LAST timed sample (r15 ask #1a:
+    // a 4th instrumented run per twin — 38 extra stream executions — helped
+    // blow the driver budget; the listener is passive, so folding it into a
+    // timed sample costs nothing)
+    val streamStats = new StreamStats
+    spark.streams.addListener(streamStats)
+    // the listener bus is async: wait for TWO consecutive stable 100ms polls
+    // (r15 ADVICE — one stable poll let a trailing progress event from twin
+    // N land after twin N+1's reset and be mis-attributed)
+    def settleStream(): (Int, Long) = {
+      var stable = 0
+      var last = streamStats.batches.get()
+      var spins = 0
+      while (stable < 2 && spins < 60) {
+        Thread.sleep(100)
+        val n = streamStats.batches.get()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        spins += 1
+      }
+      (last, streamStats.stateRows)
+    }
+
     // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
     // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
     // JSON: a contended run on a shared box is otherwise indistinguishable
     // from a regression (BENCH_r04's scale row recorded 1.9× from a contended
     // driver run while fresh runs showed 12.6× — with the samples in the
-    // artifact that anomaly is self-diagnosing).
+    // artifact that anomaly is self-diagnosing). Each row is recorded into
+    // the incremental artifact the moment its samples finish.
     def samples3(name: String, run: () => Unit): Seq[Double] = {
       // each run guarded individually: a throw in run 3 must not discard the
       // good samples from runs 1-2 — the raw array keeps its diagnostic value
@@ -401,12 +513,25 @@ object Bench {
         }
       try { run() } // warm-up
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup: $e") }
-      (0 until 3).map(_ => timed())
+      val ts =
+        if (!name.startsWith("q_stream_")) (0 until 3).map(_ => timed())
+        else {
+          val first = (0 until 2).map(_ => timed())
+          settleStream() // drain trailing events from the earlier samples
+          streamStats.reset()
+          val lastT = timed()
+          val (b, sr) = settleStream()
+          val bms = streamStats.batchWallsMs.take(64).mkString("[", ",", "]")
+          val row =
+            if (lastT >= 0) s"""{"batches":$b,"state_rows":$sr,"batch_ms":$bms}"""
+            else """{"batches":-1,"state_rows":-1,"batch_ms":[]}"""
+          Art.lock.synchronized { Art.streamStats(name) = row }
+          first :+ lastT
+        }
+      Art.lock.synchronized { Art.samples(name) = ts }
+      ts
     }
-    def median(ts: Seq[Double]): Double =
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
-    def jsonArr(ts: Seq[Double]): String =
-      ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    def median(ts: Seq[Double]): Double = medianOf(ts)
 
     // timed run that also captures task count + max task duration (listener
     // bus is async: poll the counter until it stops moving before reading)
@@ -440,38 +565,11 @@ object Bench {
       (exchanges - broadcasts - reused, broadcasts)
     }
 
-    val results = headline.map { case (name, run) => name -> samples3(name, run) }
-    val coverageResults =
-      (coverage ++ coverage13 ++ coverage14 ++ coverage15).map { case (name, run) =>
-        name -> samples3(name, run)
-      }
-
-    // per-twin streaming telemetry (batches + final state rows): one extra
-    // instrumented run per twin AFTER its timed samples — the listener bus
-    // is async, so each read spin-settles like the task listener above
-    val streamStats = new StreamStats
-    spark.streams.addListener(streamStats)
-    def settledStreamStats(): (Int, Long) = {
-      var last = -1
-      var n = streamStats.batches.get()
-      var spins = 0
-      while (n != last && spins < 50) {
-        Thread.sleep(100); last = n; n = streamStats.batches.get(); spins += 1
-      }
-      (n, streamStats.stateRows)
+    Art.lock.synchronized { Art.headlineNames = headline.map(_._1) }
+    headline.foreach { case (name, run) => samples3(name, run) }
+    (coverage ++ coverage13 ++ coverage14 ++ coverage15).foreach {
+      case (name, run) => samples3(name, run)
     }
-    val streamStatsJson =
-      (headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).collect {
-        case (name, run) if name.startsWith("q_stream_") =>
-          streamStats.reset()
-          val ok = try { run(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name stream stats: $e"); false }
-          val (b, sr) = settledStreamStats()
-          if (ok) s""""$name":{"batches":$b,"state_rows":$sr}"""
-          else s""""$name":{"batches":-1,"state_rows":-1}"""
-      }.mkString("{", ",", "}")
-    spark.streams.removeListener(streamStats)
 
     // serving probe: the ANN coverage rows above retrain codebooks and
     // rebuild lists on every run (the offline cost); production searches a
@@ -528,27 +626,25 @@ object Bench {
             "doc_id", "text", "vec_id", "embedding", 10, 20, 3, 2)
             .write.format("noop").mode("overwrite").save())
       })
-
-    // empirical 10×-rows scaling curves for the four most expensive
-    // candidate-generation paths (ppjoin, paragraph dedup, mutual-kNN
-    // clustering, IVF search): wall-time ratio at 10× rows over
-    // density-preserving disjoint shards (see ScaleCurves). Sub-quadratic
-    // shows ≤ ~12×; r13 quiet-box standalone measured 1.47× / 2.43× /
-    // 2.37× / 6.70×. Two samples per size here (the standalone runner keeps
-    // the 3-sample protocol); cluster_knn's broadcast count legitimately
-    // drops at 10× — size-driven join-strategy shift, not a regression.
-    val scaleCurvesJson =
-      try graft.examples.ScaleCurves.measureJson(spark, sfDir, samplesPerLeg = 2)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] scale curves: $e"); "{}"
-      }
+    Art.lock.synchronized {
+      Art.sections("serving") =
+        f"""{"build_pq_sec":$buildPqSec%.3f,"build_int8_sec":$buildI8Sec%.3f}"""
+    }
 
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
-    // of `total` so the headline number stays comparable across rounds)
+    // of `total` so the headline number stays comparable across rounds).
+    // These rows are raw-only: pull them back out of the gate map.
     val scaleP1s = samples3("scale_100m_p1", () => scaleFlagship(spark, 1))
     val scalePars = samples3("scale_100m_par", () => scaleFlagship(spark, 0))
     val (scaleP1, scalePar) = (median(scaleP1s), median(scalePars))
     val speedup = if (scalePar > 0) scaleP1 / scalePar else -1.0
+    Art.lock.synchronized {
+      Seq("scale_100m_p1", "scale_100m_par").foreach { k =>
+        Art.samples.remove(k).foreach(Art.extraSamples(k) = _)
+      }
+      Art.sections("scale") =
+        f"""{"p1_sec":$scaleP1%.3f,"parallel_sec":$scalePar%.3f,"speedup":$speedup%.1f}"""
+    }
 
     // layout experiment: q_join_bcast (the slowest benched query) over a
     // bucketed layout of lineitem/orders — the fact side is never shuffled.
@@ -589,76 +685,75 @@ object Bench {
         s""""max_task_sec":${ss.map(s => f"${s._3}%.3f").mkString("[", ",", "]")}"""
     val plainTs = plainStats.map(_._1)
     val bucketTs = bucketStats.map(_._1)
+    Art.lock.synchronized {
+      Art.extraSamples("q_join_plain_layout") = plainTs
+      Art.extraSamples("q_join_bcast_bucketed") = bucketTs
+      Art.sections("layout") =
+        f"""{"q_join_plain":${median(plainTs)}%.3f,""" +
+          f""""q_join_bcast_bucketed":${median(bucketTs)}%.3f,""" +
+          f""""layout_write_sec":$layoutSec%.3f,""" +
+          s""""plain":{${layoutJson(plainStats, plainEx, plainBc)}},""" +
+          s""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}}"""
+    }
 
     // plan-shape section: per benched query, how many shuffles + broadcasts —
     // comparable across rounds even when the box makes wall-clock useless
     // serving plan shapes ride the same plans section as the gate queries
-    val servePlans = Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
+    Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
       "q_serve_int8_filtered" -> serveI8F _)
-      .map { case (name, df) =>
-        try {
+      .foreach { case (name, df) =>
+        val row = try {
           val (sh, bc) = planCounts(df())
-          s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+          s"""{"shuffles":$sh,"broadcasts":$bc}"""
         } catch { case e: Throwable =>
           val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-          s""""$name":{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+          s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
         }
+        Art.lock.synchronized { Art.plans(name) = row }
       }
     // each plan probe individually guarded: an analysis error in ONE query
     // must degrade to an `err` entry, never crash the whole artifact of
-    // record (r10's bench died here on a single AnalysisException)
-    val plansJson = ((headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).collect {
-      case (name, _) if SparkEntry.queries.contains(name) =>
-        try {
+    // record (r10's bench died here on a single AnalysisException).
+    // Stream twins are SKIPPED (r15 ADVICE): building a q_stream_* gate's
+    // DataFrame executes the entire streaming query eagerly — ~54 silent
+    // re-runs — and the captured plan is only the post-hoc orderBy over the
+    // memory sink, cost without signal.
+    (headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).foreach {
+      case (name, _)
+        if SparkEntry.queries.contains(name) && !name.startsWith("q_stream_") =>
+        val row = try {
           val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
-          s""""$name":{"shuffles":$sh,"broadcasts":$bc}"""
+          s"""{"shuffles":$sh,"broadcasts":$bc}"""
         } catch { case e: Throwable =>
           val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-          s""""$name":{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+          s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
         }
-    } ++ servePlans).mkString("{", ",", "}")
+        Art.lock.synchronized { Art.plans(name) = row }
+      case _ => ()
+    }
 
-    val qs = (results ++ coverageResults ++ serveResults)
-      .map { case (k, ts) => f""""$k":${median(ts)}%.3f""" }
-      .mkString("{", ",", "}")
-    // streaming twins minus the no-op control: the stateful logic's own
-    // cost, with the fixed micro-batch machinery (staged source, readStream
-    // planning, memory-sink drain) subtracted out — the number a real
-    // regression in the state logic moves. Clamped at 0 (a twin can beat
-    // the control by run noise).
-    val controlMed = median(coverageResults
-      .find(_._1 == "q_stream_control").map(_._2).getOrElse(Seq(-1.0)))
-    val streamAdjJson = (results ++ coverageResults).collect {
-      case (k, ts) if k.startsWith("q_stream_") && k != "q_stream_control" =>
-        val m = median(ts)
-        val adj = if (m < 0 || controlMed < 0) -1.0 else math.max(0.0, m - controlMed)
-        f""""$k":$adj%.3f"""
-    }.mkString("{", ",", "}")
-    val raw = (results ++ coverageResults ++ serveResults ++
-      Seq("scale_100m_p1" -> scaleP1s, "scale_100m_par" -> scalePars,
-      "q_join_plain_layout" -> plainTs, "q_join_bcast_bucketed" -> bucketTs))
-      .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).sum
+    // empirical 10×-rows scaling curves for the most expensive candidate-
+    // generation paths (ppjoin, paragraph dedup, mutual-kNN clustering, IVF
+    // search, ccnet fit/serve): wall-time ratio at 10× rows over density-
+    // preserving disjoint shards (see ScaleCurves). Runs LAST so a driver
+    // timeout lands here — the full gate/serve/plan artifact is already
+    // flushed-ready by this point. The in-bench 100× leg takes ONE sample
+    // (r15 ask #1b: ~650 s of 100× samples helped blow the budget); the
+    // standalone ScaleCurves runner keeps the multi-sample protocol and the
+    // extra 100× legs for the committed quiet artifact.
+    val scaleCurvesJson =
+      try graft.examples.ScaleCurves.measureJson(spark, sfDir,
+        samplesPerLeg = 2, samples100 = 1)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale curves: $e"); "{}"
+      }
+    Art.lock.synchronized { Art.sections("scale_curves") = scaleCurvesJson }
+
+    spark.streams.removeListener(streamStats)
     // the box is shared: headline totals swing ±15% with other tenants'
-    // load, so the artifact records the 1-min load average at start and end —
-    // a contended run is then self-diagnosing without a re-run
-    val loadEnd = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""scale":{"p1_sec":$scaleP1%.3f,"parallel_sec":$scalePar%.3f,"speedup":$speedup%.1f},""" +
-      f""""layout":{"q_join_plain":${median(plainTs)}%.3f,""" +
-      f""""q_join_bcast_bucketed":${median(bucketTs)}%.3f,""" +
-      f""""layout_write_sec":$layoutSec%.3f,""" +
-      f""""plain":{${layoutJson(plainStats, plainEx, plainBc)}},""" +
-      f""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}},""" +
-      f""""serving":{"build_pq_sec":$buildPqSec%.3f,"build_int8_sec":$buildI8Sec%.3f},""" +
-      s""""scale_curves":$scaleCurvesJson,""" +
-      f""""stream_control_sec":$controlMed%.3f,""" +
-      s""""stream_minus_control":$streamAdjJson,""" +
-      s""""stream_stats":$streamStatsJson,""" +
-      f""""plans":$plansJson,""" +
-      f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
-      f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}""")
+    // load, so the artifact records the 1-min load average at start and end
+    // (read inside buildJson) — a contended run is self-diagnosing
+    emitOnce(buildJson(partial = false, sfDir, loadStart))
     spark.stop()
   }
 }

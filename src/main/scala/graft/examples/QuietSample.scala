@@ -43,14 +43,22 @@ object QuietSample {
       run() // warmup
       val ts = (0 until n).map(_ => run())
       // plan counts ride along so a drift adjudication can pin "same plan,
-      // different wall" vs "plan changed" without a second tool
-      val p = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      val bc = "BroadcastExchange".r.findAllIn(p).size
-      val reused = "ReusedExchange".r.findAllIn(p).size
-      val sh = "Exchange".r.findAllIn(p).size - bc - reused
-      s""""$name":{"t":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
-        s""""shuffles":$sh,"broadcasts":$bc}"""
+      // different wall" vs "plan changed" without a second tool — for BATCH
+      // gates only: building a q_stream_* gate's DataFrame executes the
+      // whole streaming query eagerly (silently doubling the twin's wall)
+      // and the captured plan is just the post-hoc orderBy over the memory
+      // sink, cost without signal (r15 ADVICE)
+      val planPart =
+        if (name.startsWith("q_stream_")) ""
+        else {
+          val p = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          val bc = "BroadcastExchange".r.findAllIn(p).size
+          val reused = "ReusedExchange".r.findAllIn(p).size
+          val sh = "Exchange".r.findAllIn(p).size - bc - reused
+          s""","shuffles":$sh,"broadcasts":$bc"""
+        }
+      s""""$name":{"t":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}$planPart}"""
     }
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

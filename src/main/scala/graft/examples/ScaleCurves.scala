@@ -75,15 +75,17 @@ object ScaleCurves {
     * original). Pure rotations (a = 1) top out at 26 distinct letter shards;
     * the affine family gives 12·26 = 312 distinct letter permutations, which
     * is what lets the 100× legs exist. (a_k, b_k) = (A[k/26 mod 12], k mod
-    * 26) is injective for k < 312, and for k < 26 it IS the old rotation —
-    * prior rounds' 1×/10× curve points are bit-identical.
+    * 26) is injective for k < 312, and for k < 26 the LETTER map IS the old
+    * rotation (the digit map is too for k < 10 — see [[shardDigitMap]] for
+    * the digit family's smaller-alphabet correction) — prior rounds'
+    * 1×/10× curve points (copies ≤ 10) are bit-identical.
     */
   def amplifyDocs(docs: DataFrame, copies: Int): DataFrame = {
     require(copies >= 1 && copies <= 100, s"copies in [1,100], got $copies")
     (0 until copies).map { k =>
       val lo = affine(LOWER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
       val up = affine(UPPER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
-      val dg = affine(DIGITS, DIGIT_AS((k / 10) % DIGIT_AS.length), k % 10)
+      val dg = shardDigitMap(k)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         translate(col("text"), LOWER + UPPER + DIGITS, lo + up + dg).as("text"),
@@ -97,6 +99,28 @@ object ScaleCurves {
   private[graft] val DIGIT_AS = Seq(1, 3, 7, 9)
   private[graft] def shardLetterMap(k: Int): String =
     affine(LOWER, LETTER_AS((k / 26) % LETTER_AS.length), k % 26)
+
+  /** The digit map for shard k. The affine family over 10 digits has only
+    * 4·10 = 40 members, so shards k and k+40 would SHARE a digit permutation
+    * for copies > 40 (r15 ADVICE: on a digit-bearing corpus that
+    * manufactures exactly the cross-shard overlap the 100× disjointness pin
+    * claims to exclude). Composing a non-affine transposition keyed by k/40
+    * restores injectivity for k < 120: if σ_i∘π_i = σ_j∘π_j then
+    * π_i∘π_j⁻¹ = σ_i⁻¹∘σ_j ∈ {id, (01), (23), (01)(23)}, and none of those
+    * transposition products is an affine map of Z₁₀ except id (no a solves
+    * 2a ≡ 1 or 2a ≡ 3 mod 10) — so σ and π must each match, i.e. k_i = k_j.
+    * For k < 40 this IS the plain affine map (j = 0), and for k < 10 the
+    * plain rotation — the 1×/10× curve points of every prior round are
+    * bit-identical; only the r15 100× legs' shards k ≥ 40 change.
+    */
+  private[graft] def shardDigitMap(k: Int): String = {
+    val base = affine(DIGITS, DIGIT_AS((k / 10) % DIGIT_AS.length), k % 10)
+    (k / 40) match {
+      case 0 => base
+      case 1 => base.map { case '0' => '1'; case '1' => '0'; case c => c }
+      case _ => base.map { case '2' => '3'; case '3' => '2'; case c => c }
+    }
+  }
   private def affine(abc: String, a: Int, b: Int): String = {
     val n = abc.length
     (0 until n).map(i => abc((a * i + b) % n)).mkString
@@ -280,14 +304,20 @@ object ScaleCurves {
       lp, cuts)
   }
 
-  /** fit-once cache for the ccnet serving artifact (per JVM, per (dir,
-    * size) — the bench's warmup run pays the fit, samples time pure serve)
+  /** fit-once cache for the ccnet serving artifact (per (session, dir,
+    * size) — the bench's warmup run pays the fit, samples time pure serve).
+    * Keyed BY SESSION with a stopped-session sweep (r15 ADVICE: a (dir,
+    * size)-only key would hand a second session in the same JVM
+    * localCheckpoint'd frames bound to a stopped SparkContext), mirroring
+    * PipelineQueries.artifact.
     */
   private val builtCcnet = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
   private def ccnetFit(
-      s: SparkSession, dir: String, copies: Int): (DataFrame, DataFrame) =
-    builtCcnet.getOrElseUpdate((dir, copies), {
+      s: SparkSession, dir: String, copies: Int): (DataFrame, DataFrame) = {
+    builtCcnet.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(builtCcnet.remove)
+    builtCcnet.getOrElseUpdate((s, dir, copies), {
       val docs = amplifyDocs(Tables.documents(s, dir), copies)
       val lp = graft.ops.Selection.ccnetLpTable(docs, "doc_id", "text", "lang")
         .localCheckpoint(true)
@@ -296,6 +326,7 @@ object ScaleCurves {
         .localCheckpoint(true)
       (lp, cuts)
     })
+  }
 
   val legs: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
     "ppjoin" -> (ppjoinLeg _),
@@ -317,8 +348,15 @@ object ScaleCurves {
     * the broadcast threshold and every broadcast join correctly shifts to a
     * shuffle join — the plan pin to read is the broadcast/shuffle PAIR, not
     * a raw exchange count.
+    *
+    * The DRIVER bench runs only the ppjoin 100× leg (at one sample — r15's
+    * bench outgrew the driver's time budget); the standalone quiet runner
+    * additionally pins paragraph and cluster_knn two decades out (r15
+    * verdict ask #4). cluster_knn keeps occupancy-constant bucketing:
+    * nBits = 6 + log2(100) → 4096 buckets at 100×.
     */
   val legs100: Set[String] = Set("ppjoin")
+  val legs100Standalone: Set[String] = Set("ppjoin", "paragraph", "cluster_knn")
 
   /** Standalone quiet-box runner: prints one JSON object with raw samples,
     * ratios and plan shapes at 1× and 10× (the bench embeds the same
@@ -338,14 +376,18 @@ object ScaleCurves {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(measureJson(spark, sfDir, samplesPerLeg = 3))
+    println(measureJson(spark, sfDir, samplesPerLeg = 3,
+      samples100 = 2, at100 = legs100Standalone))
     spark.stop()
   }
 
   /** `{"ppjoin":{"x1":[..],"x10":[..],"ratio":..,"shuffles_x1":..,...},..}` —
     * ratio = median(10×)/median(1×). Each sample noop-sinks the full plan.
+    * `at100` picks which legs get the minutes-scale 100× pin and
+    * `samples100` how many samples it takes (the driver bench passes 1).
     */
-  def measureJson(spark: SparkSession, sfDir: String, samplesPerLeg: Int): String = {
+  def measureJson(spark: SparkSession, sfDir: String, samplesPerLeg: Int,
+      samples100: Int = 2, at100: Set[String] = legs100): String = {
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -369,12 +411,13 @@ object ScaleCurves {
       val (sh10, bc10) = planCounts(leg(spark, sfDir, 10))
       val ratio = median(x10) / median(x1)
       def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-      // the 100× pin: two samples (the leg is minutes-scale there), ratio
-      // vs 1×, and the shuffle count — which must equal the 1×/10× counts
+      // the 100× pin: `samples100` samples (the leg is minutes-scale there),
+      // ratio vs 1×, and the exchange counts (read as a broadcast/shuffle
+      // PAIR — size-driven strategy shifts are legitimate at this size)
       val x100 =
-        if (!legs100.contains(name)) ""
+        if (!at100.contains(name)) ""
         else {
-          val s100 = (0 until math.min(2, samplesPerLeg))
+          val s100 = (0 until samples100)
             .map(_ => run(leg(spark, sfDir, 100)))
           val (sh100, bc100) = planCounts(leg(spark, sfDir, 100))
           f""","x100":${arr(s100)},"ratio_100":${median(s100) / median(x1)}%.2f""" +

@@ -254,10 +254,30 @@ object Selection {
       minWords: Int, maxWords: Int,
       minMeanLen: Double, maxMeanLen: Double,
       stopwords: Seq[String], minStopHits: Int,
+      minAlphaFrac: Double, maxTop2Frac: Double): DataFrame =
+    withGopherFlags(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        textCol, minWords, maxWords, minMeanLen, maxMeanLen, stopwords,
+        minStopHits, minAlphaFrac, maxTop2Frac)
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("stop_hits"),
+        col("alpha_frac"), col("top2_frac"), col("r_words"), col("r_wordlen"),
+        col("r_stop"), col("r_alpha"), col("r_rep"), col("keep"))
+
+  /** the column-preserving core of [[gopherRules]]: appends the five rule
+    * diagnostics + `keep` to the input, KEEPING every input column — so a
+    * streaming admission chain can filter on `keep` inside the same scan
+    * instead of computing the report and semi-joining the batch back to
+    * itself (the r15 q_stream_admit shape: two extra batch scans + a join
+    * per trigger). One body, two entry points — the report's and the
+    * filter's values can never diverge.
+    */
+  def withGopherFlags(
+      docs: DataFrame, textCol: String,
+      minWords: Int, maxWords: Int,
+      minMeanLen: Double, maxMeanLen: Double,
+      stopwords: Seq[String], minStopHits: Int,
       minAlphaFrac: Double, maxTop2Frac: Double): DataFrame = {
     val stopLit = array(stopwords.map(lit(_)): _*)
-    docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__t"))
+    docs.withColumn("__t", TextOps.tokens(col(textCol)))
       .withColumn("n_words", size(col("__t")).cast("long"))
       .withColumn("mean_wlen", round(
         aggregate(col("__t"), lit(0L), (a, t) => a + length(t))
@@ -298,9 +318,7 @@ object Selection {
       .withColumn("r_rep", col("top2_frac") <= maxTop2Frac)
       .withColumn("keep", col("r_words") && col("r_wordlen") && col("r_stop") &&
         col("r_alpha") && col("r_rep"))
-      .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("stop_hits"),
-        col("alpha_frac"), col("top2_frac"), col("r_words"), col("r_wordlen"),
-        col("r_stop"), col("r_alpha"), col("r_rep"), col("keep"))
+      .drop("__t", "__bg")
   }
 
   /** Driver-side fetch of the fitted artifact as a dense lr6 array — a

@@ -525,6 +525,24 @@ object LawsSpec extends Properties("graft") {
       bijective && distinctIffDifferent && rotCompat
     }
 
+  // the DIGIT maps carry the same three claims over the smaller alphabet
+  // (r15 ADVICE: the plain affine family has only 40 digit bijections, so
+  // shards k and k+40 shared one — on a digit-bearing corpus that would
+  // manufacture exactly the cross-shard overlap the 100× disjointness pin
+  // claims to exclude; the k/40-keyed transposition restores injectivity,
+  // and this law now pins it for the full k < 100 range amplifyDocs allows)
+  property("amplification digit maps: bijective, pairwise distinct, rotation-compatible") =
+    Prop.forAll(Gen.choose(0, 99), Gen.choose(0, 99)) { (k1, k2) =>
+      val m1 = graft.examples.ScaleCurves.shardDigitMap(k1)
+      val m2 = graft.examples.ScaleCurves.shardDigitMap(k2)
+      val digits = "0123456789"
+      val bijective = m1.toSet.size == 10
+      val distinctIffDifferent = (k1 == k2) == (m1 == m2)
+      val rotCompat = k1 >= 10 ||
+        m1 == (digits.drop(k1) + digits.take(k1))
+      bijective && distinctIffDifferent && rotCompat
+    }
+
   // the forward (pair-scan, sorted-merge) BM25 scorer is bit-for-bit the
   // postings (join + hash-agg) scorer for any corpus, query subset, k and
   // excludeSelf — scores, matched-term counts, ranks and tiebreaks all equal.
