@@ -90,7 +90,7 @@ object Bench {
     * verdict's ask #6) — a steady-state regression becomes visible even
     * when a heavy first trigger dominates the wall.
     */
-  private final class StreamStats
+  private[graft] final class StreamStats
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)

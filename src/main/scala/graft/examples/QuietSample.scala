@@ -33,6 +33,21 @@ object QuietSample {
     spark.sparkContext.setLogLevel("ERROR")
     val load0 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // stream twins get the same batches/state_rows/batch_ms telemetry the
+    // bench folds into its last sample — the drift-adjudication protocol
+    // needs per-trigger walls to separate "box load" from "a refit hiding
+    // in one trigger" without a second tool
+    val streamStats = new graft.Bench.StreamStats
+    spark.streams.addListener(streamStats)
+    def settle(): Unit = {
+      var stable = 0; var last = streamStats.batches.get(); var spins = 0
+      while (stable < 2 && spins < 60) {
+        Thread.sleep(100)
+        val b = streamStats.batches.get()
+        if (b == last) stable += 1 else { stable = 0; last = b }
+        spins += 1
+      }
+    }
     val rows = names.map { name =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -41,7 +56,19 @@ object QuietSample {
         (System.nanoTime() - t0) / 1e9
       }
       run() // warmup
-      val ts = (0 until n).map(_ => run())
+      val isStream = name.startsWith("q_stream_")
+      val ts = (0 until n).map { i =>
+        if (isStream && i == n - 1) { settle(); streamStats.reset() }
+        run()
+      }
+      val streamPart =
+        if (!isStream) ""
+        else {
+          settle()
+          val bms = streamStats.batchWallsMs.take(64).mkString("[", ",", "]")
+          s""","batches":${streamStats.batches.get()},""" +
+            s""""state_rows":${streamStats.stateRows},"batch_ms":$bms"""
+        }
       // plan counts ride along so a drift adjudication can pin "same plan,
       // different wall" vs "plan changed" without a second tool — for BATCH
       // gates only: building a q_stream_* gate's DataFrame executes the
@@ -58,10 +85,11 @@ object QuietSample {
           val sh = "Exchange".r.findAllIn(p).size - bc - reused
           s""","shuffles":$sh,"broadcasts":$bc"""
         }
-      s""""$name":{"t":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}$planPart}"""
+      s""""$name":{"t":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}$planPart$streamPart}"""
     }
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    spark.streams.removeListener(streamStats)
     println(f"""{"samples":${rows.mkString("{", ",", "}")},""" +
       f""""load_avg_1m":{"start":$load0%.2f,"end":$load1%.2f},"sf":"$sfDir"}""")
     spark.stop()

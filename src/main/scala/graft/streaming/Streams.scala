@@ -389,6 +389,12 @@ object Streams {
     base.repartition(batches).write.mode("overwrite").parquet(stage)
     val q = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
+      // each staged file is a single row group → without an explicit widen,
+      // ONE task per trigger runs the dim²/2-per-vector explode and the
+      // partial moment-agg serially (the r15 single-task trap); the raw
+      // vectors are narrow, the fan-out is 2080× — shuffle before the fan.
+      // Moment sums are long-additive, so the exchange can't change a row
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("x6",
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6) as bigint))"))
       .select(explode(expr(
@@ -1603,7 +1609,13 @@ object Streams {
     val name = s"graft_sbpe_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
+    // the staged doc file is a single row group → a one-task scan would run
+    // the whole tokenize→explode→pair chain serially (the r15 classify trap);
+    // widen the RAW docs (narrow rows) so the heavy explode and the partial
+    // pair-agg fan across the cluster — counts are long-additive, so the
+    // extra exchange cannot change any drained row
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(expr("sequence(1, length(tok) - 1)")).as("i"), col("tok"))
