@@ -1476,8 +1476,16 @@ object PipelineQueries {
     // batch clean()'s kept doc_ids
     "q_stream_decontaminate" -> { (s, dir) =>
       val held = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      // the held-side probes (digests + gram set) are a fit — pinned once
+      // per (session, dir); through r15 every invocation re-collected the
+      // gram set (tokenize/explode/distinct/collect, the bulk of the twin's
+      // 4.2 s wall vs the batch clean's 0.8 s)
+      val probes = artifact(s, dir, "decontam_probes") {
+        graft.streaming.Streams.decontamProbes(held, "text", 5)
+      }
       graft.streaming.Streams.streamingDecontaminate(
-        s, dir, held, "text", 5, docPredicate = col("doc_id") % 97 =!= 0)
+        s, dir, held, "text", 5, docPredicate = col("doc_id") % 97 =!= 0,
+        fittedProbes = Some(probes))
         .orderBy(col("doc_id"))
     },
 

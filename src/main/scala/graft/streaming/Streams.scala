@@ -1313,13 +1313,27 @@ object Streams {
     */
   def gramHitFilter(
       spark: SparkSession, heldout: DataFrame, heldTextCol: String, n: Int,
-      shinglesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val heldGrams = heldout
+      shinglesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SetProbeExprs.anyInSet(spark, shinglesCol,
+      heldGramSet(heldout, heldTextCol, n))
+
+  /** the held-out probe structures [[streamingDecontaminate]] serves
+    * against, exposed so a caller can FIT THEM ONCE (artifact-pin) instead
+    * of paying the held-side tokenize/explode/distinct/collect on every
+    * invocation: (digest frame, distinct gram set)
+    */
+  def decontamProbes(
+      heldout: DataFrame, heldTextCol: String, n: Int): (DataFrame, Seq[String]) =
+    (heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
+       .localCheckpoint(false),
+     heldGramSet(heldout, heldTextCol, n))
+
+  private def heldGramSet(
+      heldout: DataFrame, heldTextCol: String, n: Int): Seq[String] =
+    heldout
       .withColumn("__toks", graft.ops.TextOps.tokens(col(heldTextCol)))
       .select(explode(graft.ops.TextOps.shingles("__toks", n)).as("__g")).distinct()
       .collect().map(_.getString(0)).toSeq
-    graft.functions.SetProbeExprs.anyInSet(spark, shinglesCol, heldGrams)
-  }
 
   /** Streaming decontamination — the held-out-benchmark filter
     * ([[graft.ops.Decontam]]) as a STREAM-STATIC cell, the live-ingest twin
@@ -1340,12 +1354,17 @@ object Streams {
   def streamingDecontaminate(
       spark: SparkSession, sfDir: String, heldout: DataFrame,
       heldTextCol: String, n: Int,
-      docPredicate: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      docPredicate: org.apache.spark.sql.Column = lit(true),
+      fittedProbes: Option[(DataFrame, Seq[String])] = None): DataFrame = {
     val name = s"graft_sdecon_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
-    val heldDigests = heldout.select(md5(col(heldTextCol)).as("digest")).distinct()
-    val gramHit = gramHitFilter(spark, heldout, heldTextCol, n, col("__sh"))
+    // probe structures are a FIT (held-set-sized, static across triggers) —
+    // serve the caller's pinned artifact when given, derive otherwise
+    val (heldDigests, gramSet) = fittedProbes.getOrElse(
+      (heldout.select(md5(col(heldTextCol)).as("digest")).distinct(),
+        heldGramSet(heldout, heldTextCol, n)))
+    val gramHit = graft.functions.SetProbeExprs.anyInSet(spark, col("__sh"), gramSet)
     // single-row-group staged file → widen before the gram explode + Bloom
     // probes (per-row decisions, partitioning-invariant)
     val par = spark.sparkContext.defaultParallelism
@@ -1496,20 +1515,24 @@ object Streams {
       .select(explode(graft.ops.TextOps.shingles("__toks", 5)).as("__g"))
       .distinct()
       .localCheckpoint(false)
-    // NOTE (r15, measured): unlike the scan-only twins (dsir/scrub), an
-    // explicit per-batch repartition does NOT help here — the admission
-    // chain's joins already shuffle the arriving rows wide, and the
-    // extra exchange only added wall (8.4 → 9.7 s at sf0.1)
+    // NOTE (r15 measured, r16 re-measured and re-shaped): the r15 chain
+    // filtered the gopher report and semi-joined it back (3 s/trigger); the
+    // first r16 fold filtered `keep` directly on the flag columns, which let
+    // filter pushdown splice the five rule trees into the predicate where
+    // they re-evaluate with no CSE — measured ~5 s/trigger, WORSE. The
+    // measured-fastest shape (AdmitProbe: 0.7 s vs 4.7/2.8 per third) is the
+    // funnel keep-set idiom: widen the NARROW raw batch (the staged file is
+    // one row group → one scan task), score it ONCE, and materialize the
+    // flags (localCheckpoint — legal here, foreachBatch bodies are batch
+    // plans) so every downstream filter/join reads ATTRIBUTES.
     streamingSearch(docs, outDir, batches, { b =>
-      // gopher + temperature as COLUMNS on the arriving batch — one scan,
-      // one filter (r15 the gopher report was semi-joined back to the
-      // batch: two extra batch scans + a shuffle per trigger)
+      val scored = graft.ops.Selection.withGopherFlags(
+          b.repartition(b.sparkSession.sparkContext.defaultParallelism), "text",
+          minWords, maxWords, minMeanLen, maxMeanLen, stopwords,
+          minStopHits, minAlphaFrac, maxTop2Frac)
+        .localCheckpoint(false)
       val t = graft.ops.Splits.applyPpmThresholds(
-          graft.ops.Selection.withGopherFlags(b, "text",
-            minWords, maxWords, minMeanLen, maxMeanLen, stopwords,
-            minStopHits, minAlphaFrac, maxTop2Frac)
-            .filter(col("keep")),
-          "lang", "doc_id", thresholds)
+          scored.filter(col("keep")), "lang", "doc_id", thresholds)
         .select(b.columns.map(col).toSeq: _*)
       // decontam as in Decontam.flags (gram explode → broadcast semi vs the
       // pinned held grams → per-doc distinct), but folded to ANTI joins —
@@ -1609,13 +1632,13 @@ object Streams {
     val name = s"graft_sbpe_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
-    // the staged doc file is a single row group → a one-task scan would run
-    // the whole tokenize→explode→pair chain serially (the r15 classify trap);
-    // widen the RAW docs (narrow rows) so the heavy explode and the partial
-    // pair-agg fan across the cluster — counts are long-additive, so the
-    // extra exchange cannot change any drained row
+    // NOTE (r16, measured): the staged doc file is a single row group, but
+    // widening the scan here is a net LOSS (1.3 → 1.8 s/trigger) — the char-
+    // pair fan-out is only ~char-count rows of 2-char strings, so the serial
+    // explode+partial-agg is cheaper than the extra exchange it would take
+    // to parallelize it (contrast streamingCovMoments' 2080×-per-row fan,
+    // where the same widen wins)
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(expr("sequence(1, length(tok) - 1)")).as("i"), col("tok"))
