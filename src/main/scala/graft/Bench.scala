@@ -221,10 +221,18 @@ object Bench {
 
     // noop sink: executes the FULL plan users run (a bare .count() would let
     // Catalyst drop final orderBy / unreferenced projections and under-measure
-    // the ordered outputs)
+    // the ordered outputs). The DataFrame built by the LAST timed run is kept
+    // so its plan counts can be read afterwards — through r15 a separate
+    // plan-probe pass re-built every gate body (including their eager
+    // snapshot commits / staging writes), ~650 s of pure overhead in the
+    // driver bench (r16 wall accounting).
+    val lastDf = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     def sink(name: String): () => Unit =
-      () => SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      () => {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        lastDf.set(df)
+        df.write.format("noop").mode("overwrite").save()
+      }
 
     val headline: Seq[(String, () => Unit)] = Seq(
       "flagship_histo_chain_p1" -> (() => flagship(spark, sfDir, 1)),
@@ -514,8 +522,27 @@ object Bench {
       try { run() } // warm-up
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup: $e") }
       val ts =
-        if (!name.startsWith("q_stream_")) (0 until 3).map(_ => timed())
-        else {
+        if (!name.startsWith("q_stream_")) {
+          val first = (0 until 2).map(_ => timed())
+          // plan counts ride the LAST sample's DataFrame (pre-execution
+          // plan, same determinism as the old separate probe — the write
+          // ran through its own QueryExecution, so this one is unexecuted)
+          lastDf.set(null)
+          val lastT = timed()
+          val df = lastDf.get()
+          if (df != null && SparkEntry.queries.contains(name)) {
+            val row = try {
+              val (sh, bc) = planCounts(df)
+              s"""{"shuffles":$sh,"broadcasts":$bc}"""
+            } catch { case e: Throwable =>
+              val msg = String.valueOf(e.getMessage)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+              s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+            }
+            Art.lock.synchronized { Art.plans(name) = row }
+          }
+          first :+ lastT
+        } else {
           val first = (0 until 2).map(_ => timed())
           settleStream() // drain trailing events from the earlier samples
           streamStats.reset()
@@ -711,26 +738,11 @@ object Bench {
         }
         Art.lock.synchronized { Art.plans(name) = row }
       }
-    // each plan probe individually guarded: an analysis error in ONE query
-    // must degrade to an `err` entry, never crash the whole artifact of
-    // record (r10's bench died here on a single AnalysisException).
-    // Stream twins are SKIPPED (r15 ADVICE): building a q_stream_* gate's
-    // DataFrame executes the entire streaming query eagerly — ~54 silent
-    // re-runs — and the captured plan is only the post-hoc orderBy over the
-    // memory sink, cost without signal.
-    (headline ++ coverage ++ coverage13 ++ coverage14 ++ coverage15).foreach {
-      case (name, _)
-        if SparkEntry.queries.contains(name) && !name.startsWith("q_stream_") =>
-        val row = try {
-          val (sh, bc) = planCounts(SparkEntry.queries(name)(spark, sfDir))
-          s"""{"shuffles":$sh,"broadcasts":$bc}"""
-        } catch { case e: Throwable =>
-          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-          s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
-        }
-        Art.lock.synchronized { Art.plans(name) = row }
-      case _ => ()
-    }
+    // gate plan counts were recorded inside samples3 (riding each gate's
+    // last timed sample) — the r15 separate probe pass re-built every gate
+    // body, ~650 s of overhead that helped blow the driver budget. Stream
+    // twins stay skipped (r15 ADVICE): their DataFrame is the post-hoc
+    // memory-sink read; stream_stats carries their telemetry instead.
 
     // empirical 10×-rows scaling curves for the most expensive candidate-
     // generation paths (ppjoin, paragraph dedup, mutual-kNN clustering, IVF
