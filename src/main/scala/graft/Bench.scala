@@ -749,13 +749,14 @@ object Bench {
     // search, ccnet fit/serve): wall-time ratio at 10× rows over density-
     // preserving disjoint shards (see ScaleCurves). Runs LAST so a driver
     // timeout lands here — the full gate/serve/plan artifact is already
-    // flushed-ready by this point. The in-bench 100× leg takes ONE sample
-    // (r15 ask #1b: ~650 s of 100× samples helped blow the budget); the
-    // standalone ScaleCurves runner keeps the multi-sample protocol and the
-    // extra 100× legs for the committed quiet artifact.
+    // flushed-ready by this point. 100× legs run ONLY in the standalone
+    // quiet runner (r15 verdict ask #4): even at one sample the ppjoin
+    // 100× leg alone is ~385 s (r16 measured), the single biggest block in
+    // a driver bench that must fit its ~2,500 s window — the two-decade
+    // pins live in the committed BENCH_scale_* quiet artifacts instead.
     val scaleCurvesJson =
       try graft.examples.ScaleCurves.measureJson(spark, sfDir,
-        samplesPerLeg = 2, samples100 = 1)
+        samplesPerLeg = 2, samples100 = 1, at100 = Set.empty)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale curves: $e"); "{}"
       }

@@ -1241,4 +1241,34 @@ object LawsSpec extends Properties("graft") {
           bgs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       Prop(got == want) :| s"toks=$toks got=$got want=$want"
     }
+
+  // the codegen'd shingle kernels (r16: WordShingles/CharShingles replaced
+  // the transform(sequence(...)) HOF forms, whose lambda-captured input
+  // re-evaluates per window when a pushed predicate splices the producer
+  // in) are BIT-IDENTICAL to the HOF semantics: single-space joins, < n and
+  // empty inputs → empty array, distinct keeps first occurrence. Pinned
+  // against an independent Scala model over arbitrary token lists / strings
+  // (the DuckDB oracles pin the same thing end-to-end; this localizes a
+  // break to the kernel).
+  property("codegen'd word/char shingles equal the sliding-window model") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "a", "xy")), Gen.choose(1, 4)) {
+      (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val all = df.select(graft.ops.TextOps.shinglesAll(col("toks"), n))
+        .head().getSeq[String](0)
+      val dis = df.select(graft.ops.TextOps.shingles(col("toks"), n))
+        .head().getSeq[String](0)
+      val wantAll = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val wantDis = wantAll.distinct
+      val s = toks.mkString("")
+      val chars = df.select(graft.ops.TextOps.charShingles(lit(s), n))
+        .head().getSeq[String](0)
+      val wantChars =
+        if (s.length < n) Seq.empty[String]
+        else s.sliding(n).toSeq.distinct
+      (Prop(all == wantAll) :| s"all: $all != $wantAll") &&
+        (Prop(dis == wantDis) :| s"distinct: $dis != $wantDis") &&
+        (Prop(chars == wantChars) :| s"chars: $chars != $wantChars")
+    }
 }
