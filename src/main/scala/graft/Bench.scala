@@ -93,28 +93,47 @@ object Bench {
   private[graft] final class StreamStats
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // run-id attribution (r16 verdict ask #4): events count only for queries
+    // STARTED after the latest reset(). The listener bus is async, so a
+    // trailing progress event from twin N can arrive after twin N+1's reset;
+    // the old reset-window attribution counted it into the wrong twin. Each
+    // started query is stamped with the generation current at its start;
+    // progress events from an older generation's runId are dropped — batch_ms
+    // arrays can no longer interleave across twins BY CONSTRUCTION.
+    private val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val runGen =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Integer]()
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     private val lastState =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
     private val batchMs =
       new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    def reset(): Unit = { batches.set(0); lastState.clear(); batchMs.clear() }
+    def reset(): Unit = {
+      gen.incrementAndGet(); batches.set(0); lastState.clear(); batchMs.clear()
+    }
     def stateRows: Long = {
       var s = 0L; lastState.values.forEach(v => s += v); s
     }
     def batchWallsMs: Seq[Long] = {
       val b = Seq.newBuilder[Long]; batchMs.forEach(v => b += v); b.result()
     }
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      runGen.put(e.runId, Integer.valueOf(gen.get()))
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      batches.incrementAndGet()
-      val d = e.progress.durationMs.get("triggerExecution")
-      batchMs.add(if (d == null) -1L else d.longValue)
-      var s = 0L
-      e.progress.stateOperators.foreach(op => s += op.numRowsTotal)
-      lastState.put(e.progress.id, s)
+      val g = runGen.get(e.progress.runId)
+      if (g != null && g.intValue == gen.get()) {
+        batches.incrementAndGet()
+        val d = e.progress.durationMs.get("triggerExecution")
+        batchMs.add(if (d == null) -1L else d.longValue)
+        var s = 0L
+        e.progress.stateOperators.foreach(op => s += op.numRowsTotal)
+        lastState.put(e.progress.id, s)
+      }
     }
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    // runGen stays bounded: stamps are dropped when their query terminates
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      runGen.remove(e.runId); ()
+    }
   }
 
   // ---- incremental artifact state (r15 verdict ask #1) ---------------------
@@ -140,13 +159,23 @@ object Bench {
       "layout" -> ("""{"q_join_plain":-1.000,"q_join_bcast_bucketed":-1.000,""" +
         """"layout_write_sec":-1.000}"""),
       "serving" -> """{"build_pq_sec":-1.000,"build_int8_sec":-1.000}""",
-      "scale_curves" -> "{}")
+      "scale_curves" -> "{}",
+      // budget-guard transparency (r16 verdict ask #1): which tier each
+      // degraded/skipped row hit, and the elapsed wall at emit time
+      "budget" -> """{"degraded":[],"skipped":[],"sections_skipped":[]}""")
     var headlineNames: Seq[String] = Seq.empty
     var emitted = false
   }
 
+  /** central stat per row. 3 samples → middle; 2 → MEAN of the two (a
+    * 2-sample "median" that picked the max would bias every adaptive row up
+    * vs prior rounds' median-of-3); 1 → itself. Any errored sample (−1)
+    * poisons the row to −1, as before.
+    */
   private def medianOf(ts: Seq[Double]): Double =
-    if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    if (ts.isEmpty || ts.exists(_ < 0)) -1.0
+    else if (ts.size == 2) (ts.head + ts(1)) / 2.0
+    else ts.sorted.apply(ts.size / 2)
 
   private def buildJson(partial: Boolean, sfDir: String, loadStart: Double): String =
     Art.lock.synchronized {
@@ -178,6 +207,7 @@ object Bench {
         s""""layout":${Art.sections("layout")},""" +
         s""""serving":${Art.sections("serving")},""" +
         s""""scale_curves":${Art.sections("scale_curves")},""" +
+        s""""budget":${Art.sections("budget")},""" +
         f""""stream_control_sec":$controlMed%.3f,""" +
         s""""stream_minus_control":$streamAdj,""" +
         s""""stream_stats":${Art.streamStats.map { case (k, v) => s""""$k":$v""" }
@@ -185,7 +215,7 @@ object Bench {
         s""""plans":${Art.plans.map { case (k, v) => s""""$k":$v""" }
           .mkString("{", ",", "}")},""" +
         f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
-        f""""samples":$raw,"protocol":"median_of_3_raw_samples","sf":"$sfDir"}"""
+        f""""samples":$raw,"protocol":"adaptive_r17_quick1_stable2_spread3","sf":"$sfDir"}"""
     }
 
   private def emitOnce(json: String): Unit = Art.lock.synchronized {
@@ -193,6 +223,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the budget clock starts at main entry: every tier below is measured
+    // against the wall the driver's `timeout` actually sees (minus JVM/sbt
+    // startup, which this process cannot observe)
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -501,16 +536,45 @@ object Bench {
       (last, streamStats.stateRows)
     }
 
-    // one warm-up (I/O cache, codegen, broadcast reuse), then three measured
-    // runs. The recorded stat is the MEDIAN, but ALL raw samples go into the
-    // JSON: a contended run on a shared box is otherwise indistinguishable
-    // from a regression (BENCH_r04's scale row recorded 1.9× from a contended
-    // driver run while fresh runs showed 12.6× — with the samples in the
-    // artifact that anomaly is self-diagnosing). Each row is recorded into
-    // the incremental artifact the moment its samples finish.
+    // ---- adaptive sampling + cumulative-wall budget guard (r16 verdict
+    // ask #1: the driver bench hit its timeout two rounds running; r16's fix
+    // saved the artifact but not the rc — this one must cut 25–30% of wall,
+    // PROVABLY). All raw samples still land in the JSON (the r04 lesson:
+    // contention is self-diagnosing only with the raw array), but the sample
+    // COUNT per row is now earned, not fixed:
+    //   quick row  (warm-up AND 1st sample < 2 s): 1 sample — sub-second
+    //     rows were paying 4 executions to confirm a number whose spread is
+    //     dwarfed by box noise (173 of r16b's 341 rows)
+    //   normal row: 2 samples (recorded stat = their mean)
+    //   unstable row (spread > 10% on a ≥ 2 s row): a 3rd sample, only
+    //     while cumulative wall < SOFT_NO_THIRD
+    // Budget tiers on the wall clock since main():
+    //   > DEGRADE_ONE: no warm-up, single sample (row listed in `budget`)
+    //   > HARD_SKIP: remaining gate rows skipped entirely (listed)
+    // An idle-box run never hits a tier (expected wall ~1.4–1.6 ks); on a
+    // contended box the tiers bound the gate loop at ~HARD_SKIP + one
+    // in-flight row, and every post-gate section re-checks the clock — the
+    // final emit happens before ~1.9 ks no matter what the box does.
+    val SOFT_NO_THIRD = 1000.0
+    val DEGRADE_ONE = 1350.0
+    val HARD_SKIP = 1650.0
+    val QUICK_SEC = 2.0
+    val SPREAD = 0.10
+    val degraded = scala.collection.mutable.ArrayBuffer[String]()
+    val skippedRows = scala.collection.mutable.ArrayBuffer[String]()
+    val sectionsSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    def recordBudget(): Unit = Art.lock.synchronized {
+      def arr(b: Seq[String]) = b.map(s => s""""$s"""").mkString("[", ",", "]")
+      Art.sections("budget") =
+        f"""{"elapsed_sec":$elapsedSec%.1f,"soft_no_third":$SOFT_NO_THIRD,""" +
+          f""""degrade_one":$DEGRADE_ONE,"hard_skip":$HARD_SKIP,""" +
+          s""""degraded":${arr(degraded.toSeq)},"skipped":${arr(skippedRows.toSeq)},""" +
+          s""""sections_skipped":${arr(sectionsSkipped.toSeq)}}"""
+    }
+
     def samples3(name: String, run: () => Unit): Seq[Double] = {
-      // each run guarded individually: a throw in run 3 must not discard the
-      // good samples from runs 1-2 — the raw array keeps its diagnostic value
+      // each run guarded individually: a throw in a later sample must not
+      // discard earlier good ones — the raw array keeps its diagnostic value
       def timed(): Double =
         try {
           val t0 = System.nanoTime()
@@ -519,43 +583,75 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
-      try { run() } // warm-up
-      catch { case e: Throwable => System.err.println(s"[bench] $name warmup: $e") }
-      val ts =
-        if (!name.startsWith("q_stream_")) {
-          val first = (0 until 2).map(_ => timed())
-          // plan counts ride the LAST sample's DataFrame (pre-execution
-          // plan, same determinism as the old separate probe — the write
-          // ran through its own QueryExecution, so this one is unexecuted)
+      val stream = name.startsWith("q_stream_")
+      // a timed sample that also records the row's telemetry: plan counts
+      // ride the FIRST batch sample (pre-execution plan, deterministic);
+      // stream stats ride EVERY sample (reset → run → settle → read, last
+      // wins) — with run-id attribution a reset cannot mis-assign trailing
+      // events, so the pre-drain settle of r15/r16 is gone (~0.2 s × twin ×
+      // sample of pure polling)
+      def timedSample(): Double =
+        if (!stream) {
           lastDf.set(null)
-          val lastT = timed()
-          val df = lastDf.get()
-          if (df != null && SparkEntry.queries.contains(name)) {
-            val row = try {
-              val (sh, bc) = planCounts(df)
-              s"""{"shuffles":$sh,"broadcasts":$bc}"""
-            } catch { case e: Throwable =>
-              val msg = String.valueOf(e.getMessage)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-              s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
-            }
+          val t = timed()
+          if (SparkEntry.queries.contains(name) &&
+              !Art.lock.synchronized(Art.plans.contains(name))) {
+            val df = lastDf.get()
+            // df == null means the gate's DataFrame CONSTRUCTION threw:
+            // record an explicit err row instead of silently omitting the
+            // plans entry (r16 ADVICE — a single broken gate must stay
+            // visible in the artifact of record)
+            val row =
+              if (df == null)
+                """{"shuffles":-1,"broadcasts":-1,"err":"no df captured"}"""
+              else try {
+                val (sh, bc) = planCounts(df)
+                s"""{"shuffles":$sh,"broadcasts":$bc}"""
+              } catch { case e: Throwable =>
+                val msg = String.valueOf(e.getMessage)
+                  .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+                s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+              }
             Art.lock.synchronized { Art.plans(name) = row }
           }
-          first :+ lastT
+          t
         } else {
-          val first = (0 until 2).map(_ => timed())
-          settleStream() // drain trailing events from the earlier samples
           streamStats.reset()
-          val lastT = timed()
+          val t = timed()
           val (b, sr) = settleStream()
           val bms = streamStats.batchWallsMs.take(64).mkString("[", ",", "]")
           val row =
-            if (lastT >= 0) s"""{"batches":$b,"state_rows":$sr,"batch_ms":$bms}"""
+            if (t >= 0) s"""{"batches":$b,"state_rows":$sr,"batch_ms":$bms}"""
             else """{"batches":-1,"state_rows":-1,"batch_ms":[]}"""
           Art.lock.synchronized { Art.streamStats(name) = row }
-          first :+ lastT
+          t
         }
-      Art.lock.synchronized { Art.samples(name) = ts }
+      val ts: Seq[Double] =
+        if (elapsedSec > HARD_SKIP) { skippedRows += name; Seq.empty }
+        else if (elapsedSec > DEGRADE_ONE) {
+          degraded += name
+          Seq(timedSample())
+        } else {
+          val warm =
+            try { val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9 }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name warmup: $e"); -1.0
+            }
+          val t1 = timedSample()
+          if (warm >= 0 && t1 >= 0 && math.max(warm, t1) < QUICK_SEC) Seq(t1)
+          else {
+            val t2 = timedSample()
+            val lo = math.min(t1, t2)
+            val needThird = t1 >= 0 && t2 >= 0 &&
+              math.max(t1, t2) >= QUICK_SEC &&
+              (math.max(t1, t2) - lo) / math.max(lo, 1e-9) > SPREAD &&
+              elapsedSec < SOFT_NO_THIRD
+            if (needThird) Seq(t1, t2, timedSample()) else Seq(t1, t2)
+          }
+        }
+      if (ts.nonEmpty) Art.lock.synchronized { Art.samples(name) = ts }
+      recordBudget()
       ts
     }
     def median(ts: Seq[Double]): Double = medianOf(ts)
@@ -592,12 +688,32 @@ object Bench {
       (exchanges - broadcasts - reused, broadcasts)
     }
 
-    Art.lock.synchronized { Art.headlineNames = headline.map(_._1) }
-    headline.foreach { case (name, run) => samples3(name, run) }
-    (coverage ++ coverage13 ++ coverage14 ++ coverage15).foreach {
-      case (name, run) => samples3(name, run)
-    }
+    // adjudication filter: SPARK_GRAFT_BENCH_ONLY="q_a,q_b" runs only the
+    // named rows and skips every post-gate section — the instrumented re-pin
+    // protocol for volatile rows (quiet box, batch_ms + plan counts) without
+    // paying a full-suite run. Unset = the full artifact of record.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keepRow(name: String): Boolean = only.forall(_.contains(name))
 
+    Art.lock.synchronized { Art.headlineNames = headline.map(_._1) }
+    headline.withFilter(kv => keepRow(kv._1))
+      .foreach { case (name, run) => samples3(name, run) }
+    (coverage ++ coverage13 ++ coverage14 ++ coverage15)
+      .withFilter(kv => keepRow(kv._1))
+      .foreach { case (name, run) => samples3(name, run) }
+
+    // every post-gate section re-checks the budget clock before running: a
+    // contended box that ate the gate loop's margin must not be allowed to
+    // spend it again here — a skipped section keeps its inert default in the
+    // artifact and is named in `budget.sections_skipped`
+    def section(name: String, gateSec: Double)(body: => Unit): Unit =
+      if (only.nonEmpty || elapsedSec > gateSec) {
+        sectionsSkipped += name; recordBudget()
+      } else try body
+      catch { case e: Throwable => System.err.println(s"[bench] $name section: $e") }
+
+    section("serving", 1700.0) {
     // serving probe: the ANN coverage rows above retrain codebooks and
     // rebuild lists on every run (the offline cost); production searches a
     // PRE-BUILT index. Build each persisted index once (cost reported), then
@@ -657,7 +773,22 @@ object Bench {
       Art.sections("serving") =
         f"""{"build_pq_sec":$buildPqSec%.3f,"build_int8_sec":$buildI8Sec%.3f}"""
     }
+    // serving plan shapes ride the same plans section as the gate queries
+    Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
+      "q_serve_int8_filtered" -> serveI8F _)
+      .foreach { case (name, df) =>
+        val row = try {
+          val (sh, bc) = planCounts(df())
+          s"""{"shuffles":$sh,"broadcasts":$bc}"""
+        } catch { case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+          s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
+        }
+        Art.lock.synchronized { Art.plans(name) = row }
+      }
+    }
 
+    section("scale", 1750.0) {
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds).
     // These rows are raw-only: pull them back out of the gate map.
@@ -672,7 +803,9 @@ object Bench {
       Art.sections("scale") =
         f"""{"p1_sec":$scaleP1%.3f,"parallel_sec":$scalePar%.3f,"speedup":$speedup%.1f}"""
     }
+    }
 
+    section("layout", 1780.0) {
     // layout experiment: q_join_bcast (the slowest benched query) over a
     // bucketed layout of lineitem/orders — the fact side is never shuffled.
     // The one-time bucketed write happens here (untimed per query, cost
@@ -696,7 +829,11 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); (-1.0, -1, -1.0) }
     try { runPlain(); runBucketed() } // warm-up
     catch { case e: Throwable => System.err.println(s"[bench] layout warmup: $e") }
-    val layoutRuns = (0 until 3).map { _ =>
+    // 2 interleaved pairs (was 3): the diagnostic value is the plain:bucketed
+    // RATIO under identical box conditions plus the per-sample task stats —
+    // a third pair bought ~2 s of confirmation the adaptive protocol no
+    // longer spends anywhere else
+    val layoutRuns = (0 until 2).map { _ =>
       (safeStats("layout_plain", runPlain), safeStats("layout_bucketed", runBucketed))
     }
     val plainStats = layoutRuns.map(_._1)
@@ -722,28 +859,14 @@ object Bench {
           s""""plain":{${layoutJson(plainStats, plainEx, plainBc)}},""" +
           s""""bucketed":{${layoutJson(bucketStats, bucketEx, bucketBc)}}}"""
     }
-
-    // plan-shape section: per benched query, how many shuffles + broadcasts —
-    // comparable across rounds even when the box makes wall-clock useless
-    // serving plan shapes ride the same plans section as the gate queries
-    Seq("q_serve_pq_index" -> servePq _, "q_serve_int8_index" -> serveI8 _,
-      "q_serve_int8_filtered" -> serveI8F _)
-      .foreach { case (name, df) =>
-        val row = try {
-          val (sh, bc) = planCounts(df())
-          s"""{"shuffles":$sh,"broadcasts":$bc}"""
-        } catch { case e: Throwable =>
-          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-          s"""{"shuffles":-1,"broadcasts":-1,"err":"$msg"}"""
-        }
-        Art.lock.synchronized { Art.plans(name) = row }
-      }
+    }
     // gate plan counts were recorded inside samples3 (riding each gate's
-    // last timed sample) — the r15 separate probe pass re-built every gate
+    // first timed sample) — the r15 separate probe pass re-built every gate
     // body, ~650 s of overhead that helped blow the driver budget. Stream
     // twins stay skipped (r15 ADVICE): their DataFrame is the post-hoc
     // memory-sink read; stream_stats carries their telemetry instead.
 
+    section("scale_curves", 1800.0) {
     // empirical 10×-rows scaling curves for the most expensive candidate-
     // generation paths (ppjoin, paragraph dedup, mutual-kNN clustering, IVF
     // search, ccnet fit/serve): wall-time ratio at 10× rows over density-
@@ -761,12 +884,23 @@ object Bench {
         System.err.println(s"[bench] scale curves: $e"); "{}"
       }
     Art.lock.synchronized { Art.sections("scale_curves") = scaleCurvesJson }
+    }
 
+    recordBudget()
     spark.streams.removeListener(streamStats)
     // the box is shared: headline totals swing ±15% with other tenants'
     // load, so the artifact records the 1-min load average at start and end
     // (read inside buildJson) — a contended run is self-diagnosing
     emitOnce(buildJson(partial = false, sfDir, loadStart))
-    spark.stop()
+    // hard-halt instead of spark.stop() (r16 verdict ask #1d): the JSON line
+    // is flushed, so nothing of value remains — Spark/sbt teardown (state
+    // stores, executor pools, shutdown hooks) has been observed to eat tens
+    // of seconds, and on a contended box it must not be able to spend the
+    // driver's remaining timeout budget after the artifact is already out.
+    // halt skips shutdown hooks by design; the partial-flush hook is a no-op
+    // here anyway (Art.emitted). The bench forks its own JVM (run / fork :=
+    // true), so sbt itself exits normally with rc 0.
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }
