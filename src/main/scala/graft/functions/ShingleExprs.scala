@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftSql
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Sliding-window shingles as single codegen'd expressions.
@@ -91,8 +91,12 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
+  // NullType stays a legal input (r16 ADVICE: the HOF forms tolerated
+  // lit(null) by returning the empty array; the eval/codegen null branch
+  // preserves that). Other non-array inputs fail analysis — stricter than
+  // the HOF forms' implicit casts, documented at the TextOps wrappers.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_shingles needs array<string>, got ${other.catalogString}")
   }
@@ -109,7 +113,9 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       ${c.code}
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         ${c.isNull} ? graft.functions.ShingleKernels.EMPTY()
-          : graft.functions.ShingleKernels.words(${c.value}, $n, $distinct);
+          : graft.functions.ShingleKernels.words(
+              (org.apache.spark.sql.catalyst.util.ArrayData) (Object) ${c.value},
+              $n, $distinct);
       """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
@@ -125,8 +131,9 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
+  // NullType tolerated like WordShingles (see the note there)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_char_shingles needs string, got ${other.catalogString}")
   }
@@ -143,7 +150,8 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
       ${c.code}
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         ${c.isNull} ? graft.functions.ShingleKernels.EMPTY()
-          : graft.functions.ShingleKernels.chars(${c.value}, $n);
+          : graft.functions.ShingleKernels.chars(
+              (org.apache.spark.unsafe.types.UTF8String) (Object) ${c.value}, $n);
       """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 

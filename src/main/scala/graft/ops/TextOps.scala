@@ -661,20 +661,14 @@ object TextOps {
       size: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && size > overlap,
       s"need size > overlap >= 0, got size=$size overlap=$overlap")
-    val step = size - overlap
-    val len = length(col(textCol)).cast("long")
-    // floor of ONE chunk for any non-empty doc: without it a doc shorter
-    // than `overlap` computes zero chunks and silently vanishes (caught by
-    // the reassembly law in LawsSpec)
-    val n = when(len > 0, greatest(
-      floor((greatest(len - overlap, lit(0L)) + (step - 1)).cast("double") / step)
-        .cast("long"),
-      lit(1L))).otherwise(lit(0L))
-    val chunks = when(n > 0, transform(sequence(lit(1L), n),
-      i => struct(i.as("chunk_idx"),
-        ((i - 1L) * step + 1L).as("start"),
-        col(textCol).substr(((i - 1L) * step + 1L).cast("int"), lit(size)).as("chunk"))))
-      .otherwise(array().cast("array<struct<chunk_idx:long,start:long,chunk:string>>"))
+    // codegen'd window kernel (r16 verdict ask #3): the HOF form captured
+    // col(textCol) inside the transform lambda — safe only while callers
+    // never push a predicate through the chunk projection. The kernel
+    // evaluates the text exactly once per row wherever the tree lands; its
+    // count law (one-chunk floor for non-empty docs — without it a doc
+    // shorter than `overlap` silently vanishes) is pinned by the LawsSpec
+    // reassembly law.
+    val chunks = graft.functions.WinnowExprs.chunkWindows(col(textCol), size, overlap)
     df.select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
         col("c.start").as("start"), col("c.chunk").as("chunk"))
@@ -715,51 +709,40 @@ object TextOps {
     * winnow their full gram list (one window); documents shorter than k
     * yield an empty set.
     *
-    * Entirely scan-level (one array expression chain per row, zero shuffle,
-    * codegen'd): the selected-set size is ~2/(w+1) of the gram count, the
-    * published density bound.
+    * Entirely scan-level (codegen'd [[graft.functions.WinnowKernels]]
+    * kernels since r17, zero shuffle): the selected-set size is ~2/(w+1) of
+    * the gram count, the published density bound. Being `UnaryExpression`s,
+    * the kernels evaluate their input exactly once per row wherever the
+    * tree lands — composing them directly under a pushed filter is safe
+    * (the HOF forms they replace re-evaluated a lambda-captured producer
+    * once per window; see ShingleExprs' scaladoc for the splice mechanism).
     */
   def gramHashes(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      transform(sequence(lit(1), length(c) - (k - 1)), i => hash32(c.substr(i, lit(k)))))
-      .otherwise(array().cast("array<long>"))
+    graft.functions.WinnowExprs.gramHashes(c, k)
 
   def winnowSelect(hs: Column, w: Int): Column =
-    when(size(hs) > 0,
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(hs) - w, lit(0))),
-        j => array_min(slice(hs, j + 1, lit(w))))))
-      .otherwise(array().cast("array<long>"))
+    graft.functions.WinnowExprs.winnowSelect(hs, w)
 
   /** [[winnowSelect]] variant that keeps each selected fingerprint's GRAM
     * POSITION (1-based char offset of the k-gram it hashes): window j keeps
     * (min hash of grams j+1..j+w, position of that min). The positions are
     * what substring REMOVAL needs — a shared fingerprint certifies a
-    * duplicated k-gram starting exactly there. Same density bound and the
-    * same two-step binding discipline as [[winnowSelect]] (pass a column
-    * bound to [[gramHashes]], never the raw expression).
+    * duplicated k-gram starting exactly there. Same density bound as
+    * [[winnowSelect]].
     */
   def winnowSelectPos(hs: Column, w: Int): Column =
-    when(size(hs) > 0,
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(hs) - w, lit(0))),
-        j => {
-          val s = slice(hs, j + 1, lit(w))
-          val m = array_min(s)
-          struct(m.as("fp"), (j.cast("long") + array_position(s, m)).as("pos"))
-        })))
-      .otherwise(array().cast("array<struct<fp:long,pos:long>>"))
+    graft.functions.WinnowExprs.winnowSelectPos(hs, w)
 
   /** Convenience composition of [[gramHashes]] + [[winnowSelect]].
     *
-    * PERFORMANCE: always bind the gram hashes to their OWN projected column
-    * (`withColumn("__hs", gramHashes(...))` then `winnowSelect(col("__hs"),
-    * w)`) when applying to a real corpus — higher-order `transform` lambdas
-    * evaluate interpreted with no CSE across lambda boundaries, so this
-    * single-expression form re-hashes the ENTIRE gram array once per window
-    * (O(len²) md5 per row; measured 300× slower at 300-char docs).
-    * [[graft.ops.Dedup.substringDupCandidates]] does the two-step binding;
-    * this form is for short strings and tests.
+    * Since r17 this single-expression form is safe on real corpora: both
+    * pieces are codegen'd kernels, so the gram array is computed once per
+    * row and each window is a tight min loop (the retired HOF composition
+    * re-hashed the ENTIRE gram array once per window — O(len²) md5 per row,
+    * measured 300× slower at 300-char docs — which is why callers like
+    * [[graft.ops.Dedup.substringDupCandidates]] bind `__hs` to a projected
+    * column first; that shape remains fine and avoids recomputing the grams
+    * across two consumers).
     */
   def winnowedFingerprints(c: Column, k: Int, w: Int): Column =
     winnowSelect(gramHashes(c, k), w)

@@ -1264,11 +1264,86 @@ object LawsSpec extends Properties("graft") {
       val s = toks.mkString("")
       val chars = df.select(graft.ops.TextOps.charShingles(lit(s), n))
         .head().getSeq[String](0)
+      // model via code POINTS, not UTF-16 units (r16 ADVICE): the kernel
+      // windows by numChars/substringSQL, so a String.sliding model would
+      // spuriously diverge if this generator ever grows non-BMP characters
+      val cps = s.codePoints().toArray
       val wantChars =
-        if (s.length < n) Seq.empty[String]
-        else s.sliding(n).toSeq.distinct
+        if (cps.length < n) Seq.empty[String]
+        else cps.sliding(n).map(w => new String(w, 0, w.length)).toSeq.distinct
       (Prop(all == wantAll) :| s"all: $all != $wantAll") &&
         (Prop(dis == wantDis) :| s"distinct: $dis != $wantDis") &&
         (Prop(chars == wantChars) :| s"chars: $chars != $wantChars")
+    }
+
+  // the codegen'd winnow kernels (r17: GramHashes/WinnowSelect[Pos] replaced
+  // the transform(sequence(...)) HOF forms — same lambda-splice closure as
+  // the shingle kernels, plus the composed form drops from O(len²) to
+  // O(len) md5 per row) are BIT-IDENTICAL to the HOF semantics: hash32 =
+  // first 4 md5 bytes big-endian per k-gram, window minima for j = 0..
+  // max(len−w, 0) with slice-style truncation, array_position-style 1-based
+  // first-occurrence min positions, array_distinct first-occurrence dedup,
+  // < k chars → empty. Pinned against an independent Scala model (the
+  // winnow gates' DuckDB oracles pin the same thing end-to-end; this
+  // localizes a break to the kernel). A 3-letter alphabet forces hash ties
+  // inside windows so the first-occurrence position rule is exercised.
+  property("codegen'd winnow kernels equal the sliding-window model") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')), Gen.choose(1, 6), Gen.choose(1, 5)) {
+      (cs, k, w) =>
+      val text = cs.mkString
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      def h32(g: String): Long = {
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+          ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+      }
+      val grams =
+        if (text.length < k) Seq.empty[Long]
+        else text.sliding(k).map(h32).toSeq
+      val wantSel =
+        if (grams.isEmpty) Seq.empty[Long]
+        else (0 to math.max(grams.size - w, 0))
+          .map(j => grams.slice(j, j + w).min).distinct
+      val wantPos =
+        if (grams.isEmpty) Seq.empty[(Long, Long)]
+        else (0 to math.max(grams.size - w, 0)).map { j =>
+          val sl = grams.slice(j, j + w)
+          val m = sl.min
+          (m, (j + sl.indexOf(m) + 1).toLong)
+        }.distinct
+      // the COMPOSED forms on purpose: since r17 they are single codegen'd
+      // kernels, so this law also certifies that composing them (no
+      // two-step attribute binding) stays correct
+      val row = df.select(
+        graft.ops.TextOps.gramHashes(col("text"), k).as("g"),
+        graft.ops.TextOps.winnowedFingerprints(col("text"), k, w).as("s"),
+        graft.ops.TextOps.winnowSelectPos(
+          graft.ops.TextOps.gramHashes(col("text"), k), w).as("p")).head()
+      val gotG = row.getSeq[Long](0)
+      val gotS = row.getSeq[Long](1)
+      val gotP = row.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      (Prop(gotG == grams) :| s"grams: $gotG != $grams") &&
+        (Prop(gotS == wantSel) :| s"select: $gotS != $wantSel") &&
+        (Prop(gotP == wantPos) :| s"selectPos: $gotP != $wantPos")
+    }
+
+  // NULL tolerance of the kernel family (r16 ADVICE: the HOF forms returned
+  // the empty array for lit(null); the kernels must keep that contract for
+  // ad-hoc callers)
+  property("shingle/winnow/chunk kernels map NULL input to the empty array") =
+    Prop.forAll(Gen.choose(1, 4)) { n =>
+      val df = Seq(Tuple1(1L)).toDF("x")
+      val row = df.select(
+        graft.functions.ShingleExprs.wordShingles(lit(null), n, distinct = true),
+        graft.functions.ShingleExprs.charShingles(lit(null), n),
+        graft.functions.WinnowExprs.gramHashes(lit(null), n),
+        graft.functions.WinnowExprs.winnowSelect(lit(null), n),
+        graft.functions.WinnowExprs.winnowSelectPos(lit(null), n),
+        graft.functions.WinnowExprs.chunkWindows(lit(null), n + 1, 0)).head()
+      Prop((0 until 6).forall(i => row.getSeq[Any](i) == Seq.empty)) :|
+        s"row=$row"
     }
 }
