@@ -1525,12 +1525,26 @@ object Streams {
     // one row group → one scan task), score it ONCE, and materialize the
     // flags (localCheckpoint — legal here, foreachBatch bodies are batch
     // plans) so every downstream filter/join reads ATTRIBUTES.
-    streamingSearch(docs, outDir, batches, { b =>
+    // the per-trigger keep-set checkpoint must not accumulate (r16 ADVICE:
+    // checkpointed blocks are freed only by GC/ContextCleaner, so a
+    // long-running stream would grow batch-sized blocks per trigger).
+    // Triggers serialize through the foreachBatch sink, so by the time
+    // trigger N+1 scores its batch, trigger N's result parquet is written —
+    // its checkpoint is dead and safe to free here. The FINAL trigger's
+    // checkpoint is freed after the harness returns (below), but only when
+    // the output dir exists: the empty-stream fallback's result still READS
+    // its checkpoint, and unpersisting a lineage-truncated RDD's blocks
+    // would make it unrecoverable.
+    val lastCk = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val out = streamingSearch(docs, outDir, batches, { b =>
+      val prev = lastCk.get()
+      if (prev != null) prev.unpersist(false)
       val scored = graft.ops.Selection.withGopherFlags(
           b.repartition(b.sparkSession.sparkContext.defaultParallelism), "text",
           minWords, maxWords, minMeanLen, maxMeanLen, stopwords,
           minStopHits, minAlphaFrac, maxTop2Frac)
         .localCheckpoint(false)
+      lastCk.set(scored)
       val t = graft.ops.Splits.applyPpmThresholds(
           scored.filter(col("keep")), "lang", "doc_id", thresholds)
         .select(b.columns.map(col).toSeq: _*)
@@ -1550,6 +1564,13 @@ object Streams {
         .join(gramHits, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
     })
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(outPath)) {
+      val fin = lastCk.getAndSet(null)
+      if (fin != null) fin.unpersist(false)
+    }
+    out
   }
 
   /** Streaming CCNet bucket ASSIGNMENT — arriving documents bucketed per
