@@ -228,21 +228,47 @@ object ScaleCurves {
       scaledQueries(s, dir), "vec_id", "embedding", 3, SCALED_NPROBE,
       assignKernel = true)
 
-  /** recall@3 of the scaled-index search vs exact float brute force over
-    * the same amplified corpus (the q_ann_recall pin applied at scale),
-    * RETURNED WITH the fraction of that exact truth that is cross-shard
-    * noise — the measured ceiling on what recall can mean at this size.
+  /** PLANTED-NEIGHBOR recall@3 of the scaled-index search (r16 verdict ask
+    * #6): the old pin measured the index against exact brute force, but on
+    * an amplified corpus the exact top-3 is 91–99.7% cross-shard
+    * extreme-value noise (the header's embeddings caveat), so recall was
+    * bounded by the fixture, not the index — a noise-ceiling caveat had to
+    * travel with every number. Ground truth is now PLANTED: each query
+    * vector gets one deterministic jittered twin in the corpus
+    * ([[plantedTwins]], cosine ≈ 0.96 — far above the ≈ 0.64 max cross-shard
+    * noise cosine at 450 k vectors, and exact brute force would always
+    * return it), so `found(planted twin in top-3)` is a real quality number
+    * at ANY amplification, and the truth_noise row is retired. The twins
+    * also make the self-match visible: the identity shard holds the query
+    * itself at cosine 1, so a healthy index returns (self, twin, …).
     */
-  def ivfScaledRecall(s: SparkSession, dir: String, copies: Int): (Double, Double) = {
-    val emb = amplifyEmbeddings(Tables.embeddings(s, dir), copies * AMP_BASE)
-    val exact = Similarity.bruteForceTopK(emb, scaledQueries(s, dir),
-      "vec_id", "embedding", 3).localCheckpoint(false)
-    val crossFrac = exact
-      .agg(avg((col("neighbor_id") >= 10000000L).cast("double")))
-      .head().getDouble(0)
-    val rec = Similarity.recallAtK(ivfScaledLeg(s, dir, copies), exact, 3)
-      .agg(avg(col("recall"))).head().getDouble(0)
-    (rec, crossFrac)
+  def ivfScaledPlantedRecall(s: SparkSession, dir: String, copies: Int): Double = {
+    val hits = ivfScaledLeg(s, dir, copies)
+      .filter(col("neighbor_id") === -col("query_id") - 1L)
+      .select(col("query_id")).distinct().count()
+    hits.toDouble / scaledQueries(s, dir).count().toDouble
+  }
+
+  /** one jittered twin per query vector: embedding ⊙ (1 ± ε) with a fixed
+    * deterministic Rademacher-signed mask (splitmix bit-mix of the
+    * coordinate index — reproducible across runs/engines, same family as
+    * the shard masks), cosine(q, twin) = 1/√(1+ε²) ≈ 0.957 for every q.
+    * Twin ids are the NEGATIVE range −1−vec_id — no shard offset
+    * k·10⁷+vec_id can ever collide with them. 100 twins in a 45 k–4.5 M
+    * corpus (≤ 0.2%) — cost-invisible to the timed leg that shares the
+    * index.
+    */
+  private val PLANT_EPS = 0.3f
+  def plantedTwins(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val mask: Seq[Float] = (0 until dim).map { i =>
+      var z = 0x51AF7EEDL * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      if (((z >>> 17) & 1L) == 0L) 1.0f + PLANT_EPS else 1.0f - PLANT_EPS
+    }
+    scaledQueries(s, dir).select(
+      (-col("vec_id") - 1L).as("vec_id"),
+      zip_with(col("embedding"), typedlit(mask), (x, m) => x * m).as("embedding"),
+      col("label"))
   }
 
   private val AMP_BASE = 10      // leg sizes: 10× and 100× shards
@@ -265,8 +291,12 @@ object ScaleCurves {
   private def scaledIndexPath(s: SparkSession, dir: String, copies: Int): String =
     builtIdx.getOrElseUpdate((dir, copies), {
       val path = Tables.scratch(s"scale_ivf_$copies", dir)
+      // the planted twins live in the SAME stored index the timed leg
+      // searches (≤0.2% extra rows): one build serves both the cost curve
+      // and the planted-recall pin
       Similarity.writeIvfInt8Index(
-        amplifyEmbeddings(Tables.embeddings(s, dir), copies),
+        amplifyEmbeddings(Tables.embeddings(s, dir), copies)
+          .unionByName(plantedTwins(s, dir)),
         "vec_id", "embedding", path, scaledCents(copies), assignKernel = true)
       path
     })
@@ -376,8 +406,11 @@ object ScaleCurves {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // samples100 = 3 (r16 verdict ask #5): the r16 ppjoin 100× pin rested on
+    // two samples 1.6× apart; a third sample + the per-row-cost ratio make
+    // the no-superlinearity claim defensible on its own
     println(measureJson(spark, sfDir, samplesPerLeg = 3,
-      samples100 = 2, at100 = legs100Standalone))
+      samples100 = 3, at100 = legs100Standalone))
     spark.stop()
   }
 
@@ -412,29 +445,34 @@ object ScaleCurves {
       val ratio = median(x10) / median(x1)
       def arr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       // the 100× pin: `samples100` samples (the leg is minutes-scale there),
-      // ratio vs 1×, and the exchange counts (read as a broadcast/shuffle
-      // PAIR — size-driven strategy shifts are legitimate at this size)
+      // ratio vs 1×, the exchange counts (read as a broadcast/shuffle PAIR —
+      // size-driven strategy shifts are legitimate at this size), and the
+      // PER-ROW cost ratio (r16 verdict ask #5: (wall/rows)@100× ÷
+      // (wall/rows)@1× — a ≈1 value states "no superlinear growth" directly
+      // instead of resting on a wide wall spread)
       val x100 =
         if (!at100.contains(name)) ""
         else {
           val s100 = (0 until samples100)
             .map(_ => run(leg(spark, sfDir, 100)))
           val (sh100, bc100) = planCounts(leg(spark, sfDir, 100))
+          val perRow = (median(s100) / 100.0) / median(x1)
           f""","x100":${arr(s100)},"ratio_100":${median(s100) / median(x1)}%.2f""" +
+            f""","per_row_ratio_100":$perRow%.3f""" +
             s""","shuffles_x100":$sh100,"broadcasts_x100":$bc100"""
         }
-      // the scaled-index leg buys its speed with a coarser probe budget —
-      // pin recall@3 vs brute force at BOTH sizes, alongside the exact
-      // truth's cross-shard-noise fraction (the measured ceiling on what
-      // recall can mean on an amplified corpus): a real quality collapse
-      // shows as recall falling FASTER than the ceiling
+      // the scaled-index leg's quality pin is PLANTED recall (r16 verdict
+      // ask #6): each query has a deterministic jittered twin in the stored
+      // index whose cosine clears the amplification fixture's noise ceiling
+      // by construction, so the number is index quality, not fixture noise,
+      // and the old truth_noise caveat rows are retired. (Operator recall
+      // on the real, un-amplified corpus stays pinned by q_ann_recall.)
       val recall =
         if (name != "ivf_search_scaled") ""
         else {
-          val (r1, c1) = ivfScaledRecall(spark, sfDir, 1)
-          val (r10, c10) = ivfScaledRecall(spark, sfDir, 10)
-          f""","recall_x1":$r1%.3f,"recall_x10":$r10%.3f""" +
-            f""","truth_noise_x1":$c1%.3f,"truth_noise_x10":$c10%.3f"""
+          val r1 = ivfScaledPlantedRecall(spark, sfDir, 1)
+          val r10 = ivfScaledPlantedRecall(spark, sfDir, 10)
+          f""","recall_planted_x1":$r1%.3f,"recall_planted_x10":$r10%.3f"""
         }
       f""""$name":{"x1":${arr(x1)},"x10":${arr(x10)},"ratio":$ratio%.2f,""" +
         s""""shuffles_x1":$sh1,"broadcasts_x1":$bc1,""" +
