@@ -639,13 +639,18 @@ object Bench {
                 System.err.println(s"[bench] $name warmup: $e"); -1.0
             }
           val t1 = timedSample()
-          if (warm >= 0 && t1 >= 0 && math.max(warm, t1) < QUICK_SEC) Seq(t1)
+          // the control row's median is subtracted from EVERY stream twin,
+          // so it alone never takes the quick-row shortcut: 3 samples of a
+          // ~0.6 s row are cheap insurance against biasing 54 adjusted rows
+          val isControl = name == "q_stream_control"
+          if (!isControl && warm >= 0 && t1 >= 0 &&
+              math.max(warm, t1) < QUICK_SEC) Seq(t1)
           else {
             val t2 = timedSample()
             val lo = math.min(t1, t2)
             val needThird = t1 >= 0 && t2 >= 0 &&
-              math.max(t1, t2) >= QUICK_SEC &&
-              (math.max(t1, t2) - lo) / math.max(lo, 1e-9) > SPREAD &&
+              (isControl || (math.max(t1, t2) >= QUICK_SEC &&
+                (math.max(t1, t2) - lo) / math.max(lo, 1e-9) > SPREAD)) &&
               elapsedSec < SOFT_NO_THIRD
             if (needThird) Seq(t1, t2, timedSample()) else Seq(t1, t2)
           }
