@@ -555,9 +555,15 @@ object Bench {
     // contended box the tiers bound the gate loop at ~HARD_SKIP + one
     // in-flight row, and every post-gate section re-checks the clock — the
     // final emit happens before ~1.9 ks no matter what the box does.
-    val SOFT_NO_THIRD = 1000.0
-    val DEGRADE_ONE = 1350.0
-    val HARD_SKIP = 1650.0
+    // tier calibration (measured on the idle box at sf0.1): the full
+    // adaptive protocol lands at ~1.78 ks all-rows — DEGRADE_ONE sits above
+    // it so an idle run never degrades a row (the r17a run at 1350 degraded
+    // 25 tail twins into cold single samples, poisoning their round-over-
+    // round comparability), while a contended box crosses the tiers earlier
+    // in row count and still emits before ~2.0 ks + one in-flight row.
+    val SOFT_NO_THIRD = 1200.0
+    val DEGRADE_ONE = 1650.0
+    val HARD_SKIP = 1950.0
     val QUICK_SEC = 2.0
     val SPREAD = 0.10
     val degraded = scala.collection.mutable.ArrayBuffer[String]()
@@ -718,7 +724,7 @@ object Bench {
       } else try body
       catch { case e: Throwable => System.err.println(s"[bench] $name section: $e") }
 
-    section("serving", 1700.0) {
+    section("serving", 2000.0) {
     // serving probe: the ANN coverage rows above retrain codebooks and
     // rebuild lists on every run (the offline cost); production searches a
     // PRE-BUILT index. Build each persisted index once (cost reported), then
@@ -793,7 +799,7 @@ object Bench {
       }
     }
 
-    section("scale", 1750.0) {
+    section("scale", 2030.0) {
     // parallel-scaling probe (fixed 100M rows, independent of sf — kept out
     // of `total` so the headline number stays comparable across rounds).
     // These rows are raw-only: pull them back out of the gate map.
@@ -810,7 +816,7 @@ object Bench {
     }
     }
 
-    section("layout", 1780.0) {
+    section("layout", 2060.0) {
     // layout experiment: q_join_bcast (the slowest benched query) over a
     // bucketed layout of lineitem/orders — the fact side is never shuffled.
     // The one-time bucketed write happens here (untimed per query, cost
@@ -871,7 +877,7 @@ object Bench {
     // twins stay skipped (r15 ADVICE): their DataFrame is the post-hoc
     // memory-sink read; stream_stats carries their telemetry instead.
 
-    section("scale_curves", 1800.0) {
+    section("scale_curves", 2080.0) {
     // empirical 10×-rows scaling curves for the most expensive candidate-
     // generation paths (ppjoin, paragraph dedup, mutual-kNN clustering, IVF
     // search, ccnet fit/serve): wall-time ratio at 10× rows over density-
@@ -884,7 +890,7 @@ object Bench {
     // pins live in the committed BENCH_scale_* quiet artifacts instead.
     val scaleCurvesJson =
       try graft.examples.ScaleCurves.measureJson(spark, sfDir,
-        samplesPerLeg = 2, samples100 = 1, at100 = Set.empty)
+        samplesPerLeg = 2, samples100 = 1, at100 = Set.empty, samplesX10 = 1)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale curves: $e"); "{}"
       }

@@ -420,7 +420,12 @@ object ScaleCurves {
     * `samples100` how many samples it takes (the driver bench passes 1).
     */
   def measureJson(spark: SparkSession, sfDir: String, samplesPerLeg: Int,
-      samples100: Int = 2, at100: Set[String] = legs100): String = {
+      samples100: Int = 2, at100: Set[String] = legs100,
+      samplesX10: Int = -1): String = {
+    // the 10× legs may take fewer samples than the 1× legs (the driver
+    // bench passes 1: its in-bench curves are a drift canary; the robust
+    // multi-sample pins live in the standalone quiet artifact)
+    val nX10 = if (samplesX10 > 0) samplesX10 else samplesPerLeg
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -434,12 +439,12 @@ object ScaleCurves {
     }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val rows = legs.map { case (name, leg) =>
-      def samples(copies: Int): Seq[Double] = {
+      def samples(copies: Int, n: Int): Seq[Double] = {
         run(leg(spark, sfDir, copies)) // warm-up (codegen, I/O cache)
-        (0 until samplesPerLeg).map(_ => run(leg(spark, sfDir, copies)))
+        (0 until n).map(_ => run(leg(spark, sfDir, copies)))
       }
-      val x1 = samples(1)
-      val x10 = samples(10)
+      val x1 = samples(1, samplesPerLeg)
+      val x10 = samples(10, nX10)
       val (sh1, bc1) = planCounts(leg(spark, sfDir, 1))
       val (sh10, bc10) = planCounts(leg(spark, sfDir, 10))
       val ratio = median(x10) / median(x1)
