@@ -167,14 +167,17 @@ object Bench {
     var emitted = false
   }
 
-  /** central stat per row. 3 samples → middle; 2 → MEAN of the two (a
-    * 2-sample "median" that picked the max would bias every adaptive row up
-    * vs prior rounds' median-of-3); 1 → itself. Any errored sample (−1)
-    * poisons the row to −1, as before.
+  /** central stat per row. 3 samples → middle; 2 → MIN of the two; 1 →
+    * itself. Min-of-2 because box noise is ONE-SIDED — contention only adds
+    * wall — so the old median-of-3's outlier rejection (discard the one
+    * contended sample) is preserved: a mean would inherit half of any spike
+    * (measured r17: mean-of-2 read 1.8% above min-of-2 across 316 rows on a
+    * mildly drifting box). Any errored sample (−1) poisons the row to −1,
+    * as before.
     */
   private def medianOf(ts: Seq[Double]): Double =
     if (ts.isEmpty || ts.exists(_ < 0)) -1.0
-    else if (ts.size == 2) (ts.head + ts(1)) / 2.0
+    else if (ts.size == 2) ts.min
     else ts.sorted.apply(ts.size / 2)
 
   private def buildJson(partial: Boolean, sfDir: String, loadStart: Double): String =
@@ -215,7 +218,7 @@ object Bench {
         s""""plans":${Art.plans.map { case (k, v) => s""""$k":$v""" }
           .mkString("{", ",", "}")},""" +
         f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
-        f""""samples":$raw,"protocol":"adaptive_r17_quick1_stable2_spread3","sf":"$sfDir"}"""
+        f""""samples":$raw,"protocol":"adaptive_r17_quick1_stable2min_spread3","sf":"$sfDir"}"""
     }
 
   private def emitOnce(json: String): Unit = Art.lock.synchronized {

@@ -6,7 +6,7 @@ import json, sys
 def stat(ts):
     ts = [t for t in ts if t >= 0]
     if not ts: return -1.0
-    if len(ts) == 2: return (ts[0] + ts[1]) / 2.0
+    if len(ts) == 2: return min(ts)
     return sorted(ts)[len(ts) // 2]
 
 def load(p):
