@@ -608,6 +608,11 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(true)
+      // large is materialized: the previous generation's blocks are dead
+      // (r17 block hygiene — the loop otherwise leaks one block set per
+      // phase per round until GC, and the block-manager churn is measurable
+      // on iterative rows)
+      edges.unpersist(false)
       // SMALL-STAR: orient each edge at its larger endpoint u; connect u and
       // all its smaller neighbors to the neighborhood minimum
       val smallDir = large.select(col("hi").as("u"), col("lo").as("v"))
@@ -619,6 +624,10 @@ object Dedup {
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(false) // lazy: the convergence read materializes it
       converged = isStarForest(small)
+      // small is materialized (isStarForest's count ran over it): the
+      // round's large-phase blocks are dead. The FINAL small and `src` stay
+      // pinned — the returned labels frame reads them lazily.
+      large.unpersist(false)
       edges = small
       rounds += 1
     }

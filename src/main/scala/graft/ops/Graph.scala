@@ -39,20 +39,26 @@ object Graph {
     // checkpoints, round t's plan re-derives edges/outw/nodes AND every
     // earlier round from the source (the first bench cut measured 50
     // shuffles for 3 rounds; checkpointed it is one dst-keyed shuffle per
-    // round over frames that are read back, not recomputed). Lazy
-    // localCheckpoint = materialized at first use, the iterative-graph
-    // production discipline.
+    // round over frames that are read back, not recomputed). Checkpoints
+    // are EAGER with previous-generation unpersist (r17: the lazy form
+    // left every generation's blocks to GC — ~5 leaked block sets per
+    // invocation, and the PprProbe measured 5–16 s walls on an idle box
+    // from the resulting block-manager churn): once round t's blocks are
+    // materialized, round t−1's are dead by construction, and once the
+    // final round is materialized the e/nodes/outw inputs are too — only
+    // the returned frame's own blocks outlive the call.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(false)
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(true)
     // node count + uniform start, kept in-frame (no driver-side collect)
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$SCALE div n").as("pr"))
     val damp = dampingPct.toLong
     val baseNum = (100L - damp) * SCALE
+    var prevPr: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
         .join(outw, Seq("src"))
@@ -64,8 +70,11 @@ object Graph {
         .select(col("node"),
           (expr(s"$baseNum div (100 * n)") +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      if (prevPr != null) prevPr.unpersist(false)
+      prevPr = pr
     }
+    Seq(e, nodes, outw).foreach(_.unpersist(false))
     pr
   }
 
@@ -80,15 +89,17 @@ object Graph {
       edges: DataFrame, seeds: DataFrame, iters: Int, dampingPct: Int): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
+    // same eager-checkpoint + previous-generation-unpersist block hygiene
+    // as pageRankFixedPoint (see the note there)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(false)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(true)
     val seeded = nodes
       .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // an empty/graph-disjoint seed set would make n=0 and turn every
     // `div n` below into NULL pr for every node — fail loudly instead
     // (mirrors the iters/dampingPct requires; the count is over the
@@ -103,6 +114,7 @@ object Graph {
         when(col("is_seed") === 1L, expr(s"$SCALE div n")).otherwise(lit(0L)).as("pr"))
     val damp = dampingPct.toLong
     val baseNum = (100L - damp) * SCALE
+    var prevPr: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
         .join(outw, Seq("src"))
@@ -114,8 +126,11 @@ object Graph {
         .select(col("node"),
           (when(col("is_seed") === 1L, expr(s"$baseNum div (100 * n)")).otherwise(lit(0L)) +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      if (prevPr != null) prevPr.unpersist(false)
+      prevPr = pr
     }
+    Seq(e, outw, seeded).foreach(_.unpersist(false))
     pr
   }
 
@@ -147,6 +162,8 @@ object Graph {
       val n = ne.count()
       done = n == prev
       prev = n
+      // ne is materialized: the previous generation's blocks are dead
+      ee.unpersist(false)
       ee = ne
       it += 1
     }
