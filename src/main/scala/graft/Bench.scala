@@ -148,6 +148,14 @@ object Bench {
     val lock = new Object
     // gate/serve rows (feed the `queries` medians and `samples` raw arrays)
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // 1-min loadavg read immediately BEFORE each timed sample (r17 verdict
+    // ask #3: a mid-run contention episode could not be excluded row-by-row
+    // after the fact — the start/end pair brackets the whole run only).
+    // Caveat recorded here once: the bench itself drives load (32 local
+    // threads), so the stamp reads "conditions the sample started under",
+    // not pure external contention; bench_compare classifies on it with
+    // that in mind.
+    val sampleLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     // raw-only rows (scale_100m probes, layout runs — never in `queries`)
     val extraSamples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val streamStats = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -162,7 +170,7 @@ object Bench {
       "scale_curves" -> "{}",
       // budget-guard transparency (r16 verdict ask #1): which tier each
       // degraded/skipped row hit, and the elapsed wall at emit time
-      "budget" -> """{"degraded":[],"skipped":[],"sections_skipped":[]}""")
+      "budget" -> """{"degraded":[],"skipped":[],"sections_skipped":[],"sections_filtered":[]}""")
     var headlineNames: Seq[String] = Seq.empty
     var emitted = false
   }
@@ -202,6 +210,10 @@ object Bench {
       }.mkString("{", ",", "}")
       val raw = (Art.samples ++ Art.extraSamples)
         .map { case (k, ts) => s""""$k":${jsonArr(ts)}""" }.mkString("{", ",", "}")
+      val loads = Art.sampleLoads
+        .map { case (k, ls) =>
+          s""""$k":${ls.map(l => f"$l%.2f").mkString("[", ",", "]")}"""
+        }.mkString("{", ",", "}")
       val loadEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val partialField = if (partial) """"partial":true,""" else ""
@@ -218,6 +230,7 @@ object Bench {
         s""""plans":${Art.plans.map { case (k, v) => s""""$k":$v""" }
           .mkString("{", ",", "}")},""" +
         f""""load_avg_1m":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+        s""""sample_load":$loads,""" +
         f""""samples":$raw,"protocol":"adaptive_r17_quick1_stable2min_spread3","sf":"$sfDir"}"""
     }
 
@@ -233,9 +246,15 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // per-run Spark scratch root: halt(0) below skips the JVM shutdown hooks
+    // that would normally clean blockmgr-*/spill dirs (r17 ADVICE — repeated
+    // rounds were accumulating disk on the shared box), so the bench owns a
+    // private local dir it deletes itself right before the halt
+    val localDir = s"/tmp/graft_bench_local_${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -492,9 +511,12 @@ object Bench {
       "q_stream_expectations"
     ).map(name => name -> sink(name))) :+
       // the no-op stream: staged source + readStream + memory drain, zero
-      // logic — the fixed machinery cost every streaming twin pays
+      // logic — the fixed machinery cost every streaming twin pays. Runs
+      // under the same stream-shuffle override as the twins (SparkEntry
+      // wraps q_stream_* the same way) so the subtraction stays like-for-like
       ("q_stream_control" -> (() =>
-        graft.streaming.Streams.streamingControl(spark, sfDir)
+        graft.streaming.Streams.withStreamShuffle(spark)(
+          graft.streaming.Streams.streamingControl(spark, sfDir))
           .write.format("noop").mode("overwrite").save()))
 
     // round-15: the remaining 38 streaming twins — the last bench-invisible
@@ -548,7 +570,8 @@ object Bench {
     //   quick row  (warm-up AND 1st sample < 2 s): 1 sample — sub-second
     //     rows were paying 4 executions to confirm a number whose spread is
     //     dwarfed by box noise (173 of r16b's 341 rows)
-    //   normal row: 2 samples (recorded stat = their mean)
+    //   normal row: 2 samples (recorded stat = their MIN — box noise is
+    //     one-sided; see medianOf)
     //   unstable row (spread > 10% on a ≥ 2 s row): a 3rd sample, only
     //     while cumulative wall < SOFT_NO_THIRD
     // Budget tiers on the wall clock since main():
@@ -556,8 +579,11 @@ object Bench {
     //   > HARD_SKIP: remaining gate rows skipped entirely (listed)
     // An idle-box run never hits a tier (expected wall ~1.4–1.6 ks); on a
     // contended box the tiers bound the gate loop at ~HARD_SKIP + one
-    // in-flight row, and every post-gate section re-checks the clock — the
-    // final emit happens before ~1.9 ks no matter what the box does.
+    // in-flight row. Post-gate sections gate their ENTRY at 2000–2080 s and
+    // the long scale_curves legs re-check a deadline between sub-steps, so
+    // the emit bound is ~2.1 ks + one in-flight sub-step (a section sub-step
+    // is not preemptible; nothing after the gate loop takes minutes once its
+    // deadline fires).
     // tier calibration (measured on the idle box at sf0.1): the full
     // adaptive protocol lands at ~1.78 ks all-rows — DEGRADE_ONE sits above
     // it so an idle run never degrades a row (the r17a run at 1350 degraded
@@ -572,16 +598,29 @@ object Bench {
     val degraded = scala.collection.mutable.ArrayBuffer[String]()
     val skippedRows = scala.collection.mutable.ArrayBuffer[String]()
     val sectionsSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    // adjudication-filter (SPARK_GRAFT_BENCH_ONLY) section skips, kept apart
+    // from budget-tier skips: an ONLY-run artifact must not read as if the
+    // budget guard fired on all four sections (r17 ADVICE)
+    val sectionsFiltered = scala.collection.mutable.ArrayBuffer[String]()
     def recordBudget(): Unit = Art.lock.synchronized {
       def arr(b: Seq[String]) = b.map(s => s""""$s"""").mkString("[", ",", "]")
       Art.sections("budget") =
         f"""{"elapsed_sec":$elapsedSec%.1f,"soft_no_third":$SOFT_NO_THIRD,""" +
           f""""degrade_one":$DEGRADE_ONE,"hard_skip":$HARD_SKIP,""" +
           s""""degraded":${arr(degraded.toSeq)},"skipped":${arr(skippedRows.toSeq)},""" +
-          s""""sections_skipped":${arr(sectionsSkipped.toSeq)}}"""
+          s""""sections_skipped":${arr(sectionsSkipped.toSeq)},""" +
+          s""""sections_filtered":${arr(sectionsFiltered.toSeq)}}"""
     }
 
+    def osLoad(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def samples3(name: String, run: () => Unit): Seq[Double] = {
+      // 1-min loadavg stamped at the START of each timed sample, aligned
+      // 1:1 with the row's raw samples array (warm-ups are not recorded, so
+      // they are not stamped) — lets bench_compare exclude load-episode rows
+      // mechanically instead of burning an adjudication cycle per round
+      val loadBuf = scala.collection.mutable.ArrayBuffer[Double]()
       // each run guarded individually: a throw in a later sample must not
       // discard earlier good ones — the raw array keeps its diagnostic value
       def timed(): Double =
@@ -599,7 +638,8 @@ object Bench {
       // wins) — with run-id attribution a reset cannot mis-assign trailing
       // events, so the pre-drain settle of r15/r16 is gone (~0.2 s × twin ×
       // sample of pure polling)
-      def timedSample(): Double =
+      def timedSample(): Double = {
+        loadBuf += osLoad()
         if (!stream) {
           lastDf.set(null)
           val t = timed()
@@ -635,6 +675,7 @@ object Bench {
           Art.lock.synchronized { Art.streamStats(name) = row }
           t
         }
+      }
       val ts: Seq[Double] =
         if (elapsedSec > HARD_SKIP) { skippedRows += name; Seq.empty }
         else if (elapsedSec > DEGRADE_ONE) {
@@ -664,7 +705,10 @@ object Bench {
             if (needThird) Seq(t1, t2, timedSample()) else Seq(t1, t2)
           }
         }
-      if (ts.nonEmpty) Art.lock.synchronized { Art.samples(name) = ts }
+      if (ts.nonEmpty) Art.lock.synchronized {
+        Art.samples(name) = ts
+        Art.sampleLoads(name) = loadBuf.toSeq
+      }
       recordBudget()
       ts
     }
@@ -722,7 +766,9 @@ object Bench {
     // spend it again here — a skipped section keeps its inert default in the
     // artifact and is named in `budget.sections_skipped`
     def section(name: String, gateSec: Double)(body: => Unit): Unit =
-      if (only.nonEmpty || elapsedSec > gateSec) {
+      if (only.nonEmpty) {
+        sectionsFiltered += name; recordBudget()
+      } else if (elapsedSec > gateSec) {
         sectionsSkipped += name; recordBudget()
       } else try body
       catch { case e: Throwable => System.err.println(s"[bench] $name section: $e") }
@@ -893,7 +939,11 @@ object Bench {
     // pins live in the committed BENCH_scale_* quiet artifacts instead.
     val scaleCurvesJson =
       try graft.examples.ScaleCurves.measureJson(spark, sfDir,
-        samplesPerLeg = 2, samples100 = 1, at100 = Set.empty, samplesX10 = 1)
+        samplesPerLeg = 2, samples100 = 1, at100 = Set.empty, samplesX10 = 1,
+        // per-leg deadline (r17 ADVICE): a section entered just under its
+        // 2080 s gate must not run minutes past the driver window — remaining
+        // legs are skipped (and named in the JSON) once the wall crosses this
+        deadline = () => elapsedSec > 2150.0)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale curves: $e"); "{}"
       }
@@ -913,7 +963,14 @@ object Bench {
     // driver's remaining timeout budget after the artifact is already out.
     // halt skips shutdown hooks by design; the partial-flush hook is a no-op
     // here anyway (Art.emitted). The bench forks its own JVM (run / fork :=
-    // true), so sbt itself exits normally with rc 0.
+    // true), so sbt itself exits normally with rc 0. Because the skipped
+    // hooks include Spark's DiskBlockManager cleanup, the per-run local dir
+    // is deleted explicitly first (a few ms; the JSON is already out).
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(localDir), true); ()
+    } catch { case _: Throwable => () }
     System.out.flush()
     Runtime.getRuntime.halt(0)
   }

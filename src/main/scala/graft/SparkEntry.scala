@@ -36,7 +36,17 @@ object SparkEntry {
     out.result()
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Stream twins (`q_stream_*`) run under
+    * [[graft.streaming.Streams.withStreamShuffle]]: their micro-batches use a
+    * small fixed state-partition count instead of the session's CPU-count
+    * batch default — the per-trigger state-store machinery is proportional to
+    * shuffle partitions × stateful operators, pure overhead at gate-scale
+    * state sizes (see the constant's scaladoc for the 100 TB reading). The
+    * override spans only the builder call (plan → start → drain → stop);
+    * correctness is partition-count-invariant by law.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     mergeDisjoint(
       "CoreQueries" -> graft.queries.CoreQueries.queries,
@@ -47,6 +57,12 @@ object SparkEntry {
       "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries,
       "FeatureQueries" -> graft.queries.FeatureQueries.queries,
       "OlapQueries" -> graft.queries.OlapQueries.queries)
+      .map { case (k, f) =>
+        if (k.startsWith("q_stream_"))
+          k -> ((s: SparkSession, dir: String) =>
+            graft.streaming.Streams.withStreamShuffle(s)(f(s, dir)))
+        else k -> f
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

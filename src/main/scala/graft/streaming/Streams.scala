@@ -16,6 +16,44 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** State-store partition count for the gate/bench stream twins.
+    *
+    * Structured Streaming instantiates one state-store instance per shuffle
+    * partition per stateful operator (× 2 for each stream-stream join side),
+    * fixed at checkpoint creation. The twins are FRESH per-invocation streams
+    * over dozens-to-thousands of state rows, so inheriting the session's
+    * CPU-count default (32) pays 32 × stores × sides of per-trigger store
+    * machinery (init, maintenance, commit) for state that fits in one: the
+    * r17 artifact's worst row (q_stream_join, 16.8 s) held 61 state rows
+    * across 32 partitions × 4 stores × 2 join sides — 256 store instances
+    * per trigger. Correctness is partition-count-invariant (the LawsSpec
+    * partition-invariance laws + the driver's sorted hash pin it), so the
+    * twins run their micro-batches at a small fixed count instead.
+    *
+    * At 100 TB this is the SAME lever turned the other way: a real
+    * deployment sizes state partitions to expected key cardinality and
+    * executor count at stream start — the point is that the count is a
+    * per-stream decision, not the session's batch-shuffle default.
+    */
+  val STREAM_SHUFFLE_PARTITIONS = 4
+
+  /** Run a full stream-twin body (plan → start → drain → stop) with the
+    * session's shuffle-partition count temporarily set to
+    * [[STREAM_SHUFFLE_PARTITIONS]], restoring the previous value after. The
+    * count is captured by the stream at `start()`, so the override must span
+    * the builder call; the returned memory-table read is batch and unaffected.
+    */
+  def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, STREAM_SHUFFLE_PARTITIONS.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** The on-file events schema, probed from the parquet footer of the actual
     * testdata (memoized per (path, mtime)) rather than hard-coded — the
     * generator has already switched `ts` encodings once (TIMESTAMP(NANOS) →
