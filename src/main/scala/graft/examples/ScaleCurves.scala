@@ -427,9 +427,14 @@ object ScaleCurves {
     spark.sparkContext.setLogLevel("ERROR")
     // samples100 = 3 (r16 verdict ask #5): the r16 ppjoin 100× pin rested on
     // two samples 1.6× apart; a third sample + the per-row-cost ratio make
-    // the no-superlinearity claim defensible on its own
+    // the no-superlinearity claim defensible on its own.
+    // SPARK_GRAFT_SCALE_ONLY=leg1,leg2 re-measures just those legs (the r17
+    // adjudication lesson applied here: a single volatile ×100 pin should
+    // not cost a full multi-leg session to re-take), and
+    // SPARK_GRAFT_SCALE_SAMPLES100 overrides the ×100 sample count.
+    val n100 = sys.env.get("SPARK_GRAFT_SCALE_SAMPLES100").map(_.toInt).getOrElse(3)
     println(measureJson(spark, sfDir, samplesPerLeg = 3,
-      samples100 = 3, at100 = legs100Standalone))
+      samples100 = n100, at100 = legs100Standalone))
     spark.stop()
   }
 
@@ -462,7 +467,12 @@ object ScaleCurves {
     // gate must not be able to run minutes past the driver window); recorded
     // so a deadline-cut artifact is distinguishable from a complete one
     val legsSkipped = scala.collection.mutable.ArrayBuffer[String]()
-    val rows = legs.flatMap { case (name, leg) =>
+    // SPARK_GRAFT_SCALE_ONLY: adjudication filter for the standalone runner
+    // (same contract as the bench's SPARK_GRAFT_BENCH_ONLY) — unset runs all
+    val onlyLegs: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = legs.filter(kv => onlyLegs.forall(_.contains(kv._1)))
+      .flatMap { case (name, leg) =>
       if (deadline()) { legsSkipped += name; None } else Some {
       def samples(copies: Int, n: Int): Seq[Double] = {
         run(leg(spark, sfDir, copies)) // warm-up (codegen, I/O cache)
