@@ -19,12 +19,14 @@ every mover is labeled with the first matching cause, checked in order:
   batch-ms       stream twin whose summed trigger wall moved the same
                  direction by >= half the wall move — the stateful logic
                  itself moved, adjudicate as code
-  load-episode   a sample_load stamp on the slower side exceeds --load-thr
-                 (default 2.0) — the sample started under contention;
-                 re-measure before adjudicating. (Caveat: the stamp is
-                 taken at sample START and the bench itself drives load on
-                 long rows, so mid-run self-load can also trip this — read
-                 it as "not a quiet measurement", not "definitely external".)
+  load-episode   a sample_load stamp on the slower side exceeds the run's
+                 own load envelope — the sample started under contention;
+                 re-measure before adjudicating. The threshold is RELATIVE:
+                 max(--load-thr [default 2.0], 1.5 x that run's median
+                 stamp), because the bench itself drives 1-min load to ~4-6
+                 mid-run (32 local threads) — an absolute threshold would
+                 flag every row; a genuine external episode (r17c-style
+                 load 12+) still clears the envelope.
   unexplained    none of the above — the rows that deserve a named re-pin
 
 usage: bench_compare.py OLD.json NEW.json [thr_sec] [--stat=min2]
@@ -54,6 +56,17 @@ def load(p, stat):
     return {k: stat(v) for k, v in d.get('samples', {}).items()}, d
 
 
+def load_envelope(d, load_thr):
+    """Run-relative load ceiling: the bench's own threads push 1-min load to
+    ~4-6 on long rows, so 'episode' means clearing 1.5x the run's median
+    stamp (or the explicit floor, whichever is higher)."""
+    stamps = [l for v in d.get('sample_load', {}).values() for l in v]
+    if not stamps:
+        return load_thr
+    med = sorted(stamps)[len(stamps) // 2]
+    return max(load_thr, 1.5 * med)
+
+
 def classify(k, da, db, slower_new, load_thr):
     pa = da.get('plans', {}).get(k)
     pb = db.get('plans', {}).get(k)
@@ -72,10 +85,13 @@ def classify(k, da, db, slower_new, load_thr):
             moved = bb - ba if slower_new else ba - bb
             if moved > 0.3:
                 return f"batch-ms {ba:.2f}s->{bb:.2f}s triggers"
-    loads = (db if slower_new else da).get('sample_load', {}).get(k, [])
-    peaks = [l for l in loads if l >= load_thr]
+    side = db if slower_new else da
+    loads = side.get('sample_load', {}).get(k, [])
+    env = load_envelope(side, load_thr)
+    peaks = [l for l in loads if l >= env]
     if peaks:
-        return f"load-episode max {max(peaks):.1f} at sample start"
+        return (f"load-episode max {max(peaks):.1f} at sample start "
+                f"(run envelope {env:.1f})")
     return "unexplained"
 
 
