@@ -58,11 +58,23 @@ object SparkEntry {
       "FeatureQueries" -> graft.queries.FeatureQueries.queries,
       "OlapQueries" -> graft.queries.OlapQueries.queries)
       .map { case (k, f) =>
-        if (k.startsWith("q_stream_"))
+        if (k.startsWith("q_stream_") && !streamShuffleExempt(k))
           k -> ((s: SparkSession, dir: String) =>
             graft.streaming.Streams.withStreamShuffle(s)(f(s, dir)))
         else k -> f
       }
+
+  /** Twins whose per-trigger cost is shuffle WORK, not state-store
+    * machinery: both hold zero state-store rows (stream_stats state_rows=0
+    * in every artifact) and were the only two stream rows to REGRESS under
+    * the 4-partition override (BENCH_quiet_r18a vs r17d:
+    * q_stream_transitions 4.17→5.46, q_stream_upsert 1.01→1.47 — their
+    * per-trigger lag/merge shuffles want the cores). They keep the
+    * session's partition count; every state-store-bound twin takes the
+    * override.
+    */
+  private val streamShuffleExempt: Set[String] =
+    Set("q_stream_transitions", "q_stream_upsert")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
