@@ -1710,13 +1710,14 @@ object Similarity {
   def int16Codes(v: Column): Column = scalarCodes(v, 32767)
 
   /** the ONE symmetric scalar-quantization construction behind int8Codes
-    * and int16Codes: per-vector scale max|x|/maxCode, zero vector → zeros
+    * and int16Codes: per-vector scale max|x|/maxCode, zero vector → zeros.
+    * A codegen'd kernel since r18: the HOF form carried the per-vector max
+    * inside the per-element lambda — O(d²) + d array allocations per row
+    * (lambda trees get no CSE; see QuantKernels' scaladoc). Bit parity with
+    * the old form is law-pinned (LawsSpec) and digest-oracle-pinned.
     */
-  private def scalarCodes(v: Column, maxCode: Int): Column = {
-    val mx = array_max(transform(v, x => abs(x)))
-    when(mx === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round(x * maxCode.toDouble / mx).cast("int")))
-  }
+  private def scalarCodes(v: Column, maxCode: Int): Column =
+    graft.functions.VectorExprs.scalarCodes(v, maxCode)
 
   /** Quantized-domain brute-force cosine top-k — the consumer of the int8
     * codes: both sides are quantized ([[int8Codes]]) and ranking runs
@@ -1765,7 +1766,10 @@ object Similarity {
   private def quantizeScalar(
       df: DataFrame, idCol: String, vecCol: String, maxCode: Int): DataFrame = {
     val v = asDouble(col(vecCol))
-    val mx = array_max(transform(v, x => abs(x)))
+    // every piece is a kernel or an O(d) fold over kernel outputs — the old
+    // form recomputed the max (and under it the codes) per ELEMENT via
+    // HOF-lambda splicing, O(d²)·3 per row (see QuantKernels)
+    val mx = graft.functions.VectorExprs.absMax(v)
     val q = scalarCodes(v, maxCode)
     val mc = lit(maxCode.toDouble)
     df.select(
@@ -1774,7 +1778,7 @@ object Similarity {
       round(mx / mc, 9).as("scale"),
       aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
       md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
-      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / mc))), 9)
+      round(graft.functions.VectorExprs.dequantMaxErr(v, q, mx, maxCode), 9)
         .as("max_err"))
   }
 

@@ -1346,4 +1346,42 @@ object LawsSpec extends Properties("graft") {
       Prop((0 until 6).forall(i => row.getSeq[Any](i) == Seq.empty)) :|
         s"row=$row"
     }
+
+  // the scalar-quantization kernels (r18: AbsMax / ScalarCodes /
+  // DequantMaxErr replaced the O(d²) HOF form that carried the per-vector
+  // max inside the per-element lambda) must equal the old HOF construction
+  // bit-for-bit on the library's domain — including the zero-vector branch,
+  // empty vectors, negatives, and both quantization widths
+  property("quant kernels equal the HOF model bit-for-bit") =
+    Prop.forAll(
+      Gen.choose(0, 24),
+      Gen.oneOf(127, 32767),
+      Gen.oneOf("rand", "zeros", "tiny"),
+      Gen.choose(0L, 1000000L)) { (n, maxCode, kind, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vec: Seq[Float] = kind match {
+        case "zeros" => Seq.fill(n)(0.0f)
+        case "tiny"  => (0 until n).map(_ => (rnd.nextFloat() - 0.5f) * 1e-6f)
+        case _       => (0 until n).map(_ => (rnd.nextFloat() - 0.5f) * 200.0f)
+      }
+      val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+      // the pre-r18 HOF construction, verbatim
+      val v = col("embedding").cast("array<double>")
+      val mx = array_max(transform(v, x => abs(x)))
+      val q = when(mx === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round(x * maxCode.toDouble / mx).cast("int")))
+      val mc = lit(maxCode.toDouble)
+      val model = df.select(
+        col("vec_id"),
+        size(v).cast("long").as("n_dims"),
+        round(mx / mc, 9).as("scale"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
+        round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / mc))), 9)
+          .as("max_err")).head()
+      val kernel = (if (maxCode == 127)
+        graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      else graft.ops.Similarity.quantizeInt16(df, "vec_id", "embedding")).head()
+      Prop(kernel == model) :| s"kernel=$kernel model=$model"
+    }
 }
