@@ -73,7 +73,7 @@ object SparkEntry {
     * session's partition count; every state-store-bound twin takes the
     * override.
     */
-  private val streamShuffleExempt: Set[String] =
+  private[graft] val streamShuffleExempt: Set[String] =
     Set("q_stream_transitions", "q_stream_upsert")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

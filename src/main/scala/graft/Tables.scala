@@ -73,8 +73,27 @@ object Tables {
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 
+  /** Root under which every gate scratch artifact (persisted indexes,
+    * snapshot tables, stream staging/checkpoints) is created. Default
+    * `/tmp` — but overridable per-process via the `graft.scratch.root`
+    * system property or `SPARK_GRAFT_SCRATCH`, and the bench sets it to
+    * its per-PID private dir (r18 verdict ask #2): the fixed shared paths
+    * meant a SECOND graft JVM on the same box (stale run, concurrent
+    * verify) could delete-before-build an index ANOTHER process was
+    * mid-read on — task retries over vanished files is exactly the
+    * 91–128 s q_ann_pq_filtered driver-box shape vs 3.2 s quiet. Per-PID
+    * roots make cross-process collision impossible by construction.
+    */
+  def scratchRoot: String = {
+    val root = sys.props.get("graft.scratch.root")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse("/tmp")
+    new java.io.File(root).mkdirs()
+    root
+  }
+
   /** Stable scratch directory for a gate's snapshot/index artifacts:
-    * `/tmp/graft_<name>_<sfDir-tag>`, DELETED RECURSIVELY before returning
+    * `<scratchRoot>/graft_<name>_<sfDir-tag>`, DELETED RECURSIVELY before returning
     * so every build starts fresh. Replaces the old UUID-per-invocation
     * naming, which leaked one table-sized directory per run (the bench
     * harness re-runs each gate 4×). Dir-derived tag keeps different SFs
@@ -83,7 +102,7 @@ object Tables {
     * prior run's table).
     */
   def scratch(name: String, sfDir: String): String = {
-    val path = s"/tmp/graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"$scratchRoot/graft_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     val dir = new java.io.File(path)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

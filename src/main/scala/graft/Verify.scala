@@ -9,6 +9,13 @@ object Verify {
     // side query-name filter for fast single-query iteration.
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-PID gate scratch (indexes, snapshot tables, stream staging):
+    // a concurrent graft JVM must not be able to delete-before-build an
+    // artifact this run is mid-read on (see Tables.scratchRoot)
+    val scratch = s"/tmp/graft_verify_${ProcessHandle.current().pid()}"
+    if (!sys.props.contains("graft.scratch.root") &&
+        sys.env.get("SPARK_GRAFT_SCRATCH").isEmpty)
+      System.setProperty("graft.scratch.root", scratch)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +60,14 @@ object Verify {
     if (errors.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/_errors.json"),
         errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // the per-PID scratch tree dies with the run (repeated rounds must not
+    // accumulate table-sized directories on the shared box)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (sys.props.get("graft.scratch.root").contains(scratch))
+      rm(new java.io.File(scratch))
     spark.stop()
   }
 }

@@ -14,6 +14,8 @@ object ProbeGates {
   def main(args: Array[String]): Unit = {
     val (sfArgs, names) = args.partition(_.startsWith("sf"))
     val dir = "/root/testdata/" + sfArgs.headOption.getOrElse("sf0.1")
+    val privRoot = s"/tmp/graft_probe_${ProcessHandle.current().pid()}"
+    System.setProperty("graft.scratch.root", s"$privRoot/scratch")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,7 +23,7 @@ object ProbeGates {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "262144")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_wh")
+      .config("spark.sql.warehouse.dir", s"$privRoot/wh")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,6 +36,11 @@ object ProbeGates {
       }
       println(f"[gate] $n%-28s ${samples.map(s => f"$s%6.2f").mkString(" ")} s")
     }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(privRoot))
     spark.stop()
   }
 }

@@ -19,6 +19,10 @@ object QuietSample {
     val sfDir = args(0)
     val n = args(1).toInt
     val names = args.drop(2).toSeq
+    // per-PID scratch + warehouse, matching the r19 bench protocol (see
+    // Tables.scratchRoot) — re-pins must measure the same isolated paths
+    val privRoot = s"/tmp/graft_quiet_${ProcessHandle.current().pid()}"
+    System.setProperty("graft.scratch.root", s"$privRoot/scratch")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-quiet-sample")
@@ -27,7 +31,7 @@ object QuietSample {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "262144")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_wh")
+      .config("spark.sql.warehouse.dir", s"$privRoot/wh")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,6 +96,11 @@ object QuietSample {
     spark.streams.removeListener(streamStats)
     println(f"""{"samples":${rows.mkString("{", ",", "}")},""" +
       f""""load_avg_1m":{"start":$load0%.2f,"end":$load1%.2f},"sf":"$sfDir"}""")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(privRoot))
     spark.stop()
   }
 }

@@ -99,6 +99,10 @@ object ScaleCurves {
     * yields the same flattened Union after CombineUnions.
     */
   private def treeUnion(dfs: Seq[DataFrame]): DataFrame = dfs match {
+    // fail fast: Seq() would match `many`, grouped(2) would yield nothing,
+    // and the recursion would spin forever (r18 ADVICE — unreachable today
+    // only because both callers require copies >= 1)
+    case Seq() => throw new IllegalArgumentException("treeUnion of empty Seq")
     case Seq(one) => one
     case many =>
       treeUnion(many.grouped(2).map {
@@ -414,6 +418,10 @@ object ScaleCurves {
     */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // per-PID scratch (r19): the amplified IVF indexes are table-sized and
+    // must neither collide with a concurrent graft JVM nor outlive the run
+    System.setProperty("graft.scratch.root",
+      s"/tmp/graft_scale_${ProcessHandle.current().pid()}")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-curves")
@@ -435,6 +443,11 @@ object ScaleCurves {
     val n100 = sys.env.get("SPARK_GRAFT_SCALE_SAMPLES100").map(_.toInt).getOrElse(3)
     println(measureJson(spark, sfDir, samplesPerLeg = 3,
       samples100 = n100, at100 = legs100Standalone))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    sys.props.get("graft.scratch.root").foreach(r => rm(new java.io.File(r)))
     spark.stop()
   }
 
@@ -491,7 +504,11 @@ object ScaleCurves {
       // (wall/rows)@1× — a ≈1 value states "no superlinear growth" directly
       // instead of resting on a wide wall spread)
       val x100 =
-        if (!at100.contains(name) || deadline()) ""
+        if (!at100.contains(name)) ""
+        // a deadline-cut ×100 sub-step must leave a marker (r18 ADVICE: the
+        // x100 fields silently absent made a cut artifact indistinguishable
+        // from a complete one) — recorded as "<leg>:x100" in legs_skipped
+        else if (deadline()) { legsSkipped += s"$name:x100"; "" }
         else {
           // the scaled-index leg's fit/serve contract: the ×100 index build
           // (2M int8 vectors, √N = 506 centroids at sf0.1) is the pay-once
@@ -534,6 +551,16 @@ object ScaleCurves {
       if (legsSkipped.isEmpty) Nil
       else Seq(s""""legs_skipped":${
         legsSkipped.map(s => s""""$s"""").mkString("[", ",", "]")}""")
-    (rows ++ skipRow).mkString("{", ",", "}")
+    // an ONLY-filtered artifact must name what it dropped (r18 ADVICE —
+    // a filtered run otherwise reads as if those legs never existed)
+    val filteredRow = onlyLegs match {
+      case Some(keep) =>
+        val dropped = legs.map(_._1).filterNot(keep.contains)
+        if (dropped.isEmpty) Nil
+        else Seq(s""""legs_filtered":${
+          dropped.map(s => s""""$s"""").mkString("[", ",", "]")}""")
+      case None => Nil
+    }
+    (rows ++ skipRow ++ filteredRow).mkString("{", ",", "}")
   }
 }

@@ -102,14 +102,23 @@ case class DotProductInt(left: Expression, right: Expression) extends BinaryExpr
   * projection form; same cure: one tight pass per row, immune by
   * construction wherever the tree lands.
   *
-  * Bit parity with the HOF forms (pinned by the kernel-vs-HOF law in
-  * LawsSpec and the md5-digest oracles): rounding is Spark's
-  * `round(double)` — BigDecimal.valueOf HALF_UP — and the zero-scale /
-  * empty / null-element edges reproduce the `when(mx === 0, zeros)`
-  * construction exactly.
+  * Bit parity with the HOF forms (pinned by the kernel-vs-HOF laws in
+  * LawsSpec, interpreted AND whole-stage-codegen, and the md5-digest
+  * oracles): rounding is Spark's `round(double)` — BigDecimal.valueOf
+  * HALF_UP — and the zero-scale / empty / null-element edges reproduce the
+  * `when(mx === 0, zeros)` construction exactly. NaN: the MAX kernels
+  * order NaN greatest like `array_max` (law-pinned); CODES on a
+  * NaN-bearing vector follow the non-ANSI `cast(NaN as int) = 0`
+  * semantics — under ANSI the HOF model itself throws on that cast, so
+  * codes parity is defined on NaN-free vectors only.
   */
 object QuantKernels {
-  /** max |x| over non-null elements, boxed; null when no non-null element */
+  /** max |x| over non-null elements, boxed; null when no non-null element.
+    * NaN orders GREATEST, matching Spark's `array_max` (r18 ADVICE: the
+    * plain `a > m` comparison silently dropped a NaN unless it was the
+    * first element, so a NaN-bearing vector quantized differently than the
+    * HOF model) — `Double.compare` gives exactly array_max's total order.
+    */
   def absMaxBoxed(v: ArrayData): java.lang.Double = {
     val n = v.numElements()
     var m = 0.0
@@ -118,7 +127,7 @@ object QuantKernels {
     while (i < n) {
       if (!v.isNullAt(i)) {
         val a = math.abs(v.getDouble(i))
-        if (!found || a > m) { m = a; found = true }
+        if (!found || java.lang.Double.compare(a, m) > 0) { m = a; found = true }
       }
       i += 1
     }
@@ -158,7 +167,8 @@ object QuantKernels {
 
   /** max_i |x_i − q_i·mx/maxCode| over positions where both sides are
     * non-null, boxed; null when no such position (zip_with + array_max
-    * null semantics)
+    * null semantics — including array_max's NaN-greatest order, via
+    * `Double.compare` like [[absMaxBoxed]])
     */
   def dequantMaxErrBoxed(
       v: ArrayData, q: ArrayData, mx: Double, maxCode: Int): java.lang.Double = {
@@ -170,7 +180,7 @@ object QuantKernels {
     while (i < n) {
       if (!v.isNullAt(i) && !q.isNullAt(i)) {
         val e = math.abs(v.getDouble(i) - q.getInt(i).toDouble * mx / mc)
-        if (!found || e > m) { m = e; found = true }
+        if (!found || java.lang.Double.compare(e, m) > 0) { m = e; found = true }
       }
       i += 1
     }

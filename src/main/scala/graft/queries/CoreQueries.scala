@@ -133,7 +133,7 @@ object CoreQueries {
     },
 
     "q_snapshot" -> { (s, dir) =>
-      val tmp = s"/tmp/graft_snapshot_skim"
+      val tmp = s"${Tables.scratchRoot}/graft_snapshot_skim"
       TDF(Tables.lineitem(s, dir)).Filter(col("l_returnflag") === "R")
         .Snapshot(tmp, Seq("l_orderkey", "l_linenumber", "l_quantity"))
         .toDF.orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -234,7 +234,7 @@ object CoreQueries {
     // so the gate proves the round-trip is lossless.
     "q_source_json" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = s"/tmp/graft_json_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"${Tables.scratchRoot}/graft_json_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path)
         .groupBy(col("lang"))
@@ -247,7 +247,7 @@ object CoreQueries {
     // lossless-round-trip proof for the other ubiquitous text format
     "q_source_csv" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = s"/tmp/graft_csv_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"${Tables.scratchRoot}/graft_csv_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       docs.write.mode("overwrite").option("header", "true").csv(path)
       s.read.schema(docs.schema).option("header", "true").csv(path)
         .groupBy(col("source"))
@@ -263,7 +263,7 @@ object CoreQueries {
     // sum). Oracle reads the ORIGINAL parquet.
     "q_source_orc" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = s"/tmp/graft_orc_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = s"${Tables.scratchRoot}/graft_orc_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       docs.write.mode("overwrite").orc(path)
       s.read.orc(path)
         .groupBy(col("lang"))
@@ -279,7 +279,7 @@ object CoreQueries {
     // gate proves union semantics AND the null-fill contract: missing
     // column → NULL, audited per group, never silently zero.
     "q_source_merge_schema" -> { (s, dir) =>
-      val base = s"/tmp/graft_merge_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val base = s"${Tables.scratchRoot}/graft_merge_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val docs = Tables.documents(s, dir)

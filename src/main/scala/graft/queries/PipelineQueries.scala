@@ -574,7 +574,7 @@ object PipelineQueries {
     // 100 TB the two counting shuffles amortize across every scoring run
     "q_text_bigram_lm" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val lmDir = s"/tmp/graft_bigram_lm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val lmDir = s"${Tables.scratchRoot}/graft_bigram_lm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.streaming.Streams.commitSnapshot(
         TextOps.bigramLmTable(docs, "text"), lmDir, 1L)
       TextOps.scoreWithBigramLm(docs, "doc_id", "text",
@@ -638,7 +638,7 @@ object PipelineQueries {
           TextOps.unigramLmTable(half, "text").localCheckpoint(false))
       }
       graft.streaming.Streams.streamingBackoffScore(s, dir,
-        s"/tmp/graft_stream_backoff_out_$tag", lm, uni)
+        s"${Tables.scratchRoot}/graft_stream_backoff_out_$tag", lm, uni)
         .orderBy(col("doc_id"))
     },
 
@@ -835,7 +835,7 @@ object PipelineQueries {
     // persisted LM + frozen cutpoints — batching-invariant, shares the
     // batch gate's oracle verbatim
     "q_stream_ccnet" -> { (s, dir) =>
-      val out = s"/tmp/graft_stream_ccnet_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val out = s"${Tables.scratchRoot}/graft_stream_ccnet_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       // fit-once per (session, dir): the LM+cuts persist is the pay-once
       // half; every invocation serves the stream from the stored dirs
       val (lpDir, cutsDir) = artifact(s, dir, "ccnet_stream_dirs") {
@@ -869,7 +869,7 @@ object PipelineQueries {
     // artifacts — the full stateless admission filter at ingest
     "q_stream_admit" -> { (s, dir) =>
       graft.streaming.Streams.streamingAdmission(s, dir,
-        s"/tmp/graft_stream_admit_${dir.replaceAll("[^A-Za-z0-9]", "_")}", 0.5,
+        s"${Tables.scratchRoot}/graft_stream_admit_${dir.replaceAll("[^A-Za-z0-9]", "_")}", 0.5,
         GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
         GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2, 3)
         .orderBy(col("doc_id"))
@@ -1332,7 +1332,7 @@ object PipelineQueries {
     "q_dedup_paragraph_inc" -> { (s, dir) =>
       val docs = Tables.documentsParallel(s, dir)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"/tmp/graft_para_idx_$tag"
+      val idx = s"${Tables.scratchRoot}/graft_para_idx_$tag"
       Dedup.paragraphDigests(docs.filter(col("doc_id") < 400), "doc_id", "text",
           PARA_TOKENS)
         .select(col("h")).distinct()
@@ -1349,13 +1349,13 @@ object PipelineQueries {
     "q_stream_paragraph" -> { (s, dir) =>
       val docs = Tables.documentsParallel(s, dir)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"/tmp/graft_para_idx_stream_$tag"
+      val idx = s"${Tables.scratchRoot}/graft_para_idx_stream_$tag"
       Dedup.paragraphDigests(docs.filter(col("doc_id") < 400), "doc_id", "text",
           PARA_TOKENS)
         .select(col("h")).distinct()
         .write.mode("overwrite").parquet(idx)
       graft.streaming.Streams.streamingParagraphScrub(s, dir, idx,
-          s"/tmp/graft_stream_para_$tag", PARA_TOKENS)
+          s"${Tables.scratchRoot}/graft_stream_para_$tag", PARA_TOKENS)
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
           col("cleaned"))
         .orderBy(col("doc_id"))
@@ -1381,7 +1381,7 @@ object PipelineQueries {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.streaming.Streams.streamingSubstringScrub(
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), "text",
-        s"/tmp/graft_stream_scrub_$tag", "doc_id", "text", WINNOW_K, WINNOW_W)
+        s"${Tables.scratchRoot}/graft_stream_scrub_$tag", "doc_id", "text", WINNOW_K, WINNOW_W)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
           col("cleaned"))
         .orderBy(col("doc_id"))
@@ -1610,7 +1610,7 @@ object PipelineQueries {
     // against the static corpus, shares q_dedup_ppjoin_inc's oracle
     "q_stream_ppjoin" -> { (s, dir) =>
       graft.streaming.Streams.streamingPpAdmission(
-        s, dir, s"/tmp/graft_stream_ppjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+        s, dir, s"${Tables.scratchRoot}/graft_stream_ppjoin_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
         NGRAM, 50, 3)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1622,7 +1622,7 @@ object PipelineQueries {
     // q_dedup_containment_inc's oracle
     "q_stream_containment" -> { (s, dir) =>
       graft.streaming.Streams.streamingContainment(
-        s, dir, s"/tmp/graft_stream_containment_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+        s, dir, s"${Tables.scratchRoot}/graft_stream_containment_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
         NGRAM, 80, 3)
         .orderBy(col("id_b"), col("id_c"))
     },

@@ -78,11 +78,11 @@ object RelationalQueries {
       val li = graft.tdf.TDF(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .SnapshotBucketed("graft_q_li_bucketed", "l_orderkey", 32,
-          Some("/tmp/graft_q_li_bucketed")).toDF
+          Some(s"${Tables.scratchRoot}/graft_q_li_bucketed")).toDF
       val o = graft.tdf.TDF(Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey")))
         .SnapshotBucketed("graft_q_o_bucketed", "o_orderkey", 32,
-          Some("/tmp/graft_q_o_bucketed")).toDF
+          Some(s"${Tables.scratchRoot}/graft_q_o_bucketed")).toDF
       val liAgg = li
         .withColumn("rev", (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)"))
@@ -397,7 +397,7 @@ object RelationalQueries {
     // (shared oracle). Retry-idempotent `batch=<id>` sink.
     "q_stream_features" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val artifact = s"/tmp/graft_feat_artifact_$tag"
+      val artifact = s"${Tables.scratchRoot}/graft_feat_artifact_$tag"
       val purchases = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
@@ -406,7 +406,7 @@ object RelationalQueries {
       graft.ops.Features.lastK(purchases, 3)
         .write.mode("overwrite").parquet(artifact)
       Streams.streamingPointInTime(s, dir, artifact,
-          s"/tmp/graft_stream_feat_$tag")
+          s"${Tables.scratchRoot}/graft_stream_feat_$tag")
         .orderBy(col("event_id"))
     },
 
@@ -469,7 +469,7 @@ object RelationalQueries {
     // exactly (shared oracle)
     "q_stream_features_window" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val artifact = s"/tmp/graft_cum_artifact_$tag"
+      val artifact = s"${Tables.scratchRoot}/graft_cum_artifact_$tag"
       val purchases = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
@@ -478,7 +478,7 @@ object RelationalQueries {
       graft.ops.Features.cumulative(purchases)
         .write.mode("overwrite").parquet(artifact)
       Streams.streamingWindowFeatures(s, dir, artifact,
-          s"/tmp/graft_stream_featw_$tag")
+          s"${Tables.scratchRoot}/graft_stream_featw_$tag")
         .orderBy(col("event_id"))
     }
   )

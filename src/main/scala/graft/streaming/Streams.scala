@@ -95,7 +95,7 @@ object Streams {
     val src = java.nio.file.Paths.get(s"$sfDir/$file")
     val tag = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stage = java.nio.file.Paths.get(
-      s"/tmp/${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag")
+      s"${graft.Tables.scratchRoot}/${prefix}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve(file)
     if (!java.nio.file.Files.exists(link))
@@ -421,7 +421,7 @@ object Streams {
   def streamingCovMoments(
       spark: SparkSession, sfDir: String, dim: Int, batches: Int): DataFrame = {
     val name = s"graft_stream_cov_${System.nanoTime()}"
-    val stage = s"/tmp/graft_scov_stage_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val stage = s"${graft.Tables.scratchRoot}/graft_scov_stage_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     base.repartition(batches).write.mode("overwrite").parquet(stage)

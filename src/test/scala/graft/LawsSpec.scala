@@ -1356,32 +1356,135 @@ object LawsSpec extends Properties("graft") {
     Prop.forAll(
       Gen.choose(0, 24),
       Gen.oneOf(127, 32767),
-      Gen.oneOf("rand", "zeros", "tiny"),
+      // "nulls" interleaves null elements (r18 ADVICE: the scaladoc claimed
+      // null-element parity but no generated vector contained one)
+      Gen.oneOf("rand", "zeros", "tiny", "nulls"),
       Gen.choose(0L, 1000000L)) { (n, maxCode, kind, seed) =>
       val rnd = new scala.util.Random(seed)
-      val vec: Seq[Float] = kind match {
-        case "zeros" => Seq.fill(n)(0.0f)
-        case "tiny"  => (0 until n).map(_ => (rnd.nextFloat() - 0.5f) * 1e-6f)
-        case _       => (0 until n).map(_ => (rnd.nextFloat() - 0.5f) * 200.0f)
+      val vec: Seq[Option[Float]] = kind match {
+        case "zeros" => Seq.fill(n)(Some(0.0f))
+        case "tiny"  => (0 until n).map(_ => Some((rnd.nextFloat() - 0.5f) * 1e-6f))
+        case "nulls" => (0 until n).map(i =>
+          if (rnd.nextInt(3) == 0) None
+          else Some((rnd.nextFloat() - 0.5f) * 200.0f))
+        case _       => (0 until n).map(_ => Some((rnd.nextFloat() - 0.5f) * 200.0f))
       }
       val df = Seq((1L, vec)).toDF("vec_id", "embedding")
-      // the pre-r18 HOF construction, verbatim
-      val v = col("embedding").cast("array<double>")
-      val mx = array_max(transform(v, x => abs(x)))
-      val q = when(mx === 0.0, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x => round(x * maxCode.toDouble / mx).cast("int")))
-      val mc = lit(maxCode.toDouble)
-      val model = df.select(
-        col("vec_id"),
-        size(v).cast("long").as("n_dims"),
-        round(mx / mc, 9).as("scale"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
-        round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / mc))), 9)
-          .as("max_err")).head()
+      val model = quantHofModel(df, maxCode).head()
       val kernel = (if (maxCode == 127)
         graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding")
       else graft.ops.Similarity.quantizeInt16(df, "vec_id", "embedding")).head()
       Prop(kernel == model) :| s"kernel=$kernel model=$model"
+    }
+
+  /** the pre-r18 HOF construction, verbatim — the parity model both quant
+    * properties compare the kernels against
+    */
+  private def quantHofModel(
+      df: org.apache.spark.sql.DataFrame, maxCode: Int): org.apache.spark.sql.DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val mx = array_max(transform(v, x => abs(x)))
+    val q = when(mx === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x * maxCode.toDouble / mx).cast("int")))
+    val mc = lit(maxCode.toDouble)
+    df.select(
+      col("vec_id"),
+      size(v).cast("long").as("n_dims"),
+      round(mx / mc, 9).as("scale"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+      md5(array_join(transform(q, x => x.cast("string")), ",")).as("q_digest"),
+      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * mx / mc))), 9)
+        .as("max_err"))
+  }
+
+  // the parity property above builds a literal LocalRelation, which the
+  // optimizer constant-folds via INTERPRETED eval — the kernels' doGenCode
+  // paths were never exercised (r18 ADVICE). This one writes the fixture
+  // set to parquet and reads it back, so both sides run under whole-stage
+  // codegen; the fixture includes null elements, an all-null vector, the
+  // empty vector, and a zero vector. NO NaN vector here: under ANSI mode
+  // (the Spark 4 default) the HOF model itself cannot evaluate one — its
+  // `round(x·c/NaN).cast("int")` throws CAST_INVALID_INPUT — so codes
+  // parity on NaN is ill-defined; the kernels' NaN-greatest MAX semantics
+  // (the r18 ADVICE fix) are pinned by the dedicated property below, which
+  // involves no integer casts. forAllNoShrink: shrinking a failing maxCode
+  // toward 0 would mask the real counterexample behind a divide-by-zero.
+  property("quant kernels equal the HOF model under whole-stage codegen") =
+    Prop.forAllNoShrink(Gen.oneOf(127, 32767)) { maxCode =>
+      val vecs: Seq[(Long, Seq[Option[Float]])] = Seq(
+        1L -> (0 until 16).map(i => Some(((i * 37 % 19) - 9).toFloat * 3.7f)),
+        2L -> Seq(Some(1.5f), None, Some(-2.5f), None, Some(0.25f)),
+        3L -> Seq(None, None, None),
+        4L -> Seq.empty,
+        5L -> Seq.fill(6)(Some(0.0f)),
+        7L -> (0 until 8).map(i => Some((if (i % 2 == 0) 1 else -1) * 1e-7f)))
+      val dir = java.nio.file.Files.createTempDirectory("graft_quant_cg").toString
+      try {
+        vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+        val df = spark.read.parquet(dir)
+        val model = quantHofModel(df, maxCode).collect()
+          .map(r => r.getLong(0) -> r).toMap
+        val kernel = (if (maxCode == 127)
+          graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding")
+        else graft.ops.Similarity.quantizeInt16(df, "vec_id", "embedding"))
+          .collect().map(r => r.getLong(0) -> r).toMap
+        // field-wise compare with NaN == NaN (Row equality unboxes doubles,
+        // where NaN != NaN would fail the NaN-vector row spuriously)
+        def eqv(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+          case _ => a == b
+        }
+        val bad = vecs.map(_._1).filterNot { id =>
+          val (m, k) = (model(id), kernel(id))
+          m.length == k.length && (0 until m.length).forall(i => eqv(m.get(i), k.get(i)))
+        }
+        Prop(bad.isEmpty) :| s"mismatched vec_ids=$bad " +
+          s"model=${bad.map(model.get)} kernel=${bad.map(kernel.get)}"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+
+  // the r18 ADVICE NaN fix, pinned where parity IS well-defined: the max
+  // kernels (AbsMax / DequantMaxErr) must order NaN GREATEST exactly like
+  // Spark's array_max — the old `a > m` loop dropped a NaN unless it was
+  // the first non-null element. No integer casts here, so this evaluates
+  // fine under ANSI (unlike the codes model — see the codegen property).
+  // Parquet-backed so both sides run the codegen path.
+  property("absmax/dequant kernels order NaN greatest like array_max") =
+    Prop.forAllNoShrink(Gen.choose(0, 5)) { nanPos =>
+      val vec: Seq[Option[Float]] = (0 until 6).map(i =>
+        if (i == nanPos) Some(Float.NaN)
+        else if (i == (nanPos + 2) % 6) None
+        else Some((i - 2).toFloat * 1.5f))
+      val codes: Seq[Option[Int]] = (0 until 6).map(i =>
+        if (i == (nanPos + 3) % 6) None else Some(i * 20 - 50))
+      val dir = java.nio.file.Files.createTempDirectory("graft_nan_max").toString
+      try {
+        Seq((1L, vec, codes)).toDF("vec_id", "embedding", "q")
+          .write.mode("overwrite").parquet(dir)
+        val df = spark.read.parquet(dir)
+        val v = col("embedding").cast("array<double>")
+        val mx = lit(7.5)
+        val row = df.select(
+          graft.functions.VectorExprs.absMax(v).as("k_max"),
+          array_max(transform(v, x => abs(x))).as("m_max"),
+          graft.functions.VectorExprs.dequantMaxErr(v, col("q"), mx, 127).as("k_err"),
+          array_max(zip_with(v, col("q"),
+            (x, qi) => abs(x - qi * mx / lit(127.0)))).as("m_err")).head()
+        def nanEq(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+        Prop(nanEq(row.getDouble(0), row.getDouble(1)) &&
+          nanEq(row.getDouble(2), row.getDouble(3))) :| s"row=$row"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
     }
 }

@@ -29,8 +29,13 @@ every mover is labeled with the first matching cause, checked in order:
                  load 12+) still clears the envelope.
   unexplained    none of the above — the rows that deserve a named re-pin
 
+Mover gate (r18 verdict ask #4): a row is flagged when it moves by more
+than thr_sec (absolute, default 1.0 s) OR by >= 2x in ratio AND >= 0.3 s
+(relative — sub-second climbers like r18e's q_histo2d 0.34->1.05 had no
+classifier coverage under the absolute gate alone). Both directions.
+
 usage: bench_compare.py OLD.json NEW.json [thr_sec] [--stat=min2]
-       [--load-thr=2.0]
+       [--load-thr=2.0] [--rel=2.0] [--rel-floor=0.3]
 """
 import json, sys
 
@@ -115,12 +120,22 @@ def main():
     sb = sum(B[k] for k in common if A[k] > 0 and B[k] > 0)
     print(f"common rows: {len(common)}  sum {a_path.split('/')[-1]}={sa:.1f}s "
           f"{b_path.split('/')[-1]}={sb:.1f}s  ratio={sb/sa:.3f}")
-    moves = sorted(((B[k] - A[k], k) for k in common if A[k] > 0 and B[k] > 0),
+    rel = float(opts.get('rel', 2.0))
+    rel_floor = float(opts.get('rel-floor', 0.3))
+
+    def flagged(k):
+        d = B[k] - A[k]
+        if abs(d) >= thr:
+            return True
+        ratio = max(B[k] / A[k], A[k] / B[k])
+        return ratio >= rel and abs(d) >= rel_floor
+
+    moves = sorted(((B[k] - A[k], k) for k in common
+                    if A[k] > 0 and B[k] > 0 and flagged(k)),
                    key=lambda x: abs(x[0]), reverse=True)
-    print(f"\nrows moving > {thr}s  [classification]:")
+    print(f"\nrows moving > {thr}s or >= {rel}x and {rel_floor}s"
+          "  [classification]:")
     for d, k in moves:
-        if abs(d) < thr:
-            break
         cls = classify(k, da, db, slower_new=(d > 0), load_thr=load_thr)
         print(f"  {k:34s} {A[k]:7.2f} -> {B[k]:7.2f}  ({d:+.2f})  [{cls}]")
 
