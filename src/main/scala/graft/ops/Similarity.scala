@@ -70,11 +70,13 @@ object Similarity {
       outDim: Int, dim: Int): DataFrame = {
     val scale = math.sqrt(3.0 / outDim)
     val v = asDouble(col(vecCol))
-    val comps = (0 until outDim).map { j =>
-      val p = array(projPlane(j, dim).map(lit): _*)
-      round(dot(v, p) * scale, 6).as(s"p$j")
-    }
-    df.select(col(idCol) +: comps: _*)
+    // one kernel matvec (round6(dot·scale) per component — bit-identical),
+    // bound to a column so the per-component extracts read an attribute
+    val rows = (0 until outDim).map(j => projPlane(j, dim).toArray)
+    df.select(col(idCol),
+        graft.functions.PqExprs.matVecRound6(v, rows, scale).as("__pj"))
+      .select(col(idCol) +: (0 until outDim).map(j =>
+        element_at(col("__pj"), j + 1).as(s"p$j")): _*)
   }
 
   // ---- OPQ-lite rotation ---------------------------------------------------
@@ -118,7 +120,7 @@ object Similarity {
     val inv = 1.0 / math.sqrt(dim.toDouble)
     val perm = opqPerm(dim)
     val v = asDouble(col(vecCol))
-    val comps = (0 until dim).map { j =>
+    val rows = (0 until dim).map { j =>
       // row for the dot against the UNPERMUTED vector: coefficient of
       // v[perm(i)] is s_i · had(i,j) · inv
       val coef = Array.ofDim[Double](dim)
@@ -126,9 +128,13 @@ object Similarity {
         val had = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1 else -1
         coef(perm(i)) = opqSign(i) * had * inv
       }
-      round(dot(v, array(coef.map(lit).toIndexedSeq: _*)), 6)
+      coef
     }
-    df.select(col(idCol), array(comps: _*).as("rv"))
+    // one MatVecRound6 kernel call instead of dim literal-array dots
+    // (bit-identical round6 components; the literal form put dim² literal
+    // doubles into every consuming stage's generated class — r19)
+    df.select(col(idCol),
+      graft.functions.PqExprs.matVecRound6(v, rows).as("rv"))
   }
 
   /** OPQ-lite ANN: [[pqTopK]] over [[rotateHD]]-rotated vectors — identical
@@ -155,7 +161,9 @@ object Similarity {
     * L2 twin of the IVF cosine argmax. `usePos` keys by dense position in
     * cent_id order (PQ codes) instead of the raw cent_id (Lloyd training).
     */
-  private def nearestL2(
+  // retained as the reference literal form: the PqCodes/PqDistTable kernel
+  // parity laws (LawsSpec) compare the codegen kernels against THIS shape
+  private[graft] def nearestL2(
       cands: Seq[(Long, Seq[Double])], v: Column, usePos: Boolean): Column = {
     val structs = cands.sortBy(_._1).zipWithIndex.map { case ((cid, cv), pos) =>
       struct(round(sqDist(v, array(cv.map(lit): _*)), 6).as("d"),
@@ -189,11 +197,11 @@ object Similarity {
       init.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) })
     var t = 0
     while (t < iters) {
-      // one scan evaluates all m assignment argmins; the exploded frame keys
-      // each component by (subspace, that subspace's assigned centroid)
-      val assigns = array((0 until m).map { s =>
-        nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = false)
-      }: _*)
+      // one scan evaluates all m assignment argmins — as ONE codegen'd
+      // kernel call (bit-identical to the literal array-of-argmins form;
+      // see graft.functions.PqCodes for the r19 measurement that motivated
+      // the kernel: 3 dot kernels + a slice allocation per candidate)
+      val assigns = graft.functions.PqExprs.pqCodeIds(col("__v"), books, sub)
       val sIdx = (col("dim") / lit(sub)).cast("int")
       val means: Map[(Int, Long), Seq[Double]] = base
         .select(col("__v"), assigns.as("__a"))
@@ -255,10 +263,14 @@ object Similarity {
     val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes, dim, trainIters)
     val sub = dim / m
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-    val coded = c.select(col("neighbor_id") +: (0 until m).map { s =>
-      nearestL2(books(s), slice(col("__cv"), s * sub + 1, sub), usePos = true)
-        .cast("int").as(s"c$s")
-    }: _*)
+    // encode as ONE kernel call per row (bit-identical to the per-subspace
+    // literal argmins — graft.functions.PqCodes), bound to a column so the
+    // per-subspace extracts read an attribute
+    val coded = c
+      .select(col("neighbor_id"),
+        graft.functions.PqExprs.pqCodePositions(col("__cv"), books, sub).as("__codes"))
+      .select(col("neighbor_id") +: (0 until m).map(s =>
+        element_at(col("__codes"), s + 1).as(s"c$s")): _*)
     // ADC distance tables are PRE-COMPUTED on the query side (m × nCodes
     // rounded distances per query, materialized once per query row and
     // carried through the broadcast) — candidates pay m array lookups + a
@@ -281,10 +293,10 @@ object Similarity {
   private def adcTables(
       q: DataFrame, books: Seq[Seq[(Long, Seq[Double])]], sub: Int): DataFrame =
     books.indices.foldLeft(q) { (acc, s) =>
-      val qs = slice(col("__qv"), s * sub + 1, sub)
-      acc.withColumn(s"__t$s", array(books(s).sortBy(_._1).map { case (_, cv) =>
-        round(sqDist(qs, array(cv.map(lit): _*)), 6)
-      }: _*))
+      // one kernel call per subspace (bit-identical to the literal
+      // round(sqDist(slice, lit))-per-candidate array — PqDistTable)
+      acc.withColumn(s"__t$s",
+        graft.functions.PqExprs.pqDistTable(col("__qv"), books, s, sub))
     }
 
   /** The query-side probe frame shared by BOTH routed PQ searches
@@ -298,14 +310,12 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], books: Seq[Seq[(Long, Seq[Double])]],
       sub: Int, nprobe: Int): DataFrame = {
-    val probeArr = slice(
-      array_sort(array(cents.map { case (cid, cvec) =>
-        struct((cosineR6(col("__qv"), array(cvec.map(lit): _*)) * -1).as("negcos"),
-          lit(cid).as("cid"))
-      }: _*)), 1, nprobe)
     adcTables(queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")), books, sub)
-      .withColumn("cent_id", explode(transform(probeArr, x => x.getField("cid"))))
+      // nprobe routing through the broadcast-matrix kernel (bit-identical
+      // to the literal (negcos, cid) struct sort — TopCentroids scaladoc)
+      .withColumn("cent_id",
+        explode(graft.functions.CentroidExprs.topCentroids(col("__qv"), cents, nprobe)))
       .drop("__qv")
   }
 
@@ -344,13 +354,13 @@ object Similarity {
     val sub = dim / m
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cents = lloydCentroids(base, nCents, 0)
-    val assign = assignExpr(cents, assignKernel = false)
+    val assign = assignExpr(cents, assignKernel = true)
     val coded = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
-      .select(col("id").as("neighbor_id") +: col("cent_id") +: (0 until m).map { s =>
-        nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = true)
-          .cast("int").as(s"c$s")
-      }: _*)
+      .select(col("id").as("neighbor_id"), col("cent_id"),
+        graft.functions.PqExprs.pqCodePositions(col("__v"), books, sub).as("__codes"))
+      .select(col("neighbor_id") +: col("cent_id") +: (0 until m).map(s =>
+        element_at(col("__codes"), s + 1).as(s"c$s")): _*)
     val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
     adcRanked(
       broadcast(probes).join(coded, Seq("cent_id"))
@@ -639,7 +649,10 @@ object Similarity {
     var t = 0
     while (t < iters) {
       val means: Map[Long, Seq[Double]] = base
-        .withColumn("cent_id", nearestCent(cents, col("__v")))
+        // kernel assignment (bit-identical to the literal argmax; r19 —
+        // the literal form put nCents×dim literal doubles in every
+        // training stage's generated class)
+        .withColumn("cent_id", assignExpr(cents, assignKernel = true)(col("__v")))
         .select(col("cent_id"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
         .agg(count(lit(1)).as("n"),
@@ -693,7 +706,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
       maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0,
-      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
+      trainSample: Double = 1.0, assignKernel: Boolean = true): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
 
@@ -764,7 +777,7 @@ object Similarity {
   def diverseSampleK(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, trainIters: Int = 0,
-      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
+      trainSample: Double = 1.0, assignKernel: Boolean = true): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
     val assigned = base.withColumn("cent_id", assignExpr(cents, assignKernel)(col("__v")))
@@ -798,7 +811,7 @@ object Similarity {
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      assignKernel: Boolean = false,
+      assignKernel: Boolean = true,
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
     val cents = lloydCentroids(sampleForTraining(base, trainSample), nCents, trainIters)
@@ -870,7 +883,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCents: Int, nprobe: Int,
       maxBucket: Int = DEFAULT_MAX_BUCKET, trainIters: Int = 0,
-      trainSample: Double = 1.0, assignKernel: Boolean = false): DataFrame = {
+      trainSample: Double = 1.0, assignKernel: Boolean = true): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
       int8Codes(asDouble(col(vecCol))).as("__q"))
     val cents = lloydCentroids(
@@ -893,7 +906,7 @@ object Similarity {
   private def quantProbeRank(
       inverted: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
-      assignKernel: Boolean = false,
+      assignKernel: Boolean = true,
       mkCodes: Column => Column = int8Codes): DataFrame = {
     lazy val probeArr = slice(
       array_sort(array(cents.map { case (cid, cvec) =>
@@ -951,7 +964,7 @@ object Similarity {
   def writeIvfInt8Index(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = true,
       attrCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
     // attrCols ride the lists as plain payload columns: they cost their
@@ -1269,7 +1282,7 @@ object Similarity {
   def searchIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = false, listFilter: Option[Column] = None): DataFrame = {
+      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame = {
     val cents = loadCentroids(spark, path)
     val raw = readIndexLists(spark, path,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
@@ -1297,7 +1310,7 @@ object Similarity {
   def writeIvfF16Index(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCents: Int, trainIters: Int = 0, trainSample: Double = 1.0,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = true,
       attrCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
     val base = corpus.select(Seq(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"),
@@ -1322,7 +1335,7 @@ object Similarity {
   def searchIvfF16Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = false, listFilter: Option[Column] = None): DataFrame = {
+      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame = {
     val cents = loadCentroids(spark, path)
     // same filtered-search semantics as the int8/PQ twins: payload columns
     // pass through, the predicate lands before ranking and pushes into the
@@ -1343,7 +1356,7 @@ object Similarity {
   def appendIvfF16Index(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = true,
       attrCols: Seq[String] = Seq.empty): Unit = {
     val cents = loadCentroids(spark, path)
     val assign = assignExpr(cents, assignKernel)
@@ -1396,7 +1409,7 @@ object Similarity {
   def appendIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, path: String,
-      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = false,
+      maxBucket: Int = DEFAULT_MAX_BUCKET, assignKernel: Boolean = true,
       attrCols: Seq[String] = Seq.empty): Unit =
     appendIvfInt8IndexImpl(spark, batch, idCol, vecCol, path, maxBucket,
       assignKernel, beforeFlip = () => (), attrCols = attrCols)
@@ -1498,12 +1511,10 @@ object Similarity {
     val base = corpus.select(Seq(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       ++ attrCols.map(col): _*)
     val cents = lloydCentroids(base.select(col("id"), col("__v")), nCents, 0)
-    val assign = assignExpr(cents, assignKernel = false)
+    val assign = assignExpr(cents, assignKernel = true)
     val sub = dim / m
-    val codes = array((0 until m).map { s =>
-      nearestL2(books(s), slice(col("__v"), s * sub + 1, sub), usePos = true)
-        .cast("int")
-    }: _*)
+    // same stored array<int> code values, one kernel call per row (PqCodes)
+    val codes = graft.functions.PqExprs.pqCodePositions(col("__v"), books, sub)
     val lists = Dedup.capBuckets(
       base.withColumn("cent_id", assign(col("__v"))), Seq("cent_id"), "id", maxBucket)
       .select(Seq(col("id").as("neighbor_id"), codes.as("q"), col("cent_id"))
@@ -1584,11 +1595,8 @@ object Similarity {
       maxBucket: Int = DEFAULT_MAX_BUCKET, attrCols: Seq[String] = Seq.empty): Unit = {
     val (cents, books) = loadPqSidecar(spark, path)
     val sub = books.head.head._2.length
-    val assign = assignExpr(cents, assignKernel = false)
-    val codes = array(books.indices.map { s =>
-      nearestL2(books(s), slice(asDouble(col(vecCol)), s * sub + 1, sub),
-        usePos = true).cast("int")
-    }: _*)
+    val assign = assignExpr(cents, assignKernel = true)
+    val codes = graft.functions.PqExprs.pqCodePositions(asDouble(col(vecCol)), books, sub)
     // same attrCols contract as the int8 append: a batch into an
     // attr-carrying index must carry the columns the build wrote
     val newRows = batch.select(Seq(

@@ -527,8 +527,11 @@ object ExtQueries {
     // queries probe nprobe inverted lists via an equi-join on cent_id
     "q_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // assignKernel = false DELIBERATELY: this row is the literal-struct
+      // control for q_ann_ivf_kernel (same oracle, same semantics) — the
+      // measured literal-vs-kernel delta stays visible in every bench
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        IVF_TOPK, IVF_CENTS, IVF_NPROBE)
+        IVF_TOPK, IVF_CENTS, IVF_NPROBE, assignKernel = false)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -1253,7 +1256,7 @@ object ExtQueries {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("__v"))
       val assign = Similarity.assignExpr(
-        Similarity.lloydCentroids(base, IVF_CENTS, 0), assignKernel = false)
+        Similarity.lloydCentroids(base, IVF_CENTS, 0), assignKernel = true)
       val asg = base.select(col("id"), assign(col("__v")).as("cent_id"))
       val sizes = asg.groupBy(col("cent_id")).agg(count(lit(1)).as("n_docs"))
       val counts = Tables.documents(s, dir)

@@ -1287,7 +1287,7 @@ object Streams {
     // sidecar; training them here with the exact batch chain is what makes
     // the stream's result oracle-identical to batch semanticDedup
     val cents = Similarity.lloydCentroids(base, nCents, trainIters)
-    val assign = Similarity.assignExpr(cents, assignKernel = false)
+    val assign = Similarity.assignExpr(cents, assignKernel = true)
 
     // stage ascending-id slices with ascending mtimes (replay glue only —
     // the global ntile window is over the staged gate corpus, not a

@@ -1487,4 +1487,83 @@ object LawsSpec extends Properties("graft") {
         rm(new java.io.File(dir))
       }
     }
+
+  // ---- r19 PQ / mat-vec kernels vs the literal expression forms ----------
+  // PqCodes / PqDistTable / MatVecRound6 replace the per-candidate literal
+  // trees (nearestL2-over-slice argmins, round(sqDist(slice, lit)) ADC
+  // tables, per-component literal-row dots). Parity must be BIT-exact:
+  // codebooks include an exact duplicate centroid pair (tie → smaller key,
+  // the array_min struct order) and vectors include short / long / empty
+  // shapes (slice/dot zip semantics). Parquet-backed so both sides run
+  // whole-stage codegen, not constant folding.
+  property("pq/matvec kernels equal the literal expression forms bit-for-bit") =
+    Prop.forAllNoShrink(Gen.choose(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val m = 2; val sub = 4; val nCodes = 5; val dim = m * sub
+      // keys deliberately non-contiguous; centroid 2 duplicates centroid 0
+      // exactly so every vector ties those two distances
+      val baseCents = (0 until nCodes).map(_ =>
+        Seq.fill(sub)(math.rint((rnd.nextDouble() - 0.5) * 2000) / 100.0))
+      val books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+        (0 until nCodes).map { c =>
+          val cv = if (c == 2) baseCents(0) else baseCents(c)
+          ((c * 7 + s).toLong, cv)
+        }
+      }
+      val vecs: Seq[(Long, Seq[Double])] = Seq(
+        1L -> (0 until dim).map(_ => (rnd.nextDouble() - 0.5) * 20.0),
+        2L -> (0 until 3).map(_ => rnd.nextDouble()), // shorter than one subspace
+        3L -> (0 until dim + 4).map(_ => -rnd.nextDouble() * 5.0), // longer
+        4L -> (baseCents(0) ++ baseCents(1)), // exact centroid hit per subspace
+        5L -> Seq.empty)
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_kernel").toString
+      try {
+        vecs.toDF("vec_id", "v").write.mode("overwrite").parquet(dir)
+        val df = spark.read.parquet(dir)
+        import graft.functions.PqExprs
+        val litCodesId = array((0 until m).map(s =>
+          graft.ops.Similarity.nearestL2(
+            books(s), slice(col("v"), s * sub + 1, sub), usePos = false)): _*)
+        val litCodesPos = array((0 until m).map(s =>
+          graft.ops.Similarity.nearestL2(
+            books(s), slice(col("v"), s * sub + 1, sub), usePos = true)
+            .cast("int")): _*)
+        val litTable0 = array(books(0).sortBy(_._1).map { case (_, cv) =>
+          round(graft.ops.Similarity.sqDist(
+            slice(col("v"), 1, sub), array(cv.map(lit): _*)), 6)
+        }: _*)
+        val rows = (0 until 3).map(_ =>
+          Array.fill(dim)(math.rint((rnd.nextDouble() - 0.5) * 600) / 100.0))
+        val scale = 0.25 + rnd.nextDouble()
+        val litMatVec = array(rows.map(r =>
+          round(graft.ops.Similarity.dot(col("v"),
+            array(r.toIndexedSeq.map(x => lit(x)): _*)) * scale, 6)): _*)
+        val out = df.select(
+          col("vec_id"),
+          PqExprs.pqCodeIds(col("v"), books, sub).as("k_ids"),
+          litCodesId.as("m_ids"),
+          PqExprs.pqCodePositions(col("v"), books, sub).as("k_pos"),
+          litCodesPos.as("m_pos"),
+          PqExprs.pqDistTable(col("v"), books, 0, sub).as("k_t0"),
+          litTable0.as("m_t0"),
+          PqExprs.matVecRound6(col("v"), rows, scale).as("k_mv"),
+          litMatVec.as("m_mv")).collect()
+        def nanEqSeq(a: Seq[Double], b: Seq[Double]) =
+          a.length == b.length && a.zip(b).forall { case (x, y) =>
+            x == y || (x.isNaN && y.isNaN) }
+        val bad = out.filterNot { r =>
+          r.getSeq[Long](1) == r.getSeq[Long](2) &&
+            r.getSeq[Int](3) == r.getSeq[Int](4) &&
+            nanEqSeq(r.getSeq[Double](5).toSeq, r.getSeq[Double](6).toSeq) &&
+            nanEqSeq(r.getSeq[Double](7).toSeq, r.getSeq[Double](8).toSeq)
+        }
+        Prop(bad.isEmpty) :| s"mismatches=${bad.mkString("; ")}"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
 }
