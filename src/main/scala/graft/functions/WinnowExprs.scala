@@ -64,6 +64,27 @@ object WinnowKernels {
     new GenericArrayData(out)
   }
 
+  /** (min hash32 over distinct k-grams, distinct k-gram count) in one pass;
+    * md5 runs only on each gram's FIRST occurrence — min over distinct
+    * equals min over all. < k chars → (null, 0).
+    */
+  def fingerprintStats(s: UTF8String, k: Int): InternalRow = {
+    val len = s.numChars()
+    if (len < k) return new GenericInternalRow(Array[Any](null, 0L))
+    val seen = new java.util.HashSet[UTF8String]()
+    var minh = Long.MaxValue
+    var i = 1
+    while (i <= len - k + 1) {
+      val g = s.substringSQL(i, k)
+      if (seen.add(g)) {
+        val h = TextHash.hash32(g)
+        if (h < minh) minh = h
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](minh, seen.size.toLong))
+  }
+
   /** distinct window minima, first-occurrence order; empty input → empty */
   def winnowSelect(hs: ArrayData, w: Int): ArrayData = {
     val n = hs.numElements()
@@ -259,9 +280,45 @@ case class ChunkWindows(child: Expression, size: Int, overlap: Int)
   override def prettyName: String = "graft_chunk_windows"
 }
 
+/** `string → struct<fingerprint: bigint, n_grams: bigint>` — the document
+  * fingerprint gate's two outputs in ONE pass (r19): distinct char k-grams
+  * counted via a first-occurrence set, hash32 (md5) computed ONLY on each
+  * first occurrence, running min. Bit-identical to the two-expression form
+  * `array_min(gramHashes(text, k))` + `size(charShingles(text, k))` —
+  * duplicates never change a min, so min over distinct = min over all —
+  * while paying one substring walk and one md5 per DISTINCT gram instead of
+  * (distinct-set build + array materialization) PLUS (md5 per gram
+  * position). < k chars → (null, 0) like (array_min(empty), size(empty)).
+  */
+case class FingerprintStats(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width >= 1, got $k")
+  override def dataType: DataType = StructType(Seq(
+    StructField("fingerprint", LongType, nullable = true),
+    StructField("n_grams", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case NullType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernels.fingerprintStats(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.WinnowKernels.fingerprintStats(
+         |  (org.apache.spark.unsafe.types.UTF8String) $v, $k);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fingerprint_stats"
+}
+
 object WinnowExprs {
   def gramHashes(c: Column, k: Int): Column =
     GraftSql.column(GramHashes(GraftSql.expression(c), k))
+  def fingerprintStats(c: Column, k: Int): Column =
+    GraftSql.column(FingerprintStats(GraftSql.expression(c), k))
   def winnowSelect(hs: Column, w: Int): Column =
     GraftSql.column(WinnowSelect(GraftSql.expression(hs), w))
   def winnowSelectPos(hs: Column, w: Int): Column =

@@ -78,18 +78,30 @@ object Decontam {
       corpus: DataFrame, idCol: String, textCol: String,
       heldout: DataFrame, heldTextCol: String, n: Int,
       threshold: Double): DataFrame = {
-    val gramsRow = heldout
+    // r19: the hit count used to be size(array_intersect(__sh, __gl))
+    // against ONE collected gram row — which rebuilds a hash set over the
+    // ENTIRE held-out gram list (≈ held_docs × grams) for EVERY corpus row
+    // (probe: ~1.25 ms/doc, the row's whole exec). Restructured as
+    // explode + broadcast hash join on the DISTINCT held grams (the hash
+    // set is built once per task by the join) + a doc-keyed count —
+    // identical n_hit (both sides distinct, so the left join never
+    // duplicates), and the per-row cost is now O(|doc grams|) instead of
+    // O(|held grams|). At 100 TB this is also the right shape: per-row
+    // work must not scale with the held-out set.
+    val heldGrams = heldout
       .withColumn("__toks", tokens(col(heldTextCol)))
       .select(explode(shingles("__toks", n)).as("__g")).distinct()
-      .agg(collect_list(col("__g")).as("__gl"))
+      .withColumn("__m", lit(1L))
     val frac = col("n_hit").cast("double") / col("n_grams")
     corpus
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__sh", shingles("__toks", n))
-      .crossJoin(broadcast(gramsRow))
-      .select(col(idCol),
-        size(col("__sh")).cast("long").as("n_grams"),
-        size(array_intersect(col("__sh"), col("__gl"))).cast("long").as("n_hit"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_grams"),
+        explode_outer(col("__sh")).as("__g"))
+      .join(broadcast(heldGrams), Seq("__g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("__m"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"))
       .withColumn("overlap",
         round(when(col("n_grams") > 0, frac).otherwise(lit(0.0)), 6))
       .withColumn("contaminated",

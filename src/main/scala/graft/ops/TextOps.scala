@@ -751,10 +751,15 @@ object TextOps {
     * degenerate winnowing window = whole doc), plus the distinct-gram count.
     */
   def withFingerprint(df: DataFrame, text: String, n: Int = 8): DataFrame = {
-    df.withColumn("__grams", charShingles(text, n))
-      .withColumn("fingerprint", array_min(transform(col("__grams"), g => hash32(g))))
-      .withColumn("n_grams", size(col("__grams")).cast("long"))
-      .drop("__grams")
+    // r19: both outputs from ONE fused kernel pass (FingerprintStats —
+    // md5 only on first gram occurrences, no gram array materialization;
+    // bit-identical to the transform+hash32 / size(charShingles) pair,
+    // probe-measured at ~half the per-doc cost). Bound through a select so
+    // the two field extracts read an attribute, never re-run the kernel.
+    df.withColumn("__fps", graft.functions.WinnowExprs.fingerprintStats(col(text), n))
+      .select(df.columns.map(col) :+
+        col("__fps").getField("fingerprint").as("fingerprint") :+
+        col("__fps").getField("n_grams").as("n_grams"): _*)
   }
 
   /** COUNT-MIN SKETCH over the corpus token stream — bounded-state frequency

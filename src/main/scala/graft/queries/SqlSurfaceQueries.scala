@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -222,26 +222,71 @@ object SqlSurfaceQueries {
     "q_approx_sketch" -> { (s, dir) =>
       // two 1-row aggs instead of one: countDistinct next to the percentile
       // buffers forces an Expand that streams every row through the exact
-      // buffers TWICE, and three separate `percentile` calls each collect
-      // the full column — one multi-quantile buffer + a separate distinct
-      // agg is the same exact math at a third of the buffer traffic
-      // (12.8 s → ~4 s at sf0.1)
+      // buffers TWICE (12.8 s → ~4 s at sf0.1 when first split in r15).
+      //
+      // r19: the exact `percentile` itself was the next wall — on 600 k
+      // rows with 583 k DISTINCT prices its ObjectHashAggregate buffer is a
+      // per-partition value→count map merged and sorted on ONE thread
+      // (probe: ~2/3 of the row's exec). The exact quantiles are instead
+      // computed from a distributed cumulative distribution — groupBy
+      // value, running count, then Spark's own Percentile.getPercentile
+      // interpolation REPRODUCED EXACTLY over the cum table: position
+      // (n−1)·p, lowerKey/higherKey = first values with cum > floor/ceil,
+      // result (higher−pos)·lowerKey + (pos−lower)·higherKey in the same
+      // IEEE order — identical doubles (oracle: DuckDB quantile_cont,
+      // unchanged). The single-partition window runs over the DISTINCT-
+      // value frame (583 k rows here; at 100 TB you'd pre-bucket like
+      // q_sketch_quantile — this stays the exact-twin gate).
+      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, dir)
+      // the cumulative count runs as ONE unpartitioned window over the
+      // DISTINCT-value frame (583 k rows at sf0.1, ~2.4 s single task). A
+      // two-level range-partitioned cumsum was measured at this scale and
+      // LOST (checkpoint + extra shuffles cost more than the single sort
+      // saves, 5.5 s vs 4.5 s row total); at true corpus scale the
+      // pre-bucketed q_sketch_quantile path is the scale answer, this gate
+      // stays the exact twin.
+      val cum = li.filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = col("n").cast("double")
+      val ps = Seq(0.494, 0.5, 0.506)
+      def interp(p: Double): Column = {
+        val pos = (n - 1.0) * lit(p)
+        val lower = floor(pos)
+        val higher = ceil(pos)
+        val lowerKey = col(s"lk_${ps.indexOf(p)}")
+        val higherKey = col(s"hk_${ps.indexOf(p)}")
+        when(lower === higher, lowerKey)
+          .when(lowerKey === higherKey, lowerKey)
+          .otherwise((higher.cast("double") - pos) * lowerKey +
+            (pos - lower.cast("double")) * higherKey)
+      }
+      // phase 1: total row count (exact, from the grouped counts)
+      val nRow = cum.agg(sum(col("c")).as("n"))
+      // phase 2: lower/higher keys per percentile — first value whose
+      // running count exceeds the floor/ceil position (binarySearchCount)
+      val keyAggs = ps.zipWithIndex.flatMap { case (p, i) =>
+        val pos = (col("n").cast("double") - 1.0) * lit(p)
+        Seq(
+          min(when(col("cum") > floor(pos), col("v"))).as(s"lk_$i"),
+          min(when(col("cum") > ceil(pos), col("v"))).as(s"hk_$i"))
+      }
+      val keys = cum.crossJoin(broadcast(nRow))
+        .agg(keyAggs.head, keyAggs.tail :+ first(col("n")).as("n"): _*)
       val pcts = li.agg(
-        percentile(col("l_extendedprice"),
-          array(lit(0.494), lit(0.5), lit(0.506))).as("__p"),
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__amed"))
       val parts = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.01).as("__apx"))
-      parts.crossJoin(pcts)
+      parts.crossJoin(pcts).crossJoin(broadcast(keys))
         .select(
           col("exact_parts"),
           (abs(col("__apx") - col("exact_parts")) / col("exact_parts") <= 0.05)
             .cast("int").as("approx_parts_ok"),
-          element_at(col("__p"), 2).as("exact_median"),
-          (col("__amed") >= element_at(col("__p"), 1) &&
-            col("__amed") <= element_at(col("__p"), 3))
+          interp(0.5).as("exact_median"),
+          (col("__amed") >= interp(0.494) && col("__amed") <= interp(0.506))
             .cast("int").as("approx_median_ok"))
     },
 
