@@ -683,17 +683,24 @@ class ScaleSpec extends AnyFunSuite {
       s"sampleWeighted must prune via WindowGroupLimit:\n$wsPlan")
     assert("Exchange hashpartitioning".r.findAllIn(wsPlan).size == 1,
       s"sampleWeighted must shuffle the group key exactly once:\n$wsPlan")
-    // contamination overlap: the CORPUS side is pure scan-level scoring
-    // against one broadcast gram row — the only hash exchange in the whole
-    // plan belongs to the (tiny) held-out gram distinct
+    // contamination overlap (r19 shape): per-row work must not scale with
+    // the held-out set — corpus grams explode and probe a BROADCAST hash of
+    // the distinct held grams, then a doc-keyed count. Exactly two hash
+    // exchanges: the (tiny) held-side gram distinct and the doc-keyed
+    // count, which shuffles only post-partial-agg (doc_id, n_grams, sum)
+    // rows — the corpus text never crosses an exchange.
     val held = docs.filter($"doc_id" % 97 === 0)
     val ov = graft.ops.Decontam.overlapScores(
       docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text", held, "text", 5, 0.1)
     val ovPlan = ov.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(ovPlan).size == 1,
-      s"overlapScores must shuffle only the held-side gram distinct:\n$ovPlan")
-    assert(ovPlan.contains("BroadcastNestedLoopJoin") || ovPlan.contains("BroadcastExchange"),
-      s"overlapScores must broadcast the gram row:\n$ovPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(ovPlan).size == 2,
+      s"overlapScores must shuffle only the held gram distinct + the doc-keyed count:\n$ovPlan")
+    assert(ovPlan.contains("BroadcastExchange"),
+      s"overlapScores must broadcast the held gram set:\n$ovPlan")
+    assert(ovPlan.contains("partial_sum"),
+      s"overlapScores' doc-keyed count must partial-aggregate before its exchange:\n$ovPlan")
+    assert(!ovPlan.contains("array_intersect"),
+      s"overlapScores must probe the broadcast hash, not rebuild a set per row:\n$ovPlan")
     // ensemble filter: two signal chains, ONE corpus scan, no join
     val ens = graft.queries.PipelineQueries.queries("q_filter_ensemble")(
       spark, dir)
