@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -130,66 +130,136 @@ object ExtQueries {
       .orderBy(col("i"), col("j"))
   }
 
-  /** the exact dim-pair covariance matrix (i, j, c) — symmetrized, entries
-    * round9 over the integer moment sums; the PCA family's shared input
+  /** The upper-triangle dim-pair moment sums (n, sx, sy, sxy, sxx, syy)
+    * over 1e6-scaled longs — shared by q_embed_cov, q_embed_cov_dim256 and
+    * the PCA family. r19: the batch side used to posexplode and SELF-JOIN
+    * on vec_id (two corpus passes + a 4.2M-row join emit; ~17M rows at the
+    * 256-dim gate); it now folds each vector once through the
+    * CovMomentsAgg kernel — dim²/2 primitive multiply-adds per row into
+    * per-partition long arrays, no intermediate rows at all, long sums
+    * bit-unchanged so every shared oracle stays green. At 100 TB this is
+    * also the right shape: the only exchange carries one ~dim²-slot buffer
+    * per partition.
     */
-  private def pcaCovFrame(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        round(col("x").cast("double") * 1e6).cast("long").as("x6"))
-    // n*sxy − sx*sy assembles through ExactProducts exactly like
-    // covAssemble: BIGINT while the runtime bounds check proves no wrap
-    // (the products reach ~4e18 of the long range at just 2e3 vectors),
-    // decimal(38,0) past that — bit-identical to the oracle's
-    // sum(BIGINT) → HUGEINT → DOUBLE either way
-    val mUp = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
-        Seq("vec_id"))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
-        sum(col("x6") * col("y6")).as("sxy"))
-      .select(col("i"), col("j"),
-        round(graft.functions.ExactProducts.prodDiffDouble(
-            col("n"), col("sxy"), col("sx"), col("sy"))
-          / (col("n").cast("double") * col("n").cast("double") * 1e12), 9).as("c"))
-    mUp.unionByName(
-        mUp.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint(false)
+  private def covMomentsScan(
+      s: SparkSession, base: DataFrame, vec: Column, dim: Int): DataFrame =
+    base.select(vec.as("__vec"))
+      .agg(graft.functions.CovMomentsAgg.covMoments(col("__vec"), dim).as("__m"))
+      .select(explode(col("__m")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n"),
+        col("p.sx").as("sx"), col("p.sy").as("sy"), col("p.sxy").as("sxy"),
+        col("p.sxx").as("sxx"), col("p.syy").as("syy"))
+
+  /** The PCA family's moment sums: the SAME dim-pair aggregate as
+    * q_embed_cov (upper triangle, 1e6-scaled long sums), run once and
+    * COLLECTED — dim²/2 rows (2,080 at 64 dims), bounded by the metric, not
+    * the corpus, exactly like the centroid/manifest collects the ANN family
+    * already does. r19: everything after this aggregate used to run as
+    * ~20–45 metric-sized Spark jobs per gate (power rounds, norms, Rayleigh,
+    * deflation — each a 1–4-task stage), and the lazy localCheckpoint let
+    * two concurrent broadcast futures each recompute the full moment
+    * aggregate (probe: the ~1.25 s cov stage appeared TWICE inside
+    * q_embed_pca). One collect + driver-local arithmetic replaces all of it;
+    * at 100 TB only this aggregate touches data.
+    */
+  private def pcaMoments(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+    covMomentsScan(s, Tables.embeddings(s, dir), col("embedding"), DIM)
+      .select(col("i"), col("j"), col("n"), col("sx"), col("sy"), col("sxy"))
+      .collect()
   }
 
-  /** `iters` engine-exact power rounds from e₀ over a (i, j, c) matrix:
-    * each matrix-vector product and norm folds round9-scaled longs
-    * (order-independent), iterates round to 6 — returns the (j, v) iterate
+  /** Spark `round(x, s)` for doubles, verbatim (BigDecimal HALF_UP,
+    * non-finite passthrough) — the same replication CentroidExprs/PqExprs
+    * already pin by law.
     */
-  private def pcaPowerIterate(cov: DataFrame, iters: Int): DataFrame = {
-    var v = cov.select(col("j")).distinct()
-      .select(col("j"), when(col("j") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+  private def roundAt(x: Double, s: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The symmetrized covariance matrix from the collected moments —
+    * per-entry arithmetic bit-identical to the retired in-plan form:
+    * exact-integer `n·sxy − sx·sy` (BigInt ≡ ExactProducts' long fast path
+    * and its decimal fallback: one correctly-rounded conversion of the same
+    * exact integer), divided by ((n·n)·1e12) in the plan's association,
+    * rounded HALF_UP to 9.
+    */
+  private def pcaCovLocal(rows: Array[org.apache.spark.sql.Row], dim: Int): Array[Array[Double]] = {
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val n = r.getLong(2); val sx = r.getLong(3); val sy = r.getLong(4)
+      val sxy = r.getLong(5)
+      val num = (BigInt(n) * BigInt(sxy) - BigInt(sx) * BigInt(sy)).toDouble
+      val cij = roundAt(num / (n.toDouble * n.toDouble * 1e12), 9)
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    c
+  }
+
+  /** `iters` engine-exact power rounds from e₀, driver-local: each
+    * matrix-vector term rounds `((c·v)·1e9)` HALF_UP to a long (the plan's
+    * `round(col("c") * col("v") * 1e9).cast("long")` — multiplication
+    * association preserved), long sums are order-independent, the norm
+    * folds `((w·w)·1e9)` the same way, and each iterate rounds to 6.
+    */
+  private def pcaPowerLocal(c: Array[Array[Double]], iters: Int): Array[Double] = {
+    val dim = c.length
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     var it = 0
     while (it < iters) {
-      val w = cov.join(v, Seq("j"))
-        .groupBy(col("i"))
-        .agg((sum(round(col("c") * col("v") * 1e9).cast("long")).cast("double") / 1e9)
-          .as("w"))
-      val nrm = w.agg(
-        sqrt(sum(round(col("w") * col("w") * 1e9).cast("long")).cast("double") / 1e9)
-          .as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"), round(col("w") / col("nrm"), 6).as("v"))
-        .localCheckpoint(false)
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) {
+          acc += roundAt((c(i)(j) * v(j)) * 1e9, 0).toLong
+          j += 1
+        }
+        acc.toDouble / 1e9
+      }
+      var nacc = 0L
+      var i = 0
+      while (i < dim) {
+        nacc += roundAt((w(i) * w(i)) * 1e9, 0).toLong
+        i += 1
+      }
+      val nrm = math.sqrt(nacc.toDouble / 1e9)
+      v = w.map(x => roundAt(x / nrm, 6))
       it += 1
     }
     v
   }
 
-  /** Rayleigh eigenvalue estimate vᵀCv through the same long fold. */
-  private def pcaRayleigh(cov: DataFrame, v: DataFrame): DataFrame =
-    cov
-      .join(v.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
-      .join(v.select(col("j"), col("v").as("vj")), Seq("j"))
-      .agg((sum(round(col("c") * col("vi") * col("vj") * 1e9).cast("long"))
-        .cast("double") / 1e9).as("lambda"))
+  /** Rayleigh vᵀCv, driver-local — the fold runs over ALL ordered (i, j)
+    * entries with the plan's association `(((c·vi)·vj)·1e9)`: the (i, j)
+    * and (j, i) terms of the symmetrized frame are NOT bit-interchangeable,
+    * so both are summed explicitly, like the join form did.
+    */
+  private def pcaRayleighLocal(c: Array[Array[Double]], v: Array[Double]): Double = {
+    val dim = c.length
+    var acc = 0L
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        acc += roundAt(((c(i)(j) * v(i)) * v(j)) * 1e9, 0).toLong
+        j += 1
+      }
+      i += 1
+    }
+    acc.toDouble / 1e9
+  }
+
+  /** Deflation `round9(c − ((λ·vi)·vj))` per ORDERED entry (the plan
+    * applied it to each row of the symmetrized frame independently, and
+    * `(λ·vi)·vj` vs `(λ·vj)·vi` may differ in the last ulp — so the
+    * deflated matrix is rebuilt entry-by-entry, not mirrored).
+    */
+  private def pcaDeflateLocal(
+      c: Array[Array[Double]], v: Array[Double], lambda: Double): Array[Array[Double]] = {
+    val dim = c.length
+    Array.tabulate(dim, dim)((i, j) => roundAt(c(i)(j) - ((lambda * v(i)) * v(j)), 9))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -219,20 +289,7 @@ object ExtQueries {
     // the dim-pair grid). Frames after the aggregate are dim²-sized
     // (2080 rows at 64 dims) no matter the corpus row count.
     "q_embed_cov" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
-      val m = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
-          Seq("vec_id"))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
-          sum(col("x6") * col("y6")).as("sxy"),
-          sum(col("x6") * col("x6")).as("sxx"),
-          sum(col("y6") * col("y6")).as("syy"))
-      covAssemble(m)
+      covAssemble(covMomentsScan(s, Tables.embeddings(s, dir), col("embedding"), DIM))
     },
 
     // the STREAMING covariance twin: the moment sums maintained live as
@@ -262,19 +319,9 @@ object ExtQueries {
         else concat(slice(col("embedding"), 16 * k + 1, 64 - 16 * k),
           slice(col("embedding"), 1, 16 * k))
       }
-      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 512)
-        .select(col("vec_id"), posexplode(flatten(array(blocks: _*))).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          round(col("x").cast("double") * 1e6).cast("long").as("x6"))
-      val m = e.join(e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")),
-          Seq("vec_id"))
-        .filter(col("j") >= col("i"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
-          sum(col("x6") * col("y6")).as("sxy"),
-          sum(col("x6") * col("x6")).as("sxx"),
-          sum(col("y6") * col("y6")).as("syy"))
+      val m = covMomentsScan(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 512),
+        flatten(array(blocks: _*)), 256)
       covAssemble(m.filter(col("i") < 4))
     },
 
@@ -288,11 +335,17 @@ object ExtQueries {
     // iteration is metric-sized. Output: per-dim loading + the Rayleigh
     // eigenvalue estimate.
     "q_embed_pca" -> { (s, dir) =>
-      val cov = pcaCovFrame(s, dir)
-      val v = pcaPowerIterate(cov, 3)
-      v.crossJoin(broadcast(pcaRayleigh(cov, v)))
-        .select(col("j").cast("long").as("dim"), col("v").as("loading"), col("lambda"))
-        .orderBy(col("dim"))
+      import s.implicits._
+      val m = pcaMoments(s, dir)
+      if (m.isEmpty) Seq.empty[(Long, Double, Double)].toDF("dim", "loading", "lambda")
+      else {
+        val c = pcaCovLocal(m, DIM)
+        val v = pcaPowerLocal(c, 3)
+        val lambda = pcaRayleighLocal(c, v)
+        (0 until DIM).map(j => (j.toLong, v(j), lambda))
+          .toDF("dim", "loading", "lambda")
+          .orderBy(col("dim"))
+      }
     },
 
     // SECOND principal component by DEFLATION: subtract λ₁·v₁v₁ᵀ from the
@@ -304,21 +357,19 @@ object ExtQueries {
     // this is the top-2 PCA basis a whitening/visualisation pipeline
     // freezes.
     "q_embed_pca2" -> { (s, dir) =>
-      val cov = pcaCovFrame(s, dir)
-      val v1 = pcaPowerIterate(cov, 3)
-      val l1 = pcaRayleigh(cov, v1)
-      val cov2 = cov
-        .join(v1.select(col("j").as("i"), col("v").as("__vi")), Seq("i"))
-        .join(v1.select(col("j"), col("v").as("__vj")), Seq("j"))
-        .crossJoin(broadcast(l1))
-        .select(col("i"), col("j"),
-          round(col("c") - col("lambda") * col("__vi") * col("__vj"), 9).as("c"))
-        .localCheckpoint(false)
-      val v2 = pcaPowerIterate(cov2, 3)
-      v2.crossJoin(broadcast(pcaRayleigh(cov2, v2)))
-        .select(col("j").cast("long").as("dim"), col("v").as("loading2"),
-          col("lambda").as("lambda2"))
-        .orderBy(col("dim"))
+      import s.implicits._
+      val m = pcaMoments(s, dir)
+      if (m.isEmpty) Seq.empty[(Long, Double, Double)].toDF("dim", "loading2", "lambda2")
+      else {
+        val c = pcaCovLocal(m, DIM)
+        val v1 = pcaPowerLocal(c, 3)
+        val c2 = pcaDeflateLocal(c, v1, pcaRayleighLocal(c, v1))
+        val v2 = pcaPowerLocal(c2, 3)
+        val lambda2 = pcaRayleighLocal(c2, v2)
+        (0 until DIM).map(j => (j.toLong, v2(j), lambda2))
+          .toDF("dim", "loading2", "lambda2")
+          .orderBy(col("dim"))
+      }
     },
 
     // the learned component APPLIED — each vector's scalar projection onto
@@ -327,9 +378,11 @@ object ExtQueries {
     // round9-scaled longs — scan-level over the corpus, zero shuffle past
     // the explode-join
     "q_embed_pca_apply" -> { (s, dir) =>
+      // the trained loading is a 64-row LOCAL relation now (driver solve
+      // above) — broadcast straight into the corpus-side projection join,
+      // nothing to checkpoint
       val loadings = queries("q_embed_pca")(s, dir)
         .select(col("dim").cast("int").as("i"), col("loading"))
-        .localCheckpoint(false)
       Similarity.pcaProject(
         Tables.embeddings(s, dir).filter(col("vec_id") < 50),
         "vec_id", "embedding", loadings)

@@ -1347,6 +1347,57 @@ object LawsSpec extends Properties("graft") {
         s"row=$row"
     }
 
+  // the covariance-moment aggregate (r19: CovMomentsAgg replaced the
+  // posexplode + vec_id self-join that streamed dim²/2 rows per vector into
+  // a hash aggregate) must equal the retired join form bit-for-bit:
+  // same n (rows with a non-null vector), same long sums, SQL sum's
+  // all-null → NULL groups. Parquet-backed and repartitioned so the
+  // kernel's update/merge/serialize all run across real partitions.
+  property("cov-moment aggregate equals the explode+self-join model") =
+    Prop.forAllNoShrink(Gen.choose(0L, 1000000L), Gen.choose(1, 4)) { (seed, parts) =>
+      val dim = 6
+      val rnd = new scala.util.Random(seed)
+      val vecs: Seq[(Long, Seq[Option[Double]])] =
+        (0L until 9L).map { id =>
+          id -> (0 until dim).map(i =>
+            if (rnd.nextInt(5) == 0) None
+            else Some((rnd.nextDouble() - 0.5) * 2.0))
+        } :+ (9L -> (0 until dim).map(_ => Option.empty[Double])) // all-null elements
+      val dir = java.nio.file.Files.createTempDirectory("graft_covagg").toString
+      try {
+        vecs.toDF("vec_id", "embedding").repartition(parts)
+          .write.mode("overwrite").parquet(dir)
+        val df = spark.read.parquet(dir)
+        // the pre-r19 join form, verbatim
+        val e = df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+        val model = e.join(
+            e.select(col("vec_id"), col("i").as("j"), col("x6").as("y6")), Seq("vec_id"))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+            sum(col("x6") * col("y6")).as("sxy"),
+            sum(col("x6") * col("x6")).as("sxx"),
+            sum(col("y6") * col("y6")).as("syy"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+        val kernel = df
+          .agg(graft.functions.CovMomentsAgg.covMoments(col("embedding"), dim).as("__m"))
+          .select(explode(col("__m")).as("p")).select(col("p.*"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+        val bad = (model.keySet ++ kernel.keySet).filter(k =>
+          model.get(k) != kernel.get(k))
+        Prop(bad.isEmpty) :| s"pairs=$bad model=${bad.map(model.get)} kernel=${bad.map(kernel.get)}"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+
   // the scalar-quantization kernels (r18: AbsMax / ScalarCodes /
   // DequantMaxErr replaced the O(d²) HOF form that carried the per-vector
   // max inside the per-element lambda) must equal the old HOF construction

@@ -800,6 +800,69 @@ class ScaleSpec extends AnyFunSuite {
       s"PCA iteration must not rescan the corpus (lineage not truncated):\n$pcaPlan")
   }
 
+  test("PCA driver solve equals the retired in-plan power iteration bit-for-bit") {
+    // r19 moved the power rounds / Rayleigh / deflation onto the driver
+    // (the moment aggregate is the only thing that touches data). This
+    // reproduces the retired DataFrame form verbatim on sf0.001 and
+    // asserts both gates' rows are identical doubles.
+    val dir = "/root/testdata/sf0.001"
+    def covFrame: org.apache.spark.sql.DataFrame = {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+        .select($"vec_id", $"i", round($"x".cast("double") * 1e6).cast("long").as("x6"))
+      val mUp = e.join(e.select($"vec_id", $"i".as("j"), $"x6".as("y6")), Seq("vec_id"))
+        .filter($"j" >= $"i")
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"x6").as("sx"), sum($"y6").as("sy"),
+          sum($"x6" * $"y6").as("sxy"))
+        .select($"i", $"j",
+          round(graft.functions.ExactProducts.prodDiffDouble($"n", $"sxy", $"sx", $"sy")
+            / ($"n".cast("double") * $"n".cast("double") * 1e12), 9).as("c"))
+      mUp.unionByName(mUp.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"c"))
+        .localCheckpoint(true)
+    }
+    def iterate(cov: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+      var v = cov.select($"j").distinct()
+        .select($"j", when($"j" === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      for (_ <- 0 until iters) {
+        val w = cov.join(v, Seq("j")).groupBy($"i")
+          .agg((sum(round($"c" * $"v" * 1e9).cast("long")).cast("double") / 1e9).as("w"))
+        val nrm = w.agg(
+          sqrt(sum(round($"w" * $"w" * 1e9).cast("long")).cast("double") / 1e9).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select($"i".as("j"), round($"w" / $"nrm", 6).as("v")).localCheckpoint(true)
+      }
+      v
+    }
+    def rayleigh(cov: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
+      cov.join(v.select($"j".as("i"), $"v".as("vi")), Seq("i"))
+        .join(v.select($"j", $"v".as("vj")), Seq("j"))
+        .agg((sum(round($"c" * $"vi" * $"vj" * 1e9).cast("long")).cast("double") / 1e9)
+          .as("lambda"))
+    val cov = covFrame
+    val v1 = iterate(cov, 3)
+    val oldPca = v1.crossJoin(broadcast(rayleigh(cov, v1)))
+      .select($"j".cast("long").as("dim"), $"v".as("loading"), $"lambda")
+      .orderBy($"dim").collect().toSeq
+    val newPca = graft.queries.ExtQueries.queries("q_embed_pca")(spark, dir)
+      .collect().toSeq
+    assert(oldPca == newPca, s"q_embed_pca diverged:\nold=$oldPca\nnew=$newPca")
+    val l1 = rayleigh(cov, v1)
+    val cov2 = cov
+      .join(v1.select($"j".as("i"), $"v".as("__vi")), Seq("i"))
+      .join(v1.select($"j", $"v".as("__vj")), Seq("j"))
+      .crossJoin(broadcast(l1))
+      .select($"i", $"j", round($"c" - $"lambda" * $"__vi" * $"__vj", 9).as("c"))
+      .localCheckpoint(true)
+    val v2 = iterate(cov2, 3)
+    val oldPca2 = v2.crossJoin(broadcast(rayleigh(cov2, v2)))
+      .select($"j".cast("long").as("dim"), $"v".as("loading2"), $"lambda".as("lambda2"))
+      .orderBy($"dim").collect().toSeq
+    val newPca2 = graft.queries.ExtQueries.queries("q_embed_pca2")(spark, dir)
+      .collect().toSeq
+    assert(oldPca2 == newPca2, s"q_embed_pca2 diverged:\nold=$oldPca2\nnew=$newPca2")
+  }
+
   test("point-in-time feature gates execute through the custom as-of merge") {
     // the feature-store family must ride AsOfJoinExec (one co-partitioned
     // streaming merge, O(1) state), never degrade to a range/nested-loop
