@@ -832,19 +832,33 @@ object Dedup {
     * [[removeDuplicateSubstrings]], with ownership replaced by reference
     * membership (every doc is scrubbed; the reference keeps nothing).
     */
-  def scrubSubstrings(
-      df: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String,
-      k: Int, w: Int): DataFrame = {
-    val refFps = ref
+  /** Fit half of [[scrubSubstrings]]: the reference corpus's distinct
+    * winnow-selected fingerprints — compute ONCE and reuse across serving
+    * calls (r19: the streaming twin used to re-derive this whole frame —
+    * winnow + distinct shuffle — on every micro-batch).
+    */
+  def scrubRefFps(ref: DataFrame, refTextCol: String, k: Int, w: Int): DataFrame =
+    ref
       .select(TextOps.gramHashes(col(refTextCol), k).as("__hs"))
       .select(explode(TextOps.winnowSelect(col("__hs"), w)).as("fp"))
       .distinct()
+
+  /** Serve half of [[scrubSubstrings]] against a fitted fingerprint set. */
+  def scrubSubstringsWithFps(
+      df: DataFrame, idCol: String, textCol: String,
+      refFps: DataFrame, k: Int, w: Int): DataFrame = {
     val rem = winnowPosFps(df, idCol, textCol, k, w)
       .join(refFps, Seq("fp"), "left_semi")
       .select(col("id"), col("pos"), (col("pos") + lit((k - 1).toLong)).as("e"))
     cutMarkedSpans(df, idCol, textCol, rem)
   }
+
+  def scrubSubstrings(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      k: Int, w: Int): DataFrame =
+    scrubSubstringsWithFps(df, idCol, textCol,
+      scrubRefFps(ref, refTextCol, k, w), k, w)
 
   /** Back end of the substring-removal family: merge marked k-gram spans
     * (id, pos, e) per doc by gaps-and-islands, rebuild the kept text

@@ -431,16 +431,8 @@ object Retrieval {
     * shape a query-serving index wants. Returns (n_matches, first_pos)
     * with first_pos 0-based, exactly matching the postings op.
     */
-  def phraseMatchCols(toks: Column, phrase: Seq[String]): (Column, Column) = {
-    require(phrase.nonEmpty, "phrase must have at least one token")
-    val l = phrase.length
-    val starts = when(size(toks) >= l,
-      filter(sequence(lit(1), size(toks) - (l - 1)), i =>
-        phrase.zipWithIndex.map { case (t, j) =>
-          element_at(toks, i + j) === lit(t)
-        }.reduce(_ && _)))
-      .otherwise(typedLit(Seq.empty[Int]))
-    (size(starts).cast("long"),
-      (element_at(starts, 1) - 1).cast("long"))
-  }
+  // phraseMatchCols (the HOF matcher) was removed in r19: its lambda
+  // referenced the producing split expression (no CSE inside lambdas —
+  // the r15/r16 splice trap, this time in a stream gate outside
+  // PlanGuardSpec's batch scan). Use graft.functions.PhraseExprs.phraseHits.
 }

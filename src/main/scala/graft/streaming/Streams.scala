@@ -1833,15 +1833,24 @@ object Streams {
     val name = s"graft_sphrase_${System.nanoTime()}"
     val docSchema = rawDocsSchema(spark, sfDir)
     val stage = stagedDir("graft_stream_docs", sfDir, "documents.parquet")
-    val (nM, fP) = graft.ops.Retrieval.phraseMatchCols(
+    // r19: the old HOF matcher (`filter(sequence(...), i →
+    // AND_j element_at(toks, i+j) = t_j)` with toks = the full split
+    // EXPRESSION) was the lambda-splice trap in a STREAM gate — no CSE
+    // inside lambdas, so the split re-ran per (position, phrase token):
+    // O(n·l) full-text splits per row, and the n_matches filter inlined it
+    // all below the widening repartition (probe: one 3-task 2.4 s stage).
+    // PhraseHits walks the token array once per evaluation.
+    val hits = graft.functions.PhraseExprs.phraseHits(
       graft.ops.TextOps.tokens(col("text")), phrase)
     val par = spark.sparkContext.defaultParallelism
     val q = spark.readStream.schema(docSchema).parquet(stage.toString)
-      // single-row-group staged file → widen before the per-row HOF matcher
+      // single-row-group staged file → widen before the per-row matcher
       .repartition(par)
-      .withColumn("n_matches", nM).withColumn("first_pos", fP)
-      .filter(col("n_matches") > 0)
-      .select(col("doc_id"), col("n_matches"), col("first_pos"))
+      .withColumn("__ph", hits)
+      .filter(col("__ph").getField("n_matches") > 0)
+      .select(col("doc_id"),
+        col("__ph").getField("n_matches").as("n_matches"),
+        col("__ph").getField("first_pos").as("first_pos"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -2076,9 +2085,14 @@ object Streams {
     // winnow fingerprinting is md5-per-gram, so widen each batch explicitly
     // (per-doc op — partitioning-invariant output)
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // r19: fit the reference fingerprint set ONCE (it used to re-derive —
+    // winnow the whole reference + a distinct shuffle — on every
+    // micro-batch; the as-of twin already pins its static side the same way)
+    val refFps = graft.ops.Dedup.scrubRefFps(ref, refTextCol, k, w)
+      .localCheckpoint(true)
     streamingSearch(docs, outDir, batches,
-      b => graft.ops.Dedup.scrubSubstrings(b.repartition(par), idCol, textCol,
-        ref, refTextCol, k, w))
+      b => graft.ops.Dedup.scrubSubstringsWithFps(b.repartition(par), idCol,
+        textCol, refFps, k, w))
   }
 
   /** Streaming AS-OF enrichment — the as-of family's streaming member:

@@ -1347,6 +1347,51 @@ object LawsSpec extends Properties("graft") {
         s"row=$row"
     }
 
+  // the phrase kernel (r19: PhraseHits replaced the streaming twin's HOF
+  // matcher whose lambda re-evaluated the producing split per (position,
+  // phrase token)) must equal the retired HOF form: same match count, same
+  // 0-based first position, null tokens never match, short arrays → (0,
+  // null-ish). Parquet-backed so the kernel's codegen path runs.
+  property("phrase kernel equals the HOF matcher") =
+    Prop.forAllNoShrink(Gen.choose(0L, 1000000L), Gen.choose(1, 3)) { (seed, l) =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("value", "table", "part", "row", null)
+      val phrase = Seq.fill(l)(vocab(rnd.nextInt(4))) // phrase itself non-null
+      val docs: Seq[(Long, Seq[String])] = (0L until 12L).map { id =>
+        id -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+      try {
+        docs.toDF("doc_id", "toks").write.mode("overwrite").parquet(dir)
+        val df = spark.read.parquet(dir)
+        // the retired HOF form, verbatim
+        val starts = when(size(col("toks")) >= l,
+          filter(sequence(lit(1), size(col("toks")) - (l - 1)), i =>
+            phrase.zipWithIndex.map { case (t, j) =>
+              element_at(col("toks"), i + j) === lit(t)
+            }.reduce(_ && _)))
+          .otherwise(typedLit(Seq.empty[Int]))
+        val model = df.select(col("doc_id"), size(starts).cast("long").as("n"),
+            when(size(starts) > 0, element_at(starts, 1) - 1).cast("long").as("fp"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.get(2))).toMap
+        val kernel = df
+          .withColumn("__p", graft.functions.PhraseExprs.phraseHits(col("toks"), phrase))
+          .select(col("doc_id"), col("__p").getField("n_matches").as("n"),
+            col("__p").getField("first_pos").as("fp"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.get(2))).toMap
+        val bad = docs.map(_._1).filterNot(id =>
+          model(id)._1 == kernel(id)._1 &&
+            (model(id)._1 == 0L || model(id)._2 == kernel(id)._2))
+        Prop(bad.isEmpty) :| s"phrase=$phrase bad=$bad model=${bad.map(model.get)} kernel=${bad.map(kernel.get)}"
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+
   // the covariance-moment aggregate (r19: CovMomentsAgg replaced the
   // posexplode + vec_id self-join that streamed dim²/2 rows per vector into
   // a hash aggregate) must equal the retired join form bit-for-bit:
