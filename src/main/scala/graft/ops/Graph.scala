@@ -47,11 +47,16 @@ object Graph {
     // materialized, round t−1's are dead by construction, and once the
     // final round is materialized the e/nodes/outw inputs are too — only
     // the returned frame's own blocks outlive the call.
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(true)
+    // r19: the out-weight join is ROUND-INVARIANT — fold it into the
+    // checkpointed edge frame once ((src, dst, w, ow); every src appears in
+    // outw by construction so the inner join keeps all edges) instead of
+    // re-joining outw inside every round. One join per round saved; pr
+    // values unchanged ((pr·w) div ow is the same integer either way).
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = e0.join(outw, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(true)
     // node count + uniform start, kept in-frame (no driver-side collect)
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nn))
@@ -61,7 +66,6 @@ object Graph {
     var prevPr: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
-        .join(outw, Seq("src"))
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -74,7 +78,7 @@ object Graph {
       if (prevPr != null) prevPr.unpersist(false)
       prevPr = pr
     }
-    Seq(e, nodes, outw).foreach(_.unpersist(false))
+    Seq(e, nodes).foreach(_.unpersist(false))
     pr
   }
 
@@ -90,12 +94,13 @@ object Graph {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
     // same eager-checkpoint + previous-generation-unpersist block hygiene
-    // as pageRankFixedPoint (see the note there)
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint(true)
+    // as pageRankFixedPoint (see the note there), and the same r19
+    // round-invariant out-weight fold into the edge checkpoint
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = e0.join(outw, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).localCheckpoint(true)
     val seeded = nodes
       .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
@@ -117,7 +122,6 @@ object Graph {
     var prevPr: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
-        .join(outw, Seq("src"))
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -130,7 +134,7 @@ object Graph {
       if (prevPr != null) prevPr.unpersist(false)
       prevPr = pr
     }
-    Seq(e, outw, seeded).foreach(_.unpersist(false))
+    Seq(e, seeded).foreach(_.unpersist(false))
     pr
   }
 
