@@ -83,12 +83,18 @@ case class CovMomentsAgg(
       new Array[Long](nPairs), new Array[Long](nPairs), new Array[Long](nPairs))
 
   // Spark `cast(round(x, 0) as bigint)` for doubles: BigDecimal HALF_UP;
-  // non-finite fails loudly like the ANSI cast would
+  // non-finite and out-of-long-range fail loudly like the ANSI cast would
+  // (doubleValue().toLong saturates silently — and a saturation to
+  // Long.MinValue would collide with the NULL sentinel below)
   @inline private def x6Of(x: Double): Long = {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
       throw new ArithmeticException(
         s"graft_cov_moments: non-finite element $x cannot cast to bigint (ANSI)")
-    java.math.BigDecimal.valueOf(x * 1e6)
+    val scaled = x * 1e6
+    if (scaled >= 9.223372036854776e18 || scaled <= -9.223372036854776e18)
+      throw new ArithmeticException(
+        s"graft_cov_moments: element $x overflows bigint after x1e6 scaling (ANSI)")
+    java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
   }
 

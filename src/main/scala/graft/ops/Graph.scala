@@ -52,7 +52,13 @@ object Graph {
     // outw by construction so the inner join keeps all edges) instead of
     // re-joining outw inside every round. One join per round saved; pr
     // values unchanged ((pr·w) div ow is the same integer either way).
+    // null-src edges are DELIBERATELY excluded up front: the r19 outw fold's
+    // inner join on src already dropped them before `nodes` was derived
+    // (a dst reachable only via a null src gets no rank row); the explicit
+    // filter makes that contract loud instead of an artifact of join
+    // semantics. Gate inputs have non-null src by construction.
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull)
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = e0.join(outw, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
@@ -94,9 +100,11 @@ object Graph {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
     require(dampingPct >= 1 && dampingPct <= 99, s"dampingPct in [1,99], got $dampingPct")
     // same eager-checkpoint + previous-generation-unpersist block hygiene
-    // as pageRankFixedPoint (see the note there), and the same r19
-    // round-invariant out-weight fold into the edge checkpoint
+    // as pageRankFixedPoint (see the note there), the same r19
+    // round-invariant out-weight fold into the edge checkpoint, and the
+    // same explicit null-src exclusion contract
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull)
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = e0.join(outw, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))

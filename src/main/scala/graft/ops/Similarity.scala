@@ -1282,7 +1282,25 @@ object Similarity {
   def searchIvfInt8Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame = {
+      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame =
+    openIvfInt8Searcher(spark, path, idCol, vecCol, k, nprobe,
+      assignKernel, listFilter)(queries)
+
+  /** The serving FIT/SERVE split of [[searchIvfInt8Index]]: resolve the
+    * manifest, construct the list frame, and collect the centroid sidecar
+    * ONCE, returning the per-query-batch search function. The streaming
+    * twins use this so a static index's sidecar is not re-collected (a
+    * driver job) and its manifest not re-read on EVERY micro-batch — the
+    * same static-side fit-once discipline the asof/bm25/scrub twins pin.
+    * The returned closure is only valid while the index version it
+    * resolved is live (a static index for the stream's lifetime, per the
+    * twins' contract).
+    */
+  def openIvfInt8Searcher(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      assignKernel: Boolean = true,
+      listFilter: Option[Column] = None): DataFrame => DataFrame = {
     val cents = loadCentroids(spark, path)
     val raw = readIndexLists(spark, path,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
@@ -1297,7 +1315,8 @@ object Similarity {
     // reader (PushedFilters), composing with cent_id partition pruning:
     // search I/O is (nprobe/nCents) × selectivity of the index.
     val inverted = listFilter.map(raw.filter).getOrElse(raw)
-    quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
+    queries =>
+      quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe, assignKernel)
   }
 
   /** Persist an int16-quantized inverted-file index — the 2-byte/dim middle
@@ -1335,7 +1354,19 @@ object Similarity {
   def searchIvfF16Index(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame = {
+      assignKernel: Boolean = true, listFilter: Option[Column] = None): DataFrame =
+    openIvfF16Searcher(spark, path, idCol, vecCol, k, nprobe,
+      assignKernel, listFilter)(queries)
+
+  /** [[openIvfInt8Searcher]]'s int16 twin — the fit/serve split of
+    * [[searchIvfF16Index]] (sidecar collected and manifest resolved once,
+    * per-batch serve closure returned).
+    */
+  def openIvfF16Searcher(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      assignKernel: Boolean = true,
+      listFilter: Option[Column] = None): DataFrame => DataFrame = {
     val cents = loadCentroids(spark, path)
     // same filtered-search semantics as the int8/PQ twins: payload columns
     // pass through, the predicate lands before ranking and pushes into the
@@ -1346,8 +1377,9 @@ object Similarity {
       .withColumnRenamed("q", "__cq")
       .withColumn("cent_id", col("cent_id").cast("long"))
     val inverted = listFilter.map(raw.filter).getOrElse(raw)
-    quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe,
-      assignKernel, int16Codes)
+    queries =>
+      quantProbeRank(inverted, queries, idCol, vecCol, cents, k, nprobe,
+        assignKernel, int16Codes)
   }
 
   /** Append a batch to a persisted [[writeIvfF16Index]] index — the shared
@@ -1562,7 +1594,18 @@ object Similarity {
   def searchIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      listFilter: Option[Column] = None): DataFrame = {
+      listFilter: Option[Column] = None): DataFrame =
+    openIvfPqSearcher(spark, path, idCol, vecCol, k, nprobe, listFilter)(queries)
+
+  /** [[openIvfInt8Searcher]]'s PQ twin — the fit/serve split of
+    * [[searchIvfPqIndex]]: the coarse+codebook sidecar (a collect) and the
+    * manifest are resolved once; each serve call only builds the
+    * query-batch probe side and the ADC ranking.
+    */
+  def openIvfPqSearcher(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      listFilter: Option[Column] = None): DataFrame => DataFrame = {
     val (cents, books) = loadPqSidecar(spark, path)
     val sub = books.head.head._2.length
     // keep attribute payload columns for listFilter (the int8 twin's
@@ -1574,13 +1617,15 @@ object Similarity {
       .withColumnRenamed("q", "__cq")
       .withColumn("cent_id", col("cent_id").cast("long"))
     val inverted = listFilter.map(raw.filter).getOrElse(raw)
-    val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
-    adcRanked(
-      broadcast(probes).join(inverted, Seq("cent_id"))
-        .filter(col("query_id") =!= col("neighbor_id")),
-      books.length, k, s => element_at(col("__cq"), s + 1),
-      Seq(col("query_id"), col("neighbor_id"), col("cent_id"),
-        col("adist"), col("rank")))
+    queries => {
+      val probes = pqProbeSide(queries, idCol, vecCol, cents, books, sub, nprobe)
+      adcRanked(
+        broadcast(probes).join(inverted, Seq("cent_id"))
+          .filter(col("query_id") =!= col("neighbor_id")),
+        books.length, k, s => element_at(col("__cq"), s + 1),
+        Seq(col("query_id"), col("neighbor_id"), col("cent_id"),
+          col("adist"), col("rank")))
+    }
   }
 
   /** Append a batch to a persisted [[writeIvfPqIndex]] index: new vectors

@@ -188,11 +188,19 @@ object ExtQueries {
     val c = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
-      val n = r.getLong(2); val sx = r.getLong(3); val sy = r.getLong(4)
-      val sxy = r.getLong(5)
-      val num = (BigInt(n) * BigInt(sxy) - BigInt(sx) * BigInt(sy)).toDouble
-      val cij = roundAt(num / (n.toDouble * n.toDouble * 1e12), 9)
-      c(i)(j) = cij; c(j)(i) = cij
+      // a dimension NULL in EVERY vector yields NULL moment sums (SQL sum
+      // over zero non-null rows); the retired in-plan form propagated that
+      // NULL through prodDiffDouble/round into a NULL cov cell, which the
+      // downstream SQL sums then skipped — equivalent to the 0.0 this
+      // Array.ofDim default leaves in place. Skip instead of NPE-ing in
+      // getLong.
+      if (!r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5)) {
+        val n = r.getLong(2); val sx = r.getLong(3); val sy = r.getLong(4)
+        val sxy = r.getLong(5)
+        val num = (BigInt(n) * BigInt(sxy) - BigInt(sx) * BigInt(sy)).toDouble
+        val cij = roundAt(num / (n.toDouble * n.toDouble * 1e12), 9)
+        c(i)(j) = cij; c(j)(i) = cij
+      }
     }
     c
   }

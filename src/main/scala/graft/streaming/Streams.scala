@@ -1292,22 +1292,23 @@ object Streams {
     // stage ascending-id slices with ascending mtimes (replay glue only —
     // the global ntile window is over the staged gate corpus, not a
     // production-path operator)
-    val tiled = base.withColumn("__b", ntile(batches).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+    // r20: ONE partitioned write instead of `batches` separate
+    // filter/coalesce/write jobs (same staging collapse as stageTimeChunks)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    val tmp = java.nio.file.Paths.get(s"$stage-tmp")
+    base.withColumn("__b", ntile(batches).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmp.toString)
     (1 to batches).foreach { i =>
-      val tmp = java.nio.file.Paths.get(s"$stage-tmp$i")
-      tiled.filter(col("__b") === i).drop("__b")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
+      val part = java.nio.file.Files.list(tmp.resolve(s"__b=$i")).filter(p =>
         p.getFileName.toString.startsWith("part-")).findFirst().get()
       val dest = java.nio.file.Paths.get(stage).resolve(f"b$i%02d.parquet")
       java.nio.file.Files.move(part, dest)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() + i * 2000L))
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
 
     val streamSchema = StructType(Seq(
       StructField("id", LongType),
@@ -1324,7 +1325,14 @@ object Streams {
             Similarity.semanticDedupStep(owners, assigned, minCos, maxBucket)
           kept.select(col("id").as("vec_id"), col("cent_id"))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val prev = owners
           owners = newOwners.localCheckpoint(true)
+          // r20: the eager checkpoint above makes the previous owner
+          // generation's blocks dead — release them instead of leaking one
+          // owner-frame copy per trigger
+          if (prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+            prev.unpersist(false); ()
+          }
         }
       }
       .start()
@@ -1738,14 +1746,17 @@ object Streams {
     val stage = java.nio.file.Paths.get(graft.Tables.scratch(s"stage_$prefix", sfDir))
     java.nio.file.Files.createDirectories(stage)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol), col(ordCol))
-    val chunked = df.withColumn("__c", ntile(nChunks).over(w)).localCheckpoint()
+    // r20: ONE partitioned write instead of checkpoint + nChunks separate
+    // filter/coalesce/write jobs — the ntile window leaves a single
+    // partition, so each `__c=i` directory gets exactly one part file,
+    // moved/renamed below exactly as the per-chunk jobs produced
+    val tmp = stage.resolve("w")
+    df.withColumn("__c", ntile(nChunks).over(w))
+      .write.partitionBy("__c").parquet(tmp.toString)
     (1 to nChunks).foreach { i =>
-      val tmp = stage.resolve(s"w$i")
-      chunked.filter(col("__c") === i).drop("__c")
-        .coalesce(1).write.parquet(tmp.toString)
       val part = {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(tmp).iterator().asScala
+        java.nio.file.Files.list(tmp.resolve(s"__c=$i")).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file written for chunk $i"))
       }
@@ -1753,8 +1764,8 @@ object Streams {
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000L * i))
-      // the leftover w$i dirs hold only _SUCCESS/.crc markers, which the
-      // file source ignores (hidden/underscore-prefixed)
+      // the leftover w/__c=i dirs hold only .crc markers, which the file
+      // source ignores (hidden/underscore-prefixed)
     }
     stage
   }
@@ -1768,7 +1779,14 @@ object Streams {
     val empty = ev.limit(0)
     var open = Scd2.islands(empty, "user_id", "ts", "event_id", "event_type")
       .withColumnRenamed("bver", "version")
-    var closed = open.withColumn("valid_to", lit(null).cast("timestamp"))
+    val closed0 = open.withColumn("valid_to", lit(null).cast("timestamp"))
+    // r20: closed history is APPEND-ONLY — checkpoint each trigger's DELTA
+    // once and union at finish. The old form re-checkpointed the whole
+    // accumulated history every trigger (O(batches × |closed|) copying,
+    // violating the very append-only property the gate demonstrates) and
+    // leaked every superseded open/closed generation's blocks.
+    val closedDeltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prevOpenChk: DataFrame = null
     val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(stage.toString)
       .writeStream.outputMode("append")
@@ -1776,15 +1794,19 @@ object Streams {
         if (!b.isEmpty) {
           val (cd, no) = Scd2.foldBatch(open, b.toDF, "user_id", "ts",
             "event_id", "event_type")
-          closed = closed.unionByName(cd).localCheckpoint()
+          closedDeltas += cd.localCheckpoint()
           open = no.localCheckpoint()
+          // both checkpoints above are EAGER, so the previous open
+          // generation's blocks are dead once they return
+          if (prevOpenChk != null) prevOpenChk.unpersist(false)
+          prevOpenChk = open
         }
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    Scd2.finish(closed, open, "user_id")
+    Scd2.finish(closedDeltas.foldLeft(closed0)(_.unionByName(_)), open, "user_id")
   }
 
   /** Streaming transition-matrix maintenance —
@@ -1802,7 +1824,13 @@ object Streams {
     val sch = spark.read.parquet(stage.resolve("chunk_01.parquet").toString).schema
     val empty = ev.limit(0)
     var state = empty.select(col("user_id"), col("event_type").as("attr"))
-    var deltas = Transitions.batchCounts(empty, "user_id", "ts", "event_id", "event_type")
+    val deltas0 = Transitions.batchCounts(empty, "user_id", "ts", "event_id", "event_type")
+    // r20: same delta-list shape as streamingScd2 — count deltas are
+    // additive, so checkpoint each trigger's delta once instead of
+    // re-copying the accumulated union every trigger, and release
+    // superseded state generations
+    val deltaList = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prevStateChk: DataFrame = null
     val q = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(stage.toString)
       .writeStream.outputMode("append")
@@ -1810,18 +1838,20 @@ object Streams {
         if (!b.isEmpty) {
           val (d, ns) = Transitions.foldBatch(state, b.toDF, "user_id", "ts",
             "event_id", "event_type")
-          deltas = deltas.unionByName(d).localCheckpoint()
+          deltaList += d.localCheckpoint()
           state = ns.localCheckpoint()
+          if (prevStateChk != null) prevStateChk.unpersist(false)
+          prevStateChk = state
         }
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    Transitions.finish(deltas)
+    Transitions.finish(deltaList.foldLeft(deltas0)(_.unionByName(_)))
   }
 
-  /** Streaming phrase matching — [[graft.ops.Retrieval.phraseMatchCols]]
+  /** Streaming phrase matching — [[graft.functions.PhraseExprs.phraseHits]]
     * applied per micro-batch: one stateless codegen'd expression chain per
     * row (no postings, no joins, zero state), emitting exactly the batch
     * postings-intersection result for the replayed corpus — the
@@ -2017,10 +2047,15 @@ object Streams {
   def streamingAnnSearch(
       queries: DataFrame, indexPath: String, outDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      batches: Int = 4): DataFrame =
-    streamingSearch(queries, outDir, batches, b =>
-      graft.ops.Similarity.searchIvfInt8Index(
-        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+      batches: Int = 4): DataFrame = {
+    // fit-once static side (r20): resolve the manifest and collect the
+    // centroid sidecar ONCE — the per-batch closure used to re-read both
+    // on every trigger (a driver collect job per micro-batch against an
+    // index that is static for the stream's lifetime)
+    val search = graft.ops.Similarity.openIvfInt8Searcher(
+      queries.sparkSession, indexPath, idCol, vecCol, k, nprobe)
+    streamingSearch(queries, outDir, batches, search)
+  }
 
   /** [[streamingAnnSearch]]'s twin over the persisted IVF+PQ index
     * ([[graft.ops.Similarity.writeIvfPqIndex]]) — online retrieval against
@@ -2030,10 +2065,12 @@ object Streams {
   def streamingPqSearch(
       queries: DataFrame, indexPath: String, outDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      batches: Int = 4): DataFrame =
-    streamingSearch(queries, outDir, batches, b =>
-      graft.ops.Similarity.searchIvfPqIndex(
-        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+      batches: Int = 4): DataFrame = {
+    // fit-once static side (r20) — see streamingAnnSearch
+    val search = graft.ops.Similarity.openIvfPqSearcher(
+      queries.sparkSession, indexPath, idCol, vecCol, k, nprobe)
+    streamingSearch(queries, outDir, batches, search)
+  }
 
   /** [[streamingAnnSearch]] over the persisted int16 ("f16-class") index
     * ([[graft.ops.Similarity.writeIvfF16Index]]) — the 2-byte storage rung,
@@ -2042,10 +2079,12 @@ object Streams {
   def streamingF16Search(
       queries: DataFrame, indexPath: String, outDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      batches: Int = 4): DataFrame =
-    streamingSearch(queries, outDir, batches, b =>
-      graft.ops.Similarity.searchIvfF16Index(
-        b.sparkSession, indexPath, b, idCol, vecCol, k, nprobe))
+      batches: Int = 4): DataFrame = {
+    // fit-once static side (r20) — see streamingAnnSearch
+    val search = graft.ops.Similarity.openIvfF16Searcher(
+      queries.sparkSession, indexPath, idCol, vecCol, k, nprobe)
+    streamingSearch(queries, outDir, batches, search)
+  }
 
   /** Streaming BM25 — ONLINE lexical retrieval against a static (persisted)
     * [[graft.ops.Retrieval.bm25StatsTable]]: query documents arrive on a
@@ -2090,9 +2129,14 @@ object Streams {
     // micro-batch; the as-of twin already pins its static side the same way)
     val refFps = graft.ops.Dedup.scrubRefFps(ref, refTextCol, k, w)
       .localCheckpoint(true)
-    streamingSearch(docs, outDir, batches,
-      b => graft.ops.Dedup.scrubSubstringsWithFps(b.repartition(par), idCol,
-        textCol, refFps, k, w))
+    // the stream runs to completion inside streamingSearch — release the
+    // fitted fingerprint blocks on the way out (they would otherwise live
+    // for the session; same unpersist-on-exit discipline as pageRank)
+    try
+      streamingSearch(docs, outDir, batches,
+        b => graft.ops.Dedup.scrubSubstringsWithFps(b.repartition(par), idCol,
+          textCol, refFps, k, w))
+    finally refFps.unpersist(false)
   }
 
   /** Streaming AS-OF enrichment — the as-of family's streaming member:
