@@ -181,7 +181,8 @@ object FeatureQueries {
     // candidate set linear in real triangles. Output: per-supplier triangle
     // membership counts.
     "q_graph_triangles" -> { (s, dir) =>
-      val edges = coEdges(s, dir, TRI_MINW)
+      // three references into the path/closure joins — pin one computation
+      val edges = coEdges(s, dir, TRI_MINW).localCheckpoint(false)
       val tri = edges.select(col("src").as("ta"), col("dst").as("tb"))
         .join(edges.select(col("src").as("tb"), col("dst").as("tc")), Seq("tb"))
         .join(edges.select(col("src").as("ta"), col("dst").as("tc")), Seq("ta", "tc"))
@@ -297,7 +298,11 @@ object FeatureQueries {
     // similarity from exact integer neighbor counts, existing edges
     // flagged (a link predictor trains on is_edge=0 rows, validates on 1s).
     "q_graph_linkpred" -> { (s, dir) =>
-      val e = coEdges(s, dir, TRI_MINW)
+      // the edge list feeds FIVE consumers (adj twice via the two-path
+      // self-join, deg, is_edge) — pin ONE computation of the
+      // lineitem-distinct + self-join + groupBy subtree (the
+      // q_tpch_waiting idiom)
+      val e = coEdges(s, dir, TRI_MINW).localCheckpoint(false)
       val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
         .union(e.select(col("dst").as("node"), col("src").as("nbr")))
       val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -631,7 +636,9 @@ object FeatureQueries {
     // discipline. Output also carries n/mean-degree so the single r value
     // rides with its support.
     "q_graph_assortativity" -> { (s, dir) =>
-      val e0 = coEdges(s, dir, TRI_MINW)
+      // ee feeds the deg aggregate AND the two deg joins — pin the edge
+      // subtree once instead of re-deriving it per consumer
+      val e0 = coEdges(s, dir, TRI_MINW).localCheckpoint(false)
       val ee = e0.select(col("src"), col("dst"))
         .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = ee.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
