@@ -306,7 +306,10 @@ object AnalyticsQueries {
       val cents = Tables.lineitem(s, dir)
         .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag").as("shard"))
-      val bounds = graft.ops.Quantiles.bounds(cents, b)
+      // bucket-count-sized pin: bounds broadcasts into BOTH the per-shard
+      // count and estimateWithExact's probe side — unpinned, the full-scan
+      // min/max aggregate behind it runs once per consumer
+      val bounds = graft.ops.Quantiles.bounds(cents, b).localCheckpoint(false)
       // per-shard bucket counts merged by pure addition — demonstrates the
       // shard-additive artifact shape (a global histogram() would land on
       // the identical counts)

@@ -389,8 +389,12 @@ object FeatureQueries {
     // metric; min-co-occurrence floor keeps the rule set to genuinely
     // repeated pairs.
     "q_basket_rules" -> { (s, dir) =>
+      // the deduped (order, part) association feeds FOUR consumers (total,
+      // per-item counts, both sides of the pair self-join) — pin one
+      // computation of the distinct
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(false)
       val tot = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
       val ni = op.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
       val pairs = op.as("a").join(op.as("b"),

@@ -950,6 +950,10 @@ object PipelineQueries {
       val cands = textCands.unionByName(embCands)
         .groupBy(col("id_a"), col("id_b"))
         .agg(max(col("src_text")).as("src_text"), max(col("src_embed")).as("src_embed"))
+        // pair-sized pin: consumed by the embed-only anti-join AND the
+        // final attach join — unpinned, the bucket self-join + union +
+        // groupBy subtree executes once per consumer
+        .localCheckpoint(false)
       val embOnly = cands.select(col("id_a"), col("id_b"))
         .join(textPairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
           "left_anti")
