@@ -208,8 +208,12 @@ object AnalyticsQueries {
       val acc = 1000
       val eps = 2.0 / acc
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      // r20: pin the 1-row cutpoint aggregate — it broadcasts into THREE
+      // consumers (boundary probes, bucket counts, the spine) and unpinned
+      // the full-scan approx_percentile ran once per consumer
       val cuts = li.agg(approx_percentile(col("v"),
         typedLit((1 until b).map(_.toDouble / b)), lit(acc)).as("cuts"))
+        .localCheckpoint(false)
       val withCuts = li.crossJoin(broadcast(cuts))
       val probeAggs =
         Seq(count(lit(1)).as("n"), sum(dec(col("v"))).cast("double").as("total")) ++
@@ -450,6 +454,9 @@ object AnalyticsQueries {
         .filter(col("to_event").isNotNull)
         .groupBy(col("event_type").as("from_event"), col("to_event"))
         .agg(count(lit(1)).as("n"))
+        // matrix-sized pin: feeds the row-total aggregate AND the attach
+        // join — unpinned, the event window + pair count ran twice
+        .localCheckpoint(false)
       val tot = tr.groupBy(col("from_event")).agg(sum(col("n")).as("n_from"))
       tr.join(tot, Seq("from_event"))
         .select(col("from_event"), col("to_event"), col("n"), col("n_from"),
@@ -519,10 +526,15 @@ object AnalyticsQueries {
     * gates (suppliers offset into their own id space)
     */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // r20: pin the fact join + pair aggregate once — the symmetrizing
+    // union below consumes it TWICE (and the PPR gate's seed scan a third
+    // time), and unpinned each reference re-executed the lineitem⋈orders
+    // join and groupBy
     val e0 = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
     e0.select(col("cust").as("src"),
         (col("supp") + 1000000L).as("dst"), col("w"))
       .union(e0.select((col("supp") + 1000000L).as("src"),

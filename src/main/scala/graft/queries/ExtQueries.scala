@@ -430,17 +430,23 @@ object ExtQueries {
     // free except the bucket join and the pair-sized CC rounds.
     "q_cluster_knn" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // r20: the LSH top-k chain (bucket join + ranking window) feeds BOTH
+      // sides of the mutuality semi-join — pin one computation
       val knn = Similarity.lshTopK(emb, "vec_id", "embedding", LSH_TOPK, BITS, DIM)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false)
       val mutual = knn.join(
           knn.select(col("query_id").as("neighbor_id"), col("neighbor_id").as("query_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .filter(col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
       val labels = Dedup.connectedComponents(mutual)
+      // corpus-sized but narrow (id, cluster): feeds the size aggregate AND
+      // the final attach join
       val base = emb.select(col("vec_id"))
         .join(labels, col("vec_id") === col("id"), "left_outer")
         .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster"))
+        .localCheckpoint(false)
       val sizes = base.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
       base.join(broadcast(sizes), Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("cluster_size"))

@@ -521,6 +521,10 @@ object PipelineQueries {
         .join(broadcast(srcCnt), Seq("source"))
         .select(col("doc_id").as("query_id"), col("source").as("q_src"),
           (col("n_src") - 1).as("n_rel_total"))
+        // query-sized pin: broadcasts into the judged join AND seeds the
+        // ideal-DCG explode — unpinned, the per-source corpus count ran
+        // once per consumer
+        .localCheckpoint(false)
       val judged = ranked
         .join(broadcast(qrel), Seq("query_id"))
         .join(src.select(col("doc_id"), col("source").as("d_src")), Seq("doc_id"))
@@ -1409,6 +1413,10 @@ object PipelineQueries {
       val quality = TextOps.withQuality(docs, "text")
         .filter(col("n_tokens") >= 40 && col("uniq_ratio") >= 0.3)
       val keepers = Dedup.exact(quality, "doc_id", "text").select(col("keeper"))
+      // r20: a localCheckpoint pin of this survivor set was MEASURED and
+      // REJECTED (A/B probe 1.42 → 1.74 s): the checkpoint copies the
+      // corpus text column, which costs more than re-running the
+      // quality+exact chain for the second consumer
       val afterExact = quality.join(keepers, col("doc_id") === col("keeper"), "left_semi")
       val dupIds = Dedup.nearDuplicatesLsh(afterExact, "doc_id", "text", K, BAND, NGRAM)
         .filter(col("jaccard") >= 0.4)
@@ -1723,6 +1731,10 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(TextOps.winnowSelect(col("__hs"), WINNOW_W)).as("fp"))
         .distinct()
+        // r20: pin the winnowed fingerprint set — it feeds the df count
+        // AND the attach join, and unpinned the md5 gram-hash + winnow
+        // chain executed once per consumer
+        .localCheckpoint(false)
       val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
       fps.join(dfc, Seq("fp"))
         .groupBy(col("doc_id"))

@@ -246,6 +246,11 @@ object SqlSurfaceQueries {
       // saves, 5.5 s vs 4.5 s row total); at true corpus scale the
       // pre-bucketed q_sketch_quantile path is the scale answer, this gate
       // stays the exact twin.
+      // r20: a localCheckpoint pin of the grouped (value, count) frame was
+      // MEASURED and REJECTED here (A/B probe 3.42 → 3.74 s): the window
+      // prunes away from the total-count consumer and exchange reuse
+      // already dedups the groupBy, so the pin only added a 583 k-row
+      // checkpoint copy
       val cum = li.filter(col("l_extendedprice").isNotNull)
         .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
