@@ -908,12 +908,17 @@ object Dedup {
   def simhashPairs(
       sim: DataFrame, idCol: String, maxDist: Int,
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    // r20: pin the banded signature frame — it feeds the capped l side AND
+    // the raw r side of the band join (whose different downstream shapes
+    // defeat exchange reuse), and each union branch re-projects `sim`, so
+    // unpinned the per-doc simhash computation ran up to four times
     val banded = Seq(
       sim.select(col(idCol).as("id"), lit(0).as("band"),
         shiftright(col("simhash"), 16).as("bkey"), col("simhash")),
       sim.select(col(idCol).as("id"), lit(1).as("band"),
         col("simhash").bitwiseAND(0xFFFFL).as("bkey"), col("simhash")))
       .reduce(_ unionByName _)
+      .localCheckpoint(false)
     val l = capBuckets(banded, Seq("band", "bkey"), "id", maxBucket)
       .select(col("id").as("id_a"), col("band"), col("bkey"),
         col("simhash").as("sim_a"))

@@ -73,10 +73,13 @@ object AnalyticsQueries {
     // argmax via a broadcast 1-row max — equality on revenue is exact because
     // both sides fold the identical decimal sum before the double cast.
     "q_tpch_topsupp" -> { (s, dir) =>
+      // supplier-sized pin: feeds the max aggregate AND the winner filter —
+      // unpinned the quarter's revenue aggregate ran twice
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(sum(revenue).as("total_rev"))
+        .localCheckpoint(false)
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.crossJoin(broadcast(top))
         .filter(col("total_rev") === col("max_rev"))
@@ -158,6 +161,9 @@ object AnalyticsQueries {
     // their first-seen day, so cum distinct = running sum of first-seen
     // counts — two days-sized aggregates and one days-sized running window.
     "q_cum_distinct" -> { (s, dir) =>
+      // NOTE r20: a localCheckpoint pin of `dated` was MEASURED and
+      // REJECTED (A/B probe 0.39 → 0.51 s — the (user, day) checkpoint
+      // copy costs more than the second distinct recompute here)
       val dated = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val daily = dated.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
@@ -409,10 +415,12 @@ object AnalyticsQueries {
     // the long round-trip through Spark's double return type is exact.
     "q_rfm_segments" -> { (s, dir) =>
       val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      // user-sized pin: feeds the anchor-max aggregate AND the RFM frame
       val peruser = ev.groupBy(col("user_id")).agg(
         max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint(false)
       val anchored = peruser
         .crossJoin(broadcast(peruser.agg(max(col("last_day")).as("d1"))))
         .withColumn("recency_days", datediff(col("d1"), col("last_day")).cast("long"))

@@ -1183,6 +1183,8 @@ object ExtQueries {
       val daily = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
+        // days-sized pin: feeds the bounds aggregate AND the spine join
+        .localCheckpoint(false)
       val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val spine = bounds
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -1203,6 +1205,8 @@ object ExtQueries {
       val ev = Tables.events(s, dir)
       val daily = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        // days-sized pin: feeds the moment aggregate AND the z-score attach
+        .localCheckpoint(false)
       val stats = daily.agg(
         count(lit(1)).as("nd"),
         sum(col("n")).as("s1"),
@@ -1235,6 +1239,9 @@ object ExtQueries {
         .select(col("user_id"),
           floor(datediff(col("d"), col("d0")) / 7).cast("long").as("week"))
         .distinct()
+        // (user, week)-sized pin: feeds the cohort aggregate AND the
+        // activity join
+        .localCheckpoint(false)
       val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
       val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
       wk.join(cohort, Seq("user_id"))

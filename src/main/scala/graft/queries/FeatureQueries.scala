@@ -335,6 +335,8 @@ object FeatureQueries {
       val pts = ev.groupBy(col("event_type"), col("c"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+        // value-point-sized pin: feeds the CDF window AND the totals
+        .localCheckpoint(false)
       val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = pts
@@ -367,6 +369,9 @@ object FeatureQueries {
           round(col("xf").cast("double") * SCALE6).cast("long").as("xl"))
       val cent = x.groupBy(col("label"), col("dim"))
         .agg(round(sum(col("xl")).cast("double") / count(lit(1))).cast("long").as("cm"))
+        // (label, dim)-sized pin: feeds both sides of the pair self-join —
+        // unpinned the posexplode + mean aggregate ran twice
+        .localCheckpoint(false)
       val pair = cent.select(col("label").as("label_a"), col("dim"), col("cm").as("ca"))
         .join(cent.select(col("label").as("label_b"), col("dim"), col("cm").as("cb")),
           Seq("dim"))
@@ -506,6 +511,9 @@ object FeatureQueries {
           floor(datediff(to_date(col("ts")), col("d0")) / 7).cast("long").as("week"),
           col("event_type"),
           round(col("value") * 100).cast("long").as("cents"))
+      // NOTE r20: a localCheckpoint pin of `cohort` was MEASURED and
+      // REJECTED here (A/B probe 0.80 → 0.88 s; unlike the retention twin,
+      // wk is scan-level here so the re-derive is cheap)
       val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
       val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
       val purch = wk.filter(col("event_type") === "purchase")
@@ -530,9 +538,14 @@ object FeatureQueries {
     // long. The complete r×c grid (absent cells count 0) is what makes the
     // statistic right — a sparse-only sum understates the divergence.
     "q_chisq_independence" -> { (s, dir) =>
+      // cell-sized pin: the contingency counts feed FOUR differently-keyed
+      // consumers (row sums, column sums, total, grid attach) — different
+      // pruning per consumer defeats exchange reuse, so unpinned the event
+      // scan + pair aggregate ran once per consumer
       val o = Tables.events(s, dir)
         .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
         .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(false)
       val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("rn"))
       val c = o.groupBy(col("dow")).agg(sum(col("o")).as("cn"))
       val tot = o.agg(sum(col("o")).as("nn"), count(lit(1)).as("n_cells_obs"))
@@ -564,9 +577,12 @@ object FeatureQueries {
     // frames are days-sized; the global order windows are the exact
     // anchor (approx_percentile is the 100 TB path).
     "q_anomaly_mad" -> { (s, dir) =>
+      // days-sized pin: feeds the count, the median window, and the
+      // deviation attach — unpinned the daily aggregate ran per consumer
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       val nd = daily.agg(count(lit(1)).as("nd"))
       def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame = {
         val w = Window.orderBy(col(vCol), col("day"))
@@ -702,6 +718,9 @@ object FeatureQueries {
     },
 
     "q_profile_skew" -> { (s, dir) =>
+      // NOTE r20: a localCheckpoint pin of `cnts` was MEASURED and REJECTED
+      // (A/B probe 0.27 → 0.33 s — the per-user frame's checkpoint copy
+      // costs more than the second aggregate recompute)
       val cnts = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
       val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
@@ -733,8 +752,12 @@ object FeatureQueries {
           expr("hll_sketch_estimate(sk_purchase)").as("est_b"),
           expr("hll_sketch_estimate(hll_union(sk_view, sk_purchase))").as("est_u"))
         .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+      // user-sized pins: each exact side feeds the union, its own count,
+      // and the semi-join — three differently-shaped consumers
       val a = ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+        .localCheckpoint(false)
       val bb = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .localCheckpoint(false)
       val exact = a.union(bb).distinct().agg(count(lit(1)).as("n_union_exact"))
         .crossJoin(a.agg(count(lit(1)).as("n_a_exact")))
         .crossJoin(bb.agg(count(lit(1)).as("n_b_exact")))

@@ -258,9 +258,11 @@ object OlapQueries {
     // integer cross-multiplication value_cents·1300 > total_cents — no
     // float threshold anywhere.
     "q_tpch_valueparts" -> { (s, dir) =>
+      // part-sized pin: feeds the total aggregate AND the threshold filter
       val perPart = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+        .localCheckpoint(false)
       val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
       perPart.crossJoin(broadcast(total))
         .filter(col("value_cents") * 1300L > col("total_cents"))
@@ -308,11 +310,14 @@ object OlapQueries {
     // struct-min, one aggregate + one broadcast-dim join, restricted to
     // ASIA suppliers and large parts
     "q_tpch_mincost" -> { (s, dir) =>
+      // supplier-sized pin: feeds the semi-join build, the final attach,
+      // and its own projection — three broadcast builds of the same dims
       val asiaSupp = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .localCheckpoint(false)
       val offers = Tables.lineitem(s, dir)
         .join(broadcast(asiaSupp.select(col("s_suppkey"))),
           col("l_suppkey") === col("s_suppkey"), "left_semi")

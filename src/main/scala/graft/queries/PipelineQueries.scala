@@ -488,6 +488,9 @@ object PipelineQueries {
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        // 10-row pin: feeds the total aggregate AND the cumulative window —
+        // unpinned the whole classifier-scoring + ntile chain ran twice
+        .localCheckpoint(false)
       val tot = deciles.agg(sum(col("n_pos")).as("total_pos"))
       val wc = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1756,6 +1759,9 @@ object PipelineQueries {
       val freq = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        // vocab-sized pin: feeds the rank window AND the total aggregate —
+        // unpinned the token explode + frequency count ran twice
+        .localCheckpoint(false)
       val ord = Window.orderBy(col("f").desc, col("tok"))
       val ranked = freq
         .withColumn("rn", row_number().over(ord))

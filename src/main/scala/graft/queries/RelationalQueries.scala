@@ -145,8 +145,13 @@ object RelationalQueries {
     // set operations over distinct key sets
     "q_setops" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
+      // part-sized pins: intersect and except are two SEPARATE count
+      // actions — no within-plan exchange reuse is possible across them,
+      // so unpinned each side's filter+distinct ran twice
       val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey")).distinct()
+        .localCheckpoint(false)
       val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey")).distinct()
+        .localCheckpoint(false)
       import s.implicits._
       Seq((a.intersect(r).count(), a.except(r).count())).toDF("n_intersect", "n_except")
     },
