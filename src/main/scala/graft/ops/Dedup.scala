@@ -206,6 +206,10 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - expr(s"($tPct * sz + 99) div 100") + 1)
       .select(col("t"), col("id"))
+      // r20: (t, id)-sized pin — both sides of the candidate self-join
+      // consume it, and the aliased sides defeat exchange reuse, so
+      // unpinned the dfreq join + prefix window ran twice
+      .localCheckpoint(false)
     val cand = prefix.select(col("t"), col("id").as("id_a"))
       .join(prefix.select(col("t"), col("id").as("id_b")), Seq("t"))
       .filter(col("id_a") < col("id_b"))

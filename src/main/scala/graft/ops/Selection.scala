@@ -171,6 +171,9 @@ object Selection {
     val cnt2 = ccnetBigrams(docs, idCol, textCol, langCol)
       .groupBy(col("lang"), col("w1"), col("bg"))
       .agg(count(lit(1)).as("n2"))
+      // r20: LM-sized pin — feeds the marginal aggregate AND the join;
+      // unpinned, the corpus bigram explode + count ran twice
+      .localCheckpoint(false)
     // n(lang, w1·) derived from the bigram table itself (position-specific
     // marginal, the PMI convention) — no second corpus pass
     val cnt1 = cnt2.groupBy(col("lang"), col("w1"))

@@ -241,6 +241,10 @@ object TextOps {
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val tf = words.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      // r20: (doc, term)-sized pin — feeds the df count AND the final join
+      // (the bm25StatsTable tfm discipline); unpinned, the corpus tokenized
+      // twice
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.count()
     tf.join(dfreq, Seq("term"))
@@ -360,6 +364,10 @@ object TextOps {
     val bg = docs.select(lit(0L).as("doc_id"), col(textCol))
       .transform(d => docBigrams(d, "doc_id", textCol))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      // r20: bigram-vocab-sized pin — feeds FOUR differently-keyed
+      // consumers (left/right marginals, total, the filtered join);
+      // unpinned, the corpus bigram explode + count ran per consumer
+      .localCheckpoint(false)
     val left = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n_left"))
     val right = bg.groupBy(col("w2")).agg(sum(col("n12")).as("n_right"))
     val tot = bg.agg(sum(col("n12")).cast("double").as("__tot"))

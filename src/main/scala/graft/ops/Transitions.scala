@@ -33,20 +33,23 @@ object Transitions {
   def foldBatch(
       state: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
       ordCol: String, attrCol: String): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
-    val ranked = batch.select(col(keyCol), col(tsCol), col(ordCol), col(attrCol))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__mx", max(col("__rn")).over(Window.partitionBy(col(keyCol))))
+    // r20: the batch's first/last event per key and its key set all come
+    // from ONE aggregation — min/max over the (ts, ord, attr) struct picks
+    // exactly the row_number endpoints, because (ts, ord) is a total order
+    // per key. The previous form ran three window passes plus a distinct
+    // over the ranked batch per trigger.
+    val fl = batch
+      .select(col(keyCol),
+        struct(col(tsCol), col(ordCol), col(attrCol)).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__s")).as("__f"), max(col("__s")).as("__l"))
     val within = batchCounts(batch, keyCol, tsCol, ordCol, attrCol)
-    val firsts = ranked.filter(col("__rn") === 1)
-      .select(col(keyCol), col(attrCol).as("__first"))
-    val boundary = state.join(firsts, Seq(keyCol))
+    val boundary = state
+      .join(fl.select(col(keyCol), col(s"__f.$attrCol").as("__first")), Seq(keyCol))
       .groupBy(col("attr").as("from_event"), col("__first").as("to_event"))
       .agg(count(lit(1)).as("n"))
-    val lasts = ranked.filter(col("__rn") === col("__mx"))
-      .select(col(keyCol), col(attrCol).as("attr"))
-    val carried = state.join(ranked.select(col(keyCol)).distinct(),
-      Seq(keyCol), "left_anti")
+    val lasts = fl.select(col(keyCol), col(s"__l.$attrCol").as("attr"))
+    val carried = state.join(fl.select(col(keyCol)), Seq(keyCol), "left_anti")
     (within.unionByName(boundary), carried.unionByName(lasts))
   }
 
