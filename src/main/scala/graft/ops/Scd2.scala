@@ -74,7 +74,13 @@ object Scd2 {
   def foldBatch(
       open: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
       ordCol: String, attrCol: String): (DataFrame, DataFrame) = {
+    // r20: the batch islands feed the first-island probe AND the renumber
+    // join, whose different pruning defeats exchange reuse — pin one
+    // computation of the islands window per trigger (batch-islands-sized,
+    // narrow; the lazy checkpoint's blocks are reclaimed by the context
+    // cleaner once the trigger's frames are dereferenced)
     val bi = islands(batch, keyCol, tsCol, ordCol, attrCol)
+      .localCheckpoint(false)
     val openInfo = open.select(col(keyCol), col("version").as("__over"),
       col("segment").as("__oseg"), col("valid_from").as("__ofrom"),
       col("n_rows").as("__on"))
@@ -103,15 +109,20 @@ object Scd2 {
       .select(col(keyCol), col("bver"), col("version"), col("segment"),
         col("valid_from"), col("n_rows"))
     val wv = Window.partitionBy(col(keyCol)).orderBy(col("bver"))
+    // pinned for the same reason: the complementary isNotNull/isNull
+    // filters below would each re-run the renumber join + lead window
     val withNext = adj.withColumn("__next", lead(col("valid_from"), 1).over(wv))
+      .localCheckpoint(false)
     val closedFromBatch = withNext.filter(col("__next").isNotNull)
       .select(col(keyCol), col("version"), col("segment"), col("valid_from"),
         col("__next").as("valid_to"), col("n_rows"))
     val newOpenFromBatch = withNext.filter(col("__next").isNull)
       .select(col(keyCol), col("version"), col("segment"), col("valid_from"),
         col("n_rows"))
-    // keys untouched by this batch keep their open row
-    val carried = open.join(bi.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    // keys untouched by this batch keep their open row. Every batch key
+    // has a bver=1 island, so firstSeg IS the batch key set — reusing it
+    // saves the bi.select(key).distinct pass the old form ran per trigger.
+    val carried = open.join(firstSeg.select(col(keyCol)), Seq(keyCol), "left_anti")
     (closedFromOpen.unionByName(closedFromBatch),
       carried.unionByName(newOpenFromBatch))
   }
