@@ -2185,9 +2185,10 @@ object Streams {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < 50)
       .select(col("vec_id"), col("embedding"))
+    // fit-once static side (r20) — see streamingWindowFeatures
+    val artifact = spark.read.parquet(artifactPath)
     streamingSearch(vecs, outDir, batches, b =>
-      graft.ops.Similarity.pcaProject(b, "vec_id", "embedding",
-        b.sparkSession.read.parquet(artifactPath)))
+      graft.ops.Similarity.pcaProject(b, "vec_id", "embedding", artifact))
   }
 
   /** Streaming paragraph-block admission — arriving docs (id >= 400) cut
@@ -2203,9 +2204,11 @@ object Streams {
     val docs = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") >= 400)
     val par = spark.sparkContext.defaultParallelism
+    // fit-once static side (r20) — see streamingWindowFeatures
+    val index = spark.read.parquet(indexPath)
     streamingSearch(docs, outDir, batches, b =>
       graft.ops.Dedup.paragraphScrub(b.repartition(par), "doc_id", "text",
-        b.sparkSession.read.parquet(indexPath), chunkTokens))
+        index, chunkTokens))
   }
 
   /** Streaming TIME-window feature serving — clicks arrive on a stream and
@@ -2223,9 +2226,12 @@ object Streams {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"),
         (col("ts") - expr("INTERVAL 7 DAYS")).as("c_ts_lo"))
+    // fit-once static side (r20): construct the artifact frame once — the
+    // per-batch closure used to re-list the path and re-infer the schema
+    // on every trigger
+    val artifact = spark.read.parquet(artifactPath)
     streamingSearch(clicks, outDir, batches, b =>
-      graft.ops.Features.attachWindow(
-        b, b.sparkSession.read.parquet(artifactPath)))
+      graft.ops.Features.attachWindow(b, artifact))
   }
 
   /** Streaming point-in-time feature serving — clicks arrive on a stream
@@ -2244,9 +2250,10 @@ object Streams {
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
+    // fit-once static side (r20) — see streamingWindowFeatures
+    val artifact = spark.read.parquet(artifactPath)
     streamingSearch(clicks, outDir, batches, b =>
-      graft.ops.Features.attachLast3(
-        b, b.sparkSession.read.parquet(artifactPath)))
+      graft.ops.Features.attachLast3(b, artifact))
   }
 
   private def streamingSearch(
