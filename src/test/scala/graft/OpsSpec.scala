@@ -350,6 +350,67 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("opened searcher (fit/serve split) serves repeated batches identically to the one-shot API") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val idx = "/tmp/graft_open_searcher_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    graft.ops.Similarity.writeIvfInt8Index(emb, "vec_id", "embedding", idx, 8)
+    // the r20 serving split: the static side (manifest, list frame,
+    // centroid sidecar) is resolved ONCE; the returned closure must give
+    // the one-shot API's exact rows for EVERY batch it serves
+    val serve = graft.ops.Similarity.openIvfInt8Searcher(
+      spark, idx, "vec_id", "embedding", 3, 2)
+    Seq(emb.filter($"vec_id" < 10), emb.filter($"vec_id" >= 10 && $"vec_id" < 20))
+      .foreach { batch =>
+        val got = serve(batch).collect().map(_.toString).sorted.toSeq
+        val expected = graft.ops.Similarity.searchIvfInt8Index(
+          spark, idx, batch, "vec_id", "embedding", 3, 2)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == expected && got.nonEmpty)
+      }
+  }
+
+  test("Transitions.foldBatch endpoint aggregation equals the retired window form") {
+    import graft.ops.Transitions
+    // a state row that carries (user 1), one that closes a boundary pair
+    // (user 2), and a batch-only user (3); user 2's batch has 3 events so
+    // first != last
+    val state = Seq((2L, "view"), (1L, "click")).toDF("user_id", "attr")
+    val batch = Seq(
+      (2L, 100L, 1L, "click"), (2L, 50L, 2L, "purchase"), (2L, 100L, 3L, "view"),
+      (3L, 10L, 4L, "view"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val (delta, ns) = Transitions.foldBatch(state, batch, "user_id", "ts",
+      "event_id", "event_type")
+    // retired model: row_number/max windows over (ts, event_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ranked = batch
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__mx", max($"__rn").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+    val firstsM = ranked.filter($"__rn" === 1)
+      .select($"user_id", $"event_type".as("__first"))
+    val boundaryM = state.join(firstsM, Seq("user_id"))
+      .groupBy($"attr".as("from_event"), $"__first".as("to_event"))
+      .agg(count(lit(1)).as("n"))
+    val deltaM = Transitions.batchCounts(batch, "user_id", "ts", "event_id",
+      "event_type").unionByName(boundaryM)
+    val lastsM = ranked.filter($"__rn" === $"__mx")
+      .select($"user_id", $"event_type".as("attr"))
+    val nsM = state.join(ranked.select($"user_id").distinct(),
+      Seq("user_id"), "left_anti").unionByName(lastsM)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(delta) == rows(deltaM) && rows(delta).nonEmpty)
+    assert(rows(ns) == rows(nsM))
+    // the carried row (user 1) and the batch-only last (user 3) both land
+    assert(rows(ns).exists(_.contains("[1,click]")))
+    assert(rows(ns).exists(_.contains("[3,view]")))
+  }
+
   test("streaming ANN sink is retry-idempotent: replaying a batch id adds no rows") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
