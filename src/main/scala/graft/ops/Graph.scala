@@ -63,29 +63,39 @@ object Graph {
     val e = e0.join(outw, Seq("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    // node count + uniform start, kept in-frame (no driver-side collect)
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"$SCALE div n").as("pr"))
-    val damp = dampingPct.toLong
-    val baseNum = (100L - damp) * SCALE
-    var prevPr: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val contrib = e
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nn))
-        .select(col("node"),
-          (expr(s"$baseNum div (100 * n)") +
-            expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
-        .localCheckpoint(true)
-      if (prevPr != null) prevPr.unpersist(false)
-      prevPr = pr
+    // r20: the node count is ONE long — fetch it once from the checkpointed
+    // node frame (the bounded-driver-fetch discipline of the centroid/
+    // manifest reads) instead of re-deriving a count aggregate + 1-row
+    // broadcast inside EVERY round's plan: the per-round base term becomes
+    // a literal, so each round drops one aggregate job and one broadcast
+    // exchange. `div` on positive longs is the same truncating division as
+    // Scala `/`, so every pr value is bit-identical to the in-frame form.
+    val n = nodes.count()
+    if (n == 0L) {
+      // empty graph: nothing to iterate; the e/nodes checkpoints hold no
+      // rows, and the returned frame reads them, so they are NOT unpersisted
+      nodes.select(col("node"), lit(0L).as("pr"))
+    } else {
+      var pr = nodes.select(col("node"), lit(SCALE / n).as("pr"))
+      val damp = dampingPct.toLong
+      val basePerNode = (100L - damp) * SCALE / (100L * n)
+      var prevPr: DataFrame = null
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(basePerNode) +
+              expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
+          .localCheckpoint(true)
+        if (prevPr != null) prevPr.unpersist(false)
+        prevPr = pr
+      }
+      Seq(e, nodes).foreach(_.unpersist(false))
+      pr
     }
-    Seq(e, nodes).foreach(_.unpersist(false))
-    pr
   }
 
   /** PERSONALIZED PageRank — restart mass concentrated on a seed cohort
@@ -113,20 +123,23 @@ object Graph {
       .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
         Seq("node"), "left")
       .localCheckpoint(true)
-    // an empty/graph-disjoint seed set would make n=0 and turn every
-    // `div n` below into NULL pr for every node — fail loudly instead
-    // (mirrors the iters/dampingPct requires; the count is over the
-    // node-sized frame, not the edge fact, so the eager check is cheap)
+    // an empty/graph-disjoint seed set would make the per-seed shares below
+    // a division by zero — fail loudly instead (mirrors the iters/dampingPct
+    // requires). r20: the eager check IS the seed count now (one bounded
+    // long to the driver, same hoist as pageRankFixedPoint's node count —
+    // the in-graph seed tally is round-invariant, so deriving it as a
+    // 1-row aggregate + broadcast inside every round's plan only added an
+    // aggregate job and a broadcast exchange per round).
+    val nSeeds = seeded.filter(col("is_seed") === 1L).count()
     require(
-      seeded.filter(col("is_seed") === 1L).limit(1).count() == 1L,
+      nSeeds >= 1L,
       "personalizedPageRank: no seed node is present in the graph " +
         "(seeds must intersect the edge endpoints)")
-    val ns = seeded.agg(sum(coalesce(col("is_seed"), lit(0L))).as("n"))
-    var pr = seeded.crossJoin(broadcast(ns))
+    var pr = seeded
       .select(col("node"),
-        when(col("is_seed") === 1L, expr(s"$SCALE div n")).otherwise(lit(0L)).as("pr"))
+        when(col("is_seed") === 1L, lit(SCALE / nSeeds)).otherwise(lit(0L)).as("pr"))
     val damp = dampingPct.toLong
-    val baseNum = (100L - damp) * SCALE
+    val basePerSeed = (100L - damp) * SCALE / (100L * nSeeds)
     var prevPr: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
@@ -134,9 +147,8 @@ object Graph {
         .select(col("dst").as("node"), expr("(pr * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       pr = seeded.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(ns))
         .select(col("node"),
-          (when(col("is_seed") === 1L, expr(s"$baseNum div (100 * n)")).otherwise(lit(0L)) +
+          (when(col("is_seed") === 1L, lit(basePerSeed)).otherwise(lit(0L)) +
             expr(s"($damp * coalesce(s, 0L)) div 100")).as("pr"))
         .localCheckpoint(true)
       if (prevPr != null) prevPr.unpersist(false)
