@@ -456,7 +456,11 @@ object ExtQueries {
     // int8 embedding quantization: pure scan-level compression codes +
     // quality diagnostics; codes pinned bit-level via md5 digest
     "q_embed_quantize" -> { (s, dir) =>
+      // narrow-output scan-kernel pin: the trailing sort's range-sampling
+      // pass otherwise runs the quantize kernel a second time (the
+      // q_text_stats idiom; codes are 64 B/row, far cheaper to copy)
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .localCheckpoint(false)
         .orderBy(col("vec_id"))
     },
 
@@ -704,6 +708,7 @@ object ExtQueries {
     // 2-byte resolution; max_err shrinks ~256x (what the extra byte buys)
     "q_embed_quantize16" -> { (s, dir) =>
       Similarity.quantizeInt16(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_embed_quantize)
         .orderBy(col("vec_id"))
     },
 

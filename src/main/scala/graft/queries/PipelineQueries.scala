@@ -280,6 +280,13 @@ object PipelineQueries {
         i -> array_to_string(toks[i:i+${NGRAM - 1}], ' ')))"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r20: the scan-kernel gates with a NARROW output pin the projection
+    // (lazy localCheckpoint) before the trailing orderBy — the sort's
+    // range-sampling pass otherwise re-executes the whole kernel scan (the
+    // q_text_fingerprint lesson), and with rows this narrow the checkpoint
+    // copy is far cheaper than a second kernel pass. Fingerprint itself
+    // keeps the sort-first idiom because its output carries the fingerprint
+    // array payload.
     "q_text_stats" -> { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       Tables.documents(s, dir)
@@ -288,6 +295,7 @@ object PipelineQueries {
           size(array_distinct(toks)).cast("long").as("n_unique"),
           size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
           length(col("text")).cast("long").as("n_chars_computed"))
+        .localCheckpoint(false)
         .orderBy(col("doc_id"))
     },
 
@@ -296,12 +304,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("n_stop"),
           col("mean_word_len"), col("stop_ratio"), col("uniq_ratio"),
           col("quality_score"))
+        .localCheckpoint(false)
         .orderBy(col("doc_id"))
     },
 
     "q_text_langid" -> { (s, dir) =>
       TextOps.withLangId(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("lang_pred"))
+        .localCheckpoint(false)
         .orderBy(col("doc_id"))
     },
 
@@ -336,6 +346,7 @@ object PipelineQueries {
     "q_text_classifier" -> { (s, dir) =>
       TextOps.withClassifierScore(Tables.documentsParallel(s, dir), "doc_id", "text",
         CLS_BUCKETS, CLS_SEED)
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
@@ -350,6 +361,7 @@ object PipelineQueries {
         TextOps.trainClassifierWeights(docs, "text", col("lang") === "en", CLS_BUCKETS),
         CLS_BUCKETS)
       TextOps.withTrainedClassifierScore(docs, "doc_id", "text", model, CLS_BUCKETS)
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
@@ -816,6 +828,7 @@ object PipelineQueries {
     "q_select_dsir_scores" -> { (s, dir) =>
       Selection.dsirScoreStream(Tables.documentsParallel(s, dir),
         "doc_id", "text", dsirLr6(s, dir), DSIR_B)
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
@@ -863,6 +876,7 @@ object PipelineQueries {
       Selection.gopherRules(Tables.documents(s, dir), "doc_id", "text",
         GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_WLEN, GOPHER_MAX_WLEN,
         GOPHER_STOPWORDS, GOPHER_MIN_STOP, GOPHER_MIN_ALPHA, GOPHER_MAX_TOP2)
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
@@ -1445,6 +1459,7 @@ object PipelineQueries {
       TextOps.withRedaction(withPii, "t2")
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
           md5(col("redacted")).as("redacted_md5"))
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
@@ -1458,6 +1473,7 @@ object PipelineQueries {
       val held = docs.filter(col("doc_id") % 97 === 0)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
       graft.ops.Decontam.flags(corpus, "doc_id", "text", held, "text", 5)
+        .localCheckpoint(false) // narrow-output scan-kernel pin (see q_text_stats)
         .orderBy(col("doc_id"))
     },
 
